@@ -1,0 +1,176 @@
+"""Posting-block codecs — numpy-vectorized LEB128 varint + delta.
+
+The index layout (BASELINE.json north_star) stores posting lists as
+fixed-doc-range blocks: block_id = doc_id // BLOCK_SIZE. Within a
+block each column is a compressed byte stream:
+
+- ``docs_delta``  — varint(delta(doc_id)) with the first value
+  absolute *within the block* (doc_id - block_id*BLOCK_SIZE), so a
+  block decodes with no external context.
+- ``tfs``         — varint(tf) per doc.
+- ``dls``         — varint(doc_len) per doc (denormalized norms, the
+  parquet analog of Lucene's per-doc norms docvalues: keeps scoring
+  block-local instead of requiring a 10^12-row join at query time).
+- ``pos_counts`` / ``pos_deltas`` — positions per doc as two streams:
+  counts, then per-doc delta-encoded positions concatenated. Split
+  streams keep the decode fully vectorized (reduceat/cumsum, no
+  Python loop over entries).
+
+All encode/decode paths are numpy array programs — the only Python
+loops are over *blocks*, never over postings entries, satisfying the
+"no per-row Python" constraint of BASELINE.json input_hint.
+
+Reference parity note: the reference delegates this entirely to
+Lucene.NET's codec (invoked at
+/root/reference/src/CodeIndex.IndexBuilder/LucenePoolLight.cs:30); the
+block-max metadata mirrors Lucene's BlockTree/impacts, reimplemented
+here from the public BM25/WAND literature.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+_U7 = np.uint64(7)
+_U7F = np.uint64(0x7F)
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array, fully vectorized."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = v.size
+    if n == 0:
+        return b""
+    nb = np.ones(n, dtype=np.int64)
+    tmp = v >> _U7
+    while tmp.any():
+        nb += tmp > 0
+        tmp = tmp >> _U7
+    total = int(nb.sum())
+    idx = np.repeat(np.arange(n), nb)
+    starts = np.concatenate(([0], np.cumsum(nb)[:-1]))
+    ranks = np.arange(total) - np.repeat(starts, nb)
+    shifted = v[idx] >> (ranks.astype(np.uint64) * _U7)
+    out = (shifted & _U7F).astype(np.uint8)
+    out |= ((ranks < nb[idx] - 1).astype(np.uint8)) << 7
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes) -> np.ndarray:
+    """Decode a LEB128 byte stream to uint64, fully vectorized."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (b & 0x80) == 0
+    ends = np.flatnonzero(is_last)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    lens = ends - starts + 1
+    ranks = np.arange(b.size) - np.repeat(starts, lens)
+    vals7 = (b & 0x7F).astype(np.uint64) << (ranks.astype(np.uint64) * _U7)
+    # chunks occupy disjoint bit ranges, so add == bitwise-or
+    return np.add.reduceat(vals7, starts)
+
+
+def delta_encode(sorted_values: np.ndarray, base: int = 0) -> np.ndarray:
+    v = np.ascontiguousarray(sorted_values, dtype=np.uint64)
+    if v.size == 0:
+        return v
+    out = np.empty_like(v)
+    out[0] = v[0] - np.uint64(base)
+    out[1:] = v[1:] - v[:-1]
+    return out
+
+
+def delta_decode(deltas: np.ndarray, base: int = 0) -> np.ndarray:
+    d = np.ascontiguousarray(deltas, dtype=np.uint64)
+    if d.size == 0:
+        return d
+    out = np.cumsum(d, dtype=np.uint64)
+    return out + np.uint64(base)
+
+
+def encode_positions(position_lists: list[np.ndarray]) -> tuple[bytes, bytes]:
+    """Encode per-doc position lists as (counts_stream, deltas_stream)."""
+    if not position_lists:
+        return b"", b""
+    counts = np.array([len(p) for p in position_lists], dtype=np.uint64)
+    if counts.sum() == 0:
+        return varint_encode(counts), b""
+    flat = np.concatenate(
+        [delta_encode(np.asarray(p, dtype=np.uint64)) for p in position_lists]
+    )
+    return varint_encode(counts), varint_encode(flat)
+
+
+def decode_positions(
+    counts_buf: bytes, deltas_buf: bytes
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode to (counts, flat_positions); slice i spans
+    flat[offsets[i]:offsets[i]+counts[i]] with offsets=cumsum-exclusive.
+    """
+    counts = varint_decode(counts_buf).astype(np.int64)
+    flat_d = varint_decode(deltas_buf)
+    if flat_d.size == 0:
+        return counts, flat_d.astype(np.int64)
+    cs = np.cumsum(flat_d, dtype=np.uint64)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    nonempty = counts > 0
+    bases = np.zeros(counts.size, dtype=np.uint64)
+    ne_starts = starts[nonempty]
+    bases_ne = np.where(ne_starts > 0, cs[ne_starts - 1], np.uint64(0))
+    bases[nonempty] = bases_ne
+    flat = cs - np.repeat(bases, counts)
+    return counts, flat.astype(np.int64)
+
+
+def bm25_tfnorm(
+    tfs: np.ndarray, dls: np.ndarray, avgdl: float, k1: float = 1.2, b: float = 0.75
+) -> np.ndarray:
+    """BM25 term-frequency normalization (idf applied separately —
+    idf is per-term constant, so block-max stores max tfnorm and the
+    score upper bound is idf * block_max_tfnorm)."""
+    tf = tfs.astype(np.float64)
+    dl = dls.astype(np.float64)
+    return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def encode_block(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    position_lists: list[np.ndarray],
+    block_id: int,
+    avgdl: float,
+    k1: float = 1.2,
+    b: float = 0.75,
+    block_size: int = BLOCK_SIZE,
+) -> dict:
+    """Encode one (field, term, block) posting group. ``doc_ids`` must
+    be sorted ascending and all within the block's doc range."""
+    order = np.argsort(doc_ids, kind="stable")
+    doc_ids = np.asarray(doc_ids, dtype=np.uint64)[order]
+    tfs = np.asarray(tfs, dtype=np.uint64)[order]
+    dls = np.asarray(dls, dtype=np.uint64)[order]
+    position_lists = [position_lists[i] for i in order]
+    base = block_id * block_size
+    pos_counts, pos_deltas = encode_positions(position_lists)
+    tfnorm = bm25_tfnorm(tfs, dls, avgdl, k1, b)
+    return {
+        "n": int(doc_ids.size),
+        "docs_delta": varint_encode(delta_encode(doc_ids, base=base)),
+        "tfs": varint_encode(tfs),
+        "dls": varint_encode(dls),
+        "pos_counts": pos_counts,
+        "pos_deltas": pos_deltas,
+        "block_max_tfnorm": float(tfnorm.max()) if tfnorm.size else 0.0,
+    }
+
+
+def decode_block_docs(
+    docs_delta: bytes, block_id: int, block_size: int = BLOCK_SIZE
+) -> np.ndarray:
+    return delta_decode(
+        varint_decode(docs_delta), base=block_id * block_size
+    ).astype(np.int64)

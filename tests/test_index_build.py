@@ -1,0 +1,187 @@
+"""End-to-end index build: docID determinism, posting correctness vs a
+brute-force pandas recomputation, resume semantics."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from codeindex_spark.corpus import CorpusSpec, generate_documents, spark_documents
+from codeindex_spark.index import encoding
+from codeindex_spark.index.build import IndexParams
+from codeindex_spark.index.docids import assign_doc_ids_pandas
+from codeindex_spark.index.segments import IndexBuilder, IndexReader
+from codeindex_spark.tokenizer import tokenize, tokenize_lower
+
+SPEC = CorpusSpec(n_docs=120)
+PARAMS = IndexParams(num_buckets=16, block_size=32)
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("index"))
+    docs = spark_documents(spark, SPEC, partitions=4)
+    builder = IndexBuilder(spark, d, PARAMS, n_groups=4)
+    builder.build(docs, resume=False)
+    return d
+
+
+@pytest.fixture(scope="module")
+def reader(spark, index_dir):
+    return IndexReader(spark, index_dir)
+
+
+def oracle_docs() -> pd.DataFrame:
+    df = generate_documents(SPEC)
+    return assign_doc_ids_pandas(df, PARAMS.num_buckets, PARAMS.block_size)
+
+
+def test_doc_ids_match_oracle(reader):
+    got = (
+        reader.docs.select("doc_id", "repo", "path", "commit")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = oracle_docs()[["doc_id", "repo", "path", "commit"]]
+    pd.testing.assert_frame_equal(got, exp.reset_index(drop=True))
+
+
+def test_block_alignment(reader):
+    """No posting block spans a bucket boundary: every doc in a block
+    belongs to one bucket (offsets are block-padded)."""
+    docs = reader.docs.select("doc_id", "bucket").toPandas()
+    docs["block"] = docs["doc_id"] // PARAMS.block_size
+    per_block = docs.groupby("block")["bucket"].nunique()
+    assert (per_block == 1).all()
+
+
+def test_postings_match_bruteforce(reader):
+    """Decode every content-field posting block and compare (term ->
+    sorted (doc_id, tf)) against a pure-pandas recomputation."""
+    exp_docs = oracle_docs()
+    # brute force: term -> {doc_id: (tf, positions)}
+    exp: dict[str, dict[int, tuple[int, list[int]]]] = {}
+    dls = {}
+    for row in exp_docs.itertuples():
+        toks = tokenize_lower(row.content)
+        dls[row.doc_id] = len(toks)
+        seen: dict[str, list[int]] = {}
+        for i, t in enumerate(toks):
+            seen.setdefault(t, []).append(i)
+        for t, pos in seen.items():
+            exp.setdefault(t, {})[row.doc_id] = (len(pos), pos)
+
+    got_rows = reader.postings.filter("field = 'content'").toPandas()
+    got: dict[str, dict[int, tuple[int, list[int]]]] = {}
+    for r in got_rows.itertuples():
+        doc_ids = encoding.decode_block_docs(
+            bytes(r.docs_delta), r.block_id, PARAMS.block_size
+        )
+        tfs = encoding.varint_decode(bytes(r.tfs)).astype(int)
+        blk_dls = encoding.varint_decode(bytes(r.dls)).astype(int)
+        counts, flat = encoding.decode_positions(
+            bytes(r.pos_counts), bytes(r.pos_deltas)
+        )
+        offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        for i, d in enumerate(doc_ids):
+            pos = flat[offs[i] : offs[i] + counts[i]].tolist()
+            got.setdefault(r.term, {})[int(d)] = (int(tfs[i]), pos)
+            assert blk_dls[i] == dls[int(d)], (r.term, d)
+
+    assert set(got) == set(exp)
+    for t in exp:
+        assert got[t] == exp[t], f"term {t!r} postings mismatch"
+
+
+def test_cased_field_present(reader):
+    cased = reader.postings.filter(
+        "field = 'content_cs' and term = 'ABCD'"
+    ).count()
+    lower = reader.postings.filter(
+        "field = 'content' and term = 'abcd'"
+    ).count()
+    assert cased > 0 and lower > 0
+    # lowercase field has no cased terms
+    assert (
+        reader.postings.filter("field = 'content' and term = 'ABCD'").count() == 0
+    )
+
+
+def test_stats_and_term_dict(reader):
+    n_docs, avgdl = reader.field_stats("content")
+    assert n_docs == SPEC.n_docs
+    exp_docs = oracle_docs()
+    exp_avgdl = np.mean([len(tokenize(c)) for c in exp_docs["content"]])
+    assert avgdl == pytest.approx(exp_avgdl)
+    # df of a hot term == number of docs containing it
+    td = (
+        reader.term_dict.filter("field = 'content' and term = 'get'")
+        .collect()
+    )
+    exp_df = sum("get" in tokenize_lower(c) for c in exp_docs["content"])
+    assert td[0]["df"] == exp_df
+
+
+def test_hints(reader):
+    hints = {r["word"] for r in reader.hints.collect()}
+    assert "LucenePool" in hints or "TempIndexDir" in hints
+    assert all(4 <= len(w) <= 199 for w in hints)
+
+
+def test_resume_skips_committed_and_is_identical(spark, tmp_path):
+    d = str(tmp_path / "idx")
+    docs = spark_documents(spark, SPEC, partitions=4)
+    b1 = IndexBuilder(spark, d, PARAMS, n_groups=4)
+    offsets = b1.plan(docs)
+    # simulate a crash: only groups 0 and 1 committed
+    b1.build_group(docs, offsets, 0)
+    b1.build_group(docs, offsets, 1)
+    assert b1.committed_groups() == {0, 1}
+    manifest_before = json.load(open(b1.paths.group_manifest(0)))
+
+    # restart: resume build completes remaining groups only
+    b2 = IndexBuilder(spark, d, PARAMS, n_groups=4)
+    recs = b2.build(docs, resume=True)
+    assert {r["group"] for r in recs} == {2, 3}
+    manifest_after = json.load(open(b2.paths.group_manifest(0)))
+    assert manifest_before == manifest_after  # untouched, not rebuilt
+
+    # the resumed index equals a from-scratch build, posting by posting
+    d2 = str(tmp_path / "idx2")
+    b3 = IndexBuilder(spark, d2, PARAMS, n_groups=4)
+    b3.build(docs, resume=False)
+
+    def posting_set(idx_dir):
+        r = IndexReader(spark, idx_dir)
+        rows = r.postings.toPandas()
+        return {
+            (x.field, x.term, x.block_id): (
+                x.n,
+                bytes(x.docs_delta),
+                bytes(x.tfs),
+                bytes(x.pos_deltas),
+            )
+            for x in rows.itertuples()
+        }
+
+    assert posting_set(d) == posting_set(d2)
+
+
+def test_manifest_metrics(index_dir):
+    files = sorted(glob.glob(os.path.join(index_dir, "manifest", "group_*.json")))
+    assert len(files) == 4
+    total = 0
+    for f in files:
+        rec = json.load(open(f))
+        assert rec["status"] == "committed"
+        assert rec["files_per_sec"] > 0
+        assert "sha_checksum" in rec
+        total += rec["n_files"]
+    assert total == SPEC.n_docs
