@@ -1,0 +1,297 @@
+"""Query AST + a small Lucene-classic-style parser.
+
+Mirrors the query surface the reference exposes through
+``QueryGenerator`` (/root/reference/src/CodeIndex.MaintainIndex/QueryGenerator.cs):
+
+- keyword terms, boolean AND / OR / NOT with grouping (QueryGenerator.cs:217-222
+  delegates to Lucene's classic QueryParser; expected shapes pinned by
+  /root/reference/src/CodeIndex.Test/MaintainIndex/QueryGeneratorTest.cs:39-201)
+- field-scoped leaves ``FileName:x AND Content:y`` (GetSearchStr,
+  QueryGenerator.cs:229-259)
+- wildcard ``stri*`` / ``organi?ation`` with term-dictionary expansion;
+  leading wildcard rejected (QueryGenerator.cs:154-158 keeps Lucene's
+  restriction — we keep it everywhere for symmetry)
+- fuzzy ``strng~2`` (QueryGeneratorTest.cs:60-76)
+- phrase mode: quoted exact-order adjacency, wildcard-in-phrase
+  (SpanNearQuery(..., 0, True) — QueryGenerator.cs:107-213)
+- CodePK point lookup short-circuit (QueryGenerator.cs:56-59)
+
+The AST is engine-neutral: the Spark planner and the pure-Python
+oracle both evaluate it, which is what makes rank-identity checkable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Union
+
+Node = Union["Term", "Wildcard", "Fuzzy", "Phrase", "And", "Or", "Not"]
+
+# user-facing field names (reference SearchRequest.cs:6-28) -> index fields
+FIELD_ALIASES = {
+    "content": "content",
+    "filename": "file_name",
+    "file_name": "file_name",
+    "filepath": "file_path",
+    "file_path": "file_path",
+}
+DEFAULT_FIELD = "content"
+
+
+@dataclass(frozen=True)
+class Term:
+    term: str
+    field: str = DEFAULT_FIELD
+
+
+@dataclass(frozen=True)
+class Wildcard:
+    pattern: str  # contains * or ?
+    field: str = DEFAULT_FIELD
+
+
+@dataclass(frozen=True)
+class Fuzzy:
+    term: str
+    max_edits: int = 2
+    field: str = DEFAULT_FIELD
+
+
+@dataclass(frozen=True)
+class Phrase:
+    # each slot is a literal term or a Wildcard pattern string
+    slots: tuple[str, ...]
+    field: str = DEFAULT_FIELD
+
+
+@dataclass(frozen=True)
+class And:
+    children: tuple[Node, ...]
+
+
+@dataclass(frozen=True)
+class Or:
+    children: tuple[Node, ...]
+
+
+@dataclass(frozen=True)
+class Not:
+    positive: Node
+    negative: Node
+
+
+class QueryParseError(ValueError):
+    pass
+
+
+def _is_wildcard(tok: str) -> bool:
+    return "*" in tok or "?" in tok
+
+
+def _check_leading_wildcard(tok: str) -> None:
+    if tok.startswith("*") or tok.startswith("?"):
+        raise QueryParseError(
+            f"leading wildcard is not supported: {tok!r}"
+        )
+
+
+def _leaf(word: str, fld: str, lowercase: bool) -> Node:
+    fuzzy_edits: int | None = None
+    if "~" in word:
+        base, _, suffix = word.partition("~")
+        if suffix == "":
+            fuzzy_edits = 2
+        else:
+            try:
+                fuzzy_edits = int(suffix)
+            except ValueError as e:
+                raise QueryParseError(f"bad fuzzy suffix in {word!r}") from e
+        word = base
+    if lowercase:
+        word = word.lower()
+    if not word:
+        raise QueryParseError("empty term")
+    if fuzzy_edits is not None:
+        if _is_wildcard(word):
+            raise QueryParseError("fuzzy and wildcard cannot combine")
+        return Fuzzy(word, fuzzy_edits, fld)
+    if _is_wildcard(word):
+        _check_leading_wildcard(word)
+        return Wildcard(word, fld)
+    return Term(word, fld)
+
+
+def _phrase(text: str, fld: str, lowercase: bool) -> Node:
+    # whitespace-split slots; wildcard allowed mid/end, never leading
+    # (QueryGenerator.cs:154-158)
+    slots = [w for w in text.split() if w]
+    if not slots:
+        raise QueryParseError("empty phrase")
+    if lowercase:
+        slots = [w.lower() for w in slots]
+    for s in slots:
+        if _is_wildcard(s):
+            _check_leading_wildcard(s)
+    if len(slots) == 1 and not _is_wildcard(slots[0]):
+        return Term(slots[0], fld)
+    return Phrase(tuple(slots), fld)
+
+
+class _Parser:
+    """Recursive descent over a token stream. Default operator is OR
+    (Lucene classic default)."""
+
+    def __init__(self, text: str, field_default: str, lowercase: bool):
+        self.toks = self._lex(text)
+        self.i = 0
+        self.field_default = field_default
+        self.lowercase = lowercase
+
+    @staticmethod
+    def _lex(text: str) -> list[str]:
+        toks, i, n = [], 0, len(text)
+        while i < n:
+            c = text[i]
+            if c.isspace():
+                i += 1
+            elif c in "()":
+                toks.append(c)
+                i += 1
+            elif c == '"':
+                j = text.find('"', i + 1)
+                if j < 0:
+                    raise QueryParseError("unterminated quote")
+                toks.append(text[i : j + 1])
+                i = j + 1
+            else:
+                j = i
+                while j < n and not text[j].isspace() and text[j] not in '()"':
+                    j += 1
+                toks.append(text[i:j])
+                i = j
+        return toks
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> str:
+        t = self.peek()
+        if t is None:
+            raise QueryParseError("unexpected end of query")
+        self.i += 1
+        return t
+
+    def parse(self) -> Node:
+        node = self.or_expr()
+        if self.peek() is not None:
+            raise QueryParseError(f"unexpected token {self.peek()!r}")
+        return node
+
+    def or_expr(self) -> Node:
+        parts = [self.and_expr()]
+        while True:
+            t = self.peek()
+            if t is not None and t.upper() in ("OR", "||"):
+                self.next()
+                parts.append(self.and_expr())
+            elif t is not None and t not in (")",) and t.upper() not in (
+                "AND", "&&", "NOT",
+            ):
+                # implicit operator = OR (Lucene classic default)
+                parts.append(self.and_expr())
+            else:
+                break
+        return parts[0] if len(parts) == 1 else Or(tuple(parts))
+
+    def and_expr(self) -> Node:
+        node = self.unary()
+        while True:
+            t = self.peek()
+            if t is not None and t.upper() in ("AND", "&&"):
+                self.next()
+                rhs = self.unary()
+                node = And((node, rhs)) if not isinstance(node, And) else And(
+                    node.children + (rhs,)
+                )
+            elif t is not None and t.upper() == "NOT":
+                self.next()
+                node = Not(node, self.unary())
+            else:
+                return node
+
+    def unary(self) -> Node:
+        t = self.peek()
+        if t == "-":
+            raise QueryParseError("bare '-' operator needs a preceding clause")
+        return self.atom()
+
+    def atom(self) -> Node:
+        t = self.next()
+        if t == "(":
+            node = self.or_expr()
+            if self.next() != ")":
+                raise QueryParseError("expected ')'")
+            return node
+        fld = self.field_default
+        if ":" in t and not t.startswith('"'):
+            prefix, _, rest = t.partition(":")
+            alias = FIELD_ALIASES.get(prefix.lower())
+            if alias is not None:
+                # "content" routes to the mode's content field (cased
+                # twin in case-sensitive mode); other fields are as-is
+                fld = self.field_default if alias == "content" else alias
+                t = rest
+                if t == "" and (self.peek() or "").startswith('"'):
+                    t = self.next()  # Field:"quoted phrase" splits in lexer
+                if t.startswith('"'):
+                    if not t.endswith('"') or len(t) < 2:
+                        raise QueryParseError(f"bad quoted field value {t!r}")
+                    return _phrase(t[1:-1], fld, self._lower_for(fld))
+        if t.startswith('"') and t.endswith('"') and len(t) >= 2:
+            return _phrase(t[1:-1], fld, self._lower_for(fld))
+        if not t:
+            raise QueryParseError("empty token")
+        return _leaf(t, fld, self._lower_for(fld))
+
+    def _lower_for(self, fld: str) -> bool:
+        # content_cs keeps case; every other field is lowercased at
+        # index time (CodeAnalyzer.cs:34-48)
+        return fld != "content_cs"
+
+
+def parse_query(
+    text: str, case_sensitive: bool = False, default_field: str | None = None
+) -> Node:
+    """Parse a user query string.
+
+    case_sensitive routes the default content field to the cased twin
+    (reference: IndexMaintainerWrapper.cs:38-45 selects the
+    non-lowercasing parser + ContentCaseSensitive field).
+    """
+    fld = default_field or ("content_cs" if case_sensitive else "content")
+    if not text or not text.strip():
+        raise QueryParseError("empty query")
+    return _Parser(text, fld, lowercase=not case_sensitive).parse()
+
+
+def parse_phrase_query(
+    text: str, case_sensitive: bool = False
+) -> Node:
+    """Phrase mode (reference PhaseQuery=true): the whole input is one
+    exact-order phrase, wildcards allowed per-slot
+    (QueryGenerator.AddPhaseQuery, QueryGenerator.cs:107-213)."""
+    fld = "content_cs" if case_sensitive else "content"
+    return _phrase(text, fld, lowercase=not case_sensitive)
+
+
+def collect_leaves(node: Node) -> list[Node]:
+    if isinstance(node, (Term, Wildcard, Fuzzy, Phrase)):
+        return [node]
+    if isinstance(node, (And, Or)):
+        out = []
+        for c in node.children:
+            out.extend(collect_leaves(c))
+        return out
+    if isinstance(node, Not):
+        return collect_leaves(node.positive) + collect_leaves(node.negative)
+    raise TypeError(f"unknown node {node!r}")

@@ -1,0 +1,241 @@
+"""Pure-Python single-node oracle — independent reimplementation of
+the engine's semantics for rank-identity testing (SURVEY.md §5).
+
+Builds an in-memory index from a pandas ``documents`` frame using the
+same tokenizer and the same deterministic docID assignment, then
+evaluates the same query AST with plain dicts/lists (no numpy set
+tricks, no posting encoding) — so agreement between this and the
+Spark engine exercises tokenization, docIDs, block codecs, the
+distributed boolean/phrase kernel, and BM25 math end-to-end.
+
+Scoring contract (shared with the planner):
+  idf = ln(1 + (N - df + 0.5)/(df + 0.5))
+  tfnorm = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+  score  = Σ_leaf Σ_matched-expansion idf * tfnorm
+  phrase: exact-order adjacency (distance 0); score = Σ_slot
+          (Σ expansions of that slot present in the doc)
+  tie-break: score desc, doc_id asc
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+from codeindex_spark.index.docids import assign_doc_ids_pandas
+from codeindex_spark.query import ast
+from codeindex_spark.query.planner import (
+    MAX_EXPANSIONS,
+    idf_bm25,
+    literal_prefix,
+    wildcard_to_regex,
+)
+from codeindex_spark.tokenizer import tokenize
+
+
+def _levenshtein(a: str, b: str, cap: int) -> int:
+    if abs(len(a) - len(b)) > cap:
+        return cap + 1
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+@dataclass
+class OracleIndex:
+    num_buckets: int = 64
+    block_size: int = 128
+    k1: float = 1.2
+    b: float = 0.75
+    docs: pd.DataFrame = field(default=None)  # type: ignore[assignment]
+    postings: dict = field(default_factory=dict)  # field -> term -> {doc: [pos]}
+    dls: dict = field(default_factory=dict)  # field -> {doc: dl}
+    stats: dict = field(default_factory=dict)  # field -> (n_docs, avgdl)
+
+    @staticmethod
+    def build(
+        documents: pd.DataFrame,
+        num_buckets: int = 64,
+        block_size: int = 128,
+        k1: float = 1.2,
+        b: float = 0.75,
+    ) -> "OracleIndex":
+        idx = OracleIndex(num_buckets, block_size, k1, b)
+        docs = assign_doc_ids_pandas(documents, num_buckets, block_size)
+        docs["file_name"] = docs["path"].str.split("/").str[-1]
+        docs["file_ext"] = docs["file_name"].map(
+            lambda n: n.rsplit(".", 1)[1].lower() if "." in n else ""
+        )
+        idx.docs = docs
+        field_sources = {
+            "content_cs": lambda r: tokenize(r.content),
+            "content": lambda r: [t.lower() for t in tokenize(r.content)],
+            "file_name": lambda r: [t.lower() for t in tokenize(r.file_name)],
+            "file_path": lambda r: [t.lower() for t in tokenize(r.path)],
+        }
+        for fld, fn in field_sources.items():
+            post: dict[str, dict[int, list[int]]] = {}
+            dls: dict[int, int] = {}
+            total = 0
+            for r in docs.itertuples():
+                toks = fn(r)
+                dls[r.doc_id] = len(toks)
+                total += len(toks)
+                for i, t in enumerate(toks):
+                    post.setdefault(t, {}).setdefault(r.doc_id, []).append(i)
+            idx.postings[fld] = post
+            idx.dls[fld] = dls
+            n = len(docs)
+            idx.stats[fld] = (n, total / n if n else 0.0)
+        return idx
+
+    # ---------- scoring primitives ----------
+
+    def _tfnorm(self, fld: str, doc: int, tf: int) -> float:
+        _, avgdl = self.stats[fld]
+        dl = self.dls[fld][doc]
+        return tf * (self.k1 + 1.0) / (
+            tf + self.k1 * (1.0 - self.b + self.b * dl / avgdl)
+        )
+
+    def _term_scores(self, fld: str, term: str) -> dict[int, float]:
+        post = self.postings[fld].get(term, {})
+        n, _ = self.stats[fld]
+        idf = idf_bm25(n, len(post))
+        return {d: idf * self._tfnorm(fld, d, len(pos)) for d, pos in post.items()}
+
+    def _expand(self, fld: str, leaf: ast.Node) -> list[str]:
+        terms = self.postings[fld].keys()
+        if isinstance(leaf, ast.Term):
+            return [leaf.term] if leaf.term in terms else []
+        if isinstance(leaf, ast.Wildcard):
+            return self._expand_pattern(fld, leaf.pattern)
+        if isinstance(leaf, ast.Fuzzy):
+            q, k = leaf.term, leaf.max_edits
+            out = [
+                t
+                for t in terms
+                if abs(len(t) - len(q)) <= k and _levenshtein(t, q, k) <= k
+            ]
+            return sorted(out)[:MAX_EXPANSIONS]
+        raise TypeError(leaf)
+
+    def _expand_pattern(self, fld: str, pattern: str) -> list[str]:
+        rx = re.compile(wildcard_to_regex(pattern))
+        prefix = literal_prefix(pattern)
+        out = [
+            t
+            for t in self.postings[fld]
+            if t.startswith(prefix) and rx.match(t)
+        ]
+        return sorted(out)[:MAX_EXPANSIONS]
+
+    # ---------- evaluation ----------
+
+    def eval(self, node: ast.Node) -> dict[int, float]:
+        if isinstance(node, (ast.Term, ast.Wildcard, ast.Fuzzy)):
+            out: dict[int, float] = {}
+            for t in self._expand(node.field, node):
+                for d, s in self._term_scores(node.field, t).items():
+                    out[d] = out.get(d, 0.0) + s
+            return out
+        if isinstance(node, ast.Phrase):
+            return self._eval_phrase(node)
+        if isinstance(node, ast.And):
+            child_maps = [self.eval(c) for c in node.children]
+            docs = set(child_maps[0])
+            for m in child_maps[1:]:
+                docs &= set(m)
+            return {d: sum(m[d] for m in child_maps) for d in docs}
+        if isinstance(node, ast.Or):
+            out = {}
+            for c in node.children:
+                for d, s in self.eval(c).items():
+                    out[d] = out.get(d, 0.0) + s
+            return out
+        if isinstance(node, ast.Not):
+            pos = self.eval(node.positive)
+            neg = set(self.eval(node.negative))
+            return {d: s for d, s in pos.items() if d not in neg}
+        raise TypeError(node)
+
+    def _eval_phrase(self, node: ast.Phrase) -> dict[int, float]:
+        fld = node.field
+        slot_terms = [self._expand_slot(fld, s) for s in node.slots]
+        if any(not ts for ts in slot_terms):
+            return {}
+        # candidate docs: in all slots (any expansion)
+        slot_docs = []
+        for ts in slot_terms:
+            docs = set()
+            for t in ts:
+                docs |= set(self.postings[fld].get(t, {}))
+            slot_docs.append(docs)
+        cand = set.intersection(*slot_docs)
+        out: dict[int, float] = {}
+        for d in cand:
+            valid = set()
+            for t in slot_terms[0]:
+                valid |= set(self.postings[fld].get(t, {}).get(d, []))
+            for ts in slot_terms[1:]:
+                nxt = set()
+                for t in ts:
+                    nxt |= set(self.postings[fld].get(t, {}).get(d, []))
+                valid = {p + 1 for p in valid} & nxt
+                if not valid:
+                    break
+            if valid:
+                score = 0.0
+                for ts in slot_terms:
+                    for t in ts:
+                        score += self._term_scores(fld, t).get(d, 0.0)
+                out[d] = score
+        return out
+
+    def _expand_slot(self, fld: str, slot: str) -> list[str]:
+        if "*" in slot or "?" in slot:
+            return self._expand_pattern(fld, slot)
+        return [slot] if slot in self.postings[fld] else []
+
+    # ---------- public API ----------
+
+    def search(
+        self,
+        query: ast.Node | str,
+        k: int = 100,
+        case_sensitive: bool = False,
+        doc_filter=None,
+    ) -> list[tuple[int, float]]:
+        root = (
+            ast.parse_query(query, case_sensitive)
+            if isinstance(query, str)
+            else query
+        )
+        scored = self.eval(root)
+        if doc_filter is not None:
+            allowed = set(
+                self.docs[doc_filter(self.docs)]["doc_id"].tolist()
+            )
+            scored = {d: s for d, s in scored.items() if d in allowed}
+        ranked = sorted(scored.items(), key=lambda x: (-x[1], x[0]))
+        return ranked[:k]
+
+    def hints(self, prefix: str, case_sensitive: bool = False, limit: int = 20) -> list[str]:
+        words = {
+            t for t in self.postings["content_cs"] if 4 <= len(t) <= 199
+        }
+        if case_sensitive:
+            out = sorted(w for w in words if w.startswith(prefix))
+        else:
+            p = prefix.lower()
+            out = sorted({w for w in words if w.lower().startswith(p)})
+        return out[:limit]

@@ -1,0 +1,145 @@
+"""Rank-identity harness: the Spark engine's top-k (docIDs AND BM25
+scores) must match the pure-Python oracle on the reference query set
+(FIXTURES.md §3, mirroring QueryGeneratorTest/CodeIndexSearcherTest
+coverage). Scores compared at rel tol 1e-9.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from codeindex_spark.corpus import CorpusSpec, generate_documents, spark_documents
+from codeindex_spark.index.build import IndexParams
+from codeindex_spark.index.segments import IndexBuilder, IndexReader
+from codeindex_spark.query import ast
+from codeindex_spark.query.oracle import OracleIndex
+from codeindex_spark.query.planner import Filters, SearchEngine
+
+SPEC = CorpusSpec(n_docs=150)
+PARAMS = IndexParams(num_buckets=16, block_size=32)
+K = 50
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("qidx"))
+    docs = spark_documents(spark, SPEC, partitions=4)
+    IndexBuilder(spark, d, PARAMS, n_groups=2).build(docs, resume=False)
+    return SearchEngine(IndexReader(spark, d))
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    return OracleIndex.build(
+        generate_documents(SPEC),
+        num_buckets=PARAMS.num_buckets,
+        block_size=PARAMS.block_size,
+        k1=PARAMS.k1,
+        b=PARAMS.b,
+    )
+
+
+def assert_rank_identical(engine_df, oracle_ranked, k=K):
+    got = [(r["doc_id"], r["score"]) for r in engine_df.collect()]
+    exp = oracle_ranked[:k]
+    assert [d for d, _ in got] == [d for d, _ in exp], (
+        f"docID sequence mismatch:\n got={got[:10]}\n exp={exp[:10]}"
+    )
+    for (gd, gs), (ed, es) in zip(got, exp):
+        assert gs == pytest.approx(es, rel=1e-9), (gd, gs, es)
+
+
+QUERIES = {
+    "q01_keyword_hot": "get",
+    "q02_keyword_camel": "SaveResultsAndClearLucenePool",
+    "q03_bool_and": "index AND writer",
+    "q04_bool_or_not": "string OR return NOT get",
+    "q07_wildcard_prefix": "stri*",
+    "q08_fuzzy": "strng~2",
+}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_reference_queries(engine, oracle, name):
+    q = QUERIES[name]
+    assert_rank_identical(engine.search(q, k=K), oracle.search(q, k=K))
+
+
+def test_q05_phrase(engine, oracle):
+    q = ast.parse_phrase_query("add documents")
+    assert_rank_identical(engine.search(q, k=K), oracle.search(q, k=K))
+    # sanity: phrase is stricter than AND of its terms
+    n_phrase = engine.search(q, k=K).count()
+    n_and = engine.search("add AND documents", k=K).count()
+    assert 0 < n_phrase <= n_and
+
+
+def test_q06_phrase_wildcard(engine, oracle):
+    q = ast.parse_phrase_query("index_wri* batch")
+    # '_' splits: phrase slots are tokens — use a token-level phrase
+    q2 = ast.parse_phrase_query("writer batch*")
+    for node in (q, q2):
+        assert_rank_identical(engine.search(node, k=K), oracle.search(node, k=K))
+
+
+def test_q09_case_sensitive(engine, oracle):
+    got_cs = engine.search("ABCD", k=K, case_sensitive=True)
+    assert_rank_identical(got_cs, oracle.search("ABCD", k=K, case_sensitive=True))
+    # case-insensitive finds at least as many docs (abcd + Abcd + ABCD)
+    n_ci = engine.score("abcd").count()
+    n_cs = engine.score(ast.Term("ABCD", "content_cs")).count()
+    assert n_ci >= n_cs > 0
+
+
+def test_q10_field_filtered(engine, oracle):
+    f = Filters(lang="python", path_prefix="src/")
+    got = engine.search("get", k=K, filters=f)
+
+    def doc_filter(docs: pd.DataFrame):
+        return (docs["lang"] == "python") & docs["path"].str.startswith("src/")
+
+    exp = oracle.search("get", k=K, doc_filter=doc_filter)
+    assert_rank_identical(got, exp)
+    assert 0 < len(exp)
+
+
+def test_q11_filename_field(engine, oracle):
+    # tokenized filename search (reference FileName TextField)
+    docs = oracle.docs
+    sample = docs["file_name"].iloc[0]
+    tok = sample.split("_")[0].lower()
+    q = ast.Term(tok, "file_name")
+    assert_rank_identical(engine.search(q, k=K), oracle.search(q, k=K))
+
+
+def test_q12_pk_lookup(engine, oracle):
+    row = oracle.docs.iloc[7]
+    import hashlib
+
+    pk = hashlib.sha256(
+        f"{row['repo']}\x1f{row['path']}\x1f{row['commit']}".encode()
+    ).hexdigest()
+    got = engine.lookup_pk(pk).collect()
+    assert len(got) == 1
+    assert got[0]["path"] == row["path"]
+    assert engine.lookup_pk("no-such-key").count() == 0
+
+
+def test_q13_hints(engine, oracle):
+    got = [r["word"] for r in engine.hints("Luce").collect()]
+    exp = oracle.hints("Luce")
+    assert got == exp
+    assert 0 < len(got) <= 20
+    # case-insensitive prefix
+    got_ci = [r["word"] for r in engine.hints("luce").collect()]
+    assert got_ci == oracle.hints("luce")
+
+
+def test_empty_result_query(engine):
+    assert engine.search("zzzznotaterm", k=K).count() == 0
+
+
+def test_or_scores_sum(engine, oracle):
+    q = "index OR index"
+    assert_rank_identical(engine.search(q, k=K), oracle.search(q, k=K))
