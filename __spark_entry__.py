@@ -3,36 +3,502 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
+
+Entries map to SURVEY.md §2 operators:
+  q01..q13  — index-query operators (Q1-Q10, K1/K2, P1/P2, S1)
+  a1..a2    — aggregation operators (A1/A2 corpus stats, term dict)
+  dd_*      — dedup pipeline ops (exact, jaccard, minhash-LSH, simhash)
+  ann_*     — similarity search (brute-force cosine top-k, LSH ANN)
+  tx_*      — text analysis (quality, fingerprint, BPE-ish counts)
+  st_*      — streaming-maintenance analogs on the events table (ST3)
+
+The fulltext entries run the REAL engine end-to-end: build the
+compressed inverted index over sf_dir's documents table (cached under
+/tmp per sf_dir), then plan+execute through the block kernel. The
+oracle SQL reproduces BM25 (same float op order) / boolean / phrase /
+expansion semantics in DuckDB.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
+import sys
+import zipfile
 from collections.abc import Callable
 
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_PKG_ZIP = "/tmp/codeindex_spark_pkg.zip"
+_ENGINES: dict[str, object] = {}
+
+
+def _ensure_pkg(spark: SparkSession) -> None:
+    """Ship the package to Python workers (the local analog of
+    spark-submit --py-files) for sessions we didn't create."""
+    pkg_dir = os.path.join(REPO_ROOT, "codeindex_spark")
+    if not os.path.exists(_PKG_ZIP):
+        with zipfile.ZipFile(_PKG_ZIP + ".tmp", "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        zf.write(full, os.path.relpath(full, REPO_ROOT))
+        os.replace(_PKG_ZIP + ".tmp", _PKG_ZIP)
+    try:
+        spark.sparkContext.addPyFile(_PKG_ZIP)
+    except Exception:
+        pass  # already registered
+
+
+def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def _as_corpus(docs: DataFrame) -> DataFrame:
+    """Map the driver documents table (doc_id, text, lang, source,
+    n_chars) onto the engine input shape (repo, path, commit, lang,
+    content) — BASELINE.json input_hint. Original doc_id is recoverable
+    from path."""
+    return docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.col("source"), F.lit("/"), F.col("doc_id").cast("string"), F.lit(".txt")).alias("path"),
+        F.lit("c000000000000").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+def _engine(spark: SparkSession, sf_dir: str):
+    """Build (once per sf_dir, resumable) and open the fulltext index."""
+    key = os.path.abspath(sf_dir)
+    if key in _ENGINES:
+        return _ENGINES[key]
+    _ensure_pkg(spark)
+    from codeindex_spark.index.build import IndexParams
+    from codeindex_spark.index.segments import IndexBuilder, IndexReader
+    from codeindex_spark.query.planner import SearchEngine
+
+    tag = hashlib.sha256(key.encode()).hexdigest()[:12]
+    idx_dir = f"/tmp/codeindex_entry/{os.path.basename(key)}_{tag}"
+    params = IndexParams(num_buckets=16, block_size=128)
+    builder = IndexBuilder(spark, idx_dir, params, n_groups=1)
+    builder.build(_as_corpus(_load(spark, sf_dir, "documents")), resume=True)
+    eng = SearchEngine(IndexReader(spark, idx_dir))
+    _ENGINES[key] = eng
+    return eng
+
+
+def _orig_ids(eng, result: DataFrame, extra=()) -> DataFrame:
+    """Map engine doc_ids back to the driver's documents.doc_id."""
+    docs = eng.reader.docs.select(
+        "doc_id",
+        F.regexp_extract("path", r"/(\d+)\.txt$", 1).cast("long").alias("orig_id"),
+    )
+    cols = [F.col("orig_id").alias("doc_id"), *extra]
+    return result.join(docs, "doc_id").select(*cols)
+
+
+# oracle tokenization CTE (documents.text is strictly [a-z ]+ at every
+# sf — verified — so whitespace split == the engine tokenizer there)
+_TOK = """
+tok AS (
+  SELECT d.doc_id, t.term, t.pos
+  FROM documents d, LATERAL (
+    SELECT unnest(string_split(d.text, ' ')) AS term,
+           generate_subscripts(string_split(d.text, ' '), 1) AS pos
+  ) t
+  WHERE t.term <> ''
+)
+"""
+
+# BM25 scaffold with float op order matching the engine exactly
+_BM25 = (
+    _TOK
+    + """,
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+nn AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+ad AS (SELECT sum(dl)::DOUBLE / (SELECT n_docs FROM nn) AS avgdl FROM dl),
+tf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tok WHERE term = '{term}' GROUP BY doc_id),
+dfq AS (SELECT count(*)::DOUBLE AS df FROM tf)
+SELECT tf.doc_id,
+       round(
+         ln(1.0::DOUBLE + ((SELECT n_docs FROM nn) - (SELECT df FROM dfq) + 0.5::DOUBLE)
+                          / ((SELECT df FROM dfq) + 0.5::DOUBLE))
+         * (tf.tf * (1.2::DOUBLE + 1.0::DOUBLE)
+            / (tf.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+               + 0.75::DOUBLE * dl.dl / (SELECT avgdl FROM ad)))),
+       6) AS score
+FROM tf JOIN dl USING (doc_id)
+ORDER BY score DESC, doc_id
+LIMIT {k}
+"""
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the inverted index over sf0.001 documents and
+    run a BM25 top-10 keyword query through the full engine path."""
+    eng = _engine(spark, "/root/testdata/sf0.001")
+    return _bm25_topk_orig(eng, "spark", 10)
+
+
+def _bm25_topk_orig(eng, query: str, k: int) -> DataFrame:
+    """Top-k with the oracle-aligned tie-break: round(score, 6) desc,
+    ORIGINAL doc_id asc — ties at the k boundary resolve identically
+    in Spark and DuckDB."""
+    scored = eng.score(query)
+    out = _orig_ids(eng, scored, extra=[F.round("score", 6).alias("score")])
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+# ---------------------------------------------------------------- queries
+
+
+def _q_bm25_topk(spark, sf_dir):
+    return _bm25_topk_orig(_engine(spark, sf_dir), "spark", 10)
+
+
+def _q_bool_and(spark, sf_dir):
+    eng = _engine(spark, sf_dir)
+    return _orig_ids(eng, eng.score("merge AND batch"))
+
+
+def _q_bool_or_not(spark, sf_dir):
+    # parses as: sort OR (merge NOT spark)
+    eng = _engine(spark, sf_dir)
+    return _orig_ids(eng, eng.score("sort OR merge NOT spark"))
+
+
+def _q_phrase(spark, sf_dir):
+    from codeindex_spark.query import ast
+
+    eng = _engine(spark, sf_dir)
+    return _orig_ids(eng, eng.score(ast.parse_phrase_query("fast sort")))
+
+
+def _q_phrase_wildcard(spark, sf_dir):
+    from codeindex_spark.query import ast
+
+    eng = _engine(spark, sf_dir)
+    return _orig_ids(eng, eng.score(ast.parse_phrase_query("fast s*")))
+
+
+def _q_wildcard(spark, sf_dir):
+    eng = _engine(spark, sf_dir)
+    return _orig_ids(eng, eng.score("sc*"))
+
+
+def _q_fuzzy(spark, sf_dir):
+    eng = _engine(spark, sf_dir)
+    return _orig_ids(eng, eng.score("spak~1"))
+
+
+def _q_term_dict(spark, sf_dir):
+    eng = _engine(spark, sf_dir)
+    return eng.reader.term_dict.filter(F.col("field") == "content").select(
+        "term", F.col("df").cast("long").alias("df"), F.col("cf").cast("long").alias("cf")
+    )
+
+
+def _q_hints(spark, sf_dir):
+    eng = _engine(spark, sf_dir)
+    return eng.hints("sc", limit=20)
+
+
+def _q_field_filtered(spark, sf_dir):
+    from codeindex_spark.query.planner import Filters
+
+    eng = _engine(spark, sf_dir)
+    scored = eng.score("spark")
+    allowed = Filters(lang="en").apply(eng.reader.docs).select("doc_id")
+    return _orig_ids(eng, scored.join(allowed, "doc_id", "left_semi"))
+
+
+def _q_path_term(spark, sf_dir):
+    from codeindex_spark.query import ast
+
+    eng = _engine(spark, sf_dir)
+    return _orig_ids(eng, eng.score(ast.Term("src3", "file_path")))
+
+
+def _q_pk_lookup(spark, sf_dir):
+    eng = _engine(spark, sf_dir)
+    row = _load(spark, sf_dir, "documents").filter(F.col("doc_id") == 42).first()
+    pk = hashlib.sha256(
+        f"{row['source']}\x1f{row['source']}/42.txt\x1fc000000000000".encode()
+    ).hexdigest()
+    return _orig_ids(
+        eng, eng.lookup_pk(pk).select("doc_id", "lang"), extra=[F.col("lang")]
+    )
+
+
+def _q_scan_filter_project(spark, sf_dir):
+    return (
+        _load(spark, sf_dir, "documents")
+        .filter((F.col("lang") == "en") & (F.col("n_chars") > 300))
+        .select("doc_id", "n_chars")
+    )
+
+
+def _q_doc_len(spark, sf_dir):
+    from codeindex_spark.ops.analysis import token_stats
+
+    return token_stats(_load(spark, sf_dir, "documents")).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from codeindex_spark.ops.dedup import exact_duplicates
+
+    return exact_duplicates(_load(spark, sf_dir, "documents")).select(
+        "text_hash", F.col("n_docs").cast("long").alias("n_docs"), "keep_doc_id"
+    )
+
+
+def _q_dedup_jaccard(spark, sf_dir):
+    from codeindex_spark.ops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _load(spark, sf_dir, "documents"), n=3, threshold=0.1
+    ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_dedup_minhash(spark, sf_dir):
+    from codeindex_spark.ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _load(spark, sf_dir, "documents"), n=3, num_hashes=8, band_size=2
+    )
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    from codeindex_spark.ops.dedup import simhash64
+
+    return simhash64(_load(spark, sf_dir, "documents"))
+
+
+def _q_ann_cosine(spark, sf_dir):
+    from codeindex_spark.ops.similarity import brute_force_cosine_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    return brute_force_cosine_topk(
+        emb, list(qvec), k=10, exclude_id=0
+    ).select("vec_id")
+
+
+def _q_ann_lsh(spark, sf_dir):
+    from codeindex_spark.ops.similarity import lsh_ann_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    return lsh_ann_topk(
+        emb.filter(F.col("vec_id") != 0), list(qvec), dim=64, k=5, n_bits=6
+    ).select("vec_id")
+
+
+def _q_quality(spark, sf_dir):
+    from codeindex_spark.ops.analysis import quality_score
+
+    return quality_score(_load(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("distinct_ratio", 6).alias("distinct_ratio"),
+        F.round("quality", 6).alias("quality"),
+    )
+
+
+def _q_fingerprint(spark, sf_dir):
+    from codeindex_spark.ops.analysis import fingerprint
+
+    return fingerprint(_load(spark, sf_dir, "documents"))
+
+
+def _q_bpe_count(spark, sf_dir):
+    from codeindex_spark.ops.analysis import token_count_bpe_ish
+
+    return token_count_bpe_ish(_load(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_bpe_est").cast("long").alias("n_bpe_est"),
+    )
+
+
+def _q_event_compaction(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", "ts").alias("last_type"),
+        F.round(F.max_by("value", "ts"), 6).alias("last_value"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
+def _q_event_window(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.col("event_type"), F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_bm25_topk": _q_bm25_topk,
+        "q02_bool_and": _q_bool_and,
+        "q03_bool_or_not": _q_bool_or_not,
+        "q04_phrase": _q_phrase,
+        "q05_phrase_wildcard": _q_phrase_wildcard,
+        "q06_wildcard": _q_wildcard,
+        "q07_fuzzy": _q_fuzzy,
+        "q08_term_dict": _q_term_dict,
+        "q09_hints": _q_hints,
+        "q10_field_filtered": _q_field_filtered,
+        "q11_path_term": _q_path_term,
+        "q12_pk_lookup": _q_pk_lookup,
+        "q13_scan_filter_project": _q_scan_filter_project,
+        "a1_doc_len": _q_doc_len,
+        "dd_exact": _q_dedup_exact,
+        "dd_jaccard": _q_dedup_jaccard,
+        "dd_minhash_lsh": _q_dedup_minhash,
+        "dd_simhash": _q_dedup_simhash,
+        "ann_cosine_topk": _q_ann_cosine,
+        "ann_lsh_topk": _q_ann_lsh,
+        "tx_quality": _q_quality,
+        "tx_fingerprint": _q_fingerprint,
+        "tx_bpe_count": _q_bpe_count,
+        "st_event_compaction": _q_event_compaction,
+        "st_event_window": _q_event_window,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    qdocs = lambda term: (
+        f"SELECT DISTINCT doc_id FROM tok WHERE term = '{term}'"
+    )
+    return {
+        "q01_bm25_topk": "WITH " + _BM25.format(term="spark", k=10),
+        "q02_bool_and": f"WITH {_TOK} {qdocs('merge')} INTERSECT {qdocs('batch')}",
+        "q03_bool_or_not": f"""WITH {_TOK}
+            {qdocs('sort')} UNION ({qdocs('merge')} EXCEPT {qdocs('spark')})""",
+        "q04_phrase": f"""WITH {_TOK}
+            SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
+              ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            WHERE a.term = 'fast' AND b.term = 'sort'""",
+        "q05_phrase_wildcard": f"""WITH {_TOK}
+            SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
+              ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            WHERE a.term = 'fast' AND b.term LIKE 's%'""",
+        "q06_wildcard": f"""WITH {_TOK}
+            SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'sc%'""",
+        "q07_fuzzy": f"""WITH {_TOK}
+            SELECT DISTINCT doc_id FROM tok WHERE levenshtein(term, 'spak') <= 1""",
+        "q08_term_dict": f"""WITH {_TOK}
+            SELECT term, count(DISTINCT doc_id)::BIGINT AS df,
+                   count(*)::BIGINT AS cf
+            FROM tok GROUP BY term""",
+        "q09_hints": f"""WITH {_TOK}
+            SELECT DISTINCT term AS word FROM tok
+            WHERE length(term) BETWEEN 4 AND 199 AND term LIKE 'sc%'
+            ORDER BY word LIMIT 20""",
+        "q10_field_filtered": f"""WITH {_TOK}
+            SELECT DISTINCT t.doc_id FROM tok t JOIN documents d USING (doc_id)
+            WHERE t.term = 'spark' AND d.lang = 'en'""",
+        "q11_path_term": "SELECT doc_id FROM documents WHERE source = 'src3'",
+        "q12_pk_lookup": "SELECT doc_id, lang FROM documents WHERE doc_id = 42",
+        "q13_scan_filter_project": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE lang = 'en' AND n_chars > 300""",
+        "a1_doc_len": f"""WITH {_TOK}
+            SELECT doc_id, count(*)::BIGINT AS n_tokens FROM tok GROUP BY doc_id""",
+        "dd_exact": """
+            SELECT md5(text) AS text_hash, count(*)::BIGINT AS n_docs,
+                   min(doc_id) AS keep_doc_id
+            FROM documents GROUP BY md5(text)""",
+        "dd_jaccard": f"""WITH {_TOK},
+            sh AS (
+              SELECT DISTINCT a.doc_id,
+                     a.term || ' ' || b.term || ' ' || c.term AS shingle
+              FROM tok a JOIN tok b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+                         JOIN tok c ON a.doc_id=c.doc_id AND c.pos=a.pos+2),
+            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            pairs AS (
+              SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+              FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+            FROM pairs
+            JOIN sz sa ON sa.doc_id = doc_a
+            JOIN sz sb ON sb.doc_id = doc_b
+            WHERE inter / (sa.sz + sb.sz - inter) >= 0.1""",
+        "dd_minhash_lsh": f"""WITH {_TOK},
+            sh AS (
+              SELECT DISTINCT a.doc_id,
+                     a.term || ' ' || b.term || ' ' || c.term AS shingle
+              FROM tok a JOIN tok b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+                         JOIN tok c ON a.doc_id=c.doc_id AND c.pos=a.pos+2),
+            sig AS (
+              SELECT doc_id, s.seed,
+                     min(md5(s.seed::VARCHAR || ':' || shingle)) AS minhash
+              FROM sh, (SELECT unnest([0,1,2,3,4,5,6,7]) AS seed) s
+              GROUP BY doc_id, s.seed),
+            bands AS (
+              SELECT doc_id, seed // 2 AS band,
+                     string_agg(minhash, '|' ORDER BY minhash) AS band_key
+              FROM sig GROUP BY doc_id, seed // 2)
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id""",
+        "ann_cosine_topk": """
+            WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id FROM embeddings
+            WHERE vec_id <> 0
+            ORDER BY list_cosine_similarity(embedding, (SELECT e FROM q)) DESC,
+                     vec_id
+            LIMIT 10""",
+        # dd_simhash / ann_lsh_topk: hash functions / hyperplanes are not
+        # portable to DuckDB -> rows-only check (intentionally omitted)
+        "tx_quality": f"""WITH {_TOK},
+            st AS (
+              SELECT doc_id, count(*) AS n_tokens,
+                     count(DISTINCT term) AS n_distinct
+              FROM tok GROUP BY doc_id)
+            SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+                   round(n_distinct / n_tokens, 6) AS distinct_ratio,
+                   round(least(n_tokens / 64.0::DOUBLE, 1.0::DOUBLE)
+                         * (n_distinct / n_tokens), 6) AS quality
+            FROM st""",
+        "tx_fingerprint": """
+            SELECT doc_id,
+                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+            FROM documents""",
+        "tx_bpe_count": f"""WITH {_TOK},
+            pt AS (
+              SELECT doc_id, count(*) AS n_words,
+                     sum(CASE WHEN length(term) > 4
+                              THEN (length(term) - 1) // 4 ELSE 0 END) AS extra
+              FROM tok GROUP BY doc_id)
+            SELECT doc_id, n_words::BIGINT AS n_words,
+                   (n_words + extra)::BIGINT AS n_bpe_est
+            FROM pt""",
+        "st_event_compaction": """
+            SELECT user_id, arg_max(event_type, ts) AS last_type,
+                   round(arg_max(value, ts), 6) AS last_value,
+                   count(*)::BIGINT AS n_events
+            FROM events GROUP BY user_id""",
+        "st_event_window": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2""",
+    }

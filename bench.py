@@ -1,0 +1,153 @@
+"""Headline benchmark — prints ONE JSON line.
+
+Phases:
+  build  — inverted-index build over the deterministic synthetic
+           source-code corpus (files/sec; the BASELINE.json metric)
+  sfload — index build over $SPARK_GRAFT_SF_DIR/documents.parquet
+  query  — the reference query set (FIXTURES.md §3 shapes) against
+           the sf index, per-query p50 wall seconds over N_RUNS
+  ops    — dedup / ANN / analysis headline ops at the sf dir
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_BENCH_DOCS (default 2000 synthetic files).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+N_RUNS = 3
+
+
+def timed(fn):
+    t0 = time.monotonic()
+    out = fn()
+    return time.monotonic() - t0, out
+
+
+def p50(fn, runs: int = N_RUNS) -> float:
+    samples = []
+    for _ in range(runs):
+        dt, _ = timed(fn)
+        samples.append(dt)
+    return statistics.median(samples)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    bench_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    from codeindex_spark.corpus import CorpusSpec, spark_documents
+    from codeindex_spark.index.build import IndexParams
+    from codeindex_spark.index.segments import IndexBuilder, IndexReader
+    from codeindex_spark.query import ast
+    from codeindex_spark.query.planner import Filters, SearchEngine
+    from codeindex_spark.session import get_spark
+
+    spark = get_spark(app_name="codeindex-bench", cores=cpus,
+                      shuffle_partitions=cpus)
+
+    queries: dict[str, float] = {}
+    result: dict = {"sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                    "cpus": cpus}
+
+    # ---- phase 1: synthetic corpus build (files/sec headline) ----
+    syn_dir = "/tmp/bench_idx_syn"
+    shutil.rmtree(syn_dir, ignore_errors=True)
+    spec = CorpusSpec(n_docs=bench_docs, n_repos=32)
+    # materialize the corpus once (the "Iceberg source table" stand-in)
+    # so the timed build measures indexing, not data synthesis
+    corpus_pq = "/tmp/bench_corpus"
+    shutil.rmtree(corpus_pq, ignore_errors=True)
+    spark_documents(spark, spec, partitions=cpus).write.parquet(corpus_pq)
+    docs = spark.read.parquet(corpus_pq)
+    builder = IndexBuilder(
+        spark, syn_dir, IndexParams(num_buckets=64, block_size=128), n_groups=4
+    )
+    build_s, _ = timed(lambda: builder.build(docs, resume=False))
+    queries["build_synthetic"] = round(build_s, 3)
+    result["build"] = {
+        "n_docs": bench_docs,
+        "seconds": round(build_s, 3),
+        "files_per_sec": round(bench_docs / build_s, 2),
+    }
+
+    # ---- phase 2: sf documents index build ----
+    import __spark_entry__ as entrymod
+
+    sf_idx = f"/tmp/bench_idx_sf_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(sf_idx, ignore_errors=True)
+    sf_docs = entrymod._as_corpus(entrymod._load(spark, sf_dir, "documents"))
+    n_sf_docs = sf_docs.count()
+    sfb = IndexBuilder(
+        spark, sf_idx, IndexParams(num_buckets=16, block_size=128), n_groups=1
+    )
+    sfload_s, _ = timed(lambda: sfb.build(sf_docs, resume=False))
+    queries["build_sf_docs"] = round(sfload_s, 3)
+    eng = SearchEngine(IndexReader(spark, sf_idx))
+
+    # ---- phase 3: reference query set latencies (p50) ----
+    def run_q(q, **kw):
+        return lambda: eng.search(q, k=100, **kw).collect()
+
+    qset = {
+        "q01_keyword_hot": run_q("table"),
+        "q02_keyword": run_q("spark"),
+        "q03_bool_and": run_q("merge AND batch"),
+        "q04_bool_or_not": run_q("sort OR merge NOT spark"),
+        "q05_phrase": run_q(ast.parse_phrase_query("fast sort")),
+        "q06_phrase_wildcard": run_q(ast.parse_phrase_query("fast s*")),
+        "q07_wildcard": run_q("sc*"),
+        "q08_fuzzy": run_q("spak~1"),
+        "q10_field_filtered": run_q("spark", filters=Filters(lang="en")),
+        "q13_hints": lambda: eng.hints("sc").collect(),
+    }
+    for name, fn in qset.items():
+        queries[name] = round(p50(fn), 3)
+
+    # ---- phase 4: pipeline ops ----
+    from codeindex_spark.ops.analysis import quality_score
+    from codeindex_spark.ops.dedup import minhash_lsh_pairs
+    from codeindex_spark.ops.similarity import brute_force_cosine_topk
+    from pyspark.sql import functions as F
+
+    docs_df = entrymod._load(spark, sf_dir, "documents")
+    emb = entrymod._load(spark, sf_dir, "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    opset = {
+        "op_minhash_lsh": lambda: minhash_lsh_pairs(docs_df).count(),
+        "op_ann_cosine": lambda: brute_force_cosine_topk(
+            emb, qvec, k=10, exclude_id=0
+        ).collect(),
+        "op_quality": lambda: quality_score(docs_df).count(),
+    }
+    for name, fn in opset.items():
+        queries[name] = round(p50(fn), 3)
+
+    total = sum(queries.values())
+    result.update(
+        {
+            "metric": "index build + reference query set + pipeline ops, wall seconds",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": queries,
+            "n_sf_docs": n_sf_docs,
+        }
+    )
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

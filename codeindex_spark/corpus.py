@@ -195,5 +195,19 @@ def spark_documents(spark, spec: CorpusSpec = CorpusSpec(), partitions: int = 8)
 
 
 def generate_documents_range_ids(spec: CorpusSpec, ids) -> pd.DataFrame:
-    frames = [generate_documents_range(spec, int(i), int(i) + 1) for i in ids]
-    return pd.concat(frames, ignore_index=True)
+    """Generate rows for an id array by splitting it into contiguous
+    runs (spark.range partitions are contiguous, so this is one call
+    per partition, not per row)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    if ids.size == 0:
+        return pd.DataFrame(
+            columns=["repo", "path", "commit", "lang", "content"]
+        )
+    breaks = np.flatnonzero(np.diff(ids) != 1)
+    starts = np.concatenate(([0], breaks + 1))
+    ends = np.concatenate((breaks + 1, [ids.size]))
+    frames = [
+        generate_documents_range(spec, int(ids[s]), int(ids[e - 1]) + 1)
+        for s, e in zip(starts, ends)
+    ]
+    return frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)

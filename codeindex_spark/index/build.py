@@ -230,51 +230,63 @@ def build_postings(
 ) -> DataFrame:
     """doc-term rows -> compressed posting blocks.
 
-    groupBy(field, term, block_id): bounded groups (<= block_size
+    Shuffle on (field, term, block_id): bounded groups (<= block_size
     docs) — hot terms fan out across blocks instead of hot-keying one
-    reducer. Encode kernel is numpy-vectorized per block.
+    reducer (structural skew elimination). Encoding runs as ONE
+    vectorized mapInPandas pass over the partition-sorted stream with
+    carry across Arrow batch boundaries — no per-group Python call,
+    no grouped-map overhead (encoding.encode_blocks_batch).
     """
-    avgdl_map = dict(zip(stats["field"], stats["avgdl"]))
+    avgdl_map = {str(k): float(v) for k, v in zip(stats["field"], stats["avgdl"])}
     k1, b, bsz = params.k1, params.b, params.block_size
+    key_cols = ["field", "term", "block_id"]
 
-    def encode_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        fname, term, block_id = key
-        avgdl = avgdl_map.get(fname, 1.0) or 1.0
-        blk = encoding.encode_block(
-            pdf["doc_id"].to_numpy(dtype=np.int64),
-            pdf["tf"].to_numpy(dtype=np.int64),
-            pdf["dl"].to_numpy(dtype=np.int64),
-            [np.asarray(p, dtype=np.int64) for p in pdf["positions"]],
-            block_id=int(block_id),
-            avgdl=float(avgdl),
-            k1=k1,
-            b=b,
-            block_size=bsz,
-        )
-        return pd.DataFrame(
-            [
-                {
-                    "field": fname,
-                    "term": term,
-                    "block_id": int(block_id),
-                    "n": blk["n"],
-                    "cf": int(pdf["tf"].sum()),
-                    "docs_delta": blk["docs_delta"],
-                    "tfs": blk["tfs"],
-                    "dls": blk["dls"],
-                    "pos_counts": blk["pos_counts"],
-                    "pos_deltas": blk["pos_deltas"],
-                    "block_max_tfnorm": blk["block_max_tfnorm"],
-                }
-            ]
-        )
+    def encode_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            last = pdf.iloc[-1]
+            in_last_group = (
+                (pdf["field"] == last["field"])
+                & (pdf["term"] == last["term"])
+                & (pdf["block_id"] == last["block_id"])
+            )
+            # rows of the final (possibly batch-spanning) group carry over
+            carry = pdf[in_last_group.to_numpy()]
+            body = pdf[~in_last_group.to_numpy()]
+            if len(body):
+                yield _encode_batch(body, avgdl_map, k1, b, bsz)
+        if carry is not None and len(carry):
+            yield _encode_batch(carry, avgdl_map, k1, b, bsz)
 
     with_block = tokens.withColumn(
         "block_id", (F.col("doc_id") / F.lit(params.block_size)).cast("long")
     )
-    return with_block.groupBy("field", "term", "block_id").applyInPandas(
-        encode_group, schema=POSTING_SCHEMA
+    shuffled = with_block.repartition(*[F.col(c) for c in key_cols])
+    return shuffled.sortWithinPartitions(*key_cols, "doc_id").mapInPandas(
+        encode_stream, schema=POSTING_SCHEMA
     )
+
+
+def _encode_batch(pdf: pd.DataFrame, avgdl_map, k1, b, bsz) -> pd.DataFrame:
+    cols = encoding.encode_blocks_batch(
+        pdf["field"].to_numpy(dtype=object),
+        pdf["term"].to_numpy(dtype=object),
+        pdf["block_id"].to_numpy(dtype=np.int64),
+        pdf["doc_id"].to_numpy(dtype=np.int64),
+        pdf["tf"].to_numpy(dtype=np.int64),
+        pdf["dl"].to_numpy(dtype=np.int64),
+        list(pdf["positions"]),
+        avgdl_map,
+        k1=k1,
+        b=b,
+        block_size=bsz,
+    )
+    return pd.DataFrame(cols)
 
 
 def term_dict_from_postings(postings: DataFrame) -> DataFrame:

@@ -174,3 +174,145 @@ def decode_block_docs(
     return delta_decode(
         varint_decode(docs_delta), base=block_id * block_size
     ).astype(np.int64)
+
+
+def _varint_with_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Varint-encode the whole array once; return (buffer, per-value
+    end byte offsets) so callers can slice per-group ranges without
+    re-encoding. offsets[i] = end position of value i."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b"", np.zeros(0, dtype=np.int64)
+    nb = np.ones(v.size, dtype=np.int64)
+    tmp = v >> _U7
+    while tmp.any():
+        nb += tmp > 0
+        tmp = tmp >> _U7
+    ends = np.cumsum(nb)
+    return varint_encode(v), ends
+
+
+def encode_blocks_batch(
+    field: np.ndarray,
+    term: np.ndarray,
+    block_id: np.ndarray,
+    doc_id: np.ndarray,
+    tf: np.ndarray,
+    dl: np.ndarray,
+    positions: list,
+    avgdl_map: dict[str, float],
+    k1: float = 1.2,
+    b: float = 0.75,
+    block_size: int = BLOCK_SIZE,
+) -> dict:
+    """Vectorized multi-group posting encoder.
+
+    Input rows MUST be sorted by (field, term, block_id, doc_id) —
+    the build pipeline's sortWithinPartitions guarantees it. All
+    heavy work (deltas, varints, tfnorm, reduceat aggregations) runs
+    ONCE over the whole batch; the only Python loop slices per-group
+    byte ranges out of the shared buffers (O(groups), trivially cheap).
+    This removes the per-group call overhead of grouped-map UDFs —
+    the difference between ~3 and ~1000+ files/sec at build time.
+
+    Returns columnar dict ready for a pandas DataFrame in
+    POSTING_SCHEMA order.
+    """
+    n = doc_id.size
+    if n == 0:
+        return {
+            "field": [], "term": [], "block_id": [], "n": [], "cf": [],
+            "docs_delta": [], "tfs": [], "dls": [], "pos_counts": [],
+            "pos_deltas": [], "block_max_tfnorm": [],
+        }
+    doc_id = doc_id.astype(np.int64)
+    tf64 = tf.astype(np.uint64)
+    dl64 = dl.astype(np.uint64)
+
+    # group boundaries (field, term, block_id)
+    same = np.empty(n, dtype=bool)
+    same[0] = False
+    if n > 1:
+        same[1:] = (
+            (field[1:] == field[:-1])
+            & (term[1:] == term[:-1])
+            & (block_id[1:] == block_id[:-1])
+        )
+    g_starts = np.flatnonzero(~same)
+    g_ends = np.concatenate((g_starts[1:], [n]))
+
+    # doc deltas with per-group base reset
+    prev = np.empty(n, dtype=np.int64)
+    prev[0] = 0
+    prev[1:] = doc_id[:-1]
+    base = (block_id.astype(np.int64) * block_size)
+    deltas = np.where(same, doc_id - prev, doc_id - base).astype(np.uint64)
+
+    docs_buf, docs_ends = _varint_with_offsets(deltas)
+    tfs_buf, tfs_ends = _varint_with_offsets(tf64)
+    dls_buf, dls_ends = _varint_with_offsets(dl64)
+
+    # positions: per-row counts + per-row delta-encoded flat stream
+    counts = np.fromiter((len(p) for p in positions), dtype=np.int64, count=n)
+    total_pos = int(counts.sum())
+    if total_pos:
+        flat = np.concatenate(
+            [np.asarray(p, dtype=np.int64) for p in positions if len(p)]
+        ).astype(np.uint64)
+        row_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        pprev = np.empty(total_pos, dtype=np.uint64)
+        pprev[0] = 0
+        pprev[1:] = flat[:-1]
+        first_of_row = np.zeros(total_pos, dtype=bool)
+        first_of_row[row_starts[counts > 0]] = True
+        pdeltas = np.where(first_of_row, flat, flat - pprev)
+        pos_buf, pos_ends = _varint_with_offsets(pdeltas)
+        # per-row end offset in the positions stream
+        row_pos_end = np.zeros(n, dtype=np.int64)
+        ends_cum = np.cumsum(counts)
+        nonzero = counts > 0
+        row_pos_end[nonzero] = pos_ends[ends_cum[nonzero] - 1]
+        row_pos_end = np.maximum.accumulate(row_pos_end)
+    else:
+        pos_buf, row_pos_end = b"", np.zeros(n, dtype=np.int64)
+    cnt_buf, cnt_ends = _varint_with_offsets(counts.astype(np.uint64))
+
+    # per-field avgdl, then one vectorized tfnorm pass
+    avgdl_arr = np.empty(n, dtype=np.float64)
+    for f in np.unique(field):
+        avgdl_arr[field == f] = avgdl_map.get(str(f), 1.0) or 1.0
+    tff = tf64.astype(np.float64)
+    dlf = dl64.astype(np.float64)
+    tfnorm = tff * (k1 + 1.0) / (tff + k1 * (1.0 - b + b * dlf / avgdl_arr))
+
+    cf = np.add.reduceat(tf64.astype(np.int64), g_starts)
+    bmax = np.maximum.reduceat(tfnorm, g_starts)
+
+    mv_docs, mv_tfs, mv_dls = docs_buf, tfs_buf, dls_buf
+    mv_cnt, mv_pos = cnt_buf, pos_buf
+
+    def _slices(buf, ends):
+        out = []
+        for s, e in zip(g_starts, g_ends):
+            lo = ends[s - 1] if s > 0 else 0
+            out.append(buf[lo : ends[e - 1]])
+        return out
+
+    pos_slices = []
+    for s, e in zip(g_starts, g_ends):
+        lo = row_pos_end[s - 1] if s > 0 else 0
+        pos_slices.append(mv_pos[lo : row_pos_end[e - 1]])
+
+    return {
+        "field": field[g_starts],
+        "term": term[g_starts],
+        "block_id": block_id[g_starts].astype(np.int64),
+        "n": (g_ends - g_starts).astype(np.int32),
+        "cf": cf,
+        "docs_delta": _slices(mv_docs, docs_ends),
+        "tfs": _slices(mv_tfs, tfs_ends),
+        "dls": _slices(mv_dls, dls_ends),
+        "pos_counts": _slices(mv_cnt, cnt_ends),
+        "pos_deltas": pos_slices,
+        "block_max_tfnorm": bmax,
+    }

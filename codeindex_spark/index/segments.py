@@ -173,23 +173,42 @@ class IndexBuilder:
                     out.add(g)
         return out
 
+    def write_docs(self, docs_raw: DataFrame, offsets: pd.DataFrame) -> None:
+        """Stage 0 (one job): assign docIDs to the WHOLE corpus and
+        write the docs table partitioned by bucket group. The docID
+        window runs exactly once — groups then read their partition
+        pruned slice. Resumable via the _docs marker; a partial write
+        is simply redone (cheap relative to tokenize+encode)."""
+        marker = os.path.join(self.paths.manifest_dir, "_docs.json")
+        if os.path.exists(marker):
+            return
+        docs = prepare_docs(docs_raw)
+        docs = docids.assign_doc_ids(docs, offsets, self.params.num_buckets)
+        docs = docs.withColumn(
+            "group", (F.col("bucket") % self.n_groups).cast("int")
+        )
+        (
+            docs.select(*DOC_COLUMNS, "group")
+            .repartition(F.col("group"), F.col("bucket"))
+            .write.mode("overwrite")
+            .partitionBy("group")
+            .parquet(self.paths.docs)
+        )
+        _atomic_write_json(marker, {"status": "committed"})
+
     def build_group(
         self, docs_raw: DataFrame, offsets: pd.DataFrame, g: int
     ) -> dict:
         t0 = time.monotonic()
         params = self.params
         stats = pd.read_parquet(self.paths.stats)
-        docs = prepare_docs(docs_raw)
-        docs = docids.assign_doc_ids(docs, offsets, params.num_buckets)
-        group_docs = docs.filter(F.col("bucket") % self.n_groups == g)
+        self.write_docs(docs_raw, offsets)  # no-op once committed
 
-        docs_out = os.path.join(self.paths.docs, f"group={g}")
-        group_docs.select(*DOC_COLUMNS).write.mode("overwrite").parquet(docs_out)
-
-        # re-read what we wrote: lineage checksum comes from durable
-        # bytes, and the tokenize stage re-scans columnar (content
-        # only) instead of recomputing the docID window.
-        persisted = self.spark.read.parquet(docs_out)
+        # partition-pruned scan of this group's docs (written by
+        # write_docs); lineage checksum comes from durable bytes
+        persisted = self.spark.read.parquet(self.paths.docs).filter(
+            F.col("group") == g
+        )
         tokens = token_rows(persisted, params.fields)
         postings = build_postings(tokens, stats, params)
         post_out = os.path.join(self.paths.postings, f"group={g}")
@@ -271,6 +290,7 @@ class IndexBuilder:
                     os.remove(f)
             os.makedirs(self.paths.manifest_dir, exist_ok=True)
         offsets = self.plan(docs_raw)
+        self.write_docs(docs_raw, offsets)
         done = self.committed_groups() if resume else set()
         records = []
         for g in range(self.n_groups):

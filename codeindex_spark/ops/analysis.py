@@ -1,0 +1,147 @@
+"""Text-analysis operators for training-data pipelines.
+
+- token_stats      — per-doc token counts / distinct ratio / lengths
+                     (JVM-side split+aggregate expressions)
+- quality_score    — composite heuristic quality in [0,1]
+- fingerprint      — normalization + md5 content fingerprint
+- language_id      — stopword-overlap n-gram heuristic (pandas UDF,
+                     Arrow-batched); deterministic fake-ready corpus
+                     of stopword tables for a handful of languages
+- token_count_bpe_ish — BPE-flavored token estimate via regex splits
+
+These run over a (id_col, text_col) corpus; all hot paths are
+built-in expressions, the language heuristic is a vectorized kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# compact stopword tables (public common-word lists, truncated)
+STOPWORDS = {
+    "en": {"the", "a", "of", "and", "to", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "zu", "den", "mit", "von", "ein"},
+    "fr": {"le", "la", "de", "et", "est", "un", "une", "les", "des", "dans"},
+    "es": {"el", "la", "de", "y", "es", "un", "una", "los", "en", "que"},
+}
+
+
+def token_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_tokens, n_distinct, distinct_ratio, avg_token_len,
+    n_chars) — whitespace tokens, all JVM expressions."""
+    toks = F.split(F.trim(F.col(text_col)), " +")
+    toks = F.filter(toks, lambda w: w != "")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        (F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1))).alias(
+            "distinct_ratio"
+        ),
+        (
+            F.aggregate(toks, F.lit(0), lambda acc, w: acc + F.length(w))
+            / F.greatest(F.size(toks), F.lit(1))
+        ).alias("avg_token_len"),
+        F.length(F.col(text_col)).alias("n_chars"),
+    )
+
+
+def quality_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Composite quality heuristic in [0,1]:
+    length term (saturating at 64 tokens) * diversity term
+    (distinct ratio) — deterministic arithmetic, SQL-portable."""
+    stats = token_stats(df, id_col, text_col)
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        "distinct_ratio",
+        (
+            F.least(F.col("n_tokens") / F.lit(64.0), F.lit(1.0))
+            * F.col("distinct_ratio")
+        ).alias("quality"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, fingerprint): md5 of whitespace-normalized lowercase
+    text — the cheap exact-dup/fingerprint column."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), "\\s+", " ")))
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.md5(norm).alias("fingerprint")
+    )
+
+
+def language_id(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, lang_pred, lang_conf): stopword-overlap heuristic with
+    a CJK charset fast path. Arrow-batched pandas kernel."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("lang_pred", T.StringType(), False),
+            T.StructField("lang_conf", T.DoubleType(), False),
+        ]
+    )
+    langs = sorted(STOPWORDS)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            texts = pdf[text_col].fillna("")
+            cjk = texts.str.contains(r"[一-鿿]", regex=True)
+            token_lists = texts.str.lower().str.split()
+            preds, confs = [], []
+            for has_cjk, toks in zip(cjk, token_lists):
+                if has_cjk:
+                    preds.append("zh")
+                    confs.append(1.0)
+                    continue
+                ts = set(toks or ())
+                scores = [len(ts & STOPWORDS[lg]) for lg in langs]
+                best = int(np.argmax(scores))
+                total = sum(scores)
+                preds.append(langs[best] if total else "unknown")
+                confs.append(scores[best] / total if total else 0.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].to_numpy(),
+                    "lang_pred": preds,
+                    "lang_conf": confs,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(kernel, schema=schema)
+
+
+def token_count_bpe_ish(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_words, n_bpe_est): a BPE-flavored token estimate —
+    words plus an extra token per 4 chars of long words (common
+    ~4-chars-per-token heuristic), pure expressions."""
+    toks = F.filter(F.split(F.trim(F.col(text_col)), " +"), lambda w: w != "")
+    extra = F.aggregate(
+        toks,
+        F.lit(0),
+        lambda acc, w: acc
+        + F.when(F.length(w) > 4, ((F.length(w) - 1) / 4).cast("int")).otherwise(
+            F.lit(0)
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_words"),
+        (F.size(toks) + extra).alias("n_bpe_est"),
+    )

@@ -1,0 +1,219 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators are pure DataFrame programs (shuffle-conscious, no
+driver-side loops) over a corpus with (id_col, text_col):
+
+- exact_duplicates      — hash groupBy (one shuffle on the hash)
+- shingles              — word n-gram shingling (posexplode, JVM-side)
+- ngram_jaccard_pairs   — exact Jaccard over shingle sets via a
+                          shingle-inverted-index self-join
+- minhash_lsh_pairs     — MinHash signatures + banded LSH: candidate
+                          pairs share >=1 band bucket. Hashes are
+                          md5-string minima so any engine (DuckDB
+                          oracle included) reproduces them exactly.
+- simhash64             — 64-bit SimHash fingerprints + near-dup pairs
+                          within Hamming distance via band rotation
+
+Scale notes: shingle joins are the classic quadratic trap — both
+jaccard and LSH paths group by shingle/bucket first, and very hot
+shingles (df > hot_cap) are dropped like stopwords before the
+self-join (standard practice; bounded reducer fan-out). MinHash-LSH
+is the 100 TB path: signature size is constant per doc, band buckets
+shard naturally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of byte-identical texts: (text_hash, n_docs, doc_ids)."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+def shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+
+    Tokenization = whitespace split (shingling operates on normalized
+    text; callers lowercase/normalize upstream). JVM-side only:
+    split + slice + concat_ws under posexplode — no Python.
+    """
+    toks = F.split(F.col(text_col), " +")
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(toks).alias("pos", "w"),
+        F.size(toks).alias("n_toks"),
+        toks.alias("toks"),
+    ).filter(F.col("pos") <= F.col("n_toks") - n)
+    sh = F.concat_ws(" ", *[F.element_at("toks", F.col("pos") + i + 1) for i in range(n)])
+    return out.select("doc_id", sh.alias("shingle")).distinct()
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    hot_cap: int = 10000,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs >= threshold:
+    (doc_a, doc_b, jaccard). Inverted-index self-join on shingle."""
+    sh = shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    hot = sh.groupBy("shingle").count().filter(F.col("count") > hot_cap)
+    cool = sh.join(hot.select("shingle"), "shingle", "left_anti")
+    pairs = (
+        cool.alias("a")
+        .join(cool.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """(doc_id, seed, minhash): minhash = min over shingles of
+    md5('<seed>:'||shingle) — a deterministic random permutation per
+    seed, engine-portable (md5 strings compare identically anywhere).
+    """
+    sh = shingles(df, id_col, text_col, n)
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])).alias("seed")
+    return (
+        sh.select("doc_id", "shingle", seeds)
+        .withColumn(
+            "h",
+            F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing at least one LSH band
+    bucket: (doc_a, doc_b). bands = num_hashes/band_size; the standard
+    S-curve trades precision vs recall via (num_hashes, band_size)."""
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    bands = (
+        sig.withColumn("band", (F.col("seed") / band_size).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.concat_ws("|", F.sort_array(F.collect_list("minhash"))).alias("band_key"))
+    )
+    return (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash64(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash over words: (doc_id, simhash).
+
+    Bit b of the fingerprint = sign of Σ_w tf(w) * (bit b of
+    xxhash64(w) ? +1 : -1). Vectorized via explode + bit ops + sum —
+    all JVM-side expressions.
+    """
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " +")).alias("w"),
+    ).filter(F.col("w") != "")
+    wh = words.withColumn("h", F.xxhash64("w"))
+    per_bit = wh.select(
+        "doc_id",
+        *[
+            (
+                (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ],
+    )
+    sums = per_bit.groupBy("doc_id").agg(
+        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(64)]
+    )
+    # assemble: Σ (s_i > 0) << i  — use sum of products to avoid 64-way concat
+    expr = None
+    for i in range(64):
+        bit = F.when(F.col(f"s{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << i).cast("long") if i < 63 else F.when(
+            F.col("s63") > 0, F.lit(-(1 << 63)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        expr = term if expr is None else expr + term
+    return sums.select("doc_id", expr.alias("simhash"))
+
+
+def simhash_near_pairs(
+    sim: DataFrame, bits_per_band: int = 16
+) -> DataFrame:
+    """Near-dup candidates: equal 16-bit band in the simhash (hamming
+    distance <= 3 guaranteed recall by pigeonhole over 4 bands)."""
+    n_bands = 64 // bits_per_band
+    mask = (1 << bits_per_band) - 1
+    banded = sim.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bnd).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), bnd * bits_per_band)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for bnd in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    return (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )

@@ -1,0 +1,190 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_cosine_topk: exact baseline — broadcast the query
+  vector, JVM-side zip_with/aggregate dot product, TakeOrdered top-k.
+- cosine_pairs_topk: all-pairs variant for small candidate sets.
+- lsh_bucket_ann: the scale path — random-hyperplane LSH (signed
+  projections -> bucket key), candidates restricted to matching
+  buckets, exact cosine re-rank inside buckets. At 100 TB the bucket
+  join replaces the O(N) scan per query with an O(N/2^bits) probe;
+  multi-probe = union over nearby buckets.
+
+Everything is built-in expressions or Arrow-batched pandas kernels —
+no per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def brute_force_cosine_topk(
+    vectors: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Exact top-k by cosine similarity to one query vector.
+    Returns (vec_id, cosine) ordered desc, id asc."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = float(np.sqrt(np.sum(np.asarray(query_vec, dtype=np.float64) ** 2)))
+    out = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        (_dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn))).alias(
+            "cosine"
+        ),
+    )
+    if exclude_id is not None:
+        out = out.filter(F.col("vec_id") != exclude_id)
+    return out.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+
+
+def batch_cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Top-k per query for a (small, broadcastable) query set: the
+    numpy matrix product runs inside an Arrow-batched kernel; the
+    per-query top-k is a window rank (per-partition partial top-k
+    then merge)."""
+    qpdf = queries.select(q_id_col, q_vec_col).toPandas()
+    qids = qpdf[q_id_col].to_numpy()
+    qmat = np.stack([np.asarray(v, dtype=np.float64) for v in qpdf[q_vec_col]])
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+
+    schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType(), False),
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("cosine", T.DoubleType(), False),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            mat = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )
+            sims = mat @ qmat.T  # (batch, n_queries)
+            n, m = sims.shape
+            # per-batch partial top-k per query to bound output volume
+            kk = min(k, n)
+            top_idx = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            rows = {
+                "q_id": np.repeat(qids, kk),
+                "vec_id": pdf[id_col].to_numpy()[top_idx.T.ravel()],
+                "cosine": np.take_along_axis(sims, top_idx, 0).T.ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    from pyspark.sql import Window
+
+    scored = vectors.select(id_col, vec_col).mapInPandas(kernel, schema=schema)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
+def hyperplane_lsh_buckets(
+    vectors: DataFrame,
+    dim: int,
+    n_bits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, bucket): sign pattern of n_bits random projections.
+    Hyperplanes are seeded-deterministic."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bits, dim))
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("bucket", T.LongType(), False),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            signs = (mat @ planes.T) > 0  # (n, n_bits)
+            bucket = (signs * (1 << np.arange(n_bits))).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "bucket": bucket.astype(np.int64),
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(kernel, schema=schema)
+
+
+def lsh_ann_topk(
+    vectors: DataFrame,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    n_bits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe_bits: int = 1,
+) -> DataFrame:
+    """ANN: probe the query's bucket (plus single-bit-flip neighbors
+    when multiprobe_bits=1), exact cosine re-rank within candidates."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bits, dim))
+    q = np.asarray(query_vec, dtype=np.float64)
+    qb = int(((q @ planes.T > 0) * (1 << np.arange(n_bits))).sum())
+    probes = {qb}
+    if multiprobe_bits >= 1:
+        probes |= {qb ^ (1 << i) for i in range(n_bits)}
+    buckets = hyperplane_lsh_buckets(
+        vectors, dim, n_bits, seed, id_col, vec_col
+    ).filter(F.col("bucket").isin(sorted(probes)))
+    cand = vectors.join(
+        buckets.withColumnRenamed("vec_id", id_col).select(id_col), id_col, "left_semi"
+    )
+    return brute_force_cosine_topk(cand, query_vec, k, id_col, vec_col)
