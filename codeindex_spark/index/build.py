@@ -63,6 +63,9 @@ class IndexParams:
     k1: float = K1_DEFAULT
     b: float = B_DEFAULT
     fields: tuple[str, ...] = ALL_FIELDS
+    # docID space starts here (block-aligned); delta segments of an
+    # incremental index stack above their predecessors
+    base_doc_id: int = 0
 
     def to_dict(self) -> dict:
         return {
@@ -71,6 +74,7 @@ class IndexParams:
             "k1": self.k1,
             "b": self.b,
             "fields": list(self.fields),
+            "base_doc_id": self.base_doc_id,
         }
 
     @staticmethod
@@ -81,6 +85,7 @@ class IndexParams:
             k1=d["k1"],
             b=d["b"],
             fields=tuple(d["fields"]),
+            base_doc_id=d.get("base_doc_id", 0),
         )
 
 

@@ -49,10 +49,13 @@ def bucket_col(num_buckets: int):
 
 
 def compute_bucket_offsets(
-    docs: DataFrame, num_buckets: int, block_size: int
+    docs: DataFrame, num_buckets: int, block_size: int, base_doc_id: int = 0
 ) -> pd.DataFrame:
     """One cheap count-aggregation job -> (bucket, count, base) frame.
-    NUM_BUCKETS rows — driver-small at any corpus scale."""
+    NUM_BUCKETS rows — driver-small at any corpus scale.
+    ``base_doc_id`` starts the docID space above an existing segment
+    (delta segments in incremental maintenance); it must already be a
+    multiple of block_size."""
     counts = (
         docs.select(bucket_col(num_buckets).alias("bucket"))
         .groupBy("bucket")
@@ -63,7 +66,7 @@ def compute_bucket_offsets(
     full = np.zeros(num_buckets, dtype=np.int64)
     full[counts.index.to_numpy()] = counts.to_numpy()
     bases = np.zeros(num_buckets, dtype=np.int64)
-    cur = 0
+    cur = int(base_doc_id)
     for b in range(num_buckets):
         bases[b] = cur
         cur = -(-(cur + full[b]) // block_size) * block_size  # round up

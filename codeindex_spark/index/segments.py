@@ -153,7 +153,10 @@ class IndexBuilder:
             return offsets
         docs = prepare_docs(docs_raw)
         offsets = docids.compute_bucket_offsets(
-            docs, self.params.num_buckets, self.params.block_size
+            docs,
+            self.params.num_buckets,
+            self.params.block_size,
+            base_doc_id=self.params.base_doc_id,
         )
         stats = compute_field_stats(docs, self.params.fields)
         offsets.to_parquet(self.paths.offsets, index=False)

@@ -253,6 +253,11 @@ class SearchEngine:
         """Top-k BM25 search. Returns (doc_id, score [, doc metadata])
         ordered by (score desc, doc_id asc)."""
         scored = self.score(query, case_sensitive)
+        # tombstone-aware readers (incremental MultiReader) expose the
+        # live doc set; postings may still contain replaced/deleted docs
+        live = getattr(self.reader, "live_doc_ids", lambda: None)()
+        if live is not None:
+            scored = scored.join(live, "doc_id", "left_semi")
         if filters is not None and not filters.empty:
             allowed = filters.apply(self.reader.docs).select("doc_id")
             scored = scored.join(allowed, "doc_id", "left_semi")

@@ -1,0 +1,182 @@
+"""Presentation operators (SURVEY.md §2.11 V1-V3): HTML highlight and
+matched-line extraction over top-k results only.
+
+Reference behavior:
+- V1 GenerateHtmlPreviewText (/root/reference/src/CodeIndex.Search/
+  CodeIndexSearcher.cs:50-103): HTML-encode, wrap matched terms in
+  <span class='highlight'>..</span>, guard very large content with
+  "Content is too long to highlight" (MaxContentHighlightLength
+  3,000,000 — /root/reference/src/CodeIndex.IndexBuilder/Constants.cs:15).
+- V2 GeneratePreviewTextWithLineNumber (CodeIndexSearcher.cs:148-229):
+  split into lines, trim, keep lines containing a matched term, emit
+  (line_text, 1-based line_number), cap at max_results.
+
+Matching is token-exact (the reference re-analyzes content with the
+same analyzer): a term matches only whole tokens, so 'get' does not
+highlight inside 'together'. Kernels run on <= k rows (Arrow batch),
+never on the corpus.
+"""
+
+from __future__ import annotations
+
+import html
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from codeindex_spark.query import ast
+from codeindex_spark.query.planner import SearchEngine
+from codeindex_spark.tokenizer import TOKEN_RE
+
+MAX_CONTENT_HIGHLIGHT_LENGTH = 3_000_000
+TOO_LONG_MESSAGE = "Content is too long to highlight"
+HIGHLIGHT_PRE = "<span class='highlight'>"
+HIGHLIGHT_POST = "</span>"
+
+
+def matched_content_terms(
+    engine: SearchEngine, query: ast.Node | str, case_sensitive: bool = False
+) -> tuple[set[str], bool]:
+    """Concrete content-field terms the query matches (wildcard/fuzzy
+    expanded against the dictionary). Returns (terms, cased?)."""
+    root = (
+        ast.parse_query(query, case_sensitive) if isinstance(query, str) else query
+    )
+    rows, _ = engine._plan_rows(root)
+    fld = "content_cs" if case_sensitive else "content"
+    return {r["term"] for r in rows if r["field"] == fld}, case_sensitive
+
+
+def _token_match(token: str, terms: set[str], cased: bool) -> bool:
+    return (token if cased else token.lower()) in terms
+
+
+def highlight_html(text: str, terms: set[str], cased: bool = False) -> str:
+    """HTML-encoded text with matched tokens span-wrapped (V1)."""
+    if len(text) > MAX_CONTENT_HIGHLIGHT_LENGTH:
+        return TOO_LONG_MESSAGE
+    out = []
+    last = 0
+    for m in TOKEN_RE.finditer(text):
+        if _token_match(m.group(), terms, cased):
+            out.append(html.escape(text[last : m.start()]))
+            out.append(HIGHLIGHT_PRE + html.escape(m.group()) + HIGHLIGHT_POST)
+            last = m.end()
+    out.append(html.escape(text[last:]))
+    return "".join(out)
+
+
+def matched_lines(
+    text: str, terms: set[str], cased: bool = False, max_results: int = 100
+) -> list[tuple[str, int]]:
+    """(trimmed_line, 1-based line_number) for lines containing a
+    matched token (V2)."""
+    out = []
+    for i, line in enumerate(text.split("\n"), start=1):
+        stripped = line.strip()
+        if not stripped:
+            continue
+        if any(_token_match(t, terms, cased) for t in TOKEN_RE.findall(stripped)):
+            out.append((stripped, i))
+            if len(out) >= max_results:
+                break
+    return out
+
+
+PREVIEW_SCHEMA_FIELDS = [
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("score", T.DoubleType(), False),
+    T.StructField("repo", T.StringType(), False),
+    T.StructField("path", T.StringType(), False),
+]
+
+
+def search_with_preview(
+    engine: SearchEngine,
+    query: ast.Node | str,
+    k: int = 100,
+    case_sensitive: bool = False,
+    fragment_lines: int = 3,
+) -> DataFrame:
+    """V3 search-by-file shape: top-k + HTML preview of the first
+    ``fragment_lines`` matching lines (reference defaults to 3 best
+    fragments)."""
+    terms, cased = matched_content_terms(engine, query, case_sensitive)
+    top = engine.search(query, k=k, case_sensitive=case_sensitive)
+    docs = engine.reader.docs.select("doc_id", "repo", "path", "content")
+    joined = top.join(docs, "doc_id")
+    schema = T.StructType(
+        PREVIEW_SCHEMA_FIELDS + [T.StructField("preview_html", T.StringType(), False)]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            previews = []
+            for content in pdf["content"]:
+                lines = matched_lines(content, terms, cased, fragment_lines)
+                previews.append(
+                    "\n".join(highlight_html(ln, terms, cased) for ln, _ in lines)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "score": pdf["score"],
+                    "repo": pdf["repo"],
+                    "path": pdf["path"],
+                    "preview_html": previews,
+                }
+            )
+
+    return (
+        joined.mapInPandas(kernel, schema=schema)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def search_with_matched_lines(
+    engine: SearchEngine,
+    query: ast.Node | str,
+    k: int = 100,
+    max_lines: int = 100,
+    case_sensitive: bool = False,
+) -> DataFrame:
+    """V3 search-by-line shape: (doc_id, score, repo, path, line_text,
+    line_number) — content itself omitted (the reference blanks it to
+    shrink responses, SearchService.cs:105,119)."""
+    terms, cased = matched_content_terms(engine, query, case_sensitive)
+    top = engine.search(query, k=k, case_sensitive=case_sensitive)
+    docs = engine.reader.docs.select("doc_id", "repo", "path", "content")
+    joined = top.join(docs, "doc_id")
+    schema = T.StructType(
+        PREVIEW_SCHEMA_FIELDS
+        + [
+            T.StructField("line_text", T.StringType(), False),
+            T.StructField("line_number", T.IntegerType(), False),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = {c: [] for c in ("doc_id", "score", "repo", "path", "line_text", "line_number")}
+            for r in pdf.itertuples():
+                for line, no in matched_lines(r.content, terms, cased, max_lines):
+                    rows["doc_id"].append(r.doc_id)
+                    rows["score"].append(r.score)
+                    rows["repo"].append(r.repo)
+                    rows["path"].append(r.path)
+                    rows["line_text"].append(line)
+                    rows["line_number"].append(no)
+            yield pd.DataFrame(rows)
+
+    return (
+        joined.mapInPandas(kernel, schema=schema)
+        .orderBy(F.desc("score"), F.asc("doc_id"), F.asc("line_number"))
+        .limit(max_lines)
+    )

