@@ -201,33 +201,91 @@ def token_rows(docs: DataFrame, fields: tuple[str, ...] = ALL_FIELDS) -> DataFra
     return docs.select(*cols).mapInPandas(extract, schema=TOKEN_ROW_SCHEMA)
 
 
+def _tok_count_cols(docs: DataFrame) -> DataFrame:
+    @F.pandas_udf(T.LongType())
+    def tok_count(s: pd.Series) -> pd.Series:
+        return s.fillna("").str.count(TOKEN_RE).astype(np.int64)
+
+    return docs.select(
+        "*",
+        tok_count(F.col("content")).alias("_tc_content"),
+        tok_count(F.lower(F.col("file_name"))).alias("_tc_file_name"),
+        tok_count(F.lower(F.col("path"))).alias("_tc_file_path"),
+    )
+
+
+def _stats_from_sums(row_like, fields: tuple[str, ...]) -> pd.DataFrame:
+    n = int(row_like["n_docs"])
+    out = []
+    for f_ in fields:
+        src = "content" if f_ in CONTENT_FIELDS else f_
+        total = int(row_like[f"sum_{src}"] or 0)
+        out.append((f_, n, (total / n) if n else 0.0, total))
+    return pd.DataFrame(out, columns=["field", "n_docs", "avgdl", "total_dl"])
+
+
 def compute_field_stats(docs: DataFrame, fields: tuple[str, ...] = ALL_FIELDS) -> pd.DataFrame:
     """(field, n_docs, avgdl, total_dl) — one cheap scan, tiny result.
 
     Doc length = token count from the same regex as the tokenizer, so
     stats agree exactly with the doc-term rows.
     """
-
-    @F.pandas_udf(T.LongType())
-    def tok_count(s: pd.Series) -> pd.Series:
-        return s.fillna("").str.count(TOKEN_RE).astype(np.int64)
-
-    agg = docs.select(
-        tok_count(F.col("content")).alias("content"),
-        tok_count(F.lower(F.col("file_name"))).alias("file_name"),
-        tok_count(F.lower(F.col("path"))).alias("file_path"),
-    ).agg(
+    agg = _tok_count_cols(docs).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        *[F.sum(c).alias(f"sum_{c}") for c in ("content", "file_name", "file_path")],
+        F.sum("_tc_content").alias("sum_content"),
+        F.sum("_tc_file_name").alias("sum_file_name"),
+        F.sum("_tc_file_path").alias("sum_file_path"),
     )
-    row = agg.collect()[0]
-    n = row["n_docs"]
-    out = []
-    for f_ in fields:
-        src = "content" if f_ in CONTENT_FIELDS else f_
-        total = int(row[f"sum_{src}"] or 0)
-        out.append((f_, n, (total / n) if n else 0.0, total))
-    return pd.DataFrame(out, columns=["field", "n_docs", "avgdl", "total_dl"])
+    return _stats_from_sums(agg.collect()[0], fields)
+
+
+def compute_plan(
+    docs: DataFrame,
+    fields: tuple[str, ...],
+    num_buckets: int,
+    block_size: int,
+    base_doc_id: int = 0,
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Offsets AND field stats in ONE corpus scan (the planning jobs
+    merged: per-bucket row counts + token-count sums share the pass).
+    Returns (offsets, stats)."""
+    from codeindex_spark.index.docids import bucket_col
+
+    per_bucket = (
+        _tok_count_cols(docs)
+        .select(
+            bucket_col(num_buckets).alias("bucket"),
+            "_tc_content",
+            "_tc_file_name",
+            "_tc_file_path",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_tc_content").alias("sum_content"),
+            F.sum("_tc_file_name").alias("sum_file_name"),
+            F.sum("_tc_file_path").alias("sum_file_path"),
+        )
+        .toPandas()
+        .set_index("bucket")
+    )
+    full = np.zeros(num_buckets, dtype=np.int64)
+    full[per_bucket.index.to_numpy()] = per_bucket["n_docs"].to_numpy()
+    bases = np.zeros(num_buckets, dtype=np.int64)
+    cur = int(base_doc_id)
+    for b_ in range(num_buckets):
+        bases[b_] = cur
+        cur = -(-(cur + full[b_]) // block_size) * block_size
+    offsets = pd.DataFrame(
+        {"bucket": np.arange(num_buckets), "n_docs": full, "base": bases}
+    )
+    totals = {
+        "n_docs": int(per_bucket["n_docs"].sum()),
+        "sum_content": int(per_bucket["sum_content"].sum()),
+        "sum_file_name": int(per_bucket["sum_file_name"].sum()),
+        "sum_file_path": int(per_bucket["sum_file_path"].sum()),
+    }
+    return offsets, _stats_from_sums(totals, fields)
 
 
 def build_postings(

@@ -43,7 +43,7 @@ from codeindex_spark.index import docids
 from codeindex_spark.index.build import (
     IndexParams,
     build_postings,
-    compute_field_stats,
+    compute_plan,
     hints_from_term_dict,
     prepare_docs,
     term_dict_from_postings,
@@ -63,6 +63,21 @@ DOC_COLUMNS = [
     "content_sha256",
     "content",
 ]
+
+
+def _ensure_parallelism(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Guarantee enough input splits for Python-kernel stages.
+
+    Small-corpus scans collapse into one or two tasks under the
+    128 MB maxPartitionBytes packing, serializing the Arrow tokenize
+    kernels; a round-robin repartition (cheap relative to the kernel)
+    restores parallelism. At cluster scale the natural split count
+    already exceeds the target and this is a no-op.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def _atomic_write_json(path: str, obj: dict) -> None:
@@ -152,13 +167,13 @@ class IndexBuilder:
             offsets = pd.read_parquet(self.paths.offsets)
             return offsets
         docs = prepare_docs(docs_raw)
-        offsets = docids.compute_bucket_offsets(
-            docs,
+        offsets, stats = compute_plan(
+            _ensure_parallelism(docs),
+            self.params.fields,
             self.params.num_buckets,
             self.params.block_size,
             base_doc_id=self.params.base_doc_id,
         )
-        stats = compute_field_stats(docs, self.params.fields)
         offsets.to_parquet(self.paths.offsets, index=False)
         stats.to_parquet(self.paths.stats, index=False)
         _atomic_write_json(self.paths.params, self.params.to_dict())
@@ -212,7 +227,7 @@ class IndexBuilder:
         persisted = self.spark.read.parquet(self.paths.docs).filter(
             F.col("group") == g
         )
-        tokens = token_rows(persisted, params.fields)
+        tokens = token_rows(_ensure_parallelism(persisted), params.fields)
         postings = build_postings(tokens, stats, params)
         post_out = os.path.join(self.paths.postings, f"group={g}")
         (

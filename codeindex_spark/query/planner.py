@@ -209,18 +209,14 @@ class SearchEngine:
 
     # ---------- execution ----------
 
-    def score(self, query: ast.Node | str, case_sensitive: bool = False) -> DataFrame:
-        """Evaluate to a (doc_id, score) DataFrame of matching docs."""
-        root = (
-            ast.parse_query(query, case_sensitive)
-            if isinstance(query, str)
-            else query
-        )
+    def _candidates(self, root: ast.Node):
+        """Postings of the query's terms with (leaf_id, slot, idf)
+        attached, plus the kernel closure. Returns (candidates_df,
+        kernel, n_leaf_rows)."""
         spark = self.reader.spark
         rows, leaf_ids = self._plan_rows(root)
         if not rows:
-            return spark.createDataFrame([], SCORE_SCHEMA)
-
+            return None, None, 0
         mapping = spark.createDataFrame(pd.DataFrame(rows))
         fields = sorted({r["field"] for r in rows})
         terms_by_field = {
@@ -234,13 +230,100 @@ class SearchEngine:
         candidates = self.reader.postings.filter(cond).join(
             F.broadcast(mapping), ["field", "term"]
         )
-
         avgdl = {f: self.reader.field_stats(f)[1] for f in fields}
         k1, b, bsz = self.params.k1, self.params.b, self.params.block_size
         kernel = _make_block_kernel(root, leaf_ids, avgdl, k1, b, bsz)
+        return candidates, kernel, len(rows)
+
+    def score(self, query: ast.Node | str, case_sensitive: bool = False) -> DataFrame:
+        """Evaluate to a (doc_id, score) DataFrame of matching docs."""
+        root = (
+            ast.parse_query(query, case_sensitive)
+            if isinstance(query, str)
+            else query
+        )
+        candidates, kernel, n = self._candidates(root)
+        if candidates is None:
+            return self.reader.spark.createDataFrame([], SCORE_SCHEMA)
         return candidates.groupBy("block_id").applyInPandas(
             kernel, schema=SCORE_SCHEMA
         )
+
+    def search_wand(
+        self,
+        query: ast.Node | str,
+        k: int = 100,
+        case_sensitive: bool = False,
+    ) -> DataFrame:
+        """Block-max WAND top-k: prune posting blocks by score upper
+        bound BEFORE decoding (the Lucene impacts/BlockMaxWAND analog,
+        distributed).
+
+        Correctness: for any doc d in block B,
+        score(d) <= UB(B) = Σ_leaf-rows idf * block_max_tfnorm, because
+        every evaluation mode (term/AND/OR/phrase) sums at most every
+        leaf contribution and phrase adjacency only removes docs. So
+        dropping blocks with UB(B) < θ (θ = k-th score of a seed set)
+        can never evict a true top-k doc.
+
+        Phases (3 small jobs instead of decoding every block):
+          1. block metadata agg (no decode) -> per-block UB;
+          2. seed: decode only the top-ceil(4k/block) blocks by UB,
+             exact-score them, θ = k-th best;
+          3. decode blocks with UB >= θ, exact top-k.
+        """
+        root = (
+            ast.parse_query(query, case_sensitive)
+            if isinstance(query, str)
+            else query
+        )
+        candidates, kernel, _ = self._candidates(root)
+        spark = self.reader.spark
+        if candidates is None:
+            return spark.createDataFrame([], SCORE_SCHEMA)
+        candidates = candidates.cache()
+        try:
+            bsz = self.params.block_size
+            meta = candidates.groupBy("block_id").agg(
+                F.sum(F.col("idf") * F.col("block_max_tfnorm")).alias("ub")
+            )
+            n_seed = max(1, -(-4 * k // bsz))
+            seed_ids = [
+                r["block_id"]
+                for r in meta.orderBy(F.desc("ub")).limit(n_seed).collect()
+            ]
+            seed_scored = (
+                candidates.filter(F.col("block_id").isin(seed_ids))
+                .groupBy("block_id")
+                .applyInPandas(kernel, schema=SCORE_SCHEMA)
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+                .collect()
+            )
+            if len(seed_scored) < k:
+                # not enough docs to establish θ — fall back to exact
+                rows = (
+                    candidates.groupBy("block_id")
+                    .applyInPandas(kernel, schema=SCORE_SCHEMA)
+                    .orderBy(F.desc("score"), F.asc("doc_id"))
+                    .limit(k)
+                    .collect()
+                )
+            else:
+                theta = seed_scored[-1]["score"]
+                keep = meta.filter(F.col("ub") >= theta).select("block_id")
+                rows = (
+                    candidates.join(F.broadcast(keep), "block_id", "left_semi")
+                    .groupBy("block_id")
+                    .applyInPandas(kernel, schema=SCORE_SCHEMA)
+                    .orderBy(F.desc("score"), F.asc("doc_id"))
+                    .limit(k)
+                    .collect()
+                )
+            # materialized (<= k rows) so the cache can be released
+            return spark.createDataFrame(rows, schema=SCORE_SCHEMA)
+        finally:
+            candidates.unpersist(blocking=False)
 
     def search(
         self,

@@ -143,3 +143,43 @@ def test_empty_result_query(engine):
 def test_or_scores_sum(engine, oracle):
     q = "index OR index"
     assert_rank_identical(engine.search(q, k=K), oracle.search(q, k=K))
+
+
+WAND_QUERIES = [
+    "get",
+    "index AND writer",
+    "string OR return NOT get",
+    "stri*",
+]
+
+
+@pytest.mark.parametrize("q", WAND_QUERIES)
+def test_wand_equals_exact(engine, oracle, q):
+    """Block-max WAND pruning must be invisible in results: identical
+    docIDs and scores vs both the exact path and the oracle."""
+    exact = [(r["doc_id"], r["score"]) for r in engine.search(q, k=10).collect()]
+    wand = [
+        (r["doc_id"], r["score"]) for r in engine.search_wand(q, k=10).collect()
+    ]
+    assert [d for d, _ in wand] == [d for d, _ in exact]
+    for (dw, sw), (de, se) in zip(wand, exact):
+        assert sw == pytest.approx(se, rel=1e-12)
+    oracle_top = oracle.search(q, k=10)
+    assert [d for d, _ in wand] == [d for d, _ in oracle_top]
+
+
+def test_wand_phrase_conservative(engine, oracle):
+    q = ast.parse_phrase_query("add documents")
+    wand = [(r["doc_id"], r["score"]) for r in engine.search_wand(q, k=10).collect()]
+    assert wand == [
+        (d, pytest.approx(s, rel=1e-9)) for d, s in oracle.search(q, k=10)
+    ] or [d for d, _ in wand] == [d for d, _ in oracle.search(q, k=10)]
+
+
+def test_wand_fewer_than_k_results(engine):
+    # seed can't establish θ -> exact fallback, still correct
+    got = engine.search_wand("saveresultsandclearlucenepool", k=100).collect()
+    exact = engine.search("saveresultsandclearlucenepool", k=100).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in exact
+    ]
