@@ -1,0 +1,177 @@
+"""Command-line entry point — the spark-submit deployment surface
+(BASELINE.json north_rule: "ships via spark-submit --py-files to a
+multi-executor cluster").
+
+Local:
+    python -m codeindex_spark.cli build --input docs.parquet --index /idx
+    python -m codeindex_spark.cli search --index /idx --query "get AND string" -k 20
+    python -m codeindex_spark.cli hints --index /idx --prefix Luce
+
+Cluster (package first):
+    python -m codeindex_spark.cli package --out codeindex_spark.zip
+    spark-submit --py-files codeindex_spark.zip tools/submit.py build \
+        --input s3://bucket/documents --index s3://bucket/index --groups 256
+
+On a real cluster the session comes from spark-submit's master/conf;
+this module only builds one when none exists (local dev).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import zipfile
+
+
+def _get_spark(args):
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    from codeindex_spark.session import get_spark
+
+    return get_spark(app_name="codeindex-cli", cores=args.cores)
+
+
+def cmd_build(args) -> int:
+    from codeindex_spark.index.build import IndexParams
+    from codeindex_spark.index.segments import IndexBuilder
+
+    spark = _get_spark(args)
+    docs = spark.read.parquet(args.input)
+    params = IndexParams(
+        num_buckets=args.num_buckets, block_size=args.block_size
+    )
+    builder = IndexBuilder(spark, args.index, params, n_groups=args.groups)
+    records = builder.build(docs, resume=not args.no_resume)
+    print(json.dumps({"built_groups": [r["group"] for r in records]}))
+    return 0
+
+
+def cmd_search(args) -> int:
+    from codeindex_spark.index.segments import IndexReader
+    from codeindex_spark.query import ast
+    from codeindex_spark.query.planner import Filters, SearchEngine
+
+    spark = _get_spark(args)
+    eng = SearchEngine(IndexReader(spark, args.index))
+    q = (
+        ast.parse_phrase_query(args.query, args.case_sensitive)
+        if args.phrase
+        else ast.parse_query(args.query, args.case_sensitive)
+    )
+    filters = Filters(
+        repo=args.repo, lang=args.lang, file_ext=args.ext,
+        path_prefix=args.path_prefix,
+    )
+    if args.wand and filters.empty:
+        top = eng.search_wand(q, k=args.k, case_sensitive=args.case_sensitive)
+        rows = top.collect()
+        meta = {
+            r["doc_id"]: r
+            for r in eng.reader.docs.select("doc_id", "repo", "path")
+            .join(top.select("doc_id"), "doc_id", "left_semi")
+            .collect()
+        }
+        for r in rows:
+            m = meta.get(r["doc_id"])
+            print(
+                json.dumps(
+                    {
+                        "doc_id": r["doc_id"],
+                        "score": round(r["score"], 6),
+                        "repo": m["repo"] if m else None,
+                        "path": m["path"] if m else None,
+                    }
+                )
+            )
+        return 0
+    top = eng.search(
+        q, k=args.k, filters=filters, case_sensitive=args.case_sensitive,
+        with_docs=True,
+    )
+    for r in top.collect():
+        print(
+            json.dumps(
+                {
+                    "doc_id": r["doc_id"],
+                    "score": round(r["score"], 6),
+                    "repo": r["repo"],
+                    "path": r["path"],
+                }
+            )
+        )
+    return 0
+
+
+def cmd_hints(args) -> int:
+    from codeindex_spark.index.segments import IndexReader
+    from codeindex_spark.query.planner import SearchEngine
+
+    spark = _get_spark(args)
+    eng = SearchEngine(IndexReader(spark, args.index))
+    for r in eng.hints(args.prefix, args.case_sensitive, args.k).collect():
+        print(r["word"])
+    return 0
+
+
+def cmd_package(args) -> int:
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    with zipfile.ZipFile(args.out, "w") as zf:
+        for dirpath, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    zf.write(full, os.path.relpath(full, root))
+    print(args.out)
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="codeindex_spark")
+    ap.add_argument("--cores", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build the inverted index")
+    b.add_argument("--input", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--num-buckets", type=int, default=64)
+    b.add_argument("--block-size", type=int, default=128)
+    b.add_argument("--groups", type=int, default=4)
+    b.add_argument("--no-resume", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    s = sub.add_parser("search", help="top-k BM25 search")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--phrase", action="store_true")
+    s.add_argument("--case-sensitive", action="store_true")
+    s.add_argument("--wand", action="store_true")
+    s.add_argument("--repo")
+    s.add_argument("--lang")
+    s.add_argument("--ext")
+    s.add_argument("--path-prefix")
+    s.set_defaults(fn=cmd_search)
+
+    h = sub.add_parser("hints", help="autocomplete hint words")
+    h.add_argument("--index", required=True)
+    h.add_argument("--prefix", required=True)
+    h.add_argument("-k", type=int, default=20)
+    h.add_argument("--case-sensitive", action="store_true")
+    h.set_defaults(fn=cmd_hints)
+
+    p = sub.add_parser("package", help="zip the package for --py-files")
+    p.add_argument("--out", default="codeindex_spark.zip")
+    p.set_defaults(fn=cmd_package)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

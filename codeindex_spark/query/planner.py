@@ -172,39 +172,65 @@ class SearchEngine:
         self, root: ast.Node
     ) -> tuple[list[dict], dict[ast.Node, int]]:
         """Assign leaf ids; build (field, term, leaf_id, slot, idf)
-        mapping rows. Identical leaves share an id (same semantics)."""
+        mapping rows. Identical leaves share an id (same semantics).
+
+        All exact-term lookups across every leaf and phrase slot run
+        as ONE batched dictionary job; only wildcard/fuzzy expansions
+        need their own predicate scans.
+        """
         leaf_ids: dict[ast.Node, int] = {}
-        rows: list[dict] = []
+        wants: list[tuple[int, str, int, object]] = []
+        exact_terms: dict[str, set[str]] = {}
         for leaf in ast.collect_leaves(root):
             if leaf in leaf_ids:
                 continue
             lid = len(leaf_ids)
             leaf_ids[leaf] = lid
             fld = leaf.field
-            n_docs, _ = self.reader.field_stats(fld)
             if isinstance(leaf, ast.Phrase):
                 for slot_idx, slot in enumerate(leaf.slots):
-                    for term, df in self._expand_slot(fld, slot):
-                        rows.append(
-                            {
-                                "field": fld,
-                                "term": term,
-                                "leaf_id": lid,
-                                "slot": slot_idx,
-                                "idf": idf_bm25(n_docs, df),
-                            }
-                        )
+                    wants.append((lid, fld, slot_idx, slot))
+                    if "*" not in slot and "?" not in slot:
+                        exact_terms.setdefault(fld, set()).add(slot)
+            elif isinstance(leaf, ast.Term):
+                wants.append((lid, fld, -1, leaf.term))
+                exact_terms.setdefault(fld, set()).add(leaf.term)
             else:
-                for term, df in self._expand(fld, leaf):
-                    rows.append(
-                        {
-                            "field": fld,
-                            "term": term,
-                            "leaf_id": lid,
-                            "slot": -1,
-                            "idf": idf_bm25(n_docs, df),
-                        }
-                    )
+                wants.append((lid, fld, -1, leaf))
+
+        exact_df: dict[tuple[str, str], int] = {}
+        if exact_terms:
+            cond = None
+            for fld, ts in exact_terms.items():
+                c = (F.col("field") == fld) & F.col("term").isin(sorted(ts))
+                cond = c if cond is None else (cond | c)
+            for r in (
+                self.reader.term_dict.filter(cond)
+                .select("field", "term", "df")
+                .collect()
+            ):
+                exact_df[(r["field"], r["term"])] = r["df"]
+
+        rows: list[dict] = []
+        for lid, fld, slot_idx, spec in wants:
+            n_docs, _ = self.reader.field_stats(fld)
+            if isinstance(spec, str) and "*" not in spec and "?" not in spec:
+                df = exact_df.get((fld, spec))
+                expansions = [(spec, df)] if df is not None else []
+            elif isinstance(spec, str):  # wildcard phrase slot
+                expansions = self._expand_slot(fld, spec)
+            else:  # Wildcard / Fuzzy leaf
+                expansions = self._expand(fld, spec)
+            for term, df in expansions:
+                rows.append(
+                    {
+                        "field": fld,
+                        "term": term,
+                        "leaf_id": lid,
+                        "slot": slot_idx,
+                        "idf": idf_bm25(n_docs, df),
+                    }
+                )
         return rows, leaf_ids
 
     # ---------- execution ----------

@@ -35,8 +35,9 @@ from codeindex_spark.query import ast
 from codeindex_spark.query.planner import SearchEngine
 
 cpus = {cpus}
+os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
 spark = get_spark(app_name=f"scaling{{cpus}}", cores=cpus,
-                  shuffle_partitions=max(cpus, 4))
+                  shuffle_partitions=max(cpus * 4, 16))
 docs = spark.read.parquet({corpus!r})
 n_docs = {n_docs}
 idx = f"/tmp/scaling_idx_{{cpus}}"
