@@ -183,3 +183,42 @@ def test_wand_fewer_than_k_results(engine):
     assert [(r["doc_id"], r["score"]) for r in got] == [
         (r["doc_id"], r["score"]) for r in exact
     ]
+
+
+def test_special_char_term(engine, oracle):
+    # '_' and ';' are single-char tokens in the reference analyzer;
+    # querying them is legal (they index like any term)
+    for tok in ("_", ";"):
+        q = ast.Term(tok, "content")
+        assert_rank_identical(engine.search(q, k=K), oracle.search(q, k=K))
+        assert oracle.search(q, k=K), f"fixture should contain {tok!r}"
+
+
+def test_cjk_run_term(engine, oracle):
+    q = ast.Term("这是一个例句", "content")
+    assert_rank_identical(engine.search(q, k=K), oracle.search(q, k=K))
+    assert oracle.search(q, k=K)
+
+
+def test_repo_and_ext_filters(engine, oracle):
+    f = Filters(repo="repo001", file_ext="py")
+    got = engine.search("get", k=K, filters=f)
+
+    def doc_filter(docs: pd.DataFrame):
+        return (docs["repo"] == "repo001") & docs["path"].str.endswith(".py")
+
+    exp = oracle.search("get", k=K, doc_filter=doc_filter)
+    assert_rank_identical(got, exp)
+
+
+def test_nested_boolean_grouping(engine, oracle):
+    q = "(index OR writer) AND (get NOT string)"
+    assert_rank_identical(engine.search(q, k=K), oracle.search(q, k=K))
+
+
+def test_phrase_three_slots(engine, oracle):
+    # corpus method-call lines: Identifier . Identifier ( — 3+ tokens
+    q = ast.Phrase(("lucenepool", ".", "saveresultsandclearlucenepool"))
+    got = engine.search(q, k=K)
+    exp = oracle.search(q, k=K)
+    assert_rank_identical(got, exp)
