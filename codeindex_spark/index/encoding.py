@@ -176,6 +176,39 @@ def decode_block_docs(
     ).astype(np.int64)
 
 
+def decode_rows_values(buffers: list[bytes], counts: np.ndarray) -> np.ndarray:
+    """Decode MANY per-row varint buffers in one pass: concatenates the
+    byte streams and runs a single vectorized varint decode. ``counts``
+    is the known value count per buffer (the posting row's ``n``)."""
+    joined = b"".join(buffers)
+    vals = varint_decode(joined)
+    assert vals.size == int(np.sum(counts)), "varint stream length mismatch"
+    return vals
+
+
+def decode_rows_docs(
+    buffers: list[bytes],
+    counts: np.ndarray,
+    block_ids: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+) -> np.ndarray:
+    """Batch docID decode across many posting rows: one varint pass +
+    one cumsum with per-row base resets (no Python loop over rows)."""
+    deltas = decode_rows_values(buffers, counts)
+    if deltas.size == 0:
+        return np.empty(0, dtype=np.int64)
+    counts = np.asarray(counts, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    cs = np.cumsum(deltas, dtype=np.uint64)
+    nonzero = counts > 0
+    row_adjust = np.zeros(counts.size, dtype=np.uint64)
+    nz_starts = starts[nonzero]
+    row_adjust[nonzero] = np.where(nz_starts > 0, cs[nz_starts - 1], np.uint64(0))
+    bases = (block_ids.astype(np.int64) * block_size).astype(np.uint64)
+    docs = cs - np.repeat(row_adjust, counts) + np.repeat(bases, counts)
+    return docs.astype(np.int64)
+
+
 def _varint_with_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     """Varint-encode the whole array once; return (buffer, per-value
     end byte offsets) so callers can slice per-group ranges without

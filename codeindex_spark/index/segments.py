@@ -269,13 +269,16 @@ class IndexBuilder:
     def finalize(self) -> None:
         postings = self.spark.read.parquet(self.paths.postings)
         term_dict = term_dict_from_postings(postings)
+        # field=dir partitioning + term sort: a content-field lookup
+        # never touches the (much larger) file_name/file_path
+        # dictionaries, and prefix ranges prune row groups
         term_dict.repartitionByRange(
             max(self.spark.sparkContext.defaultParallelism // 2, 2),
             "field",
             "term",
-        ).sortWithinPartitions("field", "term").write.mode("overwrite").parquet(
-            self.paths.term_dict
-        )
+        ).sortWithinPartitions("term").write.mode("overwrite").partitionBy(
+            "field"
+        ).parquet(self.paths.term_dict)
         hints = hints_from_term_dict(self.spark.read.parquet(self.paths.term_dict))
         hints.coalesce(4).write.mode("overwrite").parquet(self.paths.hints)
         _atomic_write_json(

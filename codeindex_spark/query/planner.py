@@ -258,8 +258,52 @@ class SearchEngine:
         )
         avgdl = {f: self.reader.field_stats(f)[1] for f in fields}
         k1, b, bsz = self.params.k1, self.params.b, self.params.block_size
-        kernel = _make_block_kernel(root, leaf_ids, avgdl, k1, b, bsz)
-        return candidates, kernel, len(rows)
+        if _is_pure_disjunction(root):
+            # identical leaves share a leaf_id, but a clause written
+            # twice scores twice (Lucene duplicate-clause semantics):
+            # weight each leaf by its occurrence count in the tree
+            mult: dict[int, int] = {}
+            for leaf in ast.collect_leaves(root):
+                lid = leaf_ids[leaf]
+                mult[lid] = mult.get(lid, 0) + 1
+            kernel = _make_disjunctive_batch_kernel(avgdl, k1, b, bsz, mult)
+            return candidates, ("batch", kernel), len(rows)
+        kernel = _make_tree_batch_kernel(root, leaf_ids, avgdl, k1, b, bsz)
+        return candidates, ("batch", kernel), len(rows)
+
+    def _score_stream(self, candidates: DataFrame, kernel_spec) -> DataFrame:
+        """Evaluate the scoring kernel over a block-sorted stream.
+
+        One mapInPandas pass with carry across Arrow batches instead
+        of a grouped-map per block. Pure-disjunctive queries (keyword,
+        wildcard, fuzzy, OR-of-those — the hot path) take a fully
+        vectorized batch kernel: every posting row in the batch is
+        decoded in ONE varint pass and scores aggregate with
+        unique+bincount; boolean/phrase trees evaluate per block run.
+        """
+        mode, kernel = kernel_spec
+
+        def stream(batches):
+            carry = None
+            for pdf in batches:
+                if carry is not None and len(carry):
+                    pdf = pd.concat([carry, pdf], ignore_index=True)
+                    carry = None
+                if len(pdf) == 0:
+                    continue
+                bids = pdf["block_id"].to_numpy()
+                in_last = bids == bids[-1]
+                carry = pdf[in_last]
+                body = pdf[~in_last]
+                if len(body):
+                    yield kernel(body)
+            if carry is not None and len(carry):
+                yield kernel(carry)
+
+        shuffled = candidates.repartition(F.col("block_id")).sortWithinPartitions(
+            "block_id"
+        )
+        return shuffled.mapInPandas(stream, schema=SCORE_SCHEMA)
 
     def score(self, query: ast.Node | str, case_sensitive: bool = False) -> DataFrame:
         """Evaluate to a (doc_id, score) DataFrame of matching docs."""
@@ -271,9 +315,7 @@ class SearchEngine:
         candidates, kernel, n = self._candidates(root)
         if candidates is None:
             return self.reader.spark.createDataFrame([], SCORE_SCHEMA)
-        return candidates.groupBy("block_id").applyInPandas(
-            kernel, schema=SCORE_SCHEMA
-        )
+        return self._score_stream(candidates, kernel)
 
     def search_wand(
         self,
@@ -319,9 +361,9 @@ class SearchEngine:
                 for r in meta.orderBy(F.desc("ub")).limit(n_seed).collect()
             ]
             seed_scored = (
-                candidates.filter(F.col("block_id").isin(seed_ids))
-                .groupBy("block_id")
-                .applyInPandas(kernel, schema=SCORE_SCHEMA)
+                self._score_stream(
+                    candidates.filter(F.col("block_id").isin(seed_ids)), kernel
+                )
                 .orderBy(F.desc("score"), F.asc("doc_id"))
                 .limit(k)
                 .collect()
@@ -329,8 +371,7 @@ class SearchEngine:
             if len(seed_scored) < k:
                 # not enough docs to establish θ — fall back to exact
                 rows = (
-                    candidates.groupBy("block_id")
-                    .applyInPandas(kernel, schema=SCORE_SCHEMA)
+                    self._score_stream(candidates, kernel)
                     .orderBy(F.desc("score"), F.asc("doc_id"))
                     .limit(k)
                     .collect()
@@ -339,9 +380,10 @@ class SearchEngine:
                 theta = seed_scored[-1]["score"]
                 keep = meta.filter(F.col("ub") >= theta).select("block_id")
                 rows = (
-                    candidates.join(F.broadcast(keep), "block_id", "left_semi")
-                    .groupBy("block_id")
-                    .applyInPandas(kernel, schema=SCORE_SCHEMA)
+                    self._score_stream(
+                        candidates.join(F.broadcast(keep), "block_id", "left_semi"),
+                        kernel,
+                    )
                     .orderBy(F.desc("score"), F.asc("doc_id"))
                     .limit(k)
                     .collect()
@@ -401,25 +443,112 @@ class SearchEngine:
         )
 
 
-def _make_block_kernel(root, leaf_ids, avgdl, k1, b, block_size):
-    """Build the per-block evaluation kernel (numpy, no per-row Python).
 
-    Each group = one block_id; rows = posting blocks of query terms
-    with (leaf_id, slot, idf) attached. Evaluates the boolean/phrase
-    tree over block-local doc sets.
+
+def _is_pure_disjunction(node) -> bool:
+    """True when the tree is only Or / Term / Wildcard / Fuzzy — the
+    semantics reduce to 'sum every matched leaf contribution per doc',
+    which vectorizes across ALL posting rows with no per-block logic."""
+    if isinstance(node, (ast.Term, ast.Wildcard, ast.Fuzzy)):
+        return True
+    if isinstance(node, ast.Or):
+        return all(_is_pure_disjunction(c) for c in node.children)
+    return False
+
+
+def _decode_body(body: pd.DataFrame, avgdl, k1, b, block_size, need_pos):
+    """Batch-predecode every posting row of an Arrow body in a handful
+    of vectorized passes. Returns per-ENTRY arrays plus per-row entry
+    offsets; positions are decoded only when a phrase needs them."""
+    counts = body["n"].to_numpy(dtype=np.int64)
+    block_ids = body["block_id"].to_numpy(dtype=np.int64)
+    docs = encoding.decode_rows_docs(
+        [bytes(x) for x in body["docs_delta"]], counts, block_ids, block_size
+    )
+    tfs = encoding.decode_rows_values(
+        [bytes(x) for x in body["tfs"]], counts
+    ).astype(np.float64)
+    dls = encoding.decode_rows_values(
+        [bytes(x) for x in body["dls"]], counts
+    ).astype(np.float64)
+    avgdl_e = np.repeat(body["field"].map(avgdl).to_numpy(dtype=np.float64), counts)
+    idf_e = np.repeat(body["idf"].to_numpy(dtype=np.float64), counts)
+    contrib = idf_e * (
+        tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl_e))
+    )
+    entry_ends = np.cumsum(counts)
+    entry_starts = entry_ends - counts
+    out = {
+        "counts": counts,
+        "block_ids": block_ids,
+        "docs": docs,
+        "contrib": contrib,
+        "entry_starts": entry_starts,
+        "entry_ends": entry_ends,
+    }
+    if need_pos:
+        pcounts = encoding.decode_rows_values(
+            [bytes(x) for x in body["pos_counts"]], counts
+        ).astype(np.int64)
+        pdeltas = encoding.varint_decode(
+            b"".join(bytes(x) for x in body["pos_deltas"])
+        )
+        if pdeltas.size:
+            pos_cs = np.cumsum(pdeltas, dtype=np.uint64)
+            p_entry_starts = np.concatenate(([0], np.cumsum(pcounts)[:-1]))
+            bases = np.zeros(pcounts.size, dtype=np.uint64)
+            nz = pcounts > 0
+            nz_starts = p_entry_starts[nz]
+            bases[nz] = np.where(nz_starts > 0, pos_cs[nz_starts - 1], np.uint64(0))
+            pos_all = (pos_cs - np.repeat(bases, pcounts)).astype(np.int64)
+        else:
+            pos_all = np.empty(0, dtype=np.int64)
+        out["pcounts"] = pcounts
+        out["p_cum"] = np.concatenate(([0], np.cumsum(pcounts)))
+        out["pos_all"] = pos_all
+    return out
+
+
+def _make_disjunctive_batch_kernel(avgdl, k1, b, block_size, multiplicity):
+    """Vectorized scorer for pure-disjunctive queries: one varint pass
+    over every buffer in the Arrow batch, one unique+bincount to merge
+    per-doc contributions. No per-block Python at all. ``multiplicity``
+    weights leaves that occur multiple times in the OR tree."""
+    mult = dict(multiplicity)
+
+    def kernel(body: pd.DataFrame) -> pd.DataFrame:
+        dec = _decode_body(body, avgdl, k1, b, block_size, need_pos=False)
+        mult_row = body["leaf_id"].map(lambda l: float(mult.get(l, 1))).to_numpy()
+        contrib = dec["contrib"] * np.repeat(mult_row, dec["counts"])
+        u_docs, inv = np.unique(dec["docs"], return_inverse=True)
+        scores = np.bincount(inv, weights=contrib)
+        return pd.DataFrame({"doc_id": u_docs, "score": scores})
+
+    return kernel
+
+
+_EMPTY_D = np.empty(0, dtype=np.int64)
+_EMPTY_S = np.empty(0, dtype=np.float64)
+
+
+def _make_tree_batch_kernel(root, leaf_ids, avgdl, k1, b, block_size):
+    """Boolean/phrase evaluation over a block-sorted Arrow body.
+
+    All varint decoding and BM25 math happens in batch passes
+    (_decode_body); the per-block loop only slices array views and
+    runs numpy set ops — no bytes, no pandas, no decode inside it.
     """
-    id_of = dict(leaf_ids)  # Node -> leaf_id (frozen dataclasses hash by value)
+    id_of = dict(leaf_ids)
     phrase_nslots = {
         lid: len(node.slots)
         for node, lid in leaf_ids.items()
         if isinstance(node, ast.Phrase)
     }
+    need_pos = bool(phrase_nslots)
 
     def eval_node(node, leaf_data):
-        if isinstance(node, (ast.Term, ast.Wildcard, ast.Fuzzy)):
-            return leaf_data.get(id_of[node], (EMPTY_D, EMPTY_S))
-        if isinstance(node, ast.Phrase):
-            return leaf_data.get(id_of[node], (EMPTY_D, EMPTY_S))
+        if isinstance(node, (ast.Term, ast.Wildcard, ast.Fuzzy, ast.Phrase)):
+            return leaf_data.get(id_of[node], (_EMPTY_D, _EMPTY_S))
         if isinstance(node, ast.And):
             docs, scores = eval_node(node.children[0], leaf_data)
             for child in node.children[1:]:
@@ -435,13 +564,12 @@ def _make_block_kernel(root, leaf_ids, avgdl, k1, b, block_size):
                 d, s = eval_node(child, leaf_data)
                 alld.append(d)
                 alls.append(s)
-            cat_d = np.concatenate(alld) if alld else EMPTY_D
-            cat_s = np.concatenate(alls) if alls else EMPTY_S
+            cat_d = np.concatenate(alld) if alld else _EMPTY_D
+            cat_s = np.concatenate(alls) if alls else _EMPTY_S
             if cat_d.size == 0:
-                return EMPTY_D, EMPTY_S
+                return _EMPTY_D, _EMPTY_S
             docs, inv = np.unique(cat_d, return_inverse=True)
-            scores = np.bincount(inv, weights=cat_s)
-            return docs, scores
+            return docs, np.bincount(inv, weights=cat_s)
         if isinstance(node, ast.Not):
             dp, sp = eval_node(node.positive, leaf_data)
             dn, _ = eval_node(node.negative, leaf_data)
@@ -449,43 +577,58 @@ def _make_block_kernel(root, leaf_ids, avgdl, k1, b, block_size):
             return dp[keep], sp[keep]
         raise TypeError(node)
 
-    EMPTY_D = np.empty(0, dtype=np.int64)
-    EMPTY_S = np.empty(0, dtype=np.float64)
-
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        block_id = int(key[0])
-        # decode each posting row once
-        decoded = []  # (leaf_id, slot, docs, contrib, pos_counts, pos_flat)
-        for r in pdf.itertuples():
-            docs = encoding.decode_block_docs(bytes(r.docs_delta), block_id, block_size)
-            tfs = encoding.varint_decode(bytes(r.tfs))
-            dls = encoding.varint_decode(bytes(r.dls))
-            tfnorm = encoding.bm25_tfnorm(tfs, dls, avgdl[r.field], k1, b)
-            decoded.append((r.leaf_id, r.slot, r.term, docs, r.idf * tfnorm, r))
-
-        # per simple leaf: union expansions, sum contributions
-        leaf_data: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-        simple: dict[int, list] = {}
-        phrase_rows: dict[int, list] = {}
-        for lid, slot, term, docs, contrib, r in decoded:
-            if slot < 0:
-                simple.setdefault(lid, []).append((docs, contrib))
-            else:
-                phrase_rows.setdefault(lid, []).append((slot, docs, contrib, r))
-
-        for lid, parts in simple.items():
-            cat_d = np.concatenate([p[0] for p in parts])
-            cat_s = np.concatenate([p[1] for p in parts])
-            docs, inv = np.unique(cat_d, return_inverse=True)
-            leaf_data[lid] = (docs, np.bincount(inv, weights=cat_s))
-
-        for lid, parts in phrase_rows.items():
-            leaf_data[lid] = _eval_phrase(parts, phrase_nslots[lid])
-
-        docs, scores = eval_node(root, leaf_data)
-        if docs.size == 0:
-            return pd.DataFrame({"doc_id": EMPTY_D, "score": EMPTY_S})
-        return pd.DataFrame({"doc_id": docs, "score": scores})
+    def kernel(body: pd.DataFrame) -> pd.DataFrame:
+        dec = _decode_body(body, avgdl, k1, b, block_size, need_pos)
+        bids = dec["block_ids"]
+        leaf_r = body["leaf_id"].to_numpy(dtype=np.int64)
+        slot_r = body["slot"].to_numpy(dtype=np.int64)
+        es_r, ee_r = dec["entry_starts"], dec["entry_ends"]
+        docs_all, contrib_all = dec["docs"], dec["contrib"]
+        run_starts = np.flatnonzero(
+            np.concatenate(([True], bids[1:] != bids[:-1]))
+        )
+        run_ends = np.concatenate((run_starts[1:], [len(body)]))
+        out_d, out_s = [], []
+        for rs, re_ in zip(run_starts, run_ends):
+            simple: dict[int, list] = {}
+            phrase: dict[int, list] = {}
+            for row in range(rs, re_):
+                es, ee = es_r[row], ee_r[row]
+                docs = docs_all[es:ee]
+                contrib = contrib_all[es:ee]
+                if slot_r[row] < 0:
+                    simple.setdefault(leaf_r[row], []).append((docs, contrib))
+                else:
+                    pc = dec["pcounts"][es:ee]
+                    flat = dec["pos_all"][dec["p_cum"][es] : dec["p_cum"][ee]]
+                    phrase.setdefault(leaf_r[row], []).append(
+                        (slot_r[row], docs, contrib, pc, flat)
+                    )
+            leaf_data: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+            for lid, parts in simple.items():
+                if len(parts) == 1:
+                    leaf_data[lid] = parts[0]
+                else:
+                    cat_d = np.concatenate([p[0] for p in parts])
+                    cat_s = np.concatenate([p[1] for p in parts])
+                    docs, inv = np.unique(cat_d, return_inverse=True)
+                    leaf_data[lid] = (docs, np.bincount(inv, weights=cat_s))
+            for lid, parts in phrase.items():
+                leaf_data[lid] = _eval_phrase(parts, phrase_nslots[lid])
+            d, sc = eval_node(root, leaf_data)
+            if d.size:
+                out_d.append(d)
+                out_s.append(sc)
+        if not out_d:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "score": pd.Series(dtype="float64"),
+                }
+            )
+        return pd.DataFrame(
+            {"doc_id": np.concatenate(out_d), "score": np.concatenate(out_s)}
+        )
 
     return kernel
 
@@ -494,29 +637,25 @@ def _eval_phrase(parts, n_slots):
     """Exact-order adjacency (SpanNear distance 0, in-order —
     QueryGenerator.cs:177-192 semantics) within one block.
 
-    parts: [(slot, docs, contrib, row)] — possibly several expansions
-    per slot. n_slots is the TRUE phrase length from the AST (a block
-    missing any slot's terms can never match). Returns (docs, scores):
-    docs where slots appear at consecutive positions; score = Σ_slot
-    (per-doc slot contribution).
+    parts: [(slot, docs, contrib, pcounts_per_entry, pos_flat)] —
+    possibly several expansions per slot, positions pre-decoded.
+    n_slots is the TRUE phrase length from the AST. Returns
+    (docs, scores) for docs where slots appear at consecutive
+    positions; score = Σ_slot (per-doc slot contribution).
     """
-    # per slot: (doc,pos) pair set + per-doc score
-    slot_pairs: list[np.ndarray] = [None] * n_slots  # type: ignore[list-item]
-    slot_scores: list[tuple[np.ndarray, np.ndarray]] = [None] * n_slots  # type: ignore[list-item]
+    slot_pairs: list = [None] * n_slots
+    slot_scores: list = [None] * n_slots
     SHIFT = np.int64(1) << np.int64(32)
 
     by_slot: dict[int, list] = {}
-    for slot, docs, contrib, r in parts:
-        by_slot.setdefault(slot, []).append((docs, contrib, r))
+    for slot, docs, contrib, pc, flat in parts:
+        by_slot.setdefault(int(slot), []).append((docs, contrib, pc, flat))
     for s in range(n_slots):
         if s not in by_slot:
-            return np.empty(0, np.int64), np.empty(0, np.float64)
+            return _EMPTY_D, _EMPTY_S
         pair_chunks, d_chunks, s_chunks = [], [], []
-        for docs, contrib, r in by_slot[s]:
-            counts, flat = encoding.decode_positions(
-                bytes(r.pos_counts), bytes(r.pos_deltas)
-            )
-            doc_rep = np.repeat(docs, counts)
+        for docs, contrib, pc, flat in by_slot[s]:
+            doc_rep = np.repeat(docs, pc)
             pair_chunks.append(doc_rep * SHIFT + flat)
             d_chunks.append(docs)
             s_chunks.append(contrib)
@@ -530,13 +669,12 @@ def _eval_phrase(parts, n_slots):
     for s in range(1, n_slots):
         valid = np.intersect1d(valid + 1, slot_pairs[s], assume_unique=True)
     if valid.size == 0:
-        return np.empty(0, np.int64), np.empty(0, np.float64)
+        return _EMPTY_D, _EMPTY_S
     matched = np.unique(valid >> np.int64(32))
-    # score: sum per-slot contributions for matched docs
     total = np.zeros(matched.size, dtype=np.float64)
     for ud, sc in slot_scores:
         idx = np.searchsorted(ud, matched)
         idx = np.clip(idx, 0, max(ud.size - 1, 0))
-        mask = (ud.size > 0) & (ud[idx] == matched)
+        mask = ud[idx] == matched
         total = total + np.where(mask, sc[idx], 0.0)
     return matched, total

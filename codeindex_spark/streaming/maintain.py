@@ -296,7 +296,9 @@ class IncrementalIndex:
         td = td.groupBy("field", "term").agg(
             F.sum("df").alias("df"), F.sum("cf").alias("cf")
         )
-        td.write.mode("overwrite").parquet(os.path.join(merged, "term_dict.parquet"))
+        td.write.mode("overwrite").partitionBy("field").parquet(
+            os.path.join(merged, "term_dict.parquet")
+        )
         stats = pd.concat(
             [pd.read_parquet(IndexPaths(s["dir"]).stats) for s in segs]
         )
