@@ -305,6 +305,17 @@ def _q_ann_lsh(spark, sf_dir):
     ).select("vec_id")
 
 
+def _q_ann_ivf(spark, sf_dir):
+    from codeindex_spark.ops.similarity import ivf_ann_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    return ivf_ann_topk(
+        emb.filter(F.col("vec_id") != 0), list(qvec), dim=64, k=5,
+        n_centroids=8, n_probe=3,
+    ).select("vec_id")
+
+
 def _q_quality(spark, sf_dir):
     from codeindex_spark.ops.analysis import quality_score
 
@@ -373,6 +384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_simhash": _q_dedup_simhash,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "tx_quality": _q_quality,
         "tx_fingerprint": _q_fingerprint,
         "tx_bpe_count": _q_bpe_count,

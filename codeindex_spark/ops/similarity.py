@@ -161,6 +161,103 @@ def hyperplane_lsh_buckets(
     return vectors.select(id_col, vec_col).mapInPandas(kernel, schema=schema)
 
 
+def ivf_train_centroids(
+    vectors: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    sample: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Seeded k-means on a driver-side sample (IVF coarse quantizer).
+
+    The sample is deterministic (sort by id, take first ``sample``)
+    and tiny relative to the corpus; at 100 TB the same training runs
+    on a 0.001% sample — IVF training cost is O(sample), not O(N).
+    """
+    pdf = vectors.orderBy(vectors.columns[0]).limit(sample).toPandas()
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    centroids = mat[rng.choice(len(mat), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        sims = mat @ centroids.T
+        assign = sims.argmax(axis=1)
+        for c in range(n_centroids):
+            members = mat[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                centroids[c] = m / max(np.linalg.norm(m), 1e-12)
+    return centroids
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, centroid): nearest-centroid assignment, batch kernel.
+    At scale this is the partitioning column of the vector table —
+    queries scan only the probed centroid partitions."""
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("centroid", T.IntegerType(), False),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            mat = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )
+            assign = (mat @ centroids.T).argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "centroid": assign.astype(np.int32),
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(kernel, schema=schema)
+
+
+def ivf_ann_topk(
+    vectors: DataFrame,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF ANN: train (or reuse) a coarse quantizer, probe the
+    ``n_probe`` centroids nearest the query, exact cosine re-rank
+    within their cells — the classic inverted-file scale path."""
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            vectors, dim, n_centroids, seed=seed, vec_col=vec_col
+        )
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe = np.argsort(-(centroids @ qn))[:n_probe].tolist()
+    cells = ivf_assign(vectors, centroids, id_col, vec_col).filter(
+        F.col("centroid").isin(probe)
+    )
+    cand = vectors.join(cells.select("vec_id"), id_col, "left_semi")
+    return brute_force_cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def lsh_ann_topk(
     vectors: DataFrame,
     query_vec: list[float],

@@ -209,3 +209,40 @@ def test_multimodal_plumbing(spark):
     audio = synth_media(spark, n=2, kind="audio")
     frames = sample_frames(audio, every_ms=250)
     assert frames.count() == 2 * 4  # 1000ms / 250ms
+
+
+def test_ivf_ann(spark):
+    from codeindex_spark.ops.similarity import (
+        brute_force_cosine_topk,
+        ivf_ann_topk,
+        ivf_assign,
+        ivf_train_centroids,
+    )
+
+    rng = np.random.default_rng(5)
+    # three well-separated clusters so IVF recall is deterministic
+    centers = rng.standard_normal((3, 12)) * 5
+    pts = np.concatenate(
+        [centers[i] + 0.1 * rng.standard_normal((40, 12)) for i in range(3)]
+    )
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(120)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = ivf_train_centroids(vecs, dim=12, n_centroids=3, sample=120)
+    assert cents.shape == (3, 12)
+    assign = ivf_assign(vecs, cents).toPandas()
+    # points of one true cluster land in one IVF cell
+    by_cluster = assign.assign(true=assign["vec_id"] // 40).groupby("true")[
+        "centroid"
+    ].nunique()
+    assert (by_cluster == 1).all()
+    q = [float(x) for x in pts[0]]
+    exact = [r["vec_id"] for r in brute_force_cosine_topk(vecs, q, k=5).collect()]
+    approx = [
+        r["vec_id"]
+        for r in ivf_ann_topk(
+            vecs, q, dim=12, k=5, n_centroids=3, n_probe=1, centroids=cents
+        ).collect()
+    ]
+    assert approx == exact  # query cluster fully inside the probed cell
