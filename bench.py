@@ -45,7 +45,7 @@ def p50(fn, runs: int = N_RUNS) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    bench_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000"))
+    bench_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "10000"))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
     from codeindex_spark.corpus import CorpusSpec, spark_documents

@@ -1,0 +1,96 @@
+"""Property-based invariants (hypothesis) for the semantic bedrock."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from codeindex_spark.index import encoding
+from codeindex_spark.index.docids import assign_doc_ids_pandas
+from codeindex_spark.tokenizer import SPACE_CHARS, get_words, tokenize
+
+text_strategy = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=300
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(text_strategy)
+def test_tokens_reconstruct_text_minus_spaces(text):
+    """Every char is either space-like (dropped) or lands in exactly
+    one token, in order: concatenating tokens == text minus spaces."""
+    toks = tokenize(text)
+    stripped = "".join(c for c in text if c not in SPACE_CHARS)
+    assert "".join(toks) == stripped
+
+
+@settings(max_examples=200, deadline=None)
+@given(text_strategy)
+def test_get_words_subset_of_tokens(text):
+    """GetWords output is exactly the non-special tokens within the
+    length bounds (hint words fall out of the token stream)."""
+    words = set(get_words(text, 1, 199))
+    toks = {t for t in tokenize(text) if len(t) <= 199}
+    specials = {t for t in toks if len(t) == 1 and ord(t) < 127 and not t.isalnum()}
+    assert words <= toks
+    # no special-char token ever appears as a word
+    from codeindex_spark.tokenizer import SPECIAL_CHARS
+
+    assert not any(w in SPECIAL_CHARS for w in words)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(min_value=1, max_value=60), st.randoms(use_true_random=False))
+def test_docid_assignment_order_invariant(n, rnd):
+    """docIDs are a pure function of the key set — row order never
+    matters (the partitioning-invariance the oracle relies on)."""
+    rows = [
+        {
+            "repo": f"r{i % 5}",
+            "path": f"p/{i}.py",
+            "commit": f"c{i:03d}",
+            "lang": "python",
+            "content": "x",
+        }
+        for i in range(n)
+    ]
+    shuffled = rows[:]
+    rnd.shuffle(shuffled)
+    a = assign_doc_ids_pandas(pd.DataFrame(rows), 8, 16)
+    b = assign_doc_ids_pandas(pd.DataFrame(shuffled), 8, 16)
+    ma = dict(zip(a["path"], a["doc_id"]))
+    mb = dict(zip(b["path"], b["doc_id"]))
+    assert ma == mb
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=127),  # doc slot in block
+            st.integers(min_value=1, max_value=50),  # tf
+            st.integers(min_value=1, max_value=500),  # dl
+            st.lists(st.integers(min_value=0, max_value=499), max_size=8),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=0, max_value=1000),  # block id
+)
+def test_block_roundtrip_property(entries, block_id):
+    entries = sorted(entries)
+    doc_ids = np.array([block_id * 128 + e[0] for e in entries], dtype=np.int64)
+    tfs = np.array([e[1] for e in entries], dtype=np.int64)
+    dls = np.array([e[2] for e in entries], dtype=np.int64)
+    plists = [np.array(sorted(set(e[3])), dtype=np.int64) for e in entries]
+    blk = encoding.encode_block(doc_ids, tfs, dls, plists, block_id, avgdl=100.0)
+    got_docs = encoding.decode_block_docs(blk["docs_delta"], block_id)
+    assert got_docs.tolist() == doc_ids.tolist()
+    assert encoding.varint_decode(blk["tfs"]).tolist() == tfs.tolist()
+    counts, flat = encoding.decode_positions(blk["pos_counts"], blk["pos_deltas"])
+    offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    for i, pl in enumerate(plists):
+        assert flat[offs[i] : offs[i] + counts[i]].tolist() == pl.tolist()
