@@ -89,7 +89,12 @@ def _engine(spark: SparkSession, sf_dir: str):
     idx_dir = f"/tmp/codeindex_entry/{os.path.basename(key)}_{tag}"
     params = IndexParams(num_buckets=16, block_size=128)
     builder = IndexBuilder(spark, idx_dir, params, n_groups=1)
-    builder.build(_as_corpus(_load(spark, sf_dir, "documents")), resume=True)
+    corpus = _as_corpus(_load(spark, sf_dir, "documents"))
+    try:
+        builder.build(corpus, resume=True)
+    except ValueError:
+        # stale cache built with older index params — rebuild fresh
+        builder.build(corpus, resume=False)
     eng = SearchEngine(IndexReader(spark, idx_dir))
     _ENGINES[key] = eng
     return eng

@@ -47,13 +47,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from codeindex_spark.index import encoding
-from codeindex_spark.tokenizer import TOKEN_RE, tokenize_series
+from codeindex_spark.tokenizer import CAMEL_RE, TOKEN_RE, tokenize_series
 
 K1_DEFAULT = 1.2
 B_DEFAULT = 0.75
 
 CONTENT_FIELDS = ("content", "content_cs")
-ALL_FIELDS = ("content", "content_cs", "file_name", "file_path")
+# content_camel: EXTRA CamelCase-subtoken identifier field (north_star);
+# the reference-compatible fields keep rank identity untouched
+ALL_FIELDS = ("content", "content_cs", "file_name", "file_path", "content_camel")
 
 
 @dataclass(frozen=True)
@@ -119,14 +121,19 @@ POSTING_SCHEMA = T.StructType(
 
 def _doc_term_rows(
     doc_ids: np.ndarray, texts: pd.Series, field_cased: str | None,
-    field_lower: str | None,
+    field_lower: str | None, regex=None,
 ) -> Iterator[pd.DataFrame]:
     """Vectorized doc-grouped term extraction for one text column.
 
     Emits one row per (doc, distinct term) with tf + positions. Uses
-    factorize + lexsort + split — no Python loop over tokens.
+    factorize + lexsort + split — no Python loop over tokens. ``regex``
+    overrides the token pattern (camel subtoken field).
     """
-    lists = tokenize_series(texts)
+    lists = (
+        tokenize_series(texts)
+        if regex is None
+        else texts.fillna("").str.findall(regex)
+    )
     counts = lists.str.len().to_numpy(dtype=np.int64)
     total = int(counts.sum())
     if total == 0:
@@ -171,6 +178,7 @@ def token_rows(docs: DataFrame, fields: tuple[str, ...] = ALL_FIELDS) -> DataFra
     want_cs = "content_cs" in fields
     want_name = "file_name" in fields
     want_path = "file_path" in fields
+    want_camel = "content_camel" in fields
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -192,6 +200,12 @@ def token_rows(docs: DataFrame, fields: tuple[str, ...] = ALL_FIELDS) -> DataFra
                 yield from _doc_term_rows(
                     ids, pdf["path"].str.lower(), None, "file_path"
                 )
+            if want_camel:
+                # extract CASED subtokens (case drives the split),
+                # store lowercased
+                yield from _doc_term_rows(
+                    ids, pdf["content"], None, "content_camel", regex=CAMEL_RE
+                )
 
     cols = ["doc_id", "content"]
     if want_name:
@@ -206,11 +220,16 @@ def _tok_count_cols(docs: DataFrame) -> DataFrame:
     def tok_count(s: pd.Series) -> pd.Series:
         return s.fillna("").str.count(TOKEN_RE).astype(np.int64)
 
+    @F.pandas_udf(T.LongType())
+    def camel_count(s: pd.Series) -> pd.Series:
+        return s.fillna("").str.count(CAMEL_RE).astype(np.int64)
+
     return docs.select(
         "*",
         tok_count(F.col("content")).alias("_tc_content"),
         tok_count(F.lower(F.col("file_name"))).alias("_tc_file_name"),
         tok_count(F.lower(F.col("path"))).alias("_tc_file_path"),
+        camel_count(F.col("content")).alias("_tc_content_camel"),
     )
 
 
@@ -224,6 +243,9 @@ def _stats_from_sums(row_like, fields: tuple[str, ...]) -> pd.DataFrame:
     return pd.DataFrame(out, columns=["field", "n_docs", "avgdl", "total_dl"])
 
 
+_SUM_COLS = ("content", "file_name", "file_path", "content_camel")
+
+
 def compute_field_stats(docs: DataFrame, fields: tuple[str, ...] = ALL_FIELDS) -> pd.DataFrame:
     """(field, n_docs, avgdl, total_dl) — one cheap scan, tiny result.
 
@@ -232,9 +254,7 @@ def compute_field_stats(docs: DataFrame, fields: tuple[str, ...] = ALL_FIELDS) -
     """
     agg = _tok_count_cols(docs).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("_tc_content").alias("sum_content"),
-        F.sum("_tc_file_name").alias("sum_file_name"),
-        F.sum("_tc_file_path").alias("sum_file_path"),
+        *[F.sum(f"_tc_{c}").alias(f"sum_{c}") for c in _SUM_COLS],
     )
     return _stats_from_sums(agg.collect()[0], fields)
 
@@ -255,16 +275,12 @@ def compute_plan(
         _tok_count_cols(docs)
         .select(
             bucket_col(num_buckets).alias("bucket"),
-            "_tc_content",
-            "_tc_file_name",
-            "_tc_file_path",
+            *[f"_tc_{c}" for c in _SUM_COLS],
         )
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("_tc_content").alias("sum_content"),
-            F.sum("_tc_file_name").alias("sum_file_name"),
-            F.sum("_tc_file_path").alias("sum_file_path"),
+            *[F.sum(f"_tc_{c}").alias(f"sum_{c}") for c in _SUM_COLS],
         )
         .toPandas()
         .set_index("bucket")
@@ -281,9 +297,7 @@ def compute_plan(
     )
     totals = {
         "n_docs": int(per_bucket["n_docs"].sum()),
-        "sum_content": int(per_bucket["sum_content"].sum()),
-        "sum_file_name": int(per_bucket["sum_file_name"].sum()),
-        "sum_file_path": int(per_bucket["sum_file_path"].sum()),
+        **{f"sum_{c}": int(per_bucket[f"sum_{c}"].sum()) for c in _SUM_COLS},
     }
     return offsets, _stats_from_sums(totals, fields)
 

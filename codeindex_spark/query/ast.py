@@ -34,6 +34,9 @@ FIELD_ALIASES = {
     "file_name": "file_name",
     "filepath": "file_path",
     "file_path": "file_path",
+    # extra CamelCase-subtoken identifier field (always lowercased)
+    "camel": "content_camel",
+    "content_camel": "content_camel",
 }
 DEFAULT_FIELD = "content"
 

@@ -76,11 +76,14 @@ class OracleIndex:
             lambda n: n.rsplit(".", 1)[1].lower() if "." in n else ""
         )
         idx.docs = docs
+        from codeindex_spark.tokenizer import camel_token_stream
+
         field_sources = {
             "content_cs": lambda r: tokenize(r.content),
             "content": lambda r: [t.lower() for t in tokenize(r.content)],
             "file_name": lambda r: [t.lower() for t in tokenize(r.file_name)],
             "file_path": lambda r: [t.lower() for t in tokenize(r.path)],
+            "content_camel": lambda r: camel_token_stream(r.content),
         }
         for fld, fn in field_sources.items():
             post: dict[str, dict[int, list[int]]] = {}

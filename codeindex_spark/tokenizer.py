@@ -124,6 +124,32 @@ def iter_doc_postings(
             yield int(doc_id), term, term.lower(), len(pos), pos, dlen
 
 
+# CamelCase / digit-boundary subtoken splitter for the EXTRA
+# identifier field (BASELINE.json north_star asks for CamelCase
+# subtoken search; the reference-compatible fields above stay intact
+# for rank identity). "HTTPServer2Response" ->
+# ["http", "server", "2", "response"]; snake parts already split by
+# '_' being a special char.
+CAMEL_RE = re.compile(r"[A-Z]+(?![a-z])|[A-Z][a-z]*|[a-z]+|[0-9]+")
+
+
+def camel_subtokens(token: str) -> list[str]:
+    """Lowercased CamelCase/digit subtokens of one identifier token.
+    Single-subtoken results are kept (the field then matches whole
+    identifiers too)."""
+    return [m.lower() for m in CAMEL_RE.findall(token)]
+
+
+def camel_token_stream(text: str) -> list[str]:
+    """Full camel-subtoken stream of a text: the reference token
+    stream with every word token replaced by its subtokens (specials
+    dropped — this field is for identifier search, not punctuation)."""
+    out: list[str] = []
+    for t in WORD_RE.findall(text or ""):
+        out.extend(camel_subtokens(t))
+    return out
+
+
 def token_count_series(texts: pd.Series) -> pd.Series:
     """Vectorized token counts (doc length) for a string Series."""
     return texts.fillna("").str.count(TOKEN_RE).astype(np.int64)

@@ -222,3 +222,13 @@ def test_phrase_three_slots(engine, oracle):
     got = engine.search(q, k=K)
     exp = oracle.search(q, k=K)
     assert_rank_identical(got, exp)
+
+
+def test_camel_field(engine, oracle):
+    # camel subtoken search finds whole CamelCase identifiers
+    q = ast.Term("lucene", "content_camel")
+    assert_rank_identical(engine.search(q, k=K), oracle.search(q, k=K))
+    assert oracle.search(q, k=K), "camel fixture must match"
+    # parser alias
+    q2 = ast.parse_query("camel:Lucene")
+    assert q2 == ast.Term("lucene", "content_camel")

@@ -138,3 +138,22 @@ def test_doc_term_stats_positions():
     pos, dlen = doc_term_stats(tokens)
     assert dlen == 3
     assert pos == {"get": [0, 2], "set": [1]}
+
+
+def test_camel_subtokens():
+    from codeindex_spark.tokenizer import camel_subtokens, camel_token_stream
+
+    assert camel_subtokens("SaveResultsAndClearLucenePool") == [
+        "save", "results", "and", "clear", "lucene", "pool",
+    ]
+    assert camel_subtokens("HTTPServer2Response") == [
+        "http", "server", "2", "response",
+    ]
+    assert camel_subtokens("lowercase") == ["lowercase"]
+    assert camel_subtokens("ABC") == ["abc"]
+    # snake parts come pre-split by '_' being a special char; the
+    # full stream drops specials entirely
+    assert camel_token_stream("index_writer.AddDocs(batchSize);") == [
+        "index", "writer", "add", "docs", "batch", "size",
+    ]
+    assert camel_token_stream("这是一个例句") == []
