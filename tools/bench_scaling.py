@@ -38,12 +38,17 @@ cpus = {cpus}
 os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
 spark = get_spark(app_name=f"scaling{{cpus}}", cores=cpus,
                   shuffle_partitions=max(cpus * 4, 16))
+# the scaling-evidence job builds the REFERENCE field set (the
+# north_rule pipeline); content_camel is an opt-in extra field and
+# excluded so levels measure the same reference workload
+REF_FIELDS = ("content", "content_cs", "file_name", "file_path")
 docs = spark.read.parquet({corpus!r})
 n_docs = {n_docs}
 idx = f"/tmp/scaling_idx_{{cpus}}"
 shutil.rmtree(idx, ignore_errors=True)
 t0 = time.monotonic()
-IndexBuilder(spark, idx, IndexParams(num_buckets=64, block_size=128),
+IndexBuilder(spark, idx,
+             IndexParams(num_buckets=64, block_size=128, fields=REF_FIELDS),
              n_groups=1).build(docs, resume=False)
 build_s = time.monotonic() - t0
 
