@@ -244,3 +244,86 @@ def test_maintain_stream(spark, tmp_path):
     assert (
         inc.live_docs().filter(F.col("path") == v1.loc[4, "path"]).count() == 0
     )
+
+
+def test_watermarked_windowed_counts(spark, tmp_path):
+    """ST2/A4: watermark + tumbling windows over a file-source stream.
+    Finalized windows equal the batch group-by; an event arriving
+    after its window's state was evicted (watermark passed) is
+    dropped. NOTE: Spark evicts window state at batch END, so the
+    drop engages for rows arriving >= 2 batches after the watermark
+    passed the window — hence three micro-batches here."""
+    import time as _time
+
+    from codeindex_spark.streaming.windows import (
+        EVENT_ROW_SCHEMA,
+        windowed_event_counts,
+    )
+
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+
+    def ev(eid, hour, minute, etype, value):
+        return {
+            "event_id": eid,
+            "ts": f"2024-01-01T{hour:02d}:{minute:02d}:00.000Z",
+            "user_id": eid % 3,
+            "event_type": etype,
+            "value": value,
+        }
+
+    files = [
+        [  # establishes windows 0..3 and watermark 02:45 after commit
+            ev(1, 0, 5, "click", 1.0),
+            ev(2, 0, 20, "click", 2.0),
+            ev(3, 1, 10, "view", 3.0),
+            ev(4, 2, 30, "click", 4.0),
+            ev(5, 3, 45, "view", 5.0),
+        ],
+        [ev(7, 5, 0, "view", 6.0)],  # advances watermark; hour-0 evicted
+        [ev(6, 0, 40, "click", 100.0)],  # very late -> dropped
+    ]
+    for i, rows in enumerate(files):
+        with open(events_dir / f"batch{i}.json", "w") as f:
+            for e in rows:
+                f.write(json.dumps(e) + "\n")
+        _time.sleep(1.1)  # distinct mtimes order the micro-batches
+
+    stream = (
+        spark.readStream.schema(EVENT_ROW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(events_dir))
+    )
+    out = windowed_event_counts(stream, window="1 hour", watermark="1 hour")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        s.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for s in p.get("stateOperators", [])
+    )
+    assert dropped == 1  # the late hour-0 event
+    got = {
+        (r["window_start"].hour, r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.table("win_test").collect()
+    }
+    assert got[(0, "click")] == (2, 3.0)  # late row excluded
+    assert got[(1, "view")] == (1, 3.0)
+    assert got[(2, "click")] == (1, 4.0)
+
+    # batch mode (watermark no-op) equals plain SQL group-by on ALL rows
+    batch_df = spark.createDataFrame(
+        [e for rows in files for e in rows]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    full = {
+        (r["window_start"].hour, r["event_type"]): (r["n"], r["sum_value"])
+        for r in windowed_event_counts(batch_df).collect()
+    }
+    assert full[(0, "click")] == (3, 103.0)  # batch keeps the late row
