@@ -348,6 +348,58 @@ def _q_bpe_count(spark, sf_dir):
     )
 
 
+def _q_pricing_summary(spark, sf_dir):
+    # TPC-H Q1-style aggregation (scan -> filter -> grouped agg)
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+    )
+
+
+def _q_order_join(spark, sf_dir):
+    # broadcast-joined dimension (customer) + agg per market segment
+    o = _load(spark, sf_dir, "orders")
+    c = _load(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+    )
+
+
+def _q_window_rank(spark, sf_dir):
+    # analytic window: top-3 orders by price per market segment
+    from pyspark.sql import Window
+
+    o = _load(spark, sf_dir, "orders")
+    c = _load(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "c_mktsegment",
+            F.col("rnk").cast("long").alias("rnk"),
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+        )
+    )
+
+
 def _q_event_compaction(spark, sf_dir):
     ev = _load(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
@@ -395,6 +447,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_bpe_count": _q_bpe_count,
         "st_event_compaction": _q_event_compaction,
         "st_event_window": _q_event_window,
+        "rel_pricing_summary": _q_pricing_summary,
+        "rel_order_join": _q_order_join,
+        "rel_window_rank": _q_window_rank,
     }
 
 
@@ -509,6 +564,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_words::BIGINT AS n_words,
                    (n_words + extra)::BIGINT AS n_bpe_est
             FROM pt""",
+        "rel_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   count(*)::BIGINT AS n_rows
+            FROM lineitem
+            WHERE l_shipdate <= '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus""",
+        "rel_order_join": """
+            SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
+                   round(sum(o_totalprice), 4) AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment""",
+        "rel_window_rank": """
+            SELECT c_mktsegment, rnk::BIGINT AS rnk, o_orderkey,
+                   round(o_totalprice, 4) AS o_totalprice
+            FROM (
+              SELECT c_mktsegment, o_orderkey, o_totalprice,
+                     row_number() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY o_totalprice DESC, o_orderkey
+                     ) AS rnk
+              FROM orders JOIN customer ON o_custkey = c_custkey)
+            WHERE rnk <= 3""",
         "st_event_compaction": """
             SELECT user_id, arg_max(event_type, ts) AS last_type,
                    round(arg_max(value, ts), 6) AS last_value,

@@ -65,6 +65,9 @@ class IndexParams:
     k1: float = K1_DEFAULT
     b: float = B_DEFAULT
     fields: tuple[str, ...] = ALL_FIELDS
+    # fields that skip positional postings (no phrase support there;
+    # camel is an identifier-lookup field, positions are dead weight)
+    positionless: tuple[str, ...] = ("content_camel",)
     # docID space starts here (block-aligned); delta segments of an
     # incremental index stack above their predecessors
     base_doc_id: int = 0
@@ -76,6 +79,7 @@ class IndexParams:
             "k1": self.k1,
             "b": self.b,
             "fields": list(self.fields),
+            "positionless": list(self.positionless),
             "base_doc_id": self.base_doc_id,
         }
 
@@ -87,6 +91,7 @@ class IndexParams:
             k1=d["k1"],
             b=d["b"],
             fields=tuple(d["fields"]),
+            positionless=tuple(d.get("positionless", ())),
             base_doc_id=d.get("base_doc_id", 0),
         )
 
@@ -121,7 +126,7 @@ POSTING_SCHEMA = T.StructType(
 
 def _doc_term_rows(
     doc_ids: np.ndarray, texts: pd.Series, field_cased: str | None,
-    field_lower: str | None, regex=None,
+    field_lower: str | None, regex=None, emit_positions: bool = True,
 ) -> Iterator[pd.DataFrame]:
     """Vectorized doc-grouped term extraction for one text column.
 
@@ -159,7 +164,11 @@ def _doc_term_rows(
         grp_starts = np.concatenate(([0], boundary + 1))
         grp_ends = np.concatenate((boundary + 1, [total]))
         tf = (grp_ends - grp_starts).astype(np.int32)
-        pos_lists = np.split(p_s.astype(np.int32), grp_starts[1:])
+        if emit_positions:
+            pos_lists = np.split(p_s.astype(np.int32), grp_starts[1:])
+        else:
+            empty = np.empty(0, dtype=np.int32)
+            pos_lists = [empty] * grp_starts.size
         yield pd.DataFrame(
             {
                 "doc_id": d_s[grp_starts],
@@ -172,7 +181,11 @@ def _doc_term_rows(
         )
 
 
-def token_rows(docs: DataFrame, fields: tuple[str, ...] = ALL_FIELDS) -> DataFrame:
+def token_rows(
+    docs: DataFrame,
+    fields: tuple[str, ...] = ALL_FIELDS,
+    positionless: tuple[str, ...] = (),
+) -> DataFrame:
     """docs(doc_id, content, file_name, path, ...) -> doc-term rows."""
     want_content = "content" in fields
     want_cs = "content_cs" in fields
@@ -204,7 +217,9 @@ def token_rows(docs: DataFrame, fields: tuple[str, ...] = ALL_FIELDS) -> DataFra
                 # extract CASED subtokens (case drives the split),
                 # store lowercased
                 yield from _doc_term_rows(
-                    ids, pdf["content"], None, "content_camel", regex=CAMEL_RE
+                    ids, pdf["content"], None, "content_camel",
+                    regex=CAMEL_RE,
+                    emit_positions="content_camel" not in positionless,
                 )
 
     cols = ["doc_id", "content"]

@@ -227,7 +227,9 @@ class IndexBuilder:
         persisted = self.spark.read.parquet(self.paths.docs).filter(
             F.col("group") == g
         )
-        tokens = token_rows(_ensure_parallelism(persisted), params.fields)
+        tokens = token_rows(
+            _ensure_parallelism(persisted), params.fields, params.positionless
+        )
         postings = build_postings(tokens, stats, params)
         post_out = os.path.join(self.paths.postings, f"group={g}")
         (

@@ -187,6 +187,13 @@ class SearchEngine:
             lid = len(leaf_ids)
             leaf_ids[leaf] = lid
             fld = leaf.field
+            if isinstance(leaf, ast.Phrase) and fld in getattr(
+                self.params, "positionless", ()
+            ):
+                raise ValueError(
+                    f"field {fld!r} is indexed without positions; "
+                    "phrase queries are not supported on it"
+                )
             if isinstance(leaf, ast.Phrase):
                 for slot_idx, slot in enumerate(leaf.slots):
                     wants.append((lid, fld, slot_idx, slot))

@@ -232,3 +232,9 @@ def test_camel_field(engine, oracle):
     # parser alias
     q2 = ast.parse_query("camel:Lucene")
     assert q2 == ast.Term("lucene", "content_camel")
+
+
+def test_camel_positionless_phrase_rejected(engine):
+    q = ast.Phrase(("lucene", "pool"), "content_camel")
+    with pytest.raises(ValueError, match="without positions"):
+        engine.search(q, k=5)
