@@ -35,24 +35,35 @@ if REPO_ROOT not in sys.path:
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_PKG_ZIP = "/tmp/codeindex_spark_pkg.zip"
 _ENGINES: dict[str, object] = {}
 
 
 def _ensure_pkg(spark: SparkSession) -> None:
     """Ship the package to Python workers (the local analog of
-    spark-submit --py-files) for sessions we didn't create."""
+    spark-submit --py-files) for sessions we didn't create. The zip
+    name embeds a content hash of the sources so edited code is never
+    masked by a stale zip from an earlier run (addPyFile caches by
+    filename per JVM)."""
     pkg_dir = os.path.join(REPO_ROOT, "codeindex_spark")
-    if not os.path.exists(_PKG_ZIP):
-        with zipfile.ZipFile(_PKG_ZIP + ".tmp", "w") as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        zf.write(full, os.path.relpath(full, REPO_ROOT))
-        os.replace(_PKG_ZIP + ".tmp", _PKG_ZIP)
+    entries = []
+    h = hashlib.sha256()
+    for root, _dirs, files in os.walk(pkg_dir):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                full = os.path.join(root, f)
+                entries.append((full, os.path.relpath(full, REPO_ROOT)))
+    for full, rel in sorted(entries, key=lambda e: e[1]):
+        h.update(rel.encode())
+        with open(full, "rb") as fh:
+            h.update(fh.read())
+    pkg_zip = f"/tmp/codeindex_spark_pkg_{h.hexdigest()[:16]}.zip"
+    if not os.path.exists(pkg_zip):
+        with zipfile.ZipFile(pkg_zip + ".tmp", "w") as zf:
+            for full, rel in sorted(entries, key=lambda e: e[1]):
+                zf.write(full, rel)
+        os.replace(pkg_zip + ".tmp", pkg_zip)
     try:
-        spark.sparkContext.addPyFile(_PKG_ZIP)
+        spark.sparkContext.addPyFile(pkg_zip)
     except Exception:
         pass  # already registered
 

@@ -657,12 +657,25 @@ def _eval_phrase(parts, n_slots):
     by_slot: dict[int, list] = {}
     for slot, docs, contrib, pc, flat in parts:
         by_slot.setdefault(int(slot), []).append((docs, contrib, pc, flat))
+    # All parts belong to ONE posting block, so doc_ids span < block_size.
+    # Pack (doc_id - base) * 2^32 + position: block-local offsets keep the
+    # key far below int64 even when global doc_ids exceed 2^31 (the
+    # 10^12-doc target), where packing the global doc_id would overflow.
+    firsts = [
+        int(docs[0])
+        for chunks in by_slot.values()
+        for docs, _, _, _ in chunks
+        if docs.size
+    ]
+    if not firsts:
+        return _EMPTY_D, _EMPTY_S
+    base = np.int64(min(firsts))
     for s in range(n_slots):
         if s not in by_slot:
             return _EMPTY_D, _EMPTY_S
         pair_chunks, d_chunks, s_chunks = [], [], []
         for docs, contrib, pc, flat in by_slot[s]:
-            doc_rep = np.repeat(docs, pc)
+            doc_rep = np.repeat(docs - base, pc)
             pair_chunks.append(doc_rep * SHIFT + flat)
             d_chunks.append(docs)
             s_chunks.append(contrib)
@@ -677,7 +690,7 @@ def _eval_phrase(parts, n_slots):
         valid = np.intersect1d(valid + 1, slot_pairs[s], assume_unique=True)
     if valid.size == 0:
         return _EMPTY_D, _EMPTY_S
-    matched = np.unique(valid >> np.int64(32))
+    matched = np.unique(valid >> np.int64(32)) + base
     total = np.zeros(matched.size, dtype=np.float64)
     for ud, sc in slot_scores:
         idx = np.searchsorted(ud, matched)

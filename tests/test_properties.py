@@ -65,6 +65,65 @@ def test_docid_assignment_order_invariant(n, rnd):
     assert ma == mb
 
 
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(  # per-doc: (slot offset in block, positions for slot0, slot1)
+        st.tuples(
+            st.integers(min_value=0, max_value=127),
+            st.lists(
+                st.integers(min_value=0, max_value=60), min_size=1, max_size=6
+            ),
+            st.lists(
+                st.integers(min_value=0, max_value=60), min_size=1, max_size=6
+            ),
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=2**31, max_value=2**45),  # block base doc_id
+)
+def test_eval_phrase_doc_ids_beyond_int32(entries, big_base):
+    """Phrase adjacency must be invariant to the global doc_id base:
+    packing block-LOCAL offsets keeps doc_id*2^32+pos from overflowing
+    int64 at the 10^12-doc target (VERDICT r1 #1 — doc_id >= 2^31
+    silently wrapped with the old global-doc_id pack)."""
+    from codeindex_spark.query.planner import _eval_phrase
+
+    entries = sorted(entries)
+
+    def build_parts(base):
+        docs = np.array([base + e[0] for e in entries], dtype=np.int64)
+        parts = []
+        for slot in (0, 1):
+            plists = [
+                np.array(sorted(set(e[1 + slot])), dtype=np.int64)
+                for e in entries
+            ]
+            pc = np.array([p.size for p in plists], dtype=np.int64)
+            flat = (
+                np.concatenate(plists)
+                if plists
+                else np.array([], dtype=np.int64)
+            )
+            contrib = np.full(docs.size, 1.0 + slot, dtype=np.float64)
+            parts.append((slot, docs, contrib, pc, flat))
+        return parts
+
+    small_d, small_s = _eval_phrase(build_parts(0), 2)
+    big_d, big_s = _eval_phrase(build_parts(big_base), 2)
+    # identical matches (shifted by the base) and identical scores
+    assert (big_d - big_base).tolist() == small_d.tolist()
+    assert np.allclose(big_s, small_s)
+    # cross-check the small case against a brute-force oracle
+    expect = sorted(
+        e[0]
+        for e in entries
+        if any(p + 1 in set(e[2]) for p in set(e[1]))
+    )
+    assert small_d.tolist() == expect
+
+
 @settings(max_examples=100, deadline=None)
 @given(
     st.lists(
