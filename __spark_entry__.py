@@ -322,14 +322,19 @@ def _q_ann_lsh(spark, sf_dir):
 
 
 def _q_ann_ivf(spark, sf_dir):
-    from codeindex_spark.ops.similarity import ivf_ann_topk
+    """Build the IVF index ONCE (cell table written partitioned by
+    centroid), then search — the probe is a partition-pruned scan,
+    never a full-corpus re-assignment."""
+    from codeindex_spark.ops.similarity import ivf_build, ivf_search
 
     emb = _load(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
-    return ivf_ann_topk(
-        emb.filter(F.col("vec_id") != 0), list(qvec), dim=64, k=5,
-        n_centroids=8, n_probe=3,
-    ).select("vec_id")
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    idx = ivf_build(
+        emb.filter(F.col("vec_id") != 0), dim=64, n_centroids=8,
+        path=f"/tmp/codeindex_ivf_{tag}",
+    )
+    return ivf_search(idx, list(qvec), k=5, n_probe=3).select("vec_id")
 
 
 def _q_quality(spark, sf_dir):
@@ -464,6 +469,118 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# The driver's oracle comparison always runs at sf0.01; the seeded
+# candidate-set oracles below read the same parquet with pandas+numpy
+# (no engine code) to freeze bucket/cell membership, and let DuckDB do
+# the exact cosine ranking over that literal id set.
+_ORACLE_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+)
+
+
+def _oracle_embedding_matrix():
+    import numpy as np
+    import pandas as pd
+
+    emb = pd.read_parquet(
+        os.path.join(_ORACLE_SF_DIR, "embeddings.parquet")
+    ).sort_values("vec_id")
+    ids = emb["vec_id"].to_numpy()
+    mat = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in emb["embedding"]]
+    )
+    return ids, mat
+
+
+def _lsh_candidate_ids(n_bits: int = 6, seed: int = 42) -> str:
+    """Probed-bucket membership for ann_lsh_topk, recomputed with the
+    same seeded hyperplanes directly from parquet (independent of the
+    Spark engine): sign pattern of n_bits random projections, query
+    bucket + all 1-bit-flip neighbors."""
+    import numpy as np
+
+    ids, mat = _oracle_embedding_matrix()
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bits, mat.shape[1]))
+    weights = 1 << np.arange(n_bits)
+    buckets = (((mat @ planes.T) > 0) * weights).sum(axis=1)
+    q = mat[ids == 0][0]
+    qb = int(((q @ planes.T > 0) * weights).sum())
+    probes = {qb} | {qb ^ (1 << i) for i in range(n_bits)}
+    cand = sorted(
+        int(i) for i, b in zip(ids, buckets) if int(b) in probes and i != 0
+    )
+    return ",".join(map(str, cand))
+
+
+def _ivf_candidate_ids(
+    n_centroids: int = 8,
+    n_probe: int = 3,
+    seed: int = 42,
+    sample: int = 2048,
+    iters: int = 10,
+) -> str:
+    """Probed-cell membership for ann_ivf_topk: the same seeded
+    k-means (deterministic sample = first ``sample`` ids ascending,
+    excluding the query vector) rerun in plain numpy from parquet."""
+    import numpy as np
+
+    ids, mat = _oracle_embedding_matrix()
+    keep = ids != 0
+    ids, mat = ids[keep], mat[keep]
+
+    def norm(m):
+        return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+    train = norm(mat[:sample].copy())
+    rng = np.random.default_rng(seed)
+    centroids = train[rng.choice(len(train), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        assign = (train @ centroids.T).argmax(axis=1)
+        for c in range(n_centroids):
+            members = train[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                centroids[c] = m / max(np.linalg.norm(m), 1e-12)
+    cell = (norm(mat) @ centroids.T).argmax(axis=1)
+    all_ids, all_mat = _oracle_embedding_matrix()
+    q = all_mat[all_ids == 0][0]
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe = set(np.argsort(-(centroids @ qn))[:n_probe].tolist())
+    cand = sorted(int(i) for i, c in zip(ids, cell) if int(c) in probe)
+    return ",".join(map(str, cand))
+
+
+def _simhash_oracle_sql() -> str:
+    """Bit-exact SQL for simhash64: per-word 64-bit hash from md5 hex
+    halves (engine-portable), ±1 per bit summed per doc, sign bits
+    reassembled into a signed 64-bit fingerprint."""
+    sums = []
+    for i in range(64):
+        col = "hlo" if i < 32 else "hhi"
+        sums.append(
+            f"sum(CASE WHEN (({col} >> {i % 32}) & 1) = 1 "
+            f"THEN 1 ELSE -1 END) AS s{i}"
+        )
+    terms = [
+        f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(63)
+    ]
+    terms.append(
+        "(CASE WHEN s63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END)"
+    )
+    return f"""
+        WITH w AS (
+          SELECT doc_id, unnest(string_split_regex(text, ' +')) AS w
+          FROM documents),
+        h AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(w), 1, 8))::BIGINT AS hhi,
+                 ('0x' || substr(md5(w), 9, 8))::BIGINT AS hlo
+          FROM w WHERE w <> ''),
+        s AS (SELECT doc_id, {", ".join(sums)} FROM h GROUP BY doc_id)
+        SELECT doc_id, ({" + ".join(terms)})::BIGINT AS simhash FROM s"""
+
+
 def oracle_sql() -> dict[str, str]:
     qdocs = lambda term: (
         f"SELECT DISTINCT doc_id FROM tok WHERE term = '{term}'"
@@ -550,8 +667,21 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(embedding, (SELECT e FROM q)) DESC,
                      vec_id
             LIMIT 10""",
-        # dd_simhash / ann_lsh_topk: hash functions / hyperplanes are not
-        # portable to DuckDB -> rows-only check (intentionally omitted)
+        "dd_simhash": _simhash_oracle_sql(),
+        "ann_lsh_topk": f"""
+            WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id FROM embeddings
+            WHERE vec_id IN ({_lsh_candidate_ids()})
+            ORDER BY list_cosine_similarity(embedding, (SELECT e FROM q)) DESC,
+                     vec_id
+            LIMIT 5""",
+        "ann_ivf_topk": f"""
+            WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id FROM embeddings
+            WHERE vec_id IN ({_ivf_candidate_ids()})
+            ORDER BY list_cosine_similarity(embedding, (SELECT e FROM q)) DESC,
+                     vec_id
+            LIMIT 5""",
         "tx_quality": f"""WITH {_TOK},
             st AS (
               SELECT doc_id, count(*) AS n_tokens,

@@ -29,15 +29,38 @@ from pyspark.sql import functions as F
 
 
 def exact_duplicates(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sample_cap: int = 1000,
 ) -> DataFrame:
-    """Groups of byte-identical texts: (text_hash, n_docs, doc_ids)."""
+    """Groups of byte-identical texts: (text_hash, n_docs, doc_ids,
+    keep_doc_id). n_docs/keep_doc_id are exact; doc_ids is a bounded
+    SAMPLE (first sample_cap ids ascending) — an unbounded
+    collect_list would put 10^8 ids in one reducer row for a
+    boilerplate file duplicated corpus-wide. The cap is applied
+    BEFORE collection (row_number over the hash partition), so the
+    agg buffer is bounded too — a post-hoc slice would still
+    materialize the full group on one reducer. The window sort
+    reuses the hash partitioning, so the groupBy adds no exchange;
+    a mega-hot group spills in the external sort instead of OOMing
+    an agg buffer."""
+    hashed = df.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("text_hash")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("text_hash").orderBy("doc_id")
+    )
     return (
-        df.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("text_hash"))
+        hashed.withColumn("_rn", rn)
         .groupBy("text_hash")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("_rn") <= sample_cap, F.col("doc_id"))
+                )
+            ).alias("doc_ids"),
             F.min("doc_id").alias("keep_doc_id"),
         )
     )
@@ -98,6 +121,26 @@ def ngram_jaccard_pairs(
     )
 
 
+def _minhash_wide(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_hashes: int,
+) -> DataFrame:
+    """One row per doc with num_hashes minhash columns m0..m{H-1}:
+    m_i = min over shingles of md5('<i>:'||shingle). ONE aggregation
+    over un-exploded shingle rows (num_hashes min() columns) — the
+    seed-explode variant multiplied the shuffle/agg input by
+    num_hashes for the same result (VERDICT r1 #4)."""
+    sh = shingles(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -108,17 +151,21 @@ def minhash_signatures(
     """(doc_id, seed, minhash): minhash = min over shingles of
     md5('<seed>:'||shingle) — a deterministic random permutation per
     seed, engine-portable (md5 strings compare identically anywhere).
-    """
-    sh = shingles(df, id_col, text_col, n)
-    seeds = F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])).alias("seed")
-    return (
-        sh.select("doc_id", "shingle", seeds)
-        .withColumn(
-            "h",
-            F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))),
+    Computed as one wide aggregation then unpivoted (narrow, no extra
+    shuffle)."""
+    wide = _minhash_wide(df, id_col, text_col, n, num_hashes)
+    unpivot = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("seed"), F.col(f"m{i}").alias("minhash")
+                )
+                for i in range(num_hashes)
+            ]
         )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
+    ).alias("sm")
+    return wide.select("doc_id", unpivot).select(
+        "doc_id", "sm.seed", "sm.minhash"
     )
 
 
@@ -132,13 +179,36 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing at least one LSH band
     bucket: (doc_a, doc_b). bands = num_hashes/band_size; the standard
-    S-curve trades precision vs recall via (num_hashes, band_size)."""
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    bands = (
-        sig.withColumn("band", (F.col("seed") / band_size).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.concat_ws("|", F.sort_array(F.collect_list("minhash"))).alias("band_key"))
-    )
+    S-curve trades precision vs recall via (num_hashes, band_size).
+    Band keys come straight from the wide signature row (array_sort
+    within the band == the former per-band sort_array(collect_list)),
+    so there is exactly one shuffle before the bucket self-join."""
+    wide = _minhash_wide(df, id_col, text_col, n, num_hashes)
+    n_bands = num_hashes // band_size
+    bands = wide.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|",
+                            F.array_sort(
+                                F.array(
+                                    *[
+                                        F.col(f"m{b * band_size + j}")
+                                        for j in range(band_size)
+                                    ]
+                                )
+                            ),
+                        ).alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.band_key")
     return (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "band_key"])
@@ -156,19 +226,33 @@ def simhash64(
     """64-bit SimHash over words: (doc_id, simhash).
 
     Bit b of the fingerprint = sign of Σ_w tf(w) * (bit b of
-    xxhash64(w) ? +1 : -1). Vectorized via explode + bit ops + sum —
-    all JVM-side expressions.
+    hash64(w) ? +1 : -1). hash64(w) = first 16 hex chars of md5(w)
+    split into two 32-bit halves — md5 is engine-portable, so a
+    DuckDB oracle reproduces the fingerprints bit-exactly (xxhash64
+    was Spark-only). Vectorized via explode + bit ops + sum — all
+    JVM-side expressions.
     """
     words = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " +")).alias("w"),
     ).filter(F.col("w") != "")
-    wh = words.withColumn("h", F.xxhash64("w"))
+    md5h = F.md5("w")
+    wh = words.select(
+        "doc_id",
+        F.conv(F.substring(md5h, 1, 8), 16, 10).cast("long").alias("hhi"),
+        F.conv(F.substring(md5h, 9, 8), 16, 10).cast("long").alias("hlo"),
+    )
     per_bit = wh.select(
         "doc_id",
         *[
             (
-                (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
+                (
+                    F.shiftright(
+                        F.col("hlo" if i < 32 else "hhi"), i % 32
+                    ).bitwiseAND(F.lit(1))
+                    * 2
+                    - 1
+                )
             ).alias(f"b{i}")
             for i in range(64)
         ],

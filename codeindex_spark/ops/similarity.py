@@ -15,6 +15,8 @@ no per-row Python.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -197,16 +199,30 @@ def ivf_assign(
     centroids: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
-    """(vec_id, centroid): nearest-centroid assignment, batch kernel.
-    At scale this is the partitioning column of the vector table —
-    queries scan only the probed centroid partitions."""
-    schema = T.StructType(
-        [
-            T.StructField("vec_id", T.LongType(), False),
-            T.StructField("centroid", T.IntegerType(), False),
-        ]
-    )
+    """(vec_id, centroid[, <vec_col>]): nearest-centroid assignment,
+    batch kernel. At scale this is the partitioning column of the
+    vector table — queries scan only the probed centroid partitions.
+    keep_vec=True carries the embedding through so the index build
+    needs no join back to the corpus."""
+    fields = [
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("centroid", T.IntegerType(), False),
+    ]
+    if keep_vec:
+        fields.append(
+            T.StructField(
+                vec_col,
+                next(
+                    f.dataType
+                    for f in vectors.schema.fields
+                    if f.name == vec_col
+                ),
+                True,
+            )
+        )
+    schema = T.StructType(fields)
 
     def kernel(batches):
         for pdf in batches:
@@ -219,14 +235,74 @@ def ivf_assign(
                 np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
             )
             assign = (mat @ centroids.T).argmax(axis=1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf[id_col].to_numpy(),
-                    "centroid": assign.astype(np.int32),
-                }
-            )
+            cols = {
+                "vec_id": pdf[id_col].to_numpy(),
+                "centroid": assign.astype(np.int32),
+            }
+            if keep_vec:
+                cols[vec_col] = pdf[vec_col]
+            yield pd.DataFrame(cols)
 
     return vectors.select(id_col, vec_col).mapInPandas(kernel, schema=schema)
+
+
+@dataclass
+class IvfIndex:
+    """Materialized IVF index: the coarse quantizer plus the cell
+    table (vec_id, <vec_col>, centroid). When ``path``-backed, the
+    cell table is parquet PARTITIONED BY centroid, so a probe is a
+    partition-pruned scan — O(probed cells), never the full corpus."""
+
+    centroids: np.ndarray
+    cells: DataFrame
+    vec_col: str = "embedding"
+    id_col: str = "vec_id"
+
+
+def ivf_build(
+    vectors: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    path: str | None = None,
+) -> IvfIndex:
+    """Train the quantizer and materialize assignments ONCE. With
+    ``path`` the cell table is written partitioned by centroid and
+    read back, so every subsequent ivf_search prunes partitions at
+    the scan (PartitionFilters in the plan). Without ``path`` the
+    assignment DataFrame is cached in memory (small corpora / tests).
+    Re-assigning the corpus per query — the round-1 shape — was an
+    O(N) scan per query, defeating the inverted file."""
+    centroids = ivf_train_centroids(
+        vectors, dim, n_centroids, seed=seed, vec_col=vec_col
+    )
+    assigned = ivf_assign(vectors, centroids, id_col, vec_col, keep_vec=True)
+    if path is not None:
+        assigned.write.partitionBy("centroid").mode("overwrite").parquet(path)
+        cells = vectors.sparkSession.read.parquet(path)
+    else:
+        cells = assigned.cache()
+    return IvfIndex(centroids, cells, vec_col=vec_col, id_col=id_col)
+
+
+def ivf_search(
+    index: IvfIndex,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Probe the n_probe centroids nearest the query; exact cosine
+    re-rank within their cells only (partition-pruned when the index
+    is path-backed)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe = np.argsort(-(index.centroids @ qn))[:n_probe].tolist()
+    cand = index.cells.filter(F.col("centroid").isin(probe))
+    return brute_force_cosine_topk(
+        cand, query_vec, k, index.id_col, index.vec_col
+    )
 
 
 def ivf_ann_topk(
@@ -239,23 +315,18 @@ def ivf_ann_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    centroids: np.ndarray | None = None,
+    index: IvfIndex | None = None,
 ) -> DataFrame:
-    """IVF ANN: train (or reuse) a coarse quantizer, probe the
-    ``n_probe`` centroids nearest the query, exact cosine re-rank
-    within their cells — the classic inverted-file scale path."""
-    if centroids is None:
-        centroids = ivf_train_centroids(
-            vectors, dim, n_centroids, seed=seed, vec_col=vec_col
+    """Convenience one-shot IVF ANN. Builds an (in-memory) index when
+    none is supplied — for repeated queries build once with
+    ivf_build(path=...) and call ivf_search so probes prune
+    partitions instead of re-assigning the corpus."""
+    if index is None:
+        index = ivf_build(
+            vectors, dim, n_centroids, seed=seed, id_col=id_col,
+            vec_col=vec_col,
         )
-    q = np.asarray(query_vec, dtype=np.float64)
-    qn = q / max(np.linalg.norm(q), 1e-12)
-    probe = np.argsort(-(centroids @ qn))[:n_probe].tolist()
-    cells = ivf_assign(vectors, centroids, id_col, vec_col).filter(
-        F.col("centroid").isin(probe)
-    )
-    cand = vectors.join(cells.select("vec_id"), id_col, "left_semi")
-    return brute_force_cosine_topk(cand, query_vec, k, id_col, vec_col)
+    return ivf_search(index, query_vec, k, n_probe)
 
 
 def lsh_ann_topk(

