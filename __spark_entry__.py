@@ -76,13 +76,27 @@ def _as_corpus(docs: DataFrame) -> DataFrame:
     """Map the driver documents table (doc_id, text, lang, source,
     n_chars) onto the engine input shape (repo, path, commit, lang,
     content) — BASELINE.json input_hint. Original doc_id is recoverable
-    from path."""
+    from path.
+
+    content applies a deterministic casing rule — words of length >= 6
+    uppercased — so the case-sensitive twin field (content_cs,
+    reference CodeIndexBuilder.cs:481-484) is actually exercised by
+    the all-lowercase sf corpora. The case-insensitive content field
+    lowercases, so every other query sees identical tokens."""
+    toks = F.split(F.col("text"), " ")
+    cased = F.array_join(
+        F.transform(
+            toks,
+            lambda w: F.when(F.length(w) >= 6, F.upper(w)).otherwise(w),
+        ),
+        " ",
+    )
     return docs.select(
         F.col("source").alias("repo"),
         F.concat(F.col("source"), F.lit("/"), F.col("doc_id").cast("string"), F.lit(".txt")).alias("path"),
         F.lit("c000000000000").alias("commit"),
         F.col("lang"),
-        F.col("text").alias("content"),
+        cased.alias("content"),
     )
 
 
@@ -96,8 +110,9 @@ def _engine(spark: SparkSession, sf_dir: str):
     from codeindex_spark.index.segments import IndexBuilder, IndexReader
     from codeindex_spark.query.planner import SearchEngine
 
+    # v2: corpus casing rule added — new dir so stale caches rebuild
     tag = hashlib.sha256(key.encode()).hexdigest()[:12]
-    idx_dir = f"/tmp/codeindex_entry/{os.path.basename(key)}_{tag}"
+    idx_dir = f"/tmp/codeindex_entry/{os.path.basename(key)}_{tag}_v2"
     params = IndexParams(num_buckets=16, block_size=128)
     builder = IndexBuilder(spark, idx_dir, params, n_groups=1)
     corpus = _as_corpus(_load(spark, sf_dir, "documents"))
@@ -133,6 +148,48 @@ tok AS (
   WHERE t.term <> ''
 )
 """
+
+# Generic per-(doc, term) BM25 contribution CTE — the scaffold behind
+# the score-verified oracles for boolean/phrase/wildcard/fuzzy shapes.
+# Scoring contract (codeindex_spark/query/oracle.py:11-17):
+#   leaf   = Σ over expansions of idf*tfnorm
+#   AND    = docs in all children, score = Σ child scores
+#   OR     = union, score = Σ child scores
+#   NOT    = positive docs minus negative docs (scores unchanged)
+#   phrase = adjacency gate; score = Σ slot-expansion terms present
+# Float op order matches the engine exactly (see memory: DuckDB
+# DECIMAL literals; (1.2::DOUBLE + 1.0::DOUBLE) mirrors Python).
+_CONTRIB_BODY = """,
+dl AS (SELECT doc_id, count(*) AS dl FROM {src} GROUP BY doc_id),
+nn AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+ad AS (SELECT sum(dl)::DOUBLE / (SELECT n_docs FROM nn) AS avgdl FROM dl),
+tfa AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+        FROM {src} GROUP BY doc_id, term),
+dfa AS (SELECT term, count(*)::DOUBLE AS df FROM tfa GROUP BY term),
+contrib AS (
+  SELECT tfa.doc_id, tfa.term,
+         ln(1.0::DOUBLE + ((SELECT n_docs FROM nn) - dfa.df + 0.5::DOUBLE)
+                          / (dfa.df + 0.5::DOUBLE))
+         * (tfa.tf * (1.2::DOUBLE + 1.0::DOUBLE)
+            / (tfa.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+               + 0.75::DOUBLE * dl.dl / (SELECT avgdl FROM ad)))) AS c
+  FROM tfa JOIN dfa USING (term) JOIN dl USING (doc_id))
+"""
+
+_CONTRIB = _TOK + _CONTRIB_BODY.format(src="tok")
+
+# the cased twin field: the same casing rule _as_corpus applies
+_TOK_CS = (
+    _TOK
+    + """,
+tokcs AS (
+  SELECT doc_id,
+         CASE WHEN length(term) >= 6 THEN upper(term) ELSE term END AS term,
+         pos
+  FROM tok)"""
+)
+
+_CONTRIB_CS = _TOK_CS + _CONTRIB_BODY.format(src="tokcs")
 
 # BM25 scaffold with float op order matching the engine exactly
 _BM25 = (
@@ -181,39 +238,71 @@ def _q_bm25_topk(spark, sf_dir):
     return _bm25_topk_orig(_engine(spark, sf_dir), "spark", 10)
 
 
+_SCORE = (F.round("score", 6).alias("score"),)
+
+
 def _q_bool_and(spark, sf_dir):
     eng = _engine(spark, sf_dir)
-    return _orig_ids(eng, eng.score("merge AND batch"))
+    return _orig_ids(eng, eng.score("merge AND batch"), extra=_SCORE)
 
 
 def _q_bool_or_not(spark, sf_dir):
     # parses as: sort OR (merge NOT spark)
     eng = _engine(spark, sf_dir)
-    return _orig_ids(eng, eng.score("sort OR merge NOT spark"))
+    return _orig_ids(eng, eng.score("sort OR merge NOT spark"), extra=_SCORE)
 
 
 def _q_phrase(spark, sf_dir):
     from codeindex_spark.query import ast
 
     eng = _engine(spark, sf_dir)
-    return _orig_ids(eng, eng.score(ast.parse_phrase_query("fast sort")))
+    return _orig_ids(
+        eng, eng.score(ast.parse_phrase_query("fast sort")), extra=_SCORE
+    )
 
 
 def _q_phrase_wildcard(spark, sf_dir):
     from codeindex_spark.query import ast
 
     eng = _engine(spark, sf_dir)
-    return _orig_ids(eng, eng.score(ast.parse_phrase_query("fast s*")))
+    return _orig_ids(
+        eng, eng.score(ast.parse_phrase_query("fast s*")), extra=_SCORE
+    )
 
 
 def _q_wildcard(spark, sf_dir):
     eng = _engine(spark, sf_dir)
-    return _orig_ids(eng, eng.score("sc*"))
+    return _orig_ids(eng, eng.score("sc*"), extra=_SCORE)
 
 
 def _q_fuzzy(spark, sf_dir):
     eng = _engine(spark, sf_dir)
-    return _orig_ids(eng, eng.score("spak~1"))
+    return _orig_ids(eng, eng.score("spak~1"), extra=_SCORE)
+
+
+def _q_case_sensitive(spark, sf_dir):
+    """Case-sensitive term query on the content_cs twin field
+    (reference: CodeIndexBuilder.cs:481-484 ContentCaseSensitive,
+    IndexMaintainerWrapper.cs:38-45 parser wrapper). The corpus
+    casing rule uppercases words of length >= 6, so 'STREAM' exists
+    only in the cased field."""
+    from codeindex_spark.query import ast
+
+    eng = _engine(spark, sf_dir)
+    return _orig_ids(
+        eng, eng.score(ast.Term("STREAM", "content_cs")), extra=_SCORE
+    )
+
+
+def _q_cs_negative(spark, sf_dir):
+    """The lowercase variant must NOT match case-sensitively — pins
+    that the cs field preserves case instead of lowercasing."""
+    from codeindex_spark.query import ast
+
+    eng = _engine(spark, sf_dir)
+    return _orig_ids(
+        eng, eng.score(ast.Term("stream", "content_cs")), extra=_SCORE
+    )
 
 
 def _q_term_dict(spark, sf_dir):
@@ -234,7 +323,9 @@ def _q_field_filtered(spark, sf_dir):
     eng = _engine(spark, sf_dir)
     scored = eng.score("spark")
     allowed = Filters(lang="en").apply(eng.reader.docs).select("doc_id")
-    return _orig_ids(eng, scored.join(allowed, "doc_id", "left_semi"))
+    return _orig_ids(
+        eng, scored.join(allowed, "doc_id", "left_semi"), extra=_SCORE
+    )
 
 
 def _q_path_term(spark, sf_dir):
@@ -450,6 +541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_path_term": _q_path_term,
         "q12_pk_lookup": _q_pk_lookup,
         "q13_scan_filter_project": _q_scan_filter_project,
+        "q14_case_sensitive": _q_case_sensitive,
+        "q15_cs_negative": _q_cs_negative,
         "a1_doc_len": _q_doc_len,
         "dd_exact": _q_dedup_exact,
         "dd_jaccard": _q_dedup_jaccard,
@@ -587,21 +680,43 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "q01_bm25_topk": "WITH " + _BM25.format(term="spark", k=10),
-        "q02_bool_and": f"WITH {_TOK} {qdocs('merge')} INTERSECT {qdocs('batch')}",
-        "q03_bool_or_not": f"""WITH {_TOK}
-            {qdocs('sort')} UNION ({qdocs('merge')} EXCEPT {qdocs('spark')})""",
-        "q04_phrase": f"""WITH {_TOK}
-            SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
-              ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-            WHERE a.term = 'fast' AND b.term = 'sort'""",
-        "q05_phrase_wildcard": f"""WITH {_TOK}
-            SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
-              ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-            WHERE a.term = 'fast' AND b.term LIKE 's%'""",
-        "q06_wildcard": f"""WITH {_TOK}
-            SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'sc%'""",
-        "q07_fuzzy": f"""WITH {_TOK}
-            SELECT DISTINCT doc_id FROM tok WHERE levenshtein(term, 'spak') <= 1""",
+        "q02_bool_and": f"""WITH {_CONTRIB}
+            SELECT doc_id, round(sum(c), 6) AS score FROM contrib
+            WHERE term IN ('merge', 'batch')
+            GROUP BY doc_id HAVING count(DISTINCT term) = 2""",
+        "q03_bool_or_not": f"""WITH {_CONTRIB},
+            u AS (
+              SELECT doc_id, c FROM contrib WHERE term = 'sort'
+              UNION ALL
+              SELECT doc_id, c FROM contrib
+              WHERE term = 'merge' AND doc_id NOT IN
+                (SELECT doc_id FROM contrib WHERE term = 'spark'))
+            SELECT doc_id, round(sum(c), 6) AS score
+            FROM u GROUP BY doc_id""",
+        "q04_phrase": f"""WITH {_CONTRIB},
+            pm AS (
+              SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
+                ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+              WHERE a.term = 'fast' AND b.term = 'sort')
+            SELECT doc_id, round(sum(c), 6) AS score
+            FROM contrib JOIN pm USING (doc_id)
+            WHERE term IN ('fast', 'sort') GROUP BY doc_id""",
+        # phrase-with-wildcard score: every slot-expansion term present
+        # in a matched doc contributes, adjacent or not (oracle.py:199-204)
+        "q05_phrase_wildcard": f"""WITH {_CONTRIB},
+            pm AS (
+              SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
+                ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+              WHERE a.term = 'fast' AND b.term LIKE 's%')
+            SELECT doc_id, round(sum(c), 6) AS score
+            FROM contrib JOIN pm USING (doc_id)
+            WHERE term = 'fast' OR term LIKE 's%' GROUP BY doc_id""",
+        "q06_wildcard": f"""WITH {_CONTRIB}
+            SELECT doc_id, round(sum(c), 6) AS score FROM contrib
+            WHERE term LIKE 'sc%' GROUP BY doc_id""",
+        "q07_fuzzy": f"""WITH {_CONTRIB}
+            SELECT doc_id, round(sum(c), 6) AS score FROM contrib
+            WHERE levenshtein(term, 'spak') <= 1 GROUP BY doc_id""",
         "q08_term_dict": f"""WITH {_TOK}
             SELECT term, count(DISTINCT doc_id)::BIGINT AS df,
                    count(*)::BIGINT AS cf
@@ -610,14 +725,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT term AS word FROM tok
             WHERE length(term) BETWEEN 4 AND 199 AND term LIKE 'sc%'
             ORDER BY word LIMIT 20""",
-        "q10_field_filtered": f"""WITH {_TOK}
-            SELECT DISTINCT t.doc_id FROM tok t JOIN documents d USING (doc_id)
-            WHERE t.term = 'spark' AND d.lang = 'en'""",
+        "q10_field_filtered": f"""WITH {_CONTRIB}
+            SELECT t.doc_id, round(sum(t.c), 6) AS score
+            FROM contrib t JOIN documents d USING (doc_id)
+            WHERE t.term = 'spark' AND d.lang = 'en'
+            GROUP BY t.doc_id""",
         "q11_path_term": "SELECT doc_id FROM documents WHERE source = 'src3'",
         "q12_pk_lookup": "SELECT doc_id, lang FROM documents WHERE doc_id = 42",
         "q13_scan_filter_project": """
             SELECT doc_id, n_chars FROM documents
             WHERE lang = 'en' AND n_chars > 300""",
+        "q14_case_sensitive": f"""WITH {_CONTRIB_CS}
+            SELECT doc_id, round(sum(c), 6) AS score FROM contrib
+            WHERE term = 'STREAM' GROUP BY doc_id""",
+        "q15_cs_negative": """
+            SELECT CAST(1 AS BIGINT) AS doc_id, 1.0::DOUBLE AS score
+            WHERE false""",
         "a1_doc_len": f"""WITH {_TOK}
             SELECT doc_id, count(*)::BIGINT AS n_tokens FROM tok GROUP BY doc_id""",
         "dd_exact": """
