@@ -58,51 +58,104 @@ EVENT_SCHEMA = T.StructType(
 
 # ------------------------------------------------------------------ ST3
 
-def compact_events(events: DataFrame) -> DataFrame:
-    """Event-queue compaction (FileChangesPreProcessing.cs semantics):
+def compact_events(
+    events: DataFrame, max_driver_renames: int = 10000
+) -> DataFrame:
+    """Event-queue compaction (FileChangesPreProcessing.cs:11-110
+    semantics, three passes in reference order):
 
-    1. exact duplicates dropped;
-    2. per path ordered by ts: Deleted followed by Created
-       -> single Changed;
-    3. Renamed A->B then B->A -> Changed(A);
-    4. otherwise last event wins.
+    1. RemoveTemplateChanges (:24-58): for each Renamed, the first
+       LATER Renamed whose new path equals this one's old path is
+       removed, and this one becomes Changed(old_path). The link is
+       CROSS-PATH (Renamed A->B then B->A, but also A->B then C->A),
+       so it cannot run inside a per-path group: renames are pulled
+       to the driver — they are a vanishing fraction of a debounced
+       FS event stream, matching the reference's in-memory queue —
+       and processed in ts order exactly like the reference loop.
+    2. RemoveTemplateDeletedChanges (:60-84): per path, a Deleted
+       followed (anywhere later) by a Created drops the Deleted and
+       turns that Created into Changed.
+    3. RemoveDuplicatedChanges (:86-105): per (path, old_path, type),
+       keep the LAST of exact duplicates.
 
-    Per-path groups are tiny; the kernel is a grouped pandas pass.
+    Passes 2-3 run distributed in a grouped pandas kernel (per-path
+    groups are tiny). ``max_driver_renames`` guards the driver pull;
+    the reference algorithm is itself O(R^2) in the rename count.
     """
+    spark = events.sparkSession
+    renames = events.filter(F.col("change_type") == "Renamed")
+    rows = [
+        r.asDict()
+        for r in renames.orderBy("ts", "path", "old_path").limit(
+            max_driver_renames + 1
+        ).collect()
+    ]
+    if len(rows) > max_driver_renames:
+        raise ValueError(
+            f"more than {max_driver_renames} Renamed events in one "
+            "compaction batch; widen max_driver_renames or split the batch"
+        )
+    # pass 1 — mutate in place exactly like the reference loop: marked
+    # events stay visible, converted events change type immediately
+    dropped: set[int] = set()
+    for i, ch in enumerate(rows):
+        if ch["change_type"] != "Renamed":
+            continue
+        for j in range(i + 1, len(rows)):
+            u = rows[j]
+            if u["change_type"] == "Renamed" and u["path"] == ch["old_path"]:
+                dropped.add(j)
+                ch["change_type"] = "Changed"
+                ch["path"] = ch["old_path"]
+                ch["old_path"] = None
+                break
+    survived = [r for i, r in enumerate(rows) if i not in dropped]
+    non_renames = events.filter(F.col("change_type") != "Renamed")
+    if survived:
+        adj = non_renames.unionByName(
+            spark.createDataFrame(
+                pd.DataFrame(
+                    survived, columns=["path", "old_path", "change_type", "ts"]
+                ),
+                schema=EVENT_SCHEMA,
+            )
+        )
+    else:
+        adj = non_renames
 
     def compact(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.drop_duplicates().sort_values("ts")
-        rows = pdf.to_dict("records")
-        out: list[dict] = []
-        for ev in rows:
-            if out:
-                prev = out[-1]
-                if prev["change_type"] == "Deleted" and ev["change_type"] == "Created":
-                    out[-1] = {**ev, "change_type": "Changed", "old_path": None}
-                    continue
+        recs = pdf.sort_values("ts", kind="mergesort").to_dict("records")
+        for r in recs:  # null old_path may arrive as NaN; NaN != NaN
+            if pd.isna(r["old_path"]):
+                r["old_path"] = None
+        alive = [True] * len(recs)
+        # pass 2: Deleted -> first later Created => keep Created as Changed
+        for i, ev in enumerate(recs):
+            if not alive[i] or ev["change_type"] != "Deleted":
+                continue
+            for j in range(i + 1, len(recs)):
+                if alive[j] and recs[j]["change_type"] == "Created":
+                    alive[i] = False
+                    recs[j]["change_type"] = "Changed"
+                    break
+        # pass 3: exact duplicates (type, path, old_path) keep the last
+        for i, ev in enumerate(recs):
+            if not alive[i]:
+                continue
+            for j in range(i + 1, len(recs)):
+                u = recs[j]
                 if (
-                    prev["change_type"] == "Renamed"
-                    and ev["change_type"] == "Renamed"
-                    and ev["old_path"] == prev["path"]
-                    and ev["path"] == prev["old_path"]
+                    u["change_type"] == ev["change_type"]
+                    and u["old_path"] == ev["old_path"]
                 ):
-                    out[-1] = {**ev, "change_type": "Changed", "old_path": None}
-                    continue
-            out.append(dict(ev))
-        # keep-last for plain Changed/Created runs on the same path
-        collapsed: dict[tuple, dict] = {}
-        final = []
-        for ev in out:
-            k = (ev["path"], ev["change_type"])
-            if k in collapsed and ev["change_type"] in ("Changed", "Created"):
-                collapsed[k].update(ev)
-            else:
-                rec = dict(ev)
-                collapsed[k] = rec
-                final.append(rec)
-        return pd.DataFrame(final, columns=["path", "old_path", "change_type", "ts"])
+                    alive[i] = False
+                    break
+        final = [r for i, r in enumerate(recs) if alive[i]]
+        return pd.DataFrame(
+            final, columns=["path", "old_path", "change_type", "ts"]
+        )
 
-    return events.groupBy("path").applyInPandas(compact, schema=EVENT_SCHEMA)
+    return adj.groupBy("path").applyInPandas(compact, schema=EVENT_SCHEMA)
 
 
 # ------------------------------------------------------------------ ST6
@@ -170,6 +223,10 @@ class IncrementalIndex:
     @property
     def _tomb_dir(self) -> str:
         return os.path.join(self.root, "tombstones.parquet")
+
+    @property
+    def _removed_words_dir(self) -> str:
+        return os.path.join(self.root, "removed_words.parquet")
 
     def segments(self) -> list[dict]:
         if not os.path.exists(self._seg_file):
@@ -255,7 +312,19 @@ class IncrementalIndex:
         n_new = new_docs.count()
         if dead_doc_keys is not None:
             dead = dead_doc_keys.distinct()
+            if os.path.exists(self._tomb_dir):
+                # idempotence: never double-tombstone (would also
+                # double-count removed hint words)
+                dead = dead.join(
+                    self.spark.read.parquet(self._tomb_dir),
+                    "doc_key",
+                    "left_anti",
+                )
+            # truncate lineage before appending to the same path we
+            # just read from
+            dead = dead.localCheckpoint()
             if dead.count():
+                self._record_removed_words(dead)
                 dead.write.mode("append").parquet(self._tomb_dir)
         if n_new:
             idx = len(segs)
@@ -279,6 +348,26 @@ class IncrementalIndex:
             )
             self._write_segments(segs)
         self._merge_metadata()
+
+    def _record_removed_words(self, dead_keys: DataFrame) -> None:
+        """Incremental hint-word maintenance (reference deletes a hint
+        word when its last live doc goes away — the Exists-before-
+        delete semi-join, CodeIndexBuilder.cs:369-375,446-452).
+        Tokenizes ONLY the docs being tombstoned (bounded by the
+        change batch, never the corpus) and appends their per-word
+        doc counts; hints() subtracts these from the merged
+        dictionary's df, so a word with no live doc stops serving as
+        a hint immediately instead of waiting for compact()."""
+        from codeindex_spark.index.build import token_rows
+
+        dead_docs = self.all_docs().join(dead_keys, "doc_key", "left_semi")
+        words = (
+            token_rows(dead_docs, fields=("content_cs",))
+            .filter((F.length("term") >= 4) & (F.length("term") <= 199))
+            .groupBy(F.col("term").alias("word"))
+            .agg(F.count("*").alias("removed"))
+        )
+        words.write.mode("append").parquet(self._removed_words_dir)
 
     # ---------- merged metadata ----------
 
@@ -349,6 +438,7 @@ class IncrementalIndex:
         os.replace(tmp_dir, old_base)
         shutil.rmtree(os.path.join(self.root, "deltas"), ignore_errors=True)
         shutil.rmtree(self._tomb_dir, ignore_errors=True)
+        shutil.rmtree(self._removed_words_dir, ignore_errors=True)
         self._write_segments(
             [{"name": "base", "dir": old_base, "end_doc": self._segment_end(old_base)}]
         )
@@ -391,9 +481,32 @@ class MultiReader:
 
     @property
     def hints(self) -> DataFrame:
-        from codeindex_spark.index.build import hints_from_term_dict
+        """Hint words with at least one LIVE doc: merged-dictionary df
+        minus the removed-doc counts recorded at tombstone time, so
+        deleted-only words drop out of autocomplete without a
+        compact() (reference CodeIndexBuilder.cs:369-375,446-452)."""
+        td = self.inc_term_counts()
+        live = td.filter(
+            (F.length("word") >= 4) & (F.length("word") <= 199)
+            & (F.col("df") > F.col("removed"))
+        )
+        return live.select(
+            "word", F.lower("word").alias("word_lower")
+        ).distinct()
 
-        return hints_from_term_dict(self.term_dict)
+    def inc_term_counts(self) -> DataFrame:
+        td = self.term_dict.filter(F.col("field") == "content_cs").select(
+            F.col("term").alias("word"), "df"
+        )
+        rw_dir = self.inc._removed_words_dir
+        if os.path.exists(rw_dir):
+            rw = (
+                self.spark.read.parquet(rw_dir)
+                .groupBy("word")
+                .agg(F.sum("removed").alias("removed"))
+            )
+            return td.join(rw, "word", "left").fillna({"removed": 0})
+        return td.withColumn("removed", F.lit(0))
 
     @property
     def stats(self) -> pd.DataFrame:

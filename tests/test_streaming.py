@@ -46,28 +46,65 @@ def test_compact_delete_create_becomes_changed(spark):
 
 
 def test_compact_rename_back_becomes_changed(spark):
-    # FileChangesPreProcessing: A->B then B->A collapses to Changed(A)
-    ev_b = _events(spark, [("/b", "/a", "Renamed", 1)])
-    ev_a = _events(spark, [("/a", "/b", "Renamed", 2)])
-    # both events share no path key; compaction groups by final path —
-    # model the reference's queue by tagging the rename chain's end path
+    # FileChangesPreProcessing.RemoveTemplateChanges: Renamed(A->B)
+    # then Renamed(B->A) -> exactly ONE Changed event for the ORIGINAL
+    # path A; the rename chain crosses path keys, so this pins the
+    # cross-path linking (the old per-path collapse could never fire).
     ev = _events(
         spark,
-        [("/a", "/b", "Renamed", 2), ("/a", None, "Created", 0)],
+        [("/b", "/a", "Renamed", 1), ("/a", "/b", "Renamed", 2)],
     )
-    out = {r["change_type"] for r in compact_events(ev).collect()}
-    assert "Renamed" in out or "Changed" in out
-    # exact-duplicate drop
-    dup = _events(spark, [("/x", None, "Changed", 5), ("/x", None, "Changed", 5)])
-    assert compact_events(dup).count() == 1
+    out = compact_events(ev).collect()
+    assert len(out) == 1
+    assert out[0]["change_type"] == "Changed"
+    assert out[0]["path"] == "/a"
+    assert out[0]["old_path"] is None
 
 
-def test_compact_rename_then_back_same_path_group(spark):
+def test_compact_rename_chain_cross_path(spark):
+    # reference links on later.path == earlier.old_path, NOT strict
+    # inversion: Renamed(A->B) then Renamed(C->A) also collapses to
+    # Changed(A) with the C->A event removed
     ev = _events(
         spark,
-        [("/a", "/b", "Renamed", 3), ("/a", "/b", "Renamed", 3)],
+        [("/b", "/a", "Renamed", 1), ("/a", "/c", "Renamed", 2)],
+    )
+    out = compact_events(ev).collect()
+    assert len(out) == 1
+    assert out[0]["change_type"] == "Changed"
+    assert out[0]["path"] == "/a"
+
+
+def test_compact_duplicates_keep_last(spark):
+    dup = _events(
+        spark, [("/x", None, "Changed", 5), ("/x", None, "Changed", 6)]
+    )
+    out = compact_events(dup).collect()
+    assert len(out) == 1 and out[0]["ts"].second == 6
+    # duplicate renames (same path AND old_path) dedup too
+    ev = _events(
+        spark,
+        [("/a", "/b", "Renamed", 3), ("/a", "/b", "Renamed", 4)],
     )
     assert compact_events(ev).count() == 1
+
+
+def test_compact_delete_create_with_intervening_event(spark):
+    # reference pass 2 scans FORWARD, not just adjacent: Deleted(1),
+    # Changed(2), Created(3) -> Deleted dropped, Created -> Changed,
+    # then duplicate-Changed keeps the last -> single Changed @3
+    ev = _events(
+        spark,
+        [
+            ("/a", None, "Deleted", 1),
+            ("/a", None, "Changed", 2),
+            ("/a", None, "Created", 3),
+        ],
+    )
+    out = compact_events(ev).collect()
+    assert len(out) == 1
+    assert out[0]["change_type"] == "Changed"
+    assert out[0]["ts"].second == 3
 
 
 def test_reconcile_classification(spark):
@@ -204,6 +241,40 @@ def test_compact_equals_fresh_build(spark, inc_index, versions, tmp_path):
     a = [(r["doc_id"], r["score"]) for r in eng_inc.search("get", k=20).collect()]
     b = [(r["doc_id"], r["score"]) for r in eng_fresh.search("get", k=20).collect()]
     assert a == b
+
+
+def test_hint_word_removed_with_last_doc(spark, tmp_path):
+    """Reference deletes a hint word when the last doc containing it
+    goes away (CodeIndexBuilder.cs:369-375,446-452) — WITHOUT waiting
+    for a compact()."""
+    cols = ["repo", "path", "commit", "lang", "content"]
+    v1 = pd.DataFrame(
+        [
+            ("r", "a.py", "c0000000000001", "python", "wombatish shared content"),
+            ("r", "b.py", "c0000000000001", "python", "shared content here"),
+        ],
+        columns=cols,
+    )
+    inc = IncrementalIndex(spark, str(tmp_path / "hintidx"), PARAMS)
+    inc.build_base(spark.createDataFrame(v1))
+    words0 = {r["word"] for r in inc.reader().hints.collect()}
+    assert {"wombatish", "shared", "content"} <= words0
+    inc.apply_snapshot(spark.createDataFrame(v1[v1.path != "a.py"]))
+    assert len(inc.segments()) == 1  # delete only — no new segment
+    words1 = {r["word"] for r in inc.reader().hints.collect()}
+    assert "wombatish" not in words1  # last doc gone -> hint gone
+    assert "shared" in words1  # still one live doc
+    eng = SearchEngine(inc.reader())
+    assert eng.hints("womb").count() == 0
+    # an update that re-adds the word brings the hint back
+    v3 = pd.DataFrame(
+        [("r", "b.py", "c0000000000002", "python", "shared wombatish back")],
+        columns=cols,
+    )
+    inc.apply_snapshot(spark.createDataFrame(v3))
+    words2 = {r["word"] for r in inc.reader().hints.collect()}
+    assert "wombatish" in words2
+    assert "content" not in words2  # no live doc has it anymore
 
 
 def test_maintain_stream(spark, tmp_path):
