@@ -428,6 +428,40 @@ def _q_ann_ivf(spark, sf_dir):
     return ivf_search(idx, list(qvec), k=5, n_probe=3).select("vec_id")
 
 
+def _q_preview_highlight(spark, sf_dir):
+    """V1 HTML highlight (CodeIndexSearcher.cs:50-103): top-10 BM25
+    docs with matched tokens span-wrapped in the (cased) content."""
+    from codeindex_spark.query.present import search_with_preview
+
+    eng = _engine(spark, sf_dir)
+    top = _bm25_topk_orig(eng, "spark", 10)
+    pv = search_with_preview(eng, "spark", k=100000)
+    pv = _orig_ids(eng, pv, extra=[F.col("preview_html")])
+    return top.join(pv, "doc_id").select("doc_id", "score", "preview_html")
+
+
+def _q_matched_lines(spark, sf_dir):
+    """V2 matched-line extraction (CodeIndexSearcher.cs:148-229):
+    (trimmed line, 1-based line number) for lines containing a
+    matched token, over the top-10 docs."""
+    from codeindex_spark.query.present import search_with_matched_lines
+
+    eng = _engine(spark, sf_dir)
+    top = _bm25_topk_orig(eng, "spark", 10)
+    ml = search_with_matched_lines(eng, "spark", k=100000, max_lines=10**7)
+    ml = _orig_ids(
+        eng,
+        ml,
+        extra=[
+            F.col("line_text"),
+            F.col("line_number").cast("long").alias("line_number"),
+        ],
+    )
+    return top.join(ml, "doc_id").select(
+        "doc_id", "score", "line_text", "line_number"
+    )
+
+
 def _q_quality(spark, sf_dir):
     from codeindex_spark.ops.analysis import quality_score
 
@@ -551,6 +585,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
+        "pv_highlight": _q_preview_highlight,
+        "pv_matched_lines": _q_matched_lines,
         "tx_quality": _q_quality,
         "tx_fingerprint": _q_fingerprint,
         "tx_bpe_count": _q_bpe_count,
@@ -805,6 +841,34 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(embedding, (SELECT e FROM q)) DESC,
                      vec_id
             LIMIT 5""",
+        "pv_highlight": f"""WITH {_CONTRIB},
+            topd AS (
+              SELECT doc_id, round(sum(c), 6) AS score FROM contrib
+              WHERE term = 'spark' GROUP BY doc_id
+              ORDER BY score DESC, doc_id LIMIT 10),
+            cased AS (
+              SELECT doc_id, array_to_string(list_transform(
+                string_split(text, ' '),
+                w -> CASE WHEN length(w) >= 6 THEN upper(w) ELSE w END
+              ), ' ') AS ct FROM documents)
+            SELECT t.doc_id, t.score,
+                   regexp_replace(ct, '\\b(spark)\\b',
+                     '<span class=''highlight''>\\1</span>', 'g')
+                     AS preview_html
+            FROM topd t JOIN cased USING (doc_id)""",
+        "pv_matched_lines": f"""WITH {_CONTRIB},
+            topd AS (
+              SELECT doc_id, round(sum(c), 6) AS score FROM contrib
+              WHERE term = 'spark' GROUP BY doc_id
+              ORDER BY score DESC, doc_id LIMIT 10),
+            cased AS (
+              SELECT doc_id, array_to_string(list_transform(
+                string_split(text, ' '),
+                w -> CASE WHEN length(w) >= 6 THEN upper(w) ELSE w END
+              ), ' ') AS ct FROM documents)
+            SELECT t.doc_id, t.score, trim(ct) AS line_text,
+                   1::BIGINT AS line_number
+            FROM topd t JOIN cased USING (doc_id)""",
         "tx_quality": f"""WITH {_TOK},
             st AS (
               SELECT doc_id, count(*) AS n_tokens,

@@ -356,12 +356,16 @@ class SearchEngine:
         spark = self.reader.spark
         if candidates is None:
             return spark.createDataFrame([], SCORE_SCHEMA)
-        candidates = candidates.cache()
+        # Cache ONLY the per-block metadata aggregate (one small row
+        # per block) — never the candidate posting rows themselves: a
+        # stop-word-grade term's postings are enormous at scale, while
+        # re-scanning them for phases 2-3 is cheap (parquet row-group
+        # pruning on term pushes the filter to the scan).
+        bsz = self.params.block_size
+        meta = candidates.groupBy("block_id").agg(
+            F.sum(F.col("idf") * F.col("block_max_tfnorm")).alias("ub")
+        ).cache()
         try:
-            bsz = self.params.block_size
-            meta = candidates.groupBy("block_id").agg(
-                F.sum(F.col("idf") * F.col("block_max_tfnorm")).alias("ub")
-            )
             n_seed = max(1, -(-4 * k // bsz))
             seed_ids = [
                 r["block_id"]
@@ -398,7 +402,7 @@ class SearchEngine:
             # materialized (<= k rows) so the cache can be released
             return spark.createDataFrame(rows, schema=SCORE_SCHEMA)
         finally:
-            candidates.unpersist(blocking=False)
+            meta.unpersist(blocking=False)
 
     def search(
         self,
