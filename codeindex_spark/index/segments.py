@@ -65,19 +65,7 @@ DOC_COLUMNS = [
 ]
 
 
-def _ensure_parallelism(df: DataFrame, factor: int = 2) -> DataFrame:
-    """Guarantee enough input splits for Python-kernel stages.
-
-    Small-corpus scans collapse into one or two tasks under the
-    128 MB maxPartitionBytes packing, serializing the Arrow tokenize
-    kernels; a round-robin repartition (cheap relative to the kernel)
-    restores parallelism. At cluster scale the natural split count
-    already exceeds the target and this is a no-op.
-    """
-    target = df.sparkSession.sparkContext.defaultParallelism * factor
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+from codeindex_spark.util import ensure_parallelism as _ensure_parallelism
 
 
 def _atomic_write_json(path: str, obj: dict) -> None:

@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from codeindex_spark.util import ensure_parallelism
+
 # compact stopword tables (public common-word lists, truncated)
 STOPWORDS = {
     "en": {"the", "a", "of", "and", "to", "in", "is", "it", "that", "for"},
@@ -122,7 +124,9 @@ def language_id(
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(kernel, schema=schema)
+    return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
+        kernel, schema=schema
+    )
 
 
 def token_count_bpe_ish(

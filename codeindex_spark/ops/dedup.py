@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from codeindex_spark.util import ensure_parallelism
+
 
 def exact_duplicates(
     df: DataFrame,
@@ -76,6 +78,7 @@ def shingles(
     split + slice + concat_ws under posexplode — no Python.
     """
     toks = F.split(F.col(text_col), " +")
+    df = ensure_parallelism(df)  # explode-heavy: never run on 1 split
     out = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(toks).alias("pos", "w"),
@@ -232,7 +235,7 @@ def simhash64(
     was Spark-only). Vectorized via explode + bit ops + sum — all
     JVM-side expressions.
     """
-    words = df.select(
+    words = ensure_parallelism(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " +")).alias("w"),
     ).filter(F.col("w") != "")

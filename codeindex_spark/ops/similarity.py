@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from codeindex_spark.util import ensure_parallelism
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -115,7 +117,9 @@ def batch_cosine_topk(
 
     from pyspark.sql import Window
 
-    scored = vectors.select(id_col, vec_col).mapInPandas(kernel, schema=schema)
+    scored = ensure_parallelism(vectors.select(id_col, vec_col)).mapInPandas(
+        kernel, schema=schema
+    )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -160,7 +164,9 @@ def hyperplane_lsh_buckets(
                 }
             )
 
-    return vectors.select(id_col, vec_col).mapInPandas(kernel, schema=schema)
+    return ensure_parallelism(vectors.select(id_col, vec_col)).mapInPandas(
+        kernel, schema=schema
+    )
 
 
 def ivf_train_centroids(
@@ -243,7 +249,9 @@ def ivf_assign(
                 cols[vec_col] = pdf[vec_col]
             yield pd.DataFrame(cols)
 
-    return vectors.select(id_col, vec_col).mapInPandas(kernel, schema=schema)
+    return ensure_parallelism(vectors.select(id_col, vec_col)).mapInPandas(
+        kernel, schema=schema
+    )
 
 
 @dataclass
