@@ -462,6 +462,25 @@ def _q_matched_lines(spark, sf_dir):
     )
 
 
+def _q_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs restricted to LSH bucket mates
+    (the bounded 100-TB shape; exact cosine re-rank inside buckets)."""
+    from codeindex_spark.ops.similarity import embedding_near_dup_pairs
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        emb, dim=64, threshold=0.3, n_bits=6
+    ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _q_langid(spark, sf_dir):
+    from codeindex_spark.ops.analysis import language_id
+
+    return language_id(_load(spark, sf_dir, "documents")).select(
+        "doc_id", "lang_pred", F.round("lang_conf", 6).alias("lang_conf")
+    )
+
+
 def _q_quality(spark, sf_dir):
     from codeindex_spark.ops.analysis import quality_score
 
@@ -582,6 +601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_jaccard": _q_dedup_jaccard,
         "dd_minhash_lsh": _q_dedup_minhash,
         "dd_simhash": _q_dedup_simhash,
+        "dd_embed_neardup": _q_embed_neardup,
+        "tx_langid": _q_langid,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
@@ -678,6 +699,55 @@ def _ivf_candidate_ids(
     probe = set(np.argsort(-(centroids @ qn))[:n_probe].tolist())
     cand = sorted(int(i) for i, c in zip(ids, cell) if int(c) in probe)
     return ",".join(map(str, cand))
+
+
+def _lsh_bucket_values(n_bits: int = 6, seed: int = 42) -> str:
+    """(vec_id, bucket) VALUES rows for the full embedding table —
+    the same seeded hyperplanes recomputed from parquet; DuckDB does
+    the exact cosine + threshold over the bucket-mate pairs."""
+    import numpy as np
+
+    ids, mat = _oracle_embedding_matrix()
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bits, mat.shape[1]))
+    weights = 1 << np.arange(n_bits)
+    buckets = (((mat @ planes.T) > 0) * weights).sum(axis=1)
+    return ",".join(f"({int(i)},{int(b)})" for i, b in zip(ids, buckets))
+
+
+def _langid_oracle_sql() -> str:
+    """Stopword-overlap language ID as SQL: distinct-token overlap
+    per language, argmax with first-in-sorted-order tie-break (the
+    kernel's np.argmax), confidence = best/total."""
+    from codeindex_spark.ops.analysis import STOPWORDS
+
+    langs = sorted(STOPWORDS)
+    score_cols = ",\n                   ".join(
+        "count(DISTINCT CASE WHEN term IN ("
+        + ", ".join(repr(w) for w in sorted(STOPWORDS[lg]))
+        + f") THEN term END) AS s_{lg}"
+        for lg in langs
+    )
+    total = " + ".join(f"s_{lg}" for lg in langs)
+    pred = f"CASE WHEN {total} = 0 THEN 'unknown'"
+    for i, lg in enumerate(langs):
+        rest = [f"s_{lg} >= s_{o}" for o in langs[i + 1 :]]
+        if rest:
+            pred += f" WHEN {' AND '.join(rest)} THEN '{lg}'"
+        else:
+            pred += f" ELSE '{lg}' END"
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    return f"""WITH {_TOK},
+            dt AS (SELECT DISTINCT doc_id, term FROM tok),
+            sc AS (SELECT d.doc_id,
+                   {score_cols}
+                   FROM documents d LEFT JOIN dt USING (doc_id)
+                   GROUP BY d.doc_id)
+            SELECT doc_id, {pred} AS lang_pred,
+                   CASE WHEN {total} = 0 THEN 0.0::DOUBLE
+                        ELSE round({best}::DOUBLE / ({total}), 6)
+                   END AS lang_conf
+            FROM sc"""
 
 
 def _simhash_oracle_sql() -> str:
@@ -820,25 +890,46 @@ def oracle_sql() -> dict[str, str]:
               ON a.band = b.band AND a.band_key = b.band_key
              AND a.doc_id < b.doc_id""",
         "ann_cosine_topk": """
-            WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
+            WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings
+                       WHERE vec_id = 0)
             SELECT vec_id FROM embeddings
             WHERE vec_id <> 0
-            ORDER BY list_cosine_similarity(embedding, (SELECT e FROM q)) DESC,
+            ORDER BY list_cosine_similarity(embedding::DOUBLE[],
+                                            (SELECT e FROM q)) DESC,
                      vec_id
             LIMIT 10""",
+        "dd_embed_neardup": f"""
+            WITH bk(vec_id, bucket) AS (VALUES {_lsh_bucket_values()}),
+            p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM bk a JOIN bk b
+                ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+            sim AS (
+              SELECT DISTINCT id_a, id_b,
+                     list_cosine_similarity(ea.embedding::DOUBLE[],
+                                            eb.embedding::DOUBLE[]) AS cos
+              FROM p JOIN embeddings ea ON ea.vec_id = id_a
+                     JOIN embeddings eb ON eb.vec_id = id_b)
+            SELECT id_a, id_b, round(cos, 6) AS cosine
+            FROM sim WHERE cos >= 0.3""",
+        "tx_langid": _langid_oracle_sql(),
         "dd_simhash": _simhash_oracle_sql(),
         "ann_lsh_topk": f"""
-            WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
+            WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings
+                       WHERE vec_id = 0)
             SELECT vec_id FROM embeddings
             WHERE vec_id IN ({_lsh_candidate_ids()})
-            ORDER BY list_cosine_similarity(embedding, (SELECT e FROM q)) DESC,
+            ORDER BY list_cosine_similarity(embedding::DOUBLE[],
+                                            (SELECT e FROM q)) DESC,
                      vec_id
             LIMIT 5""",
         "ann_ivf_topk": f"""
-            WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
+            WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings
+                       WHERE vec_id = 0)
             SELECT vec_id FROM embeddings
             WHERE vec_id IN ({_ivf_candidate_ids()})
-            ORDER BY list_cosine_similarity(embedding, (SELECT e FROM q)) DESC,
+            ORDER BY list_cosine_similarity(embedding::DOUBLE[],
+                                            (SELECT e FROM q)) DESC,
                      vec_id
             LIMIT 5""",
         "pv_highlight": f"""WITH {_CONTRIB},

@@ -169,6 +169,51 @@ def hyperplane_lsh_buckets(
     )
 
 
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_bits: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    hot_cap: int = 100000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a, id_b, cosine >=
+    threshold), restricted to hyperplane-LSH bucket mates — the
+    100 TB shape: the bucket join bounds candidates at O(N^2/2^bits)
+    instead of all-pairs, and buckets hotter than ``hot_cap`` are
+    dropped like stopwords (bounded reducer fan-out). Exact cosine
+    re-rank inside buckets, all JVM expressions."""
+    b = hyperplane_lsh_buckets(vectors, dim, n_bits, seed, id_col, vec_col)
+    hot = b.groupBy("bucket").count().filter(F.col("count") > hot_cap)
+    cool = b.join(F.broadcast(hot.select("bucket")), "bucket", "left_anti")
+    cand = (
+        cool.alias("a")
+        .join(cool.alias("b"), "bucket")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .distinct()
+    )
+    v = vectors.select(
+        F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vec")
+    )
+    paired = (
+        cand.join(v.withColumnRenamed("_vid", "id_a").withColumnRenamed("_vec", "_va"), "id_a")
+        .join(v.withColumnRenamed("_vid", "id_b").withColumnRenamed("_vec", "_vb"), "id_b")
+    )
+    cosine = _dot(F.col("_va"), F.col("_vb")) / (
+        _norm(F.col("_va")) * _norm(F.col("_vb"))
+    )
+    return (
+        paired.withColumn("cosine", cosine)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def ivf_train_centroids(
     vectors: DataFrame,
     dim: int,

@@ -145,6 +145,41 @@ def test_lsh_ann_recall(spark):
     assert len(set(exact) & set(approx)) >= 2
 
 
+def test_embedding_near_dup_pairs(spark):
+    """Pairs == numpy recompute: same seeded buckets, exact cosine,
+    threshold filter — and bucket restriction only ever removes
+    pairs, never invents them."""
+    from codeindex_spark.ops.similarity import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(21)
+    base = rng.standard_normal((30, 16))
+    # 30 base vectors + 30 jittered near-dups
+    mat = np.concatenate([base, base + 0.05 * rng.standard_normal((30, 16))])
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i].astype(np.float32)]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 6)
+        for r in embedding_near_dup_pairs(
+            vecs, dim=16, threshold=0.9, n_bits=4
+        ).collect()
+    }
+    # numpy oracle: same hyperplanes/buckets over the float32 values
+    m = mat.astype(np.float32).astype(np.float64)
+    planes = np.random.default_rng(42).standard_normal((4, 16))
+    buckets = (((m @ planes.T) > 0) * (1 << np.arange(4))).sum(axis=1)
+    exp = {}
+    for a in range(60):
+        for b in range(a + 1, 60):
+            if buckets[a] != buckets[b]:
+                continue
+            c = m[a] @ m[b] / (np.linalg.norm(m[a]) * np.linalg.norm(m[b]))
+            if c >= 0.9:
+                exp[(a, b)] = round(float(c), 6)
+    assert got == exp and len(exp) > 0
+
+
 def test_token_stats_and_quality(spark):
     from codeindex_spark.ops.analysis import quality_score, token_stats
 
