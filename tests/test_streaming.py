@@ -317,6 +317,52 @@ def test_maintain_stream(spark, tmp_path):
     )
 
 
+def test_debounced_latest_events(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState +
+    EventTimeTimeout): a path emits its LATEST event only after
+    gap_seconds of event-time silence — the reference watcher's
+    quiet-period timer (IndexMaintainer.cs:84-134). Three
+    micro-batches: burst on /a, watermark advance, timeout fire."""
+    from codeindex_spark.streaming.debounce import stream_debounced_events
+
+    events_dir = tmp_path / "ev"
+    events_dir.mkdir()
+    files = [
+        [  # burst on /a within the 5s gap — no emission yet
+            {"path": "/a", "old_path": None, "change_type": "Created",
+             "ts": "2024-01-01T00:00:00.000Z"},
+            {"path": "/a", "old_path": None, "change_type": "Changed",
+             "ts": "2024-01-01T00:00:02.000Z"},
+        ],
+        [  # far-future event advances the watermark past /a's deadline
+            {"path": "/z", "old_path": None, "change_type": "Changed",
+             "ts": "2024-01-01T00:00:30.000Z"},
+        ],
+        [  # next batch processes the expired timer
+            {"path": "/z2", "old_path": None, "change_type": "Created",
+             "ts": "2024-01-01T00:00:31.000Z"},
+        ],
+    ]
+    import time as _time
+
+    for i, rows in enumerate(files):
+        with open(events_dir / f"b{i}.json", "w") as f:
+            for e in rows:
+                f.write(json.dumps(e) + "\n")
+        _time.sleep(1.1)  # distinct mtimes order the micro-batches
+
+    got = stream_debounced_events(
+        spark, str(events_dir), str(tmp_path / "ckpt_db"), gap_seconds=5.0
+    ).collect()
+    rows = {(r["path"], r["change_type"], r["ts"].second) for r in got}
+    # /a emitted exactly once, with the LATEST of its burst
+    assert ("/a", "Changed", 2) in rows
+    assert len([r for r in got if r["path"] == "/a"]) == 1
+    assert ("/a", "Created", 0) not in rows
+    # /z and /z2 never went quiet past the watermark -> still pending
+    assert not any(r["path"] in ("/z", "/z2") for r in got)
+
+
 def test_watermarked_windowed_counts(spark, tmp_path):
     """ST2/A4: watermark + tumbling windows over a file-source stream.
     Finalized windows equal the batch group-by; an event arriving
