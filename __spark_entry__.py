@@ -820,9 +820,12 @@ def oracle_sql() -> dict[str, str]:
         "q06_wildcard": f"""WITH {_CONTRIB}
             SELECT doc_id, round(sum(c), 6) AS score FROM contrib
             WHERE term LIKE 'sc%' GROUP BY doc_id""",
+        # damerau: Lucene FuzzyQuery counts transpositions as 1 edit
         "q07_fuzzy": f"""WITH {_CONTRIB}
             SELECT doc_id, round(sum(c), 6) AS score FROM contrib
-            WHERE levenshtein(term, 'spak') <= 1 GROUP BY doc_id""",
+            WHERE damerau_levenshtein(term, 'spak') <= 1
+              AND abs(length(term) - 4) <= 1
+            GROUP BY doc_id""",
         "q08_term_dict": f"""WITH {_TOK}
             SELECT term, count(DISTINCT doc_id)::BIGINT AS df,
                    count(*)::BIGINT AS cf

@@ -36,18 +36,40 @@ from codeindex_spark.query.planner import (
 from codeindex_spark.tokenizer import tokenize
 
 
-def _levenshtein(a: str, b: str, cap: int) -> int:
+def _damerau(a: str, b: str, cap: int) -> int:
+    """Unrestricted Damerau-Levenshtein (transposition = one edit,
+    edits allowed around it), the Lucene FuzzyQuery default the
+    engine mirrors and DuckDB's damerau_levenshtein implements.
+    Alphabet-row formulation, independent of the engine's version."""
     if abs(len(a) - len(b)) > cap:
         return cap + 1
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        cur = [i]
-        for j, cb in enumerate(b, 1):
-            cur.append(
-                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+    la, lb = len(a), len(b)
+    big = la + lb + 1
+    last_row: dict[str, int] = {}
+    # matrix with a sentinel row/col of `big`
+    m = [[big] * (lb + 2)]
+    m.append([big] + list(range(lb + 1)))
+    for i in range(1, la + 1):
+        m.append([big, i] + [0] * lb)
+    for i in range(1, la + 1):
+        last_col = 0
+        for j in range(1, lb + 1):
+            same = a[i - 1] == b[j - 1]
+            swap_i = last_row.get(b[j - 1], 0)
+            swap_j = last_col
+            if same:
+                last_col = j
+            m[i + 1][j + 1] = min(
+                m[i][j] + (0 if same else 1),
+                m[i][j + 1] + 1,
+                m[i + 1][j] + 1,
+                m[swap_i][swap_j]
+                + (i - swap_i - 1)
+                + (j - swap_j - 1)
+                + 1,
             )
-        prev = cur
-    return prev[-1]
+        last_row[a[i - 1]] = i
+    return m[la + 1][lb + 1]
 
 
 @dataclass
@@ -127,7 +149,7 @@ class OracleIndex:
             out = [
                 t
                 for t in terms
-                if abs(len(t) - len(q)) <= k and _levenshtein(t, q, k) <= k
+                if abs(len(t) - len(q)) <= k and _damerau(t, q, k) <= k
             ]
             return sorted(out)[:MAX_EXPANSIONS]
         raise TypeError(leaf)

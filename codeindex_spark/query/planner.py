@@ -111,6 +111,43 @@ def idf_bm25(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
+def damerau_distance(a: str, b: str, cap: int) -> int:
+    """Unrestricted Damerau-Levenshtein (Lowrance-Wagner) distance —
+    Lucene FuzzyQuery counts a transposition as ONE edit
+    (transpositions=true default; QueryGenerator.cs inherits it), so
+    plain levenshtein under-matches e.g. 'spakr'~1 vs 'spark'. The
+    unrestricted variant matches DuckDB's damerau_levenshtein, so the
+    driver oracle reproduces expansions exactly."""
+    if abs(len(a) - len(b)) > cap:
+        return cap + 1
+    la, lb = len(a), len(b)
+    inf = la + lb
+    h = [[inf] * (lb + 2) for _ in range(la + 2)]
+    for i in range(la + 1):
+        h[i + 1][1] = i
+    for j in range(lb + 1):
+        h[1][j + 1] = j
+    da: dict[str, int] = {}
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            i1 = da.get(b[j - 1], 0)
+            j1 = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            h[i + 1][j + 1] = min(
+                h[i][j] + cost,
+                h[i + 1][j] + 1,
+                h[i][j + 1] + 1,
+                h[i1][j1] + (i - i1 - 1) + 1 + (j - j1 - 1),
+            )
+        da[a[i - 1]] = i
+    return h[la + 1][lb + 1]
+
+
 class SearchEngine:
     def __init__(self, reader: IndexReader):
         self.reader = reader
@@ -128,17 +165,25 @@ class SearchEngine:
         elif isinstance(leaf, ast.Fuzzy):
             q = leaf.term
             k = leaf.max_edits
-            rows = (
+            # coarse JVM prefilter: length window ±k and plain
+            # levenshtein <= 2k (any OSA edit sequence of length k is
+            # a levenshtein sequence of length <= 2k, a transposition
+            # being two substitutions) — the exact transposition-aware
+            # distance refines the small collected candidate set
+            cand = (
                 td.filter(
                     (F.length("term") >= len(q) - k)
                     & (F.length("term") <= len(q) + k)
                 )
-                .filter(F.levenshtein(F.col("term"), F.lit(q)) <= k)
+                .filter(F.levenshtein(F.col("term"), F.lit(q)) <= 2 * k)
                 .select("term", "df")
                 .orderBy("term")
-                .limit(MAX_EXPANSIONS)
+                .limit(4 * MAX_EXPANSIONS)
                 .collect()
             )
+            rows = [
+                r for r in cand if damerau_distance(r["term"], q, k) <= k
+            ][:MAX_EXPANSIONS]
         else:
             raise TypeError(leaf)
         return [(r["term"], r["df"]) for r in rows]

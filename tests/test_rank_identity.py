@@ -57,7 +57,19 @@ QUERIES = {
     "q04_bool_or_not": "string OR return NOT get",
     "q07_wildcard_prefix": "stri*",
     "q08_fuzzy": "strng~2",
+    # transposed adjacent chars = ONE edit (Damerau, the Lucene
+    # FuzzyQuery default) — plain levenshtein would need two
+    "q08b_fuzzy_transposition": "stirng~1",
 }
+
+
+def test_fuzzy_transposition_single_edit(engine, oracle):
+    """'stirng'~1 must expand to 'string' (transposition = 1 edit);
+    under plain levenshtein the distance is 2 and nothing matches."""
+    hits = engine.search("stirng~1", k=K).count()
+    assert hits > 0
+    exact = engine.search("string", k=K).count()
+    assert hits == exact  # only expansion within 1 DL edit is 'string'
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
