@@ -89,6 +89,87 @@ def test_compact_duplicates_keep_last(spark):
     assert compact_events(ev).count() == 1
 
 
+def _reference_preprocess(rows: list[dict]) -> list[dict]:
+    """Direct simulation of FileChangesPreProcessing.PreProcessingChanges
+    (three passes over the ordered in-memory queue) — the oracle the
+    distributed compact_events must reproduce."""
+    evs = [dict(r) for r in rows]
+    # pass 1: RemoveTemplateChanges
+    marked: set[int] = set()
+    for i, ch in enumerate(evs):
+        if ch["change_type"] != "Renamed":
+            continue
+        for j in range(i + 1, len(evs)):
+            u = evs[j]
+            if u["change_type"] == "Renamed" and u["path"] == ch["old_path"]:
+                marked.add(j)
+                ch["change_type"] = "Changed"
+                ch["path"] = ch["old_path"]
+                ch["old_path"] = None
+                break
+    evs = [e for i, e in enumerate(evs) if i not in marked]
+    # pass 2: RemoveTemplateDeletedChanges
+    marked = set()
+    for i, ch in enumerate(evs):
+        if ch["change_type"] != "Deleted":
+            continue
+        for j in range(i + 1, len(evs)):
+            u = evs[j]
+            if u["change_type"] == "Created" and u["path"] == ch["path"]:
+                marked.add(i)
+                u["change_type"] = "Changed"
+                break
+    evs = [e for i, e in enumerate(evs) if i not in marked]
+    # pass 3: RemoveDuplicatedChanges (keep last)
+    marked = set()
+    for i, ch in enumerate(evs):
+        for j in range(i + 1, len(evs)):
+            u = evs[j]
+            if (
+                u["change_type"] == ch["change_type"]
+                and u["path"] == ch["path"]
+                and u["old_path"] == ch["old_path"]
+            ):
+                marked.add(i)
+                break
+    return [e for i, e in enumerate(evs) if i not in marked]
+
+
+def test_compact_events_matches_reference_simulation(spark):
+    """Randomized sequences: the distributed compaction equals the
+    reference's sequential three-pass queue algorithm (as multisets —
+    output order across paths is unspecified)."""
+    import random
+
+    rnd = random.Random(1234)
+    paths = ["/a", "/b", "/c", "/d"]
+    for trial in range(12):
+        rows = []
+        for s in range(rnd.randint(1, 14)):
+            ct = rnd.choice(["Created", "Changed", "Deleted", "Renamed"])
+            p = rnd.choice(paths)
+            if ct == "Renamed":
+                op = rnd.choice([x for x in paths if x != p])
+            else:
+                op = None
+            rows.append(
+                {"path": p, "old_path": op, "change_type": ct, "ts": s}
+            )
+        exp = {
+            (e["path"], e["old_path"], e["change_type"], e["ts"])
+            for e in _reference_preprocess(rows)
+        }
+        ev = _events(
+            spark,
+            [(r["path"], r["old_path"], r["change_type"], r["ts"]) for r in rows],
+        )
+        got = {
+            (r["path"], r["old_path"], r["change_type"], r["ts"].second)
+            for r in compact_events(ev).collect()
+        }
+        assert got == exp, f"trial {trial}: {rows}\n got={got}\n exp={exp}"
+
+
 def test_compact_delete_create_with_intervening_event(spark):
     # reference pass 2 scans FORWARD, not just adjacent: Deleted(1),
     # Changed(2), Created(3) -> Deleted dropped, Created -> Changed,
