@@ -305,6 +305,30 @@ def _q_cs_negative(spark, sf_dir):
     )
 
 
+def _q_batch_search(spark, sf_dir):
+    """Batch multi-query execution: three query shapes share ONE
+    posting scan + shuffle + kernel job (search_many). Results are
+    per-query identical to the solo paths."""
+    eng = _engine(spark, sf_dir)
+    batch = {
+        "and": "merge AND batch",
+        "or": "sort OR merge NOT spark",
+        "wild": "sc*",
+    }
+    res = eng.search_many(batch, k=10**6)
+    docs = eng.reader.docs.select(
+        "doc_id",
+        F.regexp_extract("path", r"/(\d+)\.txt$", 1)
+        .cast("long")
+        .alias("orig_id"),
+    )
+    return res.join(docs, "doc_id").select(
+        "query",
+        F.col("orig_id").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def _q_term_dict(spark, sf_dir):
     eng = _engine(spark, sf_dir)
     return eng.reader.term_dict.filter(F.col("field") == "content").select(
@@ -596,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_scan_filter_project": _q_scan_filter_project,
         "q14_case_sensitive": _q_case_sensitive,
         "q15_cs_negative": _q_cs_negative,
+        "q16_batch_search": _q_batch_search,
         "a1_doc_len": _q_doc_len,
         "dd_exact": _q_dedup_exact,
         "dd_jaccard": _q_dedup_jaccard,
@@ -850,6 +875,26 @@ def oracle_sql() -> dict[str, str]:
         "q15_cs_negative": """
             SELECT CAST(1 AS BIGINT) AS doc_id, 1.0::DOUBLE AS score
             WHERE false""",
+        "q16_batch_search": f"""WITH {_CONTRIB},
+            and_q AS (
+              SELECT 'and' AS query, doc_id, round(sum(c), 6) AS score
+              FROM contrib WHERE term IN ('merge', 'batch')
+              GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+            or_u AS (
+              SELECT doc_id, c FROM contrib WHERE term = 'sort'
+              UNION ALL
+              SELECT doc_id, c FROM contrib
+              WHERE term = 'merge' AND doc_id NOT IN
+                (SELECT doc_id FROM contrib WHERE term = 'spark')),
+            or_q AS (
+              SELECT 'or' AS query, doc_id, round(sum(c), 6) AS score
+              FROM or_u GROUP BY doc_id),
+            wild_q AS (
+              SELECT 'wild' AS query, doc_id, round(sum(c), 6) AS score
+              FROM contrib WHERE term LIKE 'sc%' GROUP BY doc_id)
+            SELECT * FROM and_q
+            UNION ALL SELECT * FROM or_q
+            UNION ALL SELECT * FROM wild_q""",
         "a1_doc_len": f"""WITH {_TOK}
             SELECT doc_id, count(*)::BIGINT AS n_tokens FROM tok GROUP BY doc_id""",
         "dd_exact": """

@@ -116,6 +116,22 @@ def main() -> None:
     for name, fn in qset.items():
         queries[name] = round(p50(fn), 3)
 
+    # batch execution: the same 8 scored query shapes in ONE posting
+    # scan + shuffle + kernel job (hints excluded — not a scored query)
+    batch = {
+        "b1": "table",
+        "b2": "spark",
+        "b3": "merge AND batch",
+        "b4": "sort OR merge NOT spark",
+        "b5": ast.parse_phrase_query("fast sort"),
+        "b6": ast.parse_phrase_query("fast s*"),
+        "b7": "sc*",
+        "b8": "spak~1",
+    }
+    queries["q_batch8"] = round(
+        p50(lambda: eng.search_many(batch, k=100).collect()), 3
+    )
+
     # ---- phase 4: pipeline ops ----
     from codeindex_spark.ops.analysis import quality_score
     from codeindex_spark.ops.dedup import minhash_lsh_pairs
@@ -135,7 +151,10 @@ def main() -> None:
     for name, fn in opset.items():
         queries[name] = round(p50(fn), 3)
 
-    total = sum(queries.values())
+    # headline total keeps the round-1-comparable set; q_batch8 is an
+    # informational extra (8 scored queries in ONE job, vs the ~8x
+    # per-query job cost visible in the q0* keys)
+    total = sum(v for k, v in queries.items() if k != "q_batch8")
     result.update(
         {
             "metric": "index build + reference query set + pipeline ops, wall seconds",

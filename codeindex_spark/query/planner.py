@@ -40,7 +40,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -52,6 +52,14 @@ MAX_EXPANSIONS = 1024  # Lucene BooleanQuery.maxClauseCount parity
 
 SCORE_SCHEMA = T.StructType(
     [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+    ]
+)
+
+MULTI_SCORE_SCHEMA = T.StructType(
+    [
+        T.StructField("query", T.StringType(), False),
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("score", T.DoubleType(), False),
     ]
@@ -368,6 +376,124 @@ class SearchEngine:
         if candidates is None:
             return self.reader.spark.createDataFrame([], SCORE_SCHEMA)
         return self._score_stream(candidates, kernel)
+
+    def score_many(
+        self,
+        queries: dict[str, ast.Node | str],
+        case_sensitive: bool = False,
+    ) -> DataFrame:
+        """Batch evaluation: (query, doc_id, score) for EVERY query in
+        ONE posting scan + shuffle + kernel pass.
+
+        Per-query execution pays the fixed Spark job cost (scan +
+        shuffle + Python stage launch) once per query; a search tier
+        serving many concurrent queries over a 1000-executor index
+        should amortize it. The per-query (leaf_id, slot, idf) mapping
+        rows are tagged with the query name, the posting filter is the
+        union of every query's terms, and the block kernel dispatches
+        each query's slice of the decoded batch to that query's
+        existing kernel closure — semantics identical to score()."""
+        spark = self.reader.spark
+        all_rows: list[dict] = []
+        kernels: dict[str, tuple] = {}
+        k1, b, bsz = self.params.k1, self.params.b, self.params.block_size
+        for qname, query in queries.items():
+            root = (
+                ast.parse_query(query, case_sensitive)
+                if isinstance(query, str)
+                else query
+            )
+            rows, leaf_ids = self._plan_rows(root)
+            if not rows:
+                continue
+            for r in rows:
+                all_rows.append({**r, "qid": qname})
+            fields = sorted({r["field"] for r in rows})
+            avgdl = {f: self.reader.field_stats(f)[1] for f in fields}
+            if _is_pure_disjunction(root):
+                mult: dict[int, int] = {}
+                for leaf in ast.collect_leaves(root):
+                    lid = leaf_ids[leaf]
+                    mult[lid] = mult.get(lid, 0) + 1
+                kernels[qname] = _make_disjunctive_batch_kernel(
+                    avgdl, k1, b, bsz, mult
+                )
+            else:
+                kernels[qname] = _make_tree_batch_kernel(
+                    root, leaf_ids, avgdl, k1, b, bsz
+                )
+        if not all_rows:
+            return spark.createDataFrame([], MULTI_SCORE_SCHEMA)
+        mapping = spark.createDataFrame(pd.DataFrame(all_rows))
+        fields = sorted({r["field"] for r in all_rows})
+        cond = None
+        for f in fields:
+            ts = sorted({r["term"] for r in all_rows if r["field"] == f})
+            c = (F.col("field") == f) & F.col("term").isin(ts)
+            cond = c if cond is None else (cond | c)
+        candidates = self.reader.postings.filter(cond).join(
+            F.broadcast(mapping), ["field", "term"]
+        )
+
+        def combined(body: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            for qid, sub in body.groupby("qid", sort=False):
+                out = kernels[qid](sub)
+                if len(out):
+                    out.insert(0, "query", qid)
+                    outs.append(out)
+            if not outs:
+                return pd.DataFrame(
+                    {
+                        "query": pd.Series(dtype=object),
+                        "doc_id": pd.Series(dtype="int64"),
+                        "score": pd.Series(dtype="float64"),
+                    }
+                )
+            return pd.concat(outs, ignore_index=True)
+
+        def stream(batches):
+            carry = None
+            for pdf in batches:
+                if carry is not None and len(carry):
+                    pdf = pd.concat([carry, pdf], ignore_index=True)
+                    carry = None
+                if len(pdf) == 0:
+                    continue
+                bids = pdf["block_id"].to_numpy()
+                in_last = bids == bids[-1]
+                carry = pdf[in_last]
+                body = pdf[~in_last]
+                if len(body):
+                    yield combined(body)
+            if carry is not None and len(carry):
+                yield combined(carry)
+
+        shuffled = candidates.repartition(
+            F.col("block_id")
+        ).sortWithinPartitions("block_id")
+        return shuffled.mapInPandas(stream, schema=MULTI_SCORE_SCHEMA)
+
+    def search_many(
+        self,
+        queries: dict[str, ast.Node | str],
+        k: int = 100,
+        case_sensitive: bool = False,
+    ) -> DataFrame:
+        """Batch top-k: (query, doc_id, score) with per-query rank
+        (score desc, doc_id asc) <= k — one job for the whole batch."""
+        scored = self.score_many(queries, case_sensitive)
+        live = getattr(self.reader, "live_doc_ids", lambda: None)()
+        if live is not None:
+            scored = scored.join(live, "doc_id", "left_semi")
+        w = Window.partitionBy("query").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            scored.withColumn("_rnk", F.row_number().over(w))
+            .filter(F.col("_rnk") <= k)
+            .drop("_rnk")
+        )
 
     def search_wand(
         self,

@@ -63,6 +63,29 @@ QUERIES = {
 }
 
 
+def test_search_many_equals_per_query(engine, oracle):
+    """Batch multi-query execution (one posting scan + shuffle +
+    kernel job for the whole set) is score- and rank-identical to
+    running each query alone."""
+    batch = {
+        "kw": "get",
+        "band": "index AND writer",
+        "bor": "string OR return NOT get",
+        "wild": "stri*",
+        "fz": "strng~2",
+        "ph": ast.parse_phrase_query("add documents"),
+    }
+    got = engine.search_many(batch, k=K).collect()
+    by_q: dict[str, list] = {}
+    for r in sorted(got, key=lambda r: (r["query"], -r["score"], r["doc_id"])):
+        by_q.setdefault(r["query"], []).append((r["doc_id"], r["score"]))
+    for name, q in batch.items():
+        solo = [
+            (r["doc_id"], r["score"]) for r in engine.search(q, k=K).collect()
+        ]
+        assert by_q.get(name, []) == solo, name
+
+
 def test_fuzzy_transposition_single_edit(engine, oracle):
     """'stirng'~1 must expand to 'string' (transposition = 1 edit);
     under plain levenshtein the distance is 2 and nothing matches."""
