@@ -644,13 +644,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-# The driver's oracle comparison always runs at sf0.01; the seeded
+# The driver's oracle comparison runs at sf0.01 (override with
+# SPARK_GRAFT_ORACLE_SF_DIR, read at call time); the seeded
 # candidate-set oracles below read the same parquet with pandas+numpy
 # (no engine code) to freeze bucket/cell membership, and let DuckDB do
 # the exact cosine ranking over that literal id set.
-_ORACLE_SF_DIR = os.environ.get(
-    "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
-)
+def _oracle_sf_dir() -> str:
+    return os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
 
 
 def _oracle_embedding_matrix():
@@ -658,7 +660,7 @@ def _oracle_embedding_matrix():
     import pandas as pd
 
     emb = pd.read_parquet(
-        os.path.join(_ORACLE_SF_DIR, "embeddings.parquet")
+        os.path.join(_oracle_sf_dir(), "embeddings.parquet")
     ).sort_values("vec_id")
     ids = emb["vec_id"].to_numpy()
     mat = np.stack(

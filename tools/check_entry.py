@@ -60,6 +60,9 @@ def main() -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
+    # seeded-candidate oracles (ann_*, dd_embed_neardup) recompute
+    # bucket/cell membership from the parquet they are compared at
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_fail = 0
