@@ -42,7 +42,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from codeindex_spark.index.build import IndexParams, prepare_docs
-from codeindex_spark.index.segments import IndexBuilder, IndexPaths, IndexReader
+from codeindex_spark.index.segments import (
+    IndexBuilder,
+    IndexPaths,
+    IndexReader,
+    _atomic_write_json,
+)
 
 CHANGE_TYPES = ("Created", "Changed", "Deleted", "Renamed")
 
@@ -441,6 +446,178 @@ class IncrementalIndex:
         shutil.rmtree(self._removed_words_dir, ignore_errors=True)
         self._write_segments(
             [{"name": "base", "dir": old_base, "end_doc": self._segment_end(old_base)}]
+        )
+        self._merge_metadata()
+
+
+    def merge_compact(self) -> None:
+        """Postings-level compaction: drop tombstoned docs from the
+        stacked posting blocks by decode-filter-reencode — WITHOUT
+        re-tokenizing the corpus (the Lucene segment-merge analog:
+        segments rewrite, content is never re-analyzed). At 100 TB the
+        tokenize + (field, term, block) shuffle dominates a rebuild;
+        this pass touches only the posting bytes plus one JVM-side
+        token-COUNT pass over live docs for exact stats.
+
+        Differences vs compact(): live doc_ids are PRESERVED (the doc
+        space keeps holes where dead docs were), so the result is not
+        byte-identical to a fresh build — but BM25 stats, df/cf, and
+        block-max metadata are recomputed exactly, so scores match a
+        fresh build per document.
+
+        Scale shape: dead ids are grouped per doc-block (<= block_size
+        ids per group) and JOINED to posting rows on block_id — no
+        driver-side dead-id set, no broadcast of unbounded state."""
+        import shutil
+
+        from codeindex_spark.index import encoding
+        from codeindex_spark.index.build import (
+            _SUM_COLS,
+            POSTING_SCHEMA,
+            _stats_from_sums,
+            _tok_count_cols,
+            hints_from_term_dict,
+            term_dict_from_postings,
+        )
+
+        spark = self.spark
+        segs = self.segments()
+        if not segs:
+            raise RuntimeError("build_base first")
+        bsz = self.params.block_size
+        k1, b_ = self.params.k1, self.params.b
+
+        live = self.live_docs()
+        sums_row = (
+            _tok_count_cols(live)
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                *[
+                    F.sum(F.col(f"_tc_{c}")).alias(f"sum_{c}")
+                    for c in _SUM_COLS
+                ],
+            )
+            .collect()[0]
+        )
+        stats = _stats_from_sums(
+            sums_row.asDict(), tuple(self.params.fields)
+        )
+        avgdl_map = {r.field: float(r.avgdl) for r in stats.itertuples()}
+
+        dead = (
+            self.all_docs()
+            .join(live.select("doc_key"), "doc_key", "left_anti")
+            .select("doc_id")
+            .withColumn("block_id", (F.col("doc_id") / bsz).cast("long"))
+        )
+        dead_by_block = dead.groupBy("block_id").agg(
+            F.collect_list("doc_id").alias("deadids")
+        )
+        posts = self.reader().postings.select(
+            [f.name for f in POSTING_SCHEMA.fields]
+        )
+        joined = posts.join(dead_by_block, "block_id", "left")
+
+        def rewrite(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
+            for pdf in batches:
+                out_rows = []
+                for r in pdf.itertuples(index=False):
+                    docs = encoding.decode_block_docs(
+                        bytes(r.docs_delta), int(r.block_id), bsz
+                    )
+                    tfs = encoding.varint_decode(bytes(r.tfs))
+                    dls = encoding.varint_decode(bytes(r.dls))
+                    pc, flat = encoding.decode_positions(
+                        bytes(r.pos_counts), bytes(r.pos_deltas)
+                    )
+                    if pc.size != docs.size:  # positionless field
+                        pc = np.zeros(docs.size, dtype=np.int64)
+                        flat = np.zeros(0, dtype=np.int64)
+                    starts = np.concatenate(([0], np.cumsum(pc)[:-1]))
+                    dead_ids = r.deadids
+                    if dead_ids is not None and len(dead_ids):
+                        keep = ~np.isin(
+                            docs, np.asarray(dead_ids, dtype=np.int64)
+                        )
+                    else:
+                        keep = np.ones(docs.size, dtype=bool)
+                    if not keep.any():
+                        continue
+                    idx = np.flatnonzero(keep)
+                    plists = [
+                        flat[starts[i] : starts[i] + pc[i]] for i in idx
+                    ]
+                    blk = encoding.encode_block(
+                        docs[idx],
+                        tfs[idx],
+                        dls[idx],
+                        plists,
+                        int(r.block_id),
+                        avgdl_map[r.field],
+                        k1,
+                        b_,
+                        bsz,
+                    )
+                    out_rows.append(
+                        {
+                            "field": r.field,
+                            "term": r.term,
+                            "block_id": int(r.block_id),
+                            "n": blk["n"],
+                            "cf": int(tfs[idx].sum()),
+                            "docs_delta": blk["docs_delta"],
+                            "tfs": blk["tfs"],
+                            "dls": blk["dls"],
+                            "pos_counts": blk["pos_counts"],
+                            "pos_deltas": blk["pos_deltas"],
+                            "block_max_tfnorm": blk["block_max_tfnorm"],
+                        }
+                    )
+                if out_rows:
+                    yield pd.DataFrame(out_rows)
+
+        merged_dir = os.path.join(self.root, "base_merged")
+        shutil.rmtree(merged_dir, ignore_errors=True)
+        mp = IndexPaths(merged_dir)
+        new_posts = joined.mapInPandas(rewrite, schema=POSTING_SCHEMA)
+        par = max(spark.sparkContext.defaultParallelism, 4)
+        (
+            new_posts.repartitionByRange(par, "field", "term", "block_id")
+            .sortWithinPartitions("field", "term", "block_id")
+            .write.mode("overwrite")
+            .partitionBy("field")
+            .parquet(os.path.join(mp.postings, "group=0"))
+        )
+        live.write.mode("overwrite").partitionBy("group").parquet(mp.docs)
+        stats.to_parquet(mp.stats, index=False)
+        _atomic_write_json(mp.params, self.params.to_dict())
+        # offsets are a planning artifact of the original base; the
+        # merged segment keeps the SAME doc space, so carry them over
+        pd.read_parquet(IndexPaths(segs[0]["dir"]).offsets).to_parquet(
+            mp.offsets, index=False
+        )
+        td = term_dict_from_postings(spark.read.parquet(mp.postings))
+        (
+            td.repartitionByRange(max(par // 2, 2), "field", "term")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .partitionBy("field")
+            .parquet(mp.term_dict)
+        )
+        hints_from_term_dict(spark.read.parquet(mp.term_dict)).coalesce(
+            4
+        ).write.mode("overwrite").parquet(mp.hints)
+
+        end_doc = segs[-1]["end_doc"]
+        for s in segs:
+            if os.path.abspath(s["dir"]) != os.path.abspath(merged_dir):
+                shutil.rmtree(s["dir"], ignore_errors=True)
+        shutil.rmtree(self._tomb_dir, ignore_errors=True)
+        shutil.rmtree(self._removed_words_dir, ignore_errors=True)
+        self._write_segments(
+            [{"name": "merged", "dir": merged_dir, "end_doc": end_doc}]
         )
         self._merge_metadata()
 

@@ -358,6 +358,61 @@ def test_hint_word_removed_with_last_doc(spark, tmp_path):
     assert "content" not in words2  # no live doc has it anymore
 
 
+def test_merge_compact_equals_fresh_scores(spark, tmp_path, versions):
+    """Postings-level compaction (decode-filter-reencode, NO
+    re-tokenization) produces exactly the scores of a fresh build per
+    document: live doc_ids keep their holes, but BM25 stats, df/cf,
+    and block-max metadata are recomputed from live docs only."""
+    v1, v2, deleted_path = versions
+    root = str(tmp_path / "mc")
+    inc = IncrementalIndex(spark, root, PARAMS, n_groups=1)
+    inc.build_base(spark.createDataFrame(v1))
+    inc.apply_snapshot(spark.createDataFrame(v2))
+    inc.merge_compact()
+    assert len(inc.segments()) == 1
+    assert not os.path.exists(inc._tomb_dir)
+
+    from codeindex_spark.index.segments import IndexBuilder
+
+    fresh_dir = str(tmp_path / "mc_fresh")
+    IndexBuilder(spark, fresh_dir, PARAMS, n_groups=1).build(
+        spark.createDataFrame(v2), resume=False
+    )
+    eng_m = SearchEngine(inc.reader())
+    eng_f = SearchEngine(IndexReader(spark, fresh_dir))
+    for q in ("get", "string OR return NOT get", "uniquenewterm"):
+        got = {
+            r["path"]: r["score"]
+            for r in eng_m.search(q, k=200, with_docs=True).collect()
+        }
+        exp = {
+            r["path"]: r["score"]
+            for r in eng_f.search(q, k=200, with_docs=True).collect()
+        }
+        assert got.keys() == exp.keys(), q
+        for p in exp:
+            assert got[p] == pytest.approx(exp[p], rel=1e-12), (q, p)
+    # deleted doc is gone; hints match the fresh build's
+    assert eng_m.search("get", k=500, with_docs=True).filter(
+        F.col("path") == deleted_path
+    ).count() == 0
+    hints_m = {r["word"] for r in inc.reader().hints.collect()}
+    hints_f = {r["word"] for r in eng_f.reader.hints.collect()}
+    assert hints_m == hints_f
+    # WAND still admissible on the merged index (recomputed block-max)
+    wq = "string OR return"
+    wand = [
+        (r["doc_id"], r["score"])
+        for r in eng_m.search_wand(wq, k=20)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .collect()
+    ]
+    exact = [
+        (r["doc_id"], r["score"]) for r in eng_m.search(wq, k=20).collect()
+    ]
+    assert wand == exact
+
+
 def test_maintain_stream(spark, tmp_path):
     v1 = generate_documents(CorpusSpec(n_docs=20))
     root = str(tmp_path / "stream_idx")
