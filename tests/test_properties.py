@@ -124,6 +124,29 @@ def test_eval_phrase_doc_ids_beyond_int32(entries, big_base):
     assert small_d.tolist() == expect
 
 
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(alphabet="abcde", max_size=8),
+    st.text(alphabet="abcde", max_size=8),
+)
+def test_damerau_three_way_agreement(a, b):
+    """Engine kernel (Lowrance-Wagner rolling form), the independent
+    oracle implementation, and DuckDB's damerau_levenshtein — the
+    function the driver oracle uses — must agree on every input."""
+    import duckdb
+
+    from codeindex_spark.query.oracle import _damerau
+    from codeindex_spark.query.planner import damerau_distance
+
+    d = duckdb.sql(
+        "SELECT damerau_levenshtein(?, ?)", params=[a, b]
+    ).fetchone()[0]
+    assert damerau_distance(a, b, 99) == _damerau(a, b, 99) == d
+    # cap semantics: beyond-cap length gaps short-circuit consistently
+    if abs(len(a) - len(b)) > 2:
+        assert damerau_distance(a, b, 2) > 2 and _damerau(a, b, 2) > 2
+
+
 @settings(max_examples=100, deadline=None)
 @given(
     st.lists(
