@@ -533,8 +533,18 @@ class SearchEngine:
         # re-scanning them for phases 2-3 is cheap (parquet row-group
         # pruning on term pushes the filter to the scan).
         bsz = self.params.block_size
+        # _ub_scale (stacked incremental readers) corrects block-max
+        # bounds encoded under a segment avgdl smaller than the merged
+        # one; plain readers have no such column (factor 1)
+        scale = (
+            F.col("_ub_scale")
+            if "_ub_scale" in candidates.columns
+            else F.lit(1.0)
+        )
         meta = candidates.groupBy("block_id").agg(
-            F.sum(F.col("idf") * F.col("block_max_tfnorm")).alias("ub")
+            F.sum(F.col("idf") * F.col("block_max_tfnorm") * scale).alias(
+                "ub"
+            )
         ).cache()
         try:
             n_seed = max(1, -(-4 * k // bsz))

@@ -641,10 +641,38 @@ class MultiReader:
 
     @property
     def postings(self) -> DataFrame:
+        """Unioned postings with a per-row `_ub_scale` column: block-max
+        tfnorms were encoded with each SEGMENT's avgdl, but queries
+        score with the MERGED avgdl. tfnorm is increasing in avgdl, so
+        a valid query-time upper bound is the stored block-max times
+        max(1, avgdl_merged / avgdl_segment) — without it, WAND could
+        prune a block whose docs now out-score their build-time bound."""
         segs = self.inc.segments()
-        dfs = [
-            self.spark.read.parquet(IndexPaths(s["dir"]).postings) for s in segs
-        ]
+        merged = {
+            r.field: float(r.avgdl) for r in self.stats.itertuples()
+        }
+        dfs = []
+        for s in segs:
+            seg_stats = pd.read_parquet(IndexPaths(s["dir"]).stats)
+            fac = {}
+            for r in seg_stats.itertuples():
+                seg_avgdl = float(r.avgdl)
+                fac[r.field] = (
+                    max(1.0, merged.get(r.field, seg_avgdl) / seg_avgdl)
+                    if seg_avgdl > 0
+                    else 1.0
+                )
+            mapping = F.create_map(
+                *[
+                    x
+                    for f_, v in sorted(fac.items())
+                    for x in (F.lit(f_), F.lit(v))
+                ]
+            )
+            dfs.append(
+                self.spark.read.parquet(IndexPaths(s["dir"]).postings)
+                .withColumn("_ub_scale", mapping[F.col("field")])
+            )
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)

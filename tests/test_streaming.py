@@ -324,6 +324,57 @@ def test_compact_equals_fresh_build(spark, inc_index, versions, tmp_path):
     assert a == b
 
 
+def test_wand_admissible_on_stacked_segments(spark, tmp_path):
+    """Stacked segments encode block-max bounds under their OWN avgdl,
+    while queries score with the MERGED avgdl; appending much longer
+    docs raises the merged avgdl, so base-segment bounds must be
+    scaled up (max(1, merged/segment)) or WAND prunes true top-k
+    blocks. Pinned by wand == exact on such an index."""
+    cols = ["repo", "path", "commit", "lang", "content"]
+    # base: short docs containing the query term
+    v1 = pd.DataFrame(
+        [
+            ("r", f"s{i}.py", "c0000000000001", "python",
+             "needle " + " ".join(f"w{i}x{j}" for j in range(3)))
+            for i in range(30)
+        ],
+        columns=cols,
+    )
+    inc = IncrementalIndex(spark, str(tmp_path / "wandidx"), PARAMS)
+    inc.build_base(spark.createDataFrame(v1))
+    # delta: many much longer docs (some with the term) -> merged
+    # avgdl far above the base segment's
+    v2 = pd.concat(
+        [
+            v1,
+            pd.DataFrame(
+                [
+                    ("r", f"l{i}.py", "c0000000000001", "python",
+                     ("needle " if i % 4 == 0 else "")
+                     + " ".join(f"pad{i}y{j}" for j in range(120)))
+                    for i in range(40)
+                ],
+                columns=cols,
+            ),
+        ],
+        ignore_index=True,
+    )
+    inc.apply_snapshot(spark.createDataFrame(v2))
+    eng = SearchEngine(inc.reader())
+    for k in (2, 5, 10):
+        wand = [
+            (r["doc_id"], r["score"])
+            for r in eng.search_wand("needle", k=k)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .collect()
+        ]
+        exact = [
+            (r["doc_id"], r["score"])
+            for r in eng.search("needle", k=k).collect()
+        ]
+        assert wand == exact, k
+
+
 def test_hint_word_removed_with_last_doc(spark, tmp_path):
     """Reference deletes a hint word when the last doc containing it
     goes away (CodeIndexBuilder.cs:369-375,446-452) — WITHOUT waiting
