@@ -481,16 +481,38 @@ class SearchEngine:
         case_sensitive: bool = False,
     ) -> DataFrame:
         """Batch top-k: (query, doc_id, score) with per-query rank
-        (score desc, doc_id asc) <= k — one job for the whole batch."""
+        (score desc, doc_id asc) <= k — one job for the whole batch.
+
+        Top-k is two-phase: a per-PARTITION partial top-k per query
+        (narrow pass, no shuffle) bounds the input of the final
+        per-query window to n_partitions * k rows — a bare
+        Window.partitionBy(query) would funnel every match of a
+        stop-word-grade query into one reducer."""
         scored = self.score_many(queries, case_sensitive)
         live = getattr(self.reader, "live_doc_ids", lambda: None)()
         if live is not None:
             scored = scored.join(live, "doc_id", "left_semi")
+
+        def partial_topk(batches):
+            best: dict[str, pd.DataFrame] = {}
+            for pdf in batches:
+                for q, sub in pdf.groupby("query", sort=False):
+                    cur = best.get(q)
+                    allr = pd.concat([cur, sub]) if cur is not None else sub
+                    best[q] = allr.sort_values(
+                        ["score", "doc_id"],
+                        ascending=[False, True],
+                        kind="mergesort",
+                    ).head(k)
+            if best:
+                yield pd.concat(best.values(), ignore_index=True)
+
+        pruned = scored.mapInPandas(partial_topk, schema=MULTI_SCORE_SCHEMA)
         w = Window.partitionBy("query").orderBy(
             F.desc("score"), F.asc("doc_id")
         )
         return (
-            scored.withColumn("_rnk", F.row_number().over(w))
+            pruned.withColumn("_rnk", F.row_number().over(w))
             .filter(F.col("_rnk") <= k)
             .drop("_rnk")
         )
