@@ -221,15 +221,37 @@ class SearchEngine:
 
     # ---------- planning ----------
 
+    def _lookup_exact_df(
+        self, exact_terms: dict[str, set[str]]
+    ) -> dict[tuple[str, str], int]:
+        """One dictionary job for a (field -> terms) want-set."""
+        exact_df: dict[tuple[str, str], int] = {}
+        if not exact_terms:
+            return exact_df
+        cond = None
+        for fld, ts in exact_terms.items():
+            c = (F.col("field") == fld) & F.col("term").isin(sorted(ts))
+            cond = c if cond is None else (cond | c)
+        for r in (
+            self.reader.term_dict.filter(cond)
+            .select("field", "term", "df")
+            .collect()
+        ):
+            exact_df[(r["field"], r["term"])] = r["df"]
+        return exact_df
+
     def _plan_rows(
-        self, root: ast.Node
+        self,
+        root: ast.Node,
+        exact_df: dict[tuple[str, str], int] | None = None,
     ) -> tuple[list[dict], dict[ast.Node, int]]:
         """Assign leaf ids; build (field, term, leaf_id, slot, idf)
         mapping rows. Identical leaves share an id (same semantics).
 
         All exact-term lookups across every leaf and phrase slot run
-        as ONE batched dictionary job; only wildcard/fuzzy expansions
-        need their own predicate scans.
+        as ONE batched dictionary job (score_many shares one lookup
+        across the whole query batch via ``exact_df``); only
+        wildcard/fuzzy expansions need their own predicate scans.
         """
         leaf_ids: dict[ast.Node, int] = {}
         wants: list[tuple[int, str, int, object]] = []
@@ -258,18 +280,8 @@ class SearchEngine:
             else:
                 wants.append((lid, fld, -1, leaf))
 
-        exact_df: dict[tuple[str, str], int] = {}
-        if exact_terms:
-            cond = None
-            for fld, ts in exact_terms.items():
-                c = (F.col("field") == fld) & F.col("term").isin(sorted(ts))
-                cond = c if cond is None else (cond | c)
-            for r in (
-                self.reader.term_dict.filter(cond)
-                .select("field", "term", "df")
-                .collect()
-            ):
-                exact_df[(r["field"], r["term"])] = r["df"]
+        if exact_df is None:
+            exact_df = self._lookup_exact_df(exact_terms)
 
         rows: list[dict] = []
         for lid, fld, slot_idx, spec in wants:
@@ -397,13 +409,28 @@ class SearchEngine:
         all_rows: list[dict] = []
         kernels: dict[str, tuple] = {}
         k1, b, bsz = self.params.k1, self.params.b, self.params.block_size
-        for qname, query in queries.items():
-            root = (
+        roots = {
+            qname: (
                 ast.parse_query(query, case_sensitive)
                 if isinstance(query, str)
                 else query
             )
-            rows, leaf_ids = self._plan_rows(root)
+            for qname, query in queries.items()
+        }
+        # ONE dictionary job for every exact term of every query in
+        # the batch (wildcard/fuzzy expansions still scan per leaf)
+        all_exact: dict[str, set[str]] = {}
+        for root in roots.values():
+            for leaf in ast.collect_leaves(root):
+                if isinstance(leaf, ast.Phrase):
+                    for slot in leaf.slots:
+                        if "*" not in slot and "?" not in slot:
+                            all_exact.setdefault(leaf.field, set()).add(slot)
+                elif isinstance(leaf, ast.Term):
+                    all_exact.setdefault(leaf.field, set()).add(leaf.term)
+        shared_df = self._lookup_exact_df(all_exact)
+        for qname, root in roots.items():
+            rows, leaf_ids = self._plan_rows(root, exact_df=shared_df)
             if not rows:
                 continue
             for r in rows:
