@@ -303,11 +303,25 @@ class IndexBuilder:
         offsets = self.plan(docs_raw)
         self.write_docs(docs_raw, offsets)
         done = self.committed_groups() if resume else set()
+        todo = [g for g in range(self.n_groups) if g not in done]
+        # Groups are independent jobs over disjoint doc partitions;
+        # submitting them concurrently (Spark schedules jobs from
+        # multiple threads within one session) overlaps their fixed
+        # stage/driver overhead and fills scheduler gaps — resumability
+        # is unchanged: each group still commits its own manifest.
         records = []
-        for g in range(self.n_groups):
-            if g in done:
-                continue
-            records.append(self.build_group(docs_raw, offsets, g))
+        if len(todo) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(len(todo), 4)) as ex:
+                records = list(
+                    ex.map(
+                        lambda g: self.build_group(docs_raw, offsets, g),
+                        todo,
+                    )
+                )
+        else:
+            records = [self.build_group(docs_raw, offsets, g) for g in todo]
         if not self.is_finalized() or records:
             self.finalize()
         return records
