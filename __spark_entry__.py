@@ -329,6 +329,19 @@ def _q_batch_search(spark, sf_dir):
     )
 
 
+def _q_path_substring(spark, sf_dir):
+    """Substring path search via the path_trigram n-gram field
+    (north_star 'path n-grams'): trigram posting intersection prunes
+    candidates, exact contains() verifies."""
+    eng = _engine(spark, sf_dir)
+    res = eng.search_path_substring("c3/1")
+    return res.select(
+        F.regexp_extract("path", r"/(\d+)\.txt$", 1)
+        .cast("long")
+        .alias("doc_id")
+    )
+
+
 def _q_term_dict(spark, sf_dir):
     eng = _engine(spark, sf_dir)
     return eng.reader.term_dict.filter(F.col("field") == "content").select(
@@ -621,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_case_sensitive": _q_case_sensitive,
         "q15_cs_negative": _q_cs_negative,
         "q16_batch_search": _q_batch_search,
+        "q17_path_substring": _q_path_substring,
         "a1_doc_len": _q_doc_len,
         "dd_exact": _q_dedup_exact,
         "dd_jaccard": _q_dedup_jaccard,
@@ -877,6 +891,10 @@ def oracle_sql() -> dict[str, str]:
         "q15_cs_negative": """
             SELECT CAST(1 AS BIGINT) AS doc_id, 1.0::DOUBLE AS score
             WHERE false""",
+        "q17_path_substring": """
+            SELECT doc_id FROM documents
+            WHERE contains(lower(source || '/' || CAST(doc_id AS VARCHAR)
+                           || '.txt'), 'c3/1')""",
         "q16_batch_search": f"""WITH {_CONTRIB},
             and_q AS (
               SELECT 'and' AS query, doc_id, round(sum(c), 6) AS score

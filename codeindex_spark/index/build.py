@@ -55,7 +55,18 @@ B_DEFAULT = 0.75
 CONTENT_FIELDS = ("content", "content_cs")
 # content_camel: EXTRA CamelCase-subtoken identifier field (north_star);
 # the reference-compatible fields keep rank identity untouched
-ALL_FIELDS = ("content", "content_cs", "file_name", "file_path", "content_camel")
+ALL_FIELDS = (
+    "content",
+    "content_cs",
+    "file_name",
+    "file_path",
+    "content_camel",
+    "path_trigram",
+)
+
+# overlapping char trigrams via lookahead capture (path n-gram field —
+# BASELINE.json north_star: substring path search without a full scan)
+TRIGRAM_RE = r"(?=(.{3}))"
 
 
 @dataclass(frozen=True)
@@ -67,7 +78,7 @@ class IndexParams:
     fields: tuple[str, ...] = ALL_FIELDS
     # fields that skip positional postings (no phrase support there;
     # camel is an identifier-lookup field, positions are dead weight)
-    positionless: tuple[str, ...] = ("content_camel",)
+    positionless: tuple[str, ...] = ("content_camel", "path_trigram")
     # docID space starts here (block-aligned); delta segments of an
     # incremental index stack above their predecessors
     base_doc_id: int = 0
@@ -192,6 +203,7 @@ def token_rows(
     want_name = "file_name" in fields
     want_path = "file_path" in fields
     want_camel = "content_camel" in fields
+    want_trigram = "path_trigram" in fields
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -221,11 +233,17 @@ def token_rows(
                     regex=CAMEL_RE,
                     emit_positions="content_camel" not in positionless,
                 )
+            if want_trigram:
+                yield from _doc_term_rows(
+                    ids, pdf["path"].str.lower(), None, "path_trigram",
+                    regex=TRIGRAM_RE,
+                    emit_positions="path_trigram" not in positionless,
+                )
 
     cols = ["doc_id", "content"]
     if want_name:
         cols.append("file_name")
-    if want_path:
+    if want_path or want_trigram:
         cols.append("path")
     return docs.select(*cols).mapInPandas(extract, schema=TOKEN_ROW_SCHEMA)
 
@@ -245,6 +263,9 @@ def _tok_count_cols(docs: DataFrame) -> DataFrame:
         tok_count(F.lower(F.col("file_name"))).alias("_tc_file_name"),
         tok_count(F.lower(F.col("path"))).alias("_tc_file_path"),
         camel_count(F.col("content")).alias("_tc_content_camel"),
+        F.greatest(F.length(F.lower(F.col("path"))) - 2, F.lit(0))
+        .cast("long")
+        .alias("_tc_path_trigram"),
     )
 
 
@@ -258,7 +279,13 @@ def _stats_from_sums(row_like, fields: tuple[str, ...]) -> pd.DataFrame:
     return pd.DataFrame(out, columns=["field", "n_docs", "avgdl", "total_dl"])
 
 
-_SUM_COLS = ("content", "file_name", "file_path", "content_camel")
+_SUM_COLS = (
+    "content",
+    "file_name",
+    "file_path",
+    "content_camel",
+    "path_trigram",
+)
 
 
 def compute_field_stats(docs: DataFrame, fields: tuple[str, ...] = ALL_FIELDS) -> pd.DataFrame:

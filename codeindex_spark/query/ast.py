@@ -37,6 +37,7 @@ FIELD_ALIASES = {
     # extra CamelCase-subtoken identifier field (always lowercased)
     "camel": "content_camel",
     "content_camel": "content_camel",
+    "path_trigram": "path_trigram",
 }
 DEFAULT_FIELD = "content"
 

@@ -106,6 +106,10 @@ class OracleIndex:
             "file_name": lambda r: [t.lower() for t in tokenize(r.file_name)],
             "file_path": lambda r: [t.lower() for t in tokenize(r.path)],
             "content_camel": lambda r: camel_token_stream(r.content),
+            "path_trigram": lambda r: [
+                r.path.lower()[i : i + 3]
+                for i in range(max(len(r.path) - 2, 0))
+            ],
         }
         for fld, fn in field_sources.items():
             post: dict[str, dict[int, list[int]]] = {}

@@ -663,6 +663,31 @@ class SearchEngine:
             )
         return top
 
+    def search_path_substring(self, substr: str) -> DataFrame:
+        """Substring path search via the path n-gram field (north_star
+        'path n-grams'): AND the substring's overlapping char trigrams
+        against path_trigram postings — the intersection prunes to a
+        small candidate set read from term-pruned parquet — then
+        verify candidates exactly with contains() on the stored path.
+        A plain contains() would scan every doc row at 10^12 files;
+        this touches only the substring's trigram postings plus the
+        candidate doc rows. Substrings shorter than 3 chars fall back
+        to the doc scan (no trigram can represent them)."""
+        s = substr.lower()
+        docs = self.reader.docs
+        if len(s) >= 3:
+            grams = sorted({s[i : i + 3] for i in range(len(s) - 2)})
+            node: ast.Node = (
+                ast.Term(grams[0], "path_trigram")
+                if len(grams) == 1
+                else ast.And(
+                    tuple(ast.Term(g, "path_trigram") for g in grams)
+                )
+            )
+            ids = self.score(node).select("doc_id")
+            docs = docs.join(ids, "doc_id", "left_semi")
+        return docs.filter(F.lower(F.col("path")).contains(s))
+
     # ---------- point ops (Q7/Q8/K2) ----------
 
     def lookup_pk(self, doc_key: str) -> DataFrame:

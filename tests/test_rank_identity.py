@@ -86,6 +86,33 @@ def test_search_many_equals_per_query(engine, oracle):
         assert by_q.get(name, []) == solo, name
 
 
+def test_path_substring_via_trigrams(engine, oracle):
+    """Substring path search through the path_trigram n-gram field
+    equals brute-force contains() on every doc — including the
+    below-trigram-length fallback."""
+    docs = oracle.docs
+    sub = docs["path"].iloc[5][4:9]
+    got = sorted(
+        r["doc_id"] for r in engine.search_path_substring(sub).collect()
+    )
+    exp = sorted(
+        docs[
+            docs["path"].str.lower().str.contains(sub.lower(), regex=False)
+        ]["doc_id"]
+    )
+    assert got == exp and got
+    short = sub[:2]
+    got2 = sorted(
+        r["doc_id"] for r in engine.search_path_substring(short).collect()
+    )
+    exp2 = sorted(
+        docs[
+            docs["path"].str.lower().str.contains(short.lower(), regex=False)
+        ]["doc_id"]
+    )
+    assert got2 == exp2
+
+
 def test_fuzzy_transposition_single_edit(engine, oracle):
     """'stirng'~1 must expand to 'string' (transposition = 1 edit);
     under plain levenshtein the distance is 2 and nothing matches."""
