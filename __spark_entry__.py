@@ -369,7 +369,17 @@ def _q_path_term(spark, sf_dir):
     from codeindex_spark.query import ast
 
     eng = _engine(spark, sf_dir)
-    return _orig_ids(eng, eng.score(ast.Term("src3", "file_path")))
+    return _orig_ids(eng, eng.score(ast.Term("src3", "file_path")), extra=_SCORE)
+
+
+def _q_filename_term(spark, sf_dir):
+    """Tokenized file-name field search (reference FileName TextField,
+    IndexBuilderHelper.cs:25). Engine names tokenize to exactly
+    (digits, '.', 'txt') so dl == avgdl and score == idf."""
+    from codeindex_spark.query import ast
+
+    eng = _engine(spark, sf_dir)
+    return _orig_ids(eng, eng.score(ast.Term("txt", "file_name")), extra=_SCORE)
 
 
 def _q_pk_lookup(spark, sf_dir):
@@ -635,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_cs_negative": _q_cs_negative,
         "q16_batch_search": _q_batch_search,
         "q17_path_substring": _q_path_substring,
+        "q18_filename_term": _q_filename_term,
         "a1_doc_len": _q_doc_len,
         "dd_exact": _q_dedup_exact,
         "dd_jaccard": _q_dedup_jaccard,
@@ -880,7 +891,18 @@ def oracle_sql() -> dict[str, str]:
             FROM contrib t JOIN documents d USING (doc_id)
             WHERE t.term = 'spark' AND d.lang = 'en'
             GROUP BY t.doc_id""",
-        "q11_path_term": "SELECT doc_id FROM documents WHERE source = 'src3'",
+        # file_path-field BM25: every engine path tokenizes to exactly
+        # 5 tokens (source, /, id, ., txt) so dl == avgdl and
+        # tfnorm == 1.0 exactly; score == idf of the source token
+        "q11_path_term": """
+            WITH m AS (SELECT doc_id FROM documents WHERE source = 'src3'),
+            st AS (SELECT count(*)::DOUBLE AS df FROM m),
+            nn AS (SELECT count(*)::DOUBLE AS n FROM documents)
+            SELECT doc_id,
+                   round(ln(1.0::DOUBLE +
+                     ((SELECT n FROM nn) - (SELECT df FROM st) + 0.5::DOUBLE)
+                     / ((SELECT df FROM st) + 0.5::DOUBLE)), 6) AS score
+            FROM m""",
         "q12_pk_lookup": "SELECT doc_id, lang FROM documents WHERE doc_id = 42",
         "q13_scan_filter_project": """
             SELECT doc_id, n_chars FROM documents
@@ -895,6 +917,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE contains(lower(source || '/' || CAST(doc_id AS VARCHAR)
                            || '.txt'), 'c3/1')""",
+        "q18_filename_term": """
+            WITH st AS (SELECT count(*)::DOUBLE AS df FROM documents),
+            nn AS (SELECT count(*)::DOUBLE AS n FROM documents)
+            SELECT doc_id,
+                   round(ln(1.0::DOUBLE +
+                     ((SELECT n FROM nn) - (SELECT df FROM st) + 0.5::DOUBLE)
+                     / ((SELECT df FROM st) + 0.5::DOUBLE)), 6) AS score
+            FROM documents""",
         "q16_batch_search": f"""WITH {_CONTRIB},
             and_q AS (
               SELECT 'and' AS query, doc_id, round(sum(c), 6) AS score
