@@ -6,12 +6,17 @@ matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
 Entries map to SURVEY.md §2 operators:
-  q01..q13  — index-query operators (Q1-Q10, K1/K2, P1/P2, S1)
-  a1..a2    — aggregation operators (A1/A2 corpus stats, term dict)
-  dd_*      — dedup pipeline ops (exact, jaccard, minhash-LSH, simhash)
-  ann_*     — similarity search (brute-force cosine top-k, LSH ANN)
-  tx_*      — text analysis (quality, fingerprint, BPE-ish counts)
-  st_*      — streaming-maintenance analogs on the events table (ST3)
+  q01..q18  — index-query operators (Q1-Q10, K1/K2, P1/P2, S1, T3/T5,
+              batch multi-query, path-trigram substring)
+  a1        — aggregation operators (A1/A2 corpus stats, term dict)
+  pv_*      — presentation (V1 highlight, V2 matched lines)
+  dd_*      — dedup ops (exact, jaccard, minhash-LSH, simhash,
+              embedding near-dup)
+  ann_*     — similarity search (brute-force / LSH / materialized-IVF)
+  tx_*      — text analysis (quality, fingerprint, BPE-ish counts,
+              language ID)
+  st_*      — streaming-maintenance analogs on the events table
+  rel_*     — relational shapes (agg / broadcast join / window rank)
 
 The fulltext entries run the REAL engine end-to-end: build the
 compressed inverted index over sf_dir's documents table (cached under

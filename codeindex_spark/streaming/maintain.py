@@ -129,7 +129,13 @@ def compact_events(
         adj = non_renames
 
     def compact(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        recs = pdf.sort_values("ts", kind="mergesort").to_dict("records")
+        # ts is the queue order; break exact-ts ties deterministically
+        # (shuffle order is arbitrary) on (change_type, old_path)
+        recs = pdf.sort_values(
+            ["ts", "change_type", "old_path"],
+            kind="mergesort",
+            na_position="first",
+        ).to_dict("records")
         for r in recs:  # null old_path may arrive as NaN; NaN != NaN
             if pd.isna(r["old_path"]):
                 r["old_path"] = None
