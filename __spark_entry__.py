@@ -631,6 +631,86 @@ def _q_event_window(spark, sf_dir):
     )
 
 
+def _mm_media(spark, sf_dir):
+    """Deterministic media table derived from `documents`: every doc
+    gets a media row; doc_id % 3 == 0 rows are videos (duration only),
+    the rest images (dims only). Pure expressions — the oracle can
+    recompute the same metadata in SQL."""
+    d = _load(spark, sf_dir, "documents")
+    is_video = F.col("doc_id") % 3 == 0
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(is_video, F.lit("video")).otherwise(F.lit("image")).alias("kind"),
+        F.struct(
+            F.when(~is_video, (F.lit(8) + (F.col("doc_id") % 9) * 4))
+            .cast("int")
+            .alias("width"),
+            F.when(~is_video, (F.lit(6) + (F.col("doc_id") % 7) * 6))
+            .cast("int")
+            .alias("height"),
+            F.when(~is_video, F.lit(3)).cast("int").alias("channels"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.when(is_video, (F.lit(200) + (F.col("doc_id") % 12) * 125))
+            .cast("int")
+            .alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def _q_mm_resize_plan(spark, sf_dir):
+    from codeindex_spark.ops.multimodal import resize_image_meta
+
+    media = _mm_media(spark, sf_dir).filter(F.col("kind") == "image")
+    return resize_image_meta(media, max_side=16).select(
+        "media_id",
+        "kind",
+        F.col("target_width").cast("long").alias("target_width"),
+        F.col("target_height").cast("long").alias("target_height"),
+    )
+
+
+def _q_mm_frame_sample(spark, sf_dir):
+    from codeindex_spark.ops.multimodal import sample_frames
+
+    media = _mm_media(spark, sf_dir).filter(F.col("kind") == "video")
+    out = sample_frames(media, every_ms=250)
+    return out.select(
+        "media_id", F.col("frame_ms").cast("long").alias("frame_ms")
+    )
+
+
+def _q_mm_feature_hist(spark, sf_dir):
+    from codeindex_spark.ops.multimodal import (
+        image_histogram_counts,
+        synth_media,
+    )
+
+    # payloads are seeded bytes (synth_media) — the sf tables carry no
+    # binary column; the decode+histogram kernel is the thing under test
+    return image_histogram_counts(synth_media(spark, n=16, kind="image"))
+
+
+def _mm_hist_values(n: int = 16) -> str:
+    """The fake-decode histogram recomputed independently with plain
+    numpy+hashlib (same seeded definition as ops/multimodal.py synth +
+    _fake_decode) — emitted as a VALUES literal for DuckDB."""
+    import hashlib
+
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        payload = hashlib.sha256(f"media{i}".encode()).digest() * 8
+        seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+        hist, _ = np.histogram(img, bins=8, range=(0, 256))
+        rows.append(
+            f"({i},{','.join(str(int(x)) for x in hist)},{len(payload)})"
+        )
+    return ",".join(rows)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_bm25_topk": _q_bm25_topk,
@@ -666,6 +746,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_quality": _q_quality,
         "tx_fingerprint": _q_fingerprint,
         "tx_bpe_count": _q_bpe_count,
+        "mm_resize_plan": _q_mm_resize_plan,
+        "mm_frame_sample": _q_mm_frame_sample,
+        "mm_feature_hist": _q_mm_feature_hist,
         "st_event_compaction": _q_event_compaction,
         "st_event_window": _q_event_window,
         "rel_pricing_summary": _q_pricing_summary,
@@ -1110,6 +1193,30 @@ def oracle_sql() -> dict[str, str]:
                      ) AS rnk
               FROM orders JOIN customer ON o_custkey = c_custkey)
             WHERE rnk <= 3""",
+        "mm_resize_plan": """
+            WITH m AS (
+              SELECT doc_id AS media_id, 'image' AS kind,
+                     (8 + (doc_id % 9) * 4) AS w,
+                     (6 + (doc_id % 7) * 6) AS h
+              FROM documents WHERE doc_id % 3 <> 0),
+            s AS (SELECT media_id, kind, w, h,
+                         least(16 / greatest(w, h), 1.0) AS scale
+                  FROM m)
+            SELECT media_id, kind,
+                   CAST(round(w * scale) AS BIGINT) AS target_width,
+                   CAST(round(h * scale) AS BIGINT) AS target_height
+            FROM s""",
+        "mm_frame_sample": """
+            WITH v AS (
+              SELECT doc_id AS media_id,
+                     (200 + (doc_id % 12) * 125) AS dur
+              FROM documents WHERE doc_id % 3 = 0)
+            SELECT media_id,
+                   unnest(range(0, dur, 250))::BIGINT AS frame_ms
+            FROM v""",
+        "mm_feature_hist": f"""
+            SELECT * FROM (VALUES {_mm_hist_values()})
+            AS t(media_id, b0, b1, b2, b3, b4, b5, b6, b7, n_bytes)""",
         "st_event_compaction": """
             SELECT user_id, arg_max(event_type, ts) AS last_type,
                    round(arg_max(value, ts), 6) AS last_value,

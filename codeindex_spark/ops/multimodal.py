@@ -119,6 +119,50 @@ def extract_image_features(df: DataFrame, fake: bool = True) -> DataFrame:
     return df.mapInPandas(kernel, schema=FEATURE_SCHEMA)
 
 
+HIST_SCHEMA = T.StructType(
+    [T.StructField("media_id", T.LongType(), False)]
+    + [T.StructField(f"b{i}", T.LongType(), False) for i in range(8)]
+    + [T.StructField("n_bytes", T.LongType(), False)]
+)
+
+
+def image_histogram_counts(df: DataFrame, fake: bool = True) -> DataFrame:
+    """mapInPandas decode -> 8-bin integer pixel histogram (counts,
+    not normalized floats — exact integers survive any downstream
+    comparison). Same production plumbing as extract_image_features;
+    the flat schema is the driver-oracle-friendly projection."""
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {"media_id": [], "n_bytes": []}
+            bins: list[list[int]] = [[] for _ in range(8)]
+            for r in pdf.itertuples():
+                meta = r.meta
+                img = decode_image(
+                    bytes(r.payload),
+                    meta["width"],
+                    meta["height"],
+                    meta["channels"],
+                    fake=fake,
+                )
+                hist, _ = np.histogram(img, bins=8, range=(0, 256))
+                out["media_id"].append(r.media_id)
+                out["n_bytes"].append(len(bytes(r.payload)))
+                for i in range(8):
+                    bins[i].append(int(hist[i]))
+            yield pd.DataFrame(
+                {
+                    "media_id": out["media_id"],
+                    **{f"b{i}": bins[i] for i in range(8)},
+                    "n_bytes": out["n_bytes"],
+                }
+            )
+
+    return df.mapInPandas(kernel, schema=HIST_SCHEMA)
+
+
 def resize_image_meta(df: DataFrame, max_side: int = 16) -> DataFrame:
     """Resize planning as pure expressions (the actual pixel resize
     happens inside the decode kernel at real scale): computes target

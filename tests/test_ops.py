@@ -246,6 +246,31 @@ def test_multimodal_plumbing(spark):
     assert frames.count() == 2 * 4  # 1000ms / 250ms
 
 
+def test_multimodal_histogram_counts(spark):
+    import hashlib
+
+    from codeindex_spark.ops.multimodal import (
+        image_histogram_counts,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=4, kind="image")
+    out = {r["media_id"]: r for r in image_histogram_counts(media).collect()}
+    assert len(out) == 4
+    for i, r in out.items():
+        counts = [r[f"b{j}"] for j in range(8)]
+        assert sum(counts) == 24 * 32 * 3  # every pixel lands in a bin
+        assert r["n_bytes"] == 256
+        # independent recompute: same seeded payload -> same histogram
+        payload = hashlib.sha256(f"media{i}".encode()).digest() * 8
+        seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+        img = np.random.default_rng(seed).integers(
+            0, 256, size=(24, 32, 3), dtype=np.uint8
+        )
+        hist, _ = np.histogram(img, bins=8, range=(0, 256))
+        assert counts == [int(x) for x in hist]
+
+
 def test_ivf_ann(spark, tmp_path):
     from codeindex_spark.ops.similarity import (
         brute_force_cosine_topk,
