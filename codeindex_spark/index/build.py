@@ -249,20 +249,24 @@ def token_rows(
 
 
 def _tok_count_cols(docs: DataFrame) -> DataFrame:
-    @F.pandas_udf(T.LongType())
-    def tok_count(s: pd.Series) -> pd.Series:
-        return s.fillna("").str.count(TOKEN_RE).astype(np.int64)
+    """Per-field token counts as JVM expressions (whole-stage codegen,
+    no Arrow transfer): the planning scan stays entirely JVM-side.
+    `regexp_count` with the tokenizer's own patterns is bit-equal to
+    the Python `str.count(TOKEN_RE)` counts (both count non-
+    overlapping matches; parity pinned incl. CJK / astral / escape
+    edge cases by tests/test_index_build.py::test_jvm_token_count_parity)."""
 
-    @F.pandas_udf(T.LongType())
-    def camel_count(s: pd.Series) -> pd.Series:
-        return s.fillna("").str.count(CAMEL_RE).astype(np.int64)
+    def tok_count(col):
+        return F.regexp_count(F.coalesce(col, F.lit("")), F.lit(TOKEN_RE.pattern))
 
     return docs.select(
         "*",
-        tok_count(F.col("content")).alias("_tc_content"),
-        tok_count(F.lower(F.col("file_name"))).alias("_tc_file_name"),
-        tok_count(F.lower(F.col("path"))).alias("_tc_file_path"),
-        camel_count(F.col("content")).alias("_tc_content_camel"),
+        tok_count(F.col("content")).cast("long").alias("_tc_content"),
+        tok_count(F.lower(F.col("file_name"))).cast("long").alias("_tc_file_name"),
+        tok_count(F.lower(F.col("path"))).cast("long").alias("_tc_file_path"),
+        F.regexp_count(F.coalesce(F.col("content"), F.lit("")), F.lit(CAMEL_RE.pattern))
+        .cast("long")
+        .alias("_tc_content_camel"),
         F.greatest(F.length(F.lower(F.col("path"))) - 2, F.lit(0))
         .cast("long")
         .alias("_tc_path_trigram"),

@@ -185,3 +185,45 @@ def test_manifest_metrics(index_dir):
         assert "sha_checksum" in rec
         total += rec["n_files"]
     assert total == SPEC.n_docs
+
+
+def test_jvm_token_count_parity(spark):
+    # the planning scan counts tokens with JVM regexp_count; it must be
+    # bit-equal to the Python tokenizer counts that produce per-doc dl
+    # (otherwise avgdl drifts and BM25 scores diverge from the oracle)
+    from pyspark.sql import functions as F
+
+    from codeindex_spark.index.build import _tok_count_cols
+    from codeindex_spark.tokenizer import CAMEL_RE, TOKEN_RE
+
+    adversarial = [
+        "", None, "　 full-width", "这是一个例句,我知道了", "a_b.c(d);",
+        "HTTPServer2Response getValue X", "\t\r\n", "__init__", "a" * 300,
+        "emoji \U0001F600\U0001F600 mix", "tab\tsep",
+        'quote"back\\slash', "caret^tilde~ $dollar `tick`",
+    ]
+    from codeindex_spark.index.build import prepare_docs
+
+    docs = prepare_docs(spark_documents(spark, CorpusSpec(n_docs=300, n_repos=8)))
+    extra = spark.createDataFrame(
+        [(t, f"f{i}.py", f"src/f{i}.py") for i, t in enumerate(adversarial)],
+        "content string, file_name string, path string",
+    )
+    base = docs.select("content", "file_name", "path").unionByName(extra)
+    got = _tok_count_cols(base).toPandas()
+    assert (
+        got["_tc_content"]
+        == got["content"].fillna("").str.count(TOKEN_RE)
+    ).all()
+    assert (
+        got["_tc_content_camel"]
+        == got["content"].fillna("").str.count(CAMEL_RE)
+    ).all()
+    assert (
+        got["_tc_file_path"]
+        == got["path"].fillna("").str.lower().str.count(TOKEN_RE)
+    ).all()
+    assert (
+        got["_tc_file_name"]
+        == got["file_name"].fillna("").str.lower().str.count(TOKEN_RE)
+    ).all()
