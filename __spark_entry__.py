@@ -920,6 +920,19 @@ def _simhash_oracle_sql() -> str:
         SELECT doc_id, ({" + ".join(terms)})::BIGINT AS simhash FROM s"""
 
 
+# MinHash universal-hash constants — mirrored from ops/dedup.py so the
+# DuckDB oracle reproduces the signatures bit-exactly.
+def _minhash_consts():
+    from codeindex_spark.ops.dedup import MINHASH_AB, MINHASH_P
+
+    a = "[" + ",".join(str(x) for x, _ in MINHASH_AB) + "]"
+    b = "[" + ",".join(str(x) for _, x in MINHASH_AB) + "]"
+    return MINHASH_P, a, b
+
+
+_MINHASH_P, _MINHASH_A, _MINHASH_B = _minhash_consts()
+
+
 def oracle_sql() -> dict[str, str]:
     qdocs = lambda term: (
         f"SELECT DISTINCT doc_id FROM tok WHERE term = '{term}'"
@@ -1062,14 +1075,21 @@ def oracle_sql() -> dict[str, str]:
                      a.term || ' ' || b.term || ' ' || c.term AS shingle
               FROM tok a JOIN tok b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
                          JOIN tok c ON a.doc_id=c.doc_id AND c.pos=a.pos+2),
+            fp AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS x
+              FROM sh),
             sig AS (
               SELECT doc_id, s.seed,
-                     min(md5(s.seed::VARCHAR || ':' || shingle)) AS minhash
-              FROM sh, (SELECT unnest([0,1,2,3,4,5,6,7]) AS seed) s
+                     min((s.a * x + s.b) % {_MINHASH_P}) AS minhash
+              FROM fp, (SELECT unnest(range(8)) AS seed,
+                               unnest({_MINHASH_A}) AS a,
+                               unnest({_MINHASH_B}) AS b) s
               GROUP BY doc_id, s.seed),
             bands AS (
               SELECT doc_id, seed // 2 AS band,
-                     string_agg(minhash, '|' ORDER BY minhash) AS band_key
+                     string_agg(minhash::VARCHAR, '|' ORDER BY minhash)
+                       AS band_key
               FROM sig GROUP BY doc_id, seed // 2)
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b

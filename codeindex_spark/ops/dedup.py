@@ -124,6 +124,26 @@ def ngram_jaccard_pairs(
     )
 
 
+# Universal-hash family for MinHash permutations: h_i(x) = (A_i*x + B_i)
+# mod P over the 32-bit shingle fingerprint x = first 8 md5 hex digits.
+# One md5 per shingle row instead of num_hashes of them, and the mins
+# aggregate 8-byte longs instead of 32-char strings. A_i < 2^31 keeps
+# A_i*x < 2^63 (no int64 overflow in Spark OR DuckDB); P is the
+# largest prime < 2^32. Constants are fixed (seeded once, hardcoded)
+# so any engine reproduces the signatures exactly.
+MINHASH_P = 4294967291
+MINHASH_AB = (
+    (1664525, 1013904223),
+    (22695477, 1),
+    (1103515245, 12345),
+    (134775813, 1),
+    (214013, 2531011),
+    (1140671485, 12820163),
+    (16807, 0),
+    (48271, 0),
+)
+
+
 def _minhash_wide(
     df: DataFrame,
     id_col: str,
@@ -132,14 +152,17 @@ def _minhash_wide(
     num_hashes: int,
 ) -> DataFrame:
     """One row per doc with num_hashes minhash columns m0..m{H-1}:
-    m_i = min over shingles of md5('<i>:'||shingle). ONE aggregation
-    over un-exploded shingle rows (num_hashes min() columns) — the
-    seed-explode variant multiplied the shuffle/agg input by
-    num_hashes for the same result (VERDICT r1 #4)."""
+    m_i = min over shingles of (A_i*fp32(shingle) + B_i) mod P. ONE
+    aggregation over un-exploded shingle rows (num_hashes min()
+    columns) — the seed-explode variant multiplied the shuffle/agg
+    input by num_hashes for the same result (VERDICT r1 #4)."""
+    if num_hashes > len(MINHASH_AB):
+        raise ValueError(f"num_hashes > {len(MINHASH_AB)} not supported")
     sh = shingles(df, id_col, text_col, n)
+    x = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"m{i}")
-        for i in range(num_hashes)
+        F.min((F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{i}")
+        for i, (a, b) in enumerate(MINHASH_AB[:num_hashes])
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 
@@ -151,11 +174,11 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 8,
 ) -> DataFrame:
-    """(doc_id, seed, minhash): minhash = min over shingles of
-    md5('<seed>:'||shingle) — a deterministic random permutation per
-    seed, engine-portable (md5 strings compare identically anywhere).
-    Computed as one wide aggregation then unpivoted (narrow, no extra
-    shuffle)."""
+    """(doc_id, seed, minhash): minhash = min over shingles of the
+    seed-th universal hash of the shingle fingerprint — deterministic
+    and engine-portable (md5-derived fingerprint + integer arithmetic
+    reproduce identically anywhere). Computed as one wide aggregation
+    then unpivoted (narrow, no extra shuffle)."""
     wide = _minhash_wide(df, id_col, text_col, n, num_hashes)
     unpivot = F.explode(
         F.array(
