@@ -40,8 +40,15 @@ def cmd_build(args) -> int:
     from codeindex_spark.index.build import IndexParams
     from codeindex_spark.index.segments import IndexBuilder
 
+    from codeindex_spark.sources import load_documents
+
     spark = _get_spark(args)
-    docs = spark.read.parquet(args.input)
+    docs = load_documents(
+        spark,
+        args.input,
+        fmt=args.format,
+        snapshot_id=args.snapshot_id,
+    )
     params = IndexParams(
         num_buckets=args.num_buckets, block_size=args.block_size
     )
@@ -139,6 +146,19 @@ def main(argv=None) -> int:
     b = sub.add_parser("build", help="build the inverted index")
     b.add_argument("--input", required=True)
     b.add_argument("--index", required=True)
+    b.add_argument(
+        "--format",
+        choices=["parquet", "table", "iceberg"],
+        default=None,
+        help="input source kind (default: infer — paths scan parquet, "
+        "identifiers read through the session catalog)",
+    )
+    b.add_argument(
+        "--snapshot-id",
+        type=int,
+        default=None,
+        help="pin an Iceberg snapshot (needs iceberg-spark-runtime)",
+    )
     b.add_argument("--num-buckets", type=int, default=64)
     b.add_argument("--block-size", type=int, default=128)
     b.add_argument("--groups", type=int, default=4)
