@@ -156,15 +156,49 @@ def damerau_distance(a: str, b: str, cap: int) -> int:
     return h[la + 1][lb + 1]
 
 
+# Driver-side dictionary cache bounds. Lucene keeps the term dictionary
+# in memory; the distributed analog is a bounded per-engine LRU of hot
+# (field, term) -> df entries and hot pattern expansions — repeat
+# queries skip the dictionary job entirely (one Spark job per search
+# instead of two). Entries are tiny ((str, str) -> int); 256k entries
+# is a few tens of MB. An engine is constructed per index state
+# (readers are immutable views), so staleness is structural, not timed.
+DICT_CACHE_CAP = 262_144
+EXPAND_CACHE_CAP = 512
+_MISS = object()  # sentinel: distinguishes "not cached" from "df is None"
+
+
 class SearchEngine:
-    def __init__(self, reader: IndexReader):
+    def __init__(self, reader: IndexReader, dict_cache: bool = True):
         self.reader = reader
         self.params = reader.params
+        self._cache_enabled = dict_cache
+        self._dict_cache: dict[tuple[str, str], int | None] = {}
+        self._expand_cache: dict[tuple, list] = {}
+
+    def invalidate_caches(self) -> None:
+        self._dict_cache.clear()
+        self._expand_cache.clear()
+
+    def _cache_put(self, cache: dict, cap: int, key, value) -> None:
+        if not self._cache_enabled:
+            return
+        if len(cache) >= cap:  # drop the oldest half (insertion order)
+            for k in list(cache)[: cap // 2]:
+                del cache[k]
+        cache[key] = value
 
     # ---------- leaf expansion ----------
 
     def _expand(self, field: str, leaf: ast.Node) -> list[tuple[str, int]]:
         """Resolve a leaf to [(term, df)] against the term dictionary."""
+        ck = None
+        if isinstance(leaf, ast.Wildcard):
+            ck = (field, "w", leaf.pattern)
+        elif isinstance(leaf, ast.Fuzzy):
+            ck = (field, "f", leaf.term, leaf.max_edits)
+        if ck is not None and ck in self._expand_cache:
+            return self._expand_cache[ck]
         td = self.reader.term_dict.filter(F.col("field") == field)
         if isinstance(leaf, ast.Term):
             rows = td.filter(F.col("term") == leaf.term).select("term", "df").collect()
@@ -194,7 +228,10 @@ class SearchEngine:
             ][:MAX_EXPANSIONS]
         else:
             raise TypeError(leaf)
-        return [(r["term"], r["df"]) for r in rows]
+        out = [(r["term"], r["df"]) for r in rows]
+        if ck is not None:
+            self._cache_put(self._expand_cache, EXPAND_CACHE_CAP, ck, out)
+        return out
 
     def _expand_pattern(self, td: DataFrame, pattern: str) -> list:
         prefix = literal_prefix(pattern)
@@ -224,12 +261,23 @@ class SearchEngine:
     def _lookup_exact_df(
         self, exact_terms: dict[str, set[str]]
     ) -> dict[tuple[str, str], int]:
-        """One dictionary job for a (field -> terms) want-set."""
+        """One dictionary job for a (field -> terms) want-set; cached
+        (field, term) hits — including negative ones — skip the job."""
         exact_df: dict[tuple[str, str], int] = {}
         if not exact_terms:
             return exact_df
-        cond = None
+        missing: dict[str, set[str]] = {}
         for fld, ts in exact_terms.items():
+            for t in ts:
+                hit = self._dict_cache.get((fld, t), _MISS)
+                if hit is _MISS:
+                    missing.setdefault(fld, set()).add(t)
+                elif hit is not None:
+                    exact_df[(fld, t)] = hit
+        if not missing:
+            return exact_df
+        cond = None
+        for fld, ts in missing.items():
             c = (F.col("field") == fld) & F.col("term").isin(sorted(ts))
             cond = c if cond is None else (cond | c)
         for r in (
@@ -238,6 +286,14 @@ class SearchEngine:
             .collect()
         ):
             exact_df[(r["field"], r["term"])] = r["df"]
+        for fld, ts in missing.items():
+            for t in ts:  # cache absent terms as None (negative hit)
+                self._cache_put(
+                    self._dict_cache,
+                    DICT_CACHE_CAP,
+                    (fld, t),
+                    exact_df.get((fld, t)),
+                )
         return exact_df
 
     def _plan_rows(

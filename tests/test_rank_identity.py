@@ -300,3 +300,39 @@ def test_camel_positionless_phrase_rejected(engine):
     q = ast.Phrase(("lucene", "pool"), "content_camel")
     with pytest.raises(ValueError, match="without positions"):
         engine.search(q, k=5)
+
+
+def test_dict_cache_repeat_query_identical(engine, oracle):
+    # first search populates the cache; the repeat must hit it (no
+    # dictionary job) and return identical ranked output
+    q = ast.parse_query("get AND string")
+    first = [(r["doc_id"], r["score"]) for r in engine.search(q, k=K).collect()]
+    assert ("content", "get") in engine._dict_cache
+    assert ("content", "string") in engine._dict_cache
+    before = dict(engine._dict_cache)
+    again = [(r["doc_id"], r["score"]) for r in engine.search(q, k=K).collect()]
+    assert first == again
+    assert engine._dict_cache == before  # pure cache hit, nothing re-fetched
+
+
+def test_dict_cache_negative_hit(engine):
+    q = ast.Term("zzzznotaterm", "content")
+    assert engine.search(q, k=5).count() == 0
+    assert engine._dict_cache.get(("content", "zzzznotaterm"), "x") is None
+    assert engine.search(q, k=5).count() == 0  # negative hit, still empty
+
+
+def test_dict_cache_invalidate_and_disable(spark, engine):
+    engine.invalidate_caches()
+    assert engine._dict_cache == {} and engine._expand_cache == {}
+    eng2 = SearchEngine(engine.reader, dict_cache=False)
+    eng2.search(ast.Term("get", "content"), k=5).collect()
+    assert eng2._dict_cache == {}
+
+
+def test_expand_cache_wildcard(engine, oracle):
+    q = ast.Wildcard("stri*", "content")
+    r1 = [(r["doc_id"], r["score"]) for r in engine.search(q, k=K).collect()]
+    assert ("content", "w", "stri*") in engine._expand_cache
+    r2 = [(r["doc_id"], r["score"]) for r in engine.search(q, k=K).collect()]
+    assert r1 == r2
