@@ -243,18 +243,22 @@ def _q_bm25_topk(spark, sf_dir):
     return _bm25_topk_orig(_engine(spark, sf_dir), "spark", 10)
 
 
-_SCORE = (F.round("score", 6).alias("score"),)
+def _SCORE():
+    # built lazily: constructing a Column at module import time
+    # requires an active SparkContext, and the driver may import this
+    # module before it creates its session
+    return (F.round("score", 6).alias("score"),)
 
 
 def _q_bool_and(spark, sf_dir):
     eng = _engine(spark, sf_dir)
-    return _orig_ids(eng, eng.score("merge AND batch"), extra=_SCORE)
+    return _orig_ids(eng, eng.score("merge AND batch"), extra=_SCORE())
 
 
 def _q_bool_or_not(spark, sf_dir):
     # parses as: sort OR (merge NOT spark)
     eng = _engine(spark, sf_dir)
-    return _orig_ids(eng, eng.score("sort OR merge NOT spark"), extra=_SCORE)
+    return _orig_ids(eng, eng.score("sort OR merge NOT spark"), extra=_SCORE())
 
 
 def _q_phrase(spark, sf_dir):
@@ -262,7 +266,7 @@ def _q_phrase(spark, sf_dir):
 
     eng = _engine(spark, sf_dir)
     return _orig_ids(
-        eng, eng.score(ast.parse_phrase_query("fast sort")), extra=_SCORE
+        eng, eng.score(ast.parse_phrase_query("fast sort")), extra=_SCORE()
     )
 
 
@@ -271,18 +275,18 @@ def _q_phrase_wildcard(spark, sf_dir):
 
     eng = _engine(spark, sf_dir)
     return _orig_ids(
-        eng, eng.score(ast.parse_phrase_query("fast s*")), extra=_SCORE
+        eng, eng.score(ast.parse_phrase_query("fast s*")), extra=_SCORE()
     )
 
 
 def _q_wildcard(spark, sf_dir):
     eng = _engine(spark, sf_dir)
-    return _orig_ids(eng, eng.score("sc*"), extra=_SCORE)
+    return _orig_ids(eng, eng.score("sc*"), extra=_SCORE())
 
 
 def _q_fuzzy(spark, sf_dir):
     eng = _engine(spark, sf_dir)
-    return _orig_ids(eng, eng.score("spak~1"), extra=_SCORE)
+    return _orig_ids(eng, eng.score("spak~1"), extra=_SCORE())
 
 
 def _q_case_sensitive(spark, sf_dir):
@@ -295,7 +299,7 @@ def _q_case_sensitive(spark, sf_dir):
 
     eng = _engine(spark, sf_dir)
     return _orig_ids(
-        eng, eng.score(ast.Term("STREAM", "content_cs")), extra=_SCORE
+        eng, eng.score(ast.Term("STREAM", "content_cs")), extra=_SCORE()
     )
 
 
@@ -306,7 +310,7 @@ def _q_cs_negative(spark, sf_dir):
 
     eng = _engine(spark, sf_dir)
     return _orig_ids(
-        eng, eng.score(ast.Term("stream", "content_cs")), extra=_SCORE
+        eng, eng.score(ast.Term("stream", "content_cs")), extra=_SCORE()
     )
 
 
@@ -366,7 +370,7 @@ def _q_field_filtered(spark, sf_dir):
     scored = eng.score("spark")
     allowed = Filters(lang="en").apply(eng.reader.docs).select("doc_id")
     return _orig_ids(
-        eng, scored.join(allowed, "doc_id", "left_semi"), extra=_SCORE
+        eng, scored.join(allowed, "doc_id", "left_semi"), extra=_SCORE()
     )
 
 
@@ -374,7 +378,7 @@ def _q_path_term(spark, sf_dir):
     from codeindex_spark.query import ast
 
     eng = _engine(spark, sf_dir)
-    return _orig_ids(eng, eng.score(ast.Term("src3", "file_path")), extra=_SCORE)
+    return _orig_ids(eng, eng.score(ast.Term("src3", "file_path")), extra=_SCORE())
 
 
 def _q_filename_term(spark, sf_dir):
@@ -384,7 +388,7 @@ def _q_filename_term(spark, sf_dir):
     from codeindex_spark.query import ast
 
     eng = _engine(spark, sf_dir)
-    return _orig_ids(eng, eng.score(ast.Term("txt", "file_name")), extra=_SCORE)
+    return _orig_ids(eng, eng.score(ast.Term("txt", "file_name")), extra=_SCORE())
 
 
 def _q_pk_lookup(spark, sf_dir):
