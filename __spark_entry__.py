@@ -111,14 +111,19 @@ def _engine(spark: SparkSession, sf_dir: str):
     if key in _ENGINES:
         return _ENGINES[key]
     _ensure_pkg(spark)
-    from codeindex_spark.index.build import IndexParams
+    from codeindex_spark.index.build import (
+        CONTENT_TRIGRAM_FIELDS,
+        IndexParams,
+    )
     from codeindex_spark.index.segments import IndexBuilder, IndexReader
     from codeindex_spark.query.planner import SearchEngine
 
-    # v2: corpus casing rule added — new dir so stale caches rebuild
+    # v3: content_trigram field added — new dir so stale caches rebuild
     tag = hashlib.sha256(key.encode()).hexdigest()[:12]
-    idx_dir = f"/tmp/codeindex_entry/{os.path.basename(key)}_{tag}_v2"
-    params = IndexParams(num_buckets=16, block_size=128)
+    idx_dir = f"/tmp/codeindex_entry/{os.path.basename(key)}_{tag}_v3"
+    params = IndexParams(
+        num_buckets=16, block_size=128, fields=CONTENT_TRIGRAM_FIELDS
+    )
     builder = IndexBuilder(spark, idx_dir, params, n_groups=1)
     corpus = _as_corpus(_load(spark, sf_dir, "documents"))
     try:
@@ -379,6 +384,38 @@ def _q_path_term(spark, sf_dir):
 
     eng = _engine(spark, sf_dir)
     return _orig_ids(eng, eng.score(ast.Term("src3", "file_path")), extra=_SCORE())
+
+
+def _q_content_substring(spark, sf_dir):
+    """Substring CONTENT search via the opt-in content_trigram field
+    (Cox trigram index / Zoekt, public design): rarest-trigram posting
+    intersection prunes candidates; exact contains() verifies. The
+    needle crosses a word boundary, so no token query could express
+    it."""
+    eng = _engine(spark, sf_dir)
+    res = eng.search_content_substring("ge sor")
+    return res.select(
+        F.regexp_extract("path", r"/(\d+)\.txt$", 1)
+        .cast("long")
+        .alias("doc_id")
+    )
+
+
+def _q_content_regex(spark, sf_dir):
+    """Regex content search with required-literal trigram prefilter
+    (swtch.com/~rsc/regexp/regexp4.html): literals 'merge ' / ' sort'
+    are extracted from the pattern, their rarest trigrams prune
+    candidates, rlike verifies. Case-insensitive so the cased content
+    field matches the lowercase sf text."""
+    eng = _engine(spark, sf_dir)
+    res = eng.search_content_regex(
+        r"merge [a-z]+ sort", case_sensitive=False
+    )
+    return res.select(
+        F.regexp_extract("path", r"/(\d+)\.txt$", 1)
+        .cast("long")
+        .alias("doc_id")
+    )
 
 
 def _q_filename_term(spark, sf_dir):
@@ -735,6 +772,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_batch_search": _q_batch_search,
         "q17_path_substring": _q_path_substring,
         "q18_filename_term": _q_filename_term,
+        "q19_content_substring": _q_content_substring,
+        "q20_content_regex": _q_content_regex,
         "a1_doc_len": _q_doc_len,
         "dd_exact": _q_dedup_exact,
         "dd_jaccard": _q_dedup_jaccard,
@@ -1022,6 +1061,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE contains(lower(source || '/' || CAST(doc_id AS VARCHAR)
                            || '.txt'), 'c3/1')""",
+        "q19_content_substring": """
+            SELECT doc_id FROM documents WHERE contains(text, 'ge sor')""",
+        "q20_content_regex": """
+            SELECT doc_id FROM documents
+            WHERE regexp_matches(text, 'merge [a-z]+ sort')""",
         "q18_filename_term": """
             WITH st AS (SELECT count(*)::DOUBLE AS df FROM documents),
             nn AS (SELECT count(*)::DOUBLE AS n FROM documents)

@@ -68,6 +68,14 @@ ALL_FIELDS = (
 # BASELINE.json north_star: substring path search without a full scan)
 TRIGRAM_RE = r"(?=(.{3}))"
 
+# content_trigram: OPT-IN char-trigram field over lowercased content —
+# the public code-search scale design (Cox's codesearch / Zoekt):
+# substring and regex queries prune to candidate docs by intersecting
+# the needle's rarest trigram postings, then verify only candidates.
+# Not in ALL_FIELDS: it multiplies posting rows ~2-4x, so callers that
+# want substring/regex content search opt in explicitly.
+CONTENT_TRIGRAM_FIELDS = ALL_FIELDS + ("content_trigram",)
+
 
 @dataclass(frozen=True)
 class IndexParams:
@@ -78,7 +86,11 @@ class IndexParams:
     fields: tuple[str, ...] = ALL_FIELDS
     # fields that skip positional postings (no phrase support there;
     # camel is an identifier-lookup field, positions are dead weight)
-    positionless: tuple[str, ...] = ("content_camel", "path_trigram")
+    positionless: tuple[str, ...] = (
+        "content_camel",
+        "path_trigram",
+        "content_trigram",
+    )
     # docID space starts here (block-aligned); delta segments of an
     # incremental index stack above their predecessors
     base_doc_id: int = 0
@@ -204,6 +216,7 @@ def token_rows(
     want_path = "file_path" in fields
     want_camel = "content_camel" in fields
     want_trigram = "path_trigram" in fields
+    want_ctrigram = "content_trigram" in fields
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -239,6 +252,12 @@ def token_rows(
                     regex=TRIGRAM_RE,
                     emit_positions="path_trigram" not in positionless,
                 )
+            if want_ctrigram:
+                yield from _doc_term_rows(
+                    ids, pdf["content"].str.lower(), None,
+                    "content_trigram", regex=TRIGRAM_RE,
+                    emit_positions="content_trigram" not in positionless,
+                )
 
     cols = ["doc_id", "content"]
     if want_name:
@@ -270,6 +289,12 @@ def _tok_count_cols(docs: DataFrame) -> DataFrame:
         F.greatest(F.length(F.lower(F.col("path"))) - 2, F.lit(0))
         .cast("long")
         .alias("_tc_path_trigram"),
+        # regexp_count (not length-2) so the count matches the Python
+        # findall exactly when content contains newlines ('.' excludes
+        # \n in both engines; paths never contain newlines, content may)
+        F.regexp_count(F.coalesce(F.col("content"), F.lit("")), F.lit(TRIGRAM_RE))
+        .cast("long")
+        .alias("_tc_content_trigram"),
     )
 
 
@@ -289,6 +314,7 @@ _SUM_COLS = (
     "file_path",
     "content_camel",
     "path_trigram",
+    "content_trigram",
 )
 
 

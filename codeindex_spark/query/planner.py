@@ -156,6 +156,88 @@ def damerau_distance(a: str, b: str, cap: int) -> int:
     return h[la + 1][lb + 1]
 
 
+def required_literals(pattern: str) -> list[str]:
+    """Literal substrings every match of a regex must contain — the
+    prefilter extraction of trigram-indexed regex search (public
+    design: swtch.com/~rsc/regexp/regexp4.html).
+
+    Conservative and SOUND, not complete: only top-level concatenation
+    runs of plain characters count. Any top-level alternation drops
+    everything (``a|b`` requires neither); ``x?``/``x*``/``x{..}``
+    make x optional, ending the run WITHOUT x; ``x+`` requires x but
+    ends the run after it (``ab+c`` need not contain "abc");
+    groups and character classes are skipped wholesale; escapes and
+    ``. ^ $`` end the run. Over-restricting would drop matches, so
+    anything unclear contributes nothing."""
+    runs: list[str] = []
+    cur: list[str] = []
+
+    def flush():
+        if cur:
+            runs.append("".join(cur))
+            cur.clear()
+
+    i, n = 0, len(pattern)
+    while i < n:
+        c = pattern[i]
+        if c == "|":  # top-level alternation: nothing is required
+            return []
+        if c == "(":  # skip the whole group (nested, escape-aware)
+            flush()
+            depth, i = 1, i + 1
+            while i < n and depth:
+                if pattern[i] == "\\":
+                    i += 2
+                    continue
+                if pattern[i] == "[":  # class inside group
+                    i += 1
+                    while i < n and pattern[i] != "]":
+                        i += 2 if pattern[i] == "\\" else 1
+                depth += {"(": 1, ")": -1}.get(pattern[i], 0)
+                i += 1
+            # quantifier after the group keeps it non-required anyway
+            continue
+        if c == "[":  # character class: no single required char
+            flush()
+            i += 1
+            while i < n and pattern[i] != "]":
+                i += 2 if pattern[i] == "\\" else 1
+            i += 1
+            continue
+        if c == "\\":  # escape: \d \w \b... are classes/anchors; even
+            flush()  # literal escapes are skipped (sound either way)
+            i += 2
+            continue
+        if c in ".^$":
+            flush()
+            i += 1
+            continue
+        if c == "{":  # {m,n} quantifier body: skip it wholesale
+            flush()
+            while i < n and pattern[i] != "}":
+                i += 1
+            i += 1
+            continue
+        if c in "*?+}":  # stray quantifier (e.g. after a group)
+            flush()
+            i += 1
+            continue
+        nxt = pattern[i + 1] if i + 1 < n else ""
+        if nxt and nxt in "*?{":  # c is optional: run ends, c excluded
+            flush()
+            i += 2 if nxt in "*?" else 1
+            continue
+        if nxt == "+":  # c required once, but the run can't extend
+            cur.append(c)
+            flush()
+            i += 2
+            continue
+        cur.append(c)
+        i += 1
+    flush()
+    return runs
+
+
 # Driver-side dictionary cache bounds. Lucene keeps the term dictionary
 # in memory; the distributed analog is a bounded per-engine LRU of hot
 # (field, term) -> df entries and hot pattern expansions — repeat
@@ -719,30 +801,157 @@ class SearchEngine:
             )
         return top
 
+    # AND only the rarest trigrams of a needle (Zoekt / Cox codesearch
+    # practice): every additional gram shrinks the candidate set less
+    # but costs a full posting-list scan; hot grams ("ing", "er ")
+    # cost the most and prune the least. 8 is Zoekt's default ballpark.
+    MAX_PRUNE_GRAMS = 8
+
+    def _trigram_candidates(self, field: str, s: str):
+        """Candidate doc_ids whose `field` contains every trigram of
+        lowercased needle `s`.
+
+        Returns a (doc_id) DataFrame, or None when the dictionary
+        PROVES no doc can contain s (some trigram absent — resolved by
+        one cached dictionary lookup, no posting scan at all), or the
+        string 'scan' when s is too short to form a trigram.
+
+        Only the MAX_PRUNE_GRAMS rarest grams (by df, term-asc
+        tie-break for determinism) are intersected; the verify step
+        keeps results exact regardless."""
+        grams = sorted({s[i : i + 3] for i in range(len(s) - 2)})
+        if not grams:
+            return "scan"
+        dfs = self._lookup_exact_df({field: set(grams)})
+        if len(dfs) < len(grams):
+            return None
+        grams.sort(key=lambda g: (dfs[(field, g)], g))
+        grams = grams[: self.MAX_PRUNE_GRAMS]
+        node: ast.Node = (
+            ast.Term(grams[0], field)
+            if len(grams) == 1
+            else ast.And(tuple(ast.Term(g, field) for g in grams))
+        )
+        return self.score(node).select("doc_id")
+
+    # bounded-collect candidate pushdown: up to this many candidate
+    # doc_ids become a doc_id IN (...) predicate ON THE PARQUET SCAN
+    # (docs are doc_id-sorted per group dir -> row-group min/max
+    # pruning), so verification reads candidate neighborhoods, not the
+    # corpus. A semi-join would be "distributed" but forces a full
+    # docs scan with the verify predicate evaluated on every row —
+    # O(corpus) IO at 10^12 files. 8k longs is a trivial driver list;
+    # larger candidate sets (un-selective needles) fall back to the
+    # semi-join, which is then genuinely the right plan.
+    CANDIDATE_PUSHDOWN_CAP = 8192
+
+    def _apply_candidates(self, docs: DataFrame, cand: DataFrame) -> DataFrame:
+        ids = [
+            r["doc_id"]
+            for r in cand.limit(self.CANDIDATE_PUSHDOWN_CAP + 1).collect()
+        ]
+        if len(ids) <= self.CANDIDATE_PUSHDOWN_CAP:
+            if not ids:
+                return docs.filter(F.lit(False))
+            return docs.filter(F.col("doc_id").isin(ids))
+        return docs.join(cand, "doc_id", "left_semi")
+
+    def _substring_search(
+        self, field: str, verify_col, substr: str
+    ) -> DataFrame:
+        s = substr.lower()
+        docs = self.reader.docs
+        cand = self._trigram_candidates(field, s)
+        if cand is None:
+            return docs.filter(F.lit(False))
+        if not isinstance(cand, str):
+            docs = self._apply_candidates(docs, cand)
+        return docs.filter(F.lower(verify_col).contains(s))
+
     def search_path_substring(self, substr: str) -> DataFrame:
         """Substring path search via the path n-gram field (north_star
-        'path n-grams'): AND the substring's overlapping char trigrams
+        'path n-grams'): AND the substring's rarest char trigrams
         against path_trigram postings — the intersection prunes to a
         small candidate set read from term-pruned parquet — then
         verify candidates exactly with contains() on the stored path.
         A plain contains() would scan every doc row at 10^12 files;
-        this touches only the substring's trigram postings plus the
+        this touches only the rarest trigram postings plus the
         candidate doc rows. Substrings shorter than 3 chars fall back
-        to the doc scan (no trigram can represent them)."""
-        s = substr.lower()
-        docs = self.reader.docs
-        if len(s) >= 3:
-            grams = sorted({s[i : i + 3] for i in range(len(s) - 2)})
-            node: ast.Node = (
-                ast.Term(grams[0], "path_trigram")
-                if len(grams) == 1
-                else ast.And(
-                    tuple(ast.Term(g, "path_trigram") for g in grams)
-                )
+        to the doc scan (no trigram can represent them); a substring
+        with any trigram absent from the dictionary short-circuits to
+        empty without any scan."""
+        return self._substring_search("path_trigram", F.col("path"), substr)
+
+    def search_content_substring(self, substr: str) -> DataFrame:
+        """Substring CONTENT search via the opt-in content_trigram
+        field — the public code-search scale design (Cox's codesearch
+        trigram index / Zoekt): intersect the needle's rarest trigram
+        postings to a candidate doc set, then verify only candidates
+        with contains() on stored content. Case-insensitive (the
+        trigram field lowercases; verification lowercases to match).
+        Exact substring semantics at a bounded cost: rarest-gram
+        posting scans + candidate doc rows, never a corpus scan —
+        unless the needle is shorter than one trigram."""
+        if "content_trigram" not in tuple(self.params.fields):
+            raise ValueError(
+                "index was built without the content_trigram field "
+                "(opt in via IndexParams(fields=CONTENT_TRIGRAM_FIELDS))"
             )
-            ids = self.score(node).select("doc_id")
-            docs = docs.join(ids, "doc_id", "left_semi")
-        return docs.filter(F.lower(F.col("path")).contains(s))
+        return self._substring_search(
+            "content_trigram", F.col("content"), substr
+        )
+
+    def search_content_regex(
+        self, pattern: str, case_sensitive: bool = True,
+        scan_fallback: bool = True,
+    ) -> DataFrame:
+        """Regex content search with trigram prefilter (public design:
+        swtch.com/~rsc/regexp/regexp4.html). Required literal runs are
+        extracted from the pattern; their trigrams prune candidates
+        exactly like substring search (lowercased grams are sound for
+        cased literals: lit ⊆ content ⇒ lower(lit) ⊆ lower(content)).
+        Candidates are verified with rlike(pattern) — Java regex,
+        partial match. A pattern with no required literal ≥ 3 chars
+        (top-level alternation, all-optional) can't be prefiltered:
+        scan_fallback=True degrades to a full doc scan, False raises."""
+        lits = [
+            lit.lower()
+            for lit in required_literals(pattern)
+            if len(lit) >= 3
+        ]
+        docs = self.reader.docs
+        rx = pattern if case_sensitive else f"(?i){pattern}"
+        if not lits:
+            if not scan_fallback:
+                raise ValueError(
+                    "pattern has no required literal >= 3 chars; "
+                    "refusing full scan (scan_fallback=False)"
+                )
+            return docs.filter(F.col("content").rlike(rx))
+        if "content_trigram" not in tuple(self.params.fields):
+            raise ValueError(
+                "index was built without the content_trigram field "
+                "(opt in via IndexParams(fields=CONTENT_TRIGRAM_FIELDS))"
+            )
+        grams = sorted({g for s in lits for i in range(len(s) - 2)
+                        for g in (s[i : i + 3],)})
+        dfs = self._lookup_exact_df({"content_trigram": set(grams)})
+        if len(dfs) < len(grams):
+            # some required trigram absent => no doc can match
+            return docs.filter(F.lit(False))
+        grams.sort(key=lambda g: (dfs[("content_trigram", g)], g))
+        grams = grams[: self.MAX_PRUNE_GRAMS]
+        node: ast.Node = (
+            ast.Term(grams[0], "content_trigram")
+            if len(grams) == 1
+            else ast.And(
+                tuple(ast.Term(g, "content_trigram") for g in grams)
+            )
+        )
+        cand = self.score(node).select("doc_id")
+        return self._apply_candidates(docs, cand).filter(
+            F.col("content").rlike(rx)
+        )
 
     # ---------- point ops (Q7/Q8/K2) ----------
 

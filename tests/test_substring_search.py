@@ -1,0 +1,169 @@
+"""Content substring + regex search via the opt-in content_trigram
+field (Cox trigram-index / Zoekt design, public). Results must be
+EXACTLY the brute-force contains()/rlike() answer — the trigram
+intersection is a prefilter, never a semantics change — and provably
+absent needles must short-circuit without a corpus scan.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from codeindex_spark.corpus import CorpusSpec, generate_documents, spark_documents
+from codeindex_spark.index.build import (
+    CONTENT_TRIGRAM_FIELDS,
+    IndexParams,
+)
+from codeindex_spark.index.segments import IndexBuilder, IndexReader
+from codeindex_spark.query.planner import SearchEngine, required_literals
+
+SPEC = CorpusSpec(n_docs=120)
+PARAMS = IndexParams(
+    num_buckets=16, block_size=32, fields=CONTENT_TRIGRAM_FIELDS
+)
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("trigram_idx"))
+    docs = spark_documents(spark, SPEC, partitions=4)
+    IndexBuilder(spark, d, PARAMS, n_groups=2).build(docs, resume=False)
+    return SearchEngine(IndexReader(spark, d))
+
+
+@pytest.fixture(scope="module")
+def pdocs():
+    return generate_documents(SPEC)
+
+
+def _expected_substring(pdocs, needle: str) -> set[str]:
+    return {
+        r["path"]
+        for r in pdocs.to_dict("records")
+        if needle.lower() in r["content"].lower()
+    }
+
+
+def _got_paths(df) -> set[str]:
+    return {r["path"] for r in df.select("path").collect()}
+
+
+# needles: single word, cross-word substring (space inside), mid-word
+# fragment, a 3-char minimum, and one absent from every doc
+NEEDLES = ["string", "ng str", "tringi", "resultsand"]
+
+
+@pytest.mark.parametrize("needle", NEEDLES)
+def test_content_substring_matches_bruteforce(engine, pdocs, needle):
+    exp = _expected_substring(pdocs, needle)
+    got = _got_paths(engine.search_content_substring(needle))
+    assert got == exp
+    assert exp, f"fixture needle {needle!r} matched nothing — dead test"
+
+
+def test_content_substring_absent_short_circuits(engine, pdocs):
+    # 'zzxqj' trigrams aren't in the dictionary: the cached lookup
+    # proves absence; result is empty and no candidate AND runs
+    out = engine.search_content_substring("zzxqjq")
+    assert out.count() == 0
+    assert _expected_substring(pdocs, "zzxqjq") == set()
+
+
+def test_content_substring_case_insensitive(engine, pdocs):
+    got = _got_paths(engine.search_content_substring("STRING"))
+    assert got == _expected_substring(pdocs, "string")
+
+
+def test_path_substring_still_exact(engine, pdocs):
+    got = _got_paths(engine.search_path_substring("src/io/i"))
+    exp = {
+        r["path"]
+        for r in pdocs.to_dict("records")
+        if "src/io/i" in r["path"].lower()
+    }
+    assert got == exp and exp
+
+
+def test_content_regex_matches_bruteforce(engine, pdocs):
+    import re
+
+    pattern = r"get [a-z]+ string"
+    exp = {
+        r["path"]
+        for r in pdocs.to_dict("records")
+        if re.search(pattern, r["content"])
+    }
+    got = _got_paths(engine.search_content_regex(pattern))
+    assert got == exp
+    assert exp, "fixture regex matched nothing — dead test"
+
+
+def test_content_regex_absent_literal_short_circuits(engine):
+    assert engine.search_content_regex(r"zzxqjq[0-9]+").count() == 0
+
+
+def test_content_regex_no_literal_fallback_and_refusal(engine, pdocs):
+    import re
+
+    # top-level alternation: no required literal -> full-scan fallback
+    pattern = r"string|builder"
+    exp = {
+        r["path"]
+        for r in pdocs.to_dict("records")
+        if re.search(pattern, r["content"])
+    }
+    got = _got_paths(engine.search_content_regex(pattern))
+    assert got == exp
+    with pytest.raises(ValueError, match="required literal"):
+        engine.search_content_regex(pattern, scan_fallback=False)
+
+
+def test_substring_plan_pushes_candidates_to_scan(engine):
+    # selective needle: candidates are driver-collected (bounded) and
+    # pushed as doc_id IN (...) into the docs parquet scan — the
+    # verify step must NOT be a semi-join forcing a full corpus scan
+    plan = engine.search_content_substring(
+        "tringi"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "doc_id" in plan
+
+
+def test_substring_requires_opt_in_field(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("noctri"))
+    docs = spark_documents(spark, CorpusSpec(n_docs=20), partitions=2)
+    IndexBuilder(
+        spark, d, IndexParams(num_buckets=16, block_size=32), n_groups=1
+    ).build(docs, resume=False)
+    eng = SearchEngine(IndexReader(spark, d))
+    with pytest.raises(ValueError, match="content_trigram"):
+        eng.search_content_substring("abc")
+
+
+# ---------------- required_literals (pure) ----------------
+
+
+@pytest.mark.parametrize(
+    "pattern,expected",
+    [
+        ("merge sort", ["merge sort"]),
+        ("ab?c", ["a", "c"]),
+        ("ab+c", ["ab", "c"]),
+        ("ab*c", ["a", "c"]),
+        # a{2} conservatively drops 'a' (could be {0,..}) — sound, not
+        # complete; the quantifier body never leaks as a literal
+        ("a{2}b", ["b"]),
+        ("a{2,5}bcd", ["bcd"]),
+        ("merge (sort|join)ed? pipeline", ["merge ", "e", " pipeline"]),
+        ("a|b", []),  # top-level alternation: nothing required
+        ("foo.bar", ["foo", "bar"]),
+        (r"foo\dbar", ["foo", "bar"]),
+        ("[abc]xyz", ["xyz"]),
+        (r"^start end$", ["start end"]),
+        ("(group)(only)", []),
+        # \{3} matches literal "{3}", so "3" is genuinely required
+        (r"cls [a-z]\{3}", ["cls ", "3"]),
+    ],
+)
+def test_required_literals(pattern, expected):
+    assert required_literals(pattern) == expected
