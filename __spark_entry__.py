@@ -6,8 +6,9 @@ matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
 Entries map to SURVEY.md §2 operators:
-  q01..q18  — index-query operators (Q1-Q10, K1/K2, P1/P2, S1, T3/T5,
-              batch multi-query, path-trigram substring)
+  q01..q20  — index-query operators (Q1-Q10, K1/K2, P1/P2, S1, T3/T5,
+              batch multi-query, path-trigram substring, content
+              trigram substring + regex)
   a1        — aggregation operators (A1/A2 corpus stats, term dict)
   pv_*      — presentation (V1 highlight, V2 matched lines)
   dd_*      — dedup ops (exact, jaccard, minhash-LSH, simhash,
