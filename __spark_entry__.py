@@ -15,7 +15,9 @@ Entries map to SURVEY.md §2 operators:
               embedding near-dup)
   ann_*     — similarity search (brute-force / LSH / materialized-IVF)
   tx_*      — text analysis (quality, fingerprint, BPE-ish counts,
-              language ID)
+              language ID, PII/URL scrubbing)
+  px_*      — pipeline prep (token-window chunking, deterministic
+              hash sampling)
   st_*      — streaming-maintenance analogs on the events table
   rel_*     — relational shapes (agg / broadcast join / window rank)
 
@@ -586,6 +588,59 @@ def _q_quality(spark, sf_dir):
     )
 
 
+def _q_scrub(spark, sf_dir):
+    """PII/URL scrubbing over a deterministically augmented corpus:
+    the sf text is pure [a-z ] so both engines append the same
+    synthetic URL/email/IP entities, then redact + count them. The
+    patterns are Java-regex/RE2 portable (no lookaround/backrefs)."""
+    from codeindex_spark.ops.pipeline import scrub_text
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" visit http://ex.com/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" mail "),
+            F.col("source"),
+            F.lit("@ex.org ip 10.0.0."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+        ).alias("text"),
+    )
+    return scrub_text(docs).select(
+        "doc_id",
+        "text_clean",
+        F.col("n_urls").cast("long").alias("n_urls"),
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_ips").cast("long").alias("n_ips"),
+    )
+
+
+def _q_chunk(spark, sf_dir):
+    """Token-window chunking (chunk 16, stride 12 -> 4-token overlap)
+    — the embedding/training-window preprocessing op."""
+    from codeindex_spark.ops.pipeline import chunk_documents
+
+    return chunk_documents(
+        _load(spark, sf_dir, "documents"), chunk_tokens=16, stride=12
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("n_chunk_tokens").cast("long").alias("n_chunk_tokens"),
+        "chunk_text",
+    )
+
+
+def _q_sample(spark, sf_dir):
+    """Deterministic hash sampling at rate 0.25, seed '42' — stable
+    across engines/re-runs/partitionings, unlike df.sample()."""
+    from codeindex_spark.ops.pipeline import sample_by_hash
+
+    return sample_by_hash(
+        _load(spark, sf_dir, "documents"), 0.25, seed="42"
+    ).select("doc_id")
+
+
 def _q_fingerprint(spark, sf_dir):
     from codeindex_spark.ops.analysis import fingerprint
 
@@ -790,6 +845,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_quality": _q_quality,
         "tx_fingerprint": _q_fingerprint,
         "tx_bpe_count": _q_bpe_count,
+        "tx_scrub": _q_scrub,
+        "px_chunk": _q_chunk,
+        "px_sample": _q_sample,
         "mm_resize_plan": _q_mm_resize_plan,
         "mm_frame_sample": _q_mm_frame_sample,
         "mm_feature_hist": _q_mm_feature_hist,
@@ -1238,6 +1296,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_words::BIGINT AS n_words,
                    (n_words + extra)::BIGINT AS n_bpe_est
             FROM pt""",
+        "tx_scrub": """WITH aug AS (
+              SELECT doc_id,
+                     text || ' visit http://ex.com/' || CAST(doc_id AS VARCHAR)
+                          || ' mail ' || source || '@ex.org ip 10.0.0.'
+                          || CAST(doc_id % 256 AS VARCHAR) AS t0
+              FROM documents),
+            s1 AS (SELECT doc_id, t0,
+                          regexp_replace(t0, 'https?://[^\\s]+', '<URL>', 'g') AS t1
+                   FROM aug),
+            s2 AS (SELECT *,
+                          regexp_replace(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t2
+                   FROM s1)
+            SELECT doc_id,
+                   regexp_replace(t2, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS text_clean,
+                   len(regexp_extract_all(t0, 'https?://[^\\s]+'))::BIGINT AS n_urls,
+                   len(regexp_extract_all(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+                   len(regexp_extract_all(t2, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::BIGINT AS n_ips
+            FROM s2""",
+        "px_chunk": """WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), ' +'),
+                                 w -> w <> '') AS toks
+              FROM documents),
+            s AS (
+              SELECT doc_id, toks, len(toks) AS n,
+                     unnest(range(0, greatest(len(toks), 1), 12)) AS start
+              FROM t)
+            SELECT doc_id,
+                   (start // 12)::BIGINT AS chunk_id,
+                   len(list_slice(toks, start + 1, start + 16))::BIGINT AS n_chunk_tokens,
+                   array_to_string(list_slice(toks, start + 1, start + 16), ' ') AS chunk_text
+            FROM s WHERE start < n AND n > 0""",
+        "px_sample": """
+            SELECT doc_id FROM documents
+            WHERE substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  < '40000000'""",
         "rel_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 4) AS sum_qty,

@@ -1,0 +1,118 @@
+"""Training-data pipeline operators: scrubbing, chunking, sampling.
+
+The ops a large-scale LLM data pipeline runs between raw corpus and
+training shards, each expressed as pure JVM expressions (whole-stage
+codegen; no Python in the hot path) and each reproducible in any
+engine for oracle checks:
+
+- scrub_text        — URL / email / IPv4 redaction with per-doc
+                      counts. Patterns are chosen to evaluate
+                      identically under Java regex (Spark) and RE2
+                      (DuckDB): no backrefs, no lookaround.
+- chunk_documents   — token-window chunking with stride (overlap),
+                      the preprocessing step for embedding / training
+                      windows. One posexplode of chunk starts per doc;
+                      chunk count scales with doc length, so the
+                      explode is bounded per row and the result
+                      parallelizes by (doc, chunk) downstream.
+- sample_by_hash    — deterministic reproducible sampling by content-
+                      independent key hash: md5(seed:doc_id) compared
+                      lexicographically against a hex threshold.
+                      Unlike df.sample(), re-runs and engines agree
+                      row-for-row, and the sample is stable under
+                      repartition — the property a 100-TB pipeline
+                      needs for resumable sharding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ordered: URLs first (an email-shaped string inside a URL must count
+# as the URL), then emails, then bare IPv4
+URL_RE = r"https?://[^\s]+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def scrub_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, text_clean, n_urls, n_emails, n_ips): redact URLs,
+    emails, and IPv4 addresses to fixed placeholder tokens, counting
+    each. Counts are taken on the PRE-redaction text of each stage so
+    an email inside a URL counts once, as a URL."""
+    t0 = F.col(text_col)
+    t1 = F.regexp_replace(t0, URL_RE, "<URL>")
+    t2 = F.regexp_replace(t1, EMAIL_RE, "<EMAIL>")
+    t3 = F.regexp_replace(t2, IPV4_RE, "<IP>")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        t3.alias("text_clean"),
+        F.regexp_count(t0, F.lit(URL_RE)).alias("n_urls"),
+        F.regexp_count(t1, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(t2, F.lit(IPV4_RE)).alias("n_ips"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Token-window chunks: (doc_id, chunk_id, n_chunk_tokens,
+    chunk_text). Whitespace tokens; chunk i spans tokens
+    [i*stride, i*stride + chunk_tokens); starts step by stride while
+    start < n_tokens, so the last chunk may be short and overlap =
+    chunk_tokens - stride. Empty docs produce no chunks."""
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = F.filter(F.split(F.trim(F.col(text_col)), " +"), lambda w: w != "")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_toks"),
+        n.alias("_n"),
+        F.posexplode(starts).alias("chunk_id", "start"),
+    ).filter((F.col("start") < F.col("_n")) & (F.col("_n") > 0))
+    chunk = F.slice(F.col("_toks"), F.col("start") + 1, chunk_tokens)
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def hash_threshold(rate: float) -> str:
+    """8-hex-digit threshold: keep when the first 8 md5 hex chars are
+    lexicographically below it (lowercase hex order == numeric order).
+    Engine-portable — any md5 produces the same string."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    return format(int(rate * 0x100000000) & 0xFFFFFFFF, "08x") if rate < 1.0 else "g"
+
+
+def sample_key(seed: str, id_col: Column) -> Column:
+    return F.substring(
+        F.md5(F.concat(F.lit(seed), F.lit(":"), id_col.cast("string"))), 1, 8
+    )
+
+
+def sample_by_hash(
+    df: DataFrame,
+    rate: float,
+    seed: str = "0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic ~rate sample keyed on md5(seed:id): stable under
+    re-runs, repartition, and engine choice (df.sample() is none of
+    these). Different seeds give independent samples; the same seed
+    gives a superset/subset relation across rates (nested samples —
+    a bigger rate keeps every row a smaller rate kept), which is what
+    makes held-out splits at 100 TB reproducible."""
+    return df.filter(sample_key(seed, F.col(id_col)) < hash_threshold(rate))

@@ -1,0 +1,121 @@
+"""scrub_text / chunk_documents / sample_by_hash — pipeline ops must
+match pure-Python expectations exactly (they are deterministic by
+design; that determinism is the feature)."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pytest
+
+from codeindex_spark.ops.pipeline import (
+    chunk_documents,
+    hash_threshold,
+    sample_by_hash,
+    scrub_text,
+)
+
+
+@pytest.fixture(scope="module")
+def scrub_df(spark):
+    rows = [
+        (1, "plain text no entities here"),
+        (2, "visit https://example.com/a?b=c#d now"),
+        (3, "mail me at first.last+tag@sub.example.org thanks"),
+        (4, "server at 10.0.0.1 and 192.168.255.254 up"),
+        # email-shaped string inside a URL counts once, as the URL
+        (5, "see http://user@host.example.com/path ok"),
+        (6, "mixed http://x.io/y a@b.co 1.2.3.4 end"),
+        (7, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_scrub_counts_and_redaction(scrub_df):
+    out = {r["doc_id"]: r for r in scrub_text(scrub_df).collect()}
+    assert out[1]["text_clean"] == "plain text no entities here"
+    assert (out[1]["n_urls"], out[1]["n_emails"], out[1]["n_ips"]) == (0, 0, 0)
+    assert out[2]["text_clean"] == "visit <URL> now"
+    assert out[2]["n_urls"] == 1
+    assert out[3]["text_clean"] == "mail me at <EMAIL> thanks"
+    assert out[3]["n_emails"] == 1
+    assert out[4]["text_clean"] == "server at <IP> and <IP> up"
+    assert out[4]["n_ips"] == 2
+    assert out[5]["text_clean"] == "see <URL> ok"
+    assert (out[5]["n_urls"], out[5]["n_emails"]) == (1, 0)
+    assert out[6]["text_clean"] == "mixed <URL> <EMAIL> <IP> end"
+    assert (out[6]["n_urls"], out[6]["n_emails"], out[6]["n_ips"]) == (1, 1, 1)
+
+
+def _py_chunks(text, c, s):
+    toks = [w for w in re.split(" +", text.strip()) if w]
+    return [
+        (i, len(toks[st : st + c]), " ".join(toks[st : st + c]))
+        for i, st in enumerate(range(0, max(len(toks), 1), s))
+        if st < len(toks)
+    ]
+
+
+@pytest.mark.parametrize("c,s", [(4, 3), (4, 4), (3, 1), (10, 5)])
+def test_chunking_matches_python(spark, c, s):
+    texts = [
+        "a b c d e f g h i j",
+        "one two three",
+        "x",
+        "exactly four word toks",
+        "",
+        "   padded   spacing   text   here   now   ",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["n_chunk_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, chunk_tokens=c, stride=s).collect()
+    }
+    exp = {}
+    for i, t in enumerate(texts):
+        for cid, n, ct in _py_chunks(t, c, s):
+            exp[(i, cid)] = (n, ct)
+    assert got == exp
+
+
+def test_chunk_overlap_property(spark):
+    # stride < chunk: consecutive chunks share chunk-stride tokens
+    df = spark.createDataFrame([(0, " ".join(f"t{i}" for i in range(20)))], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=8, stride=5).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    for a, b in zip(rows, rows[1:]):
+        ta, tb = a["chunk_text"].split(), b["chunk_text"].split()
+        assert ta[5:] == tb[: len(ta) - 5]
+
+
+def test_chunk_rejects_bad_params(spark):
+    df = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        chunk_documents(df, stride=0)
+
+
+def test_sample_matches_python_and_nests(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], ["doc_id"])
+
+    def py_sample(rate, seed):
+        thr = hash_threshold(rate)
+        return {
+            i
+            for i in range(2000)
+            if hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8] < thr
+        }
+    s25 = {r["doc_id"] for r in sample_by_hash(df, 0.25, seed="42").collect()}
+    s50 = {r["doc_id"] for r in sample_by_hash(df, 0.50, seed="42").collect()}
+    assert s25 == py_sample(0.25, "42")
+    assert s50 == py_sample(0.50, "42")
+    assert s25 <= s50  # nested samples: same seed, larger rate
+    assert 0.18 < len(s25) / 2000 < 0.32
+    other = {r["doc_id"] for r in sample_by_hash(df, 0.25, seed="7").collect()}
+    assert other != s25  # independent across seeds
+    full = sample_by_hash(df, 1.0, seed="42").count()
+    assert full == 2000 and sample_by_hash(df, 0.0).count() == 0
