@@ -132,9 +132,44 @@ def main() -> None:
         p50(lambda: eng.search_many(batch, k=100).collect()), 3
     )
 
+    # ---- phase 3b: trigram substring/regex search (r2) ----
+    # separate index: content_trigram is opt-in and must not perturb
+    # the round-comparable build_sf_docs key
+    from codeindex_spark.index.build import CONTENT_TRIGRAM_FIELDS
+
+    tri_idx = f"{sf_idx}_tri"
+    shutil.rmtree(tri_idx, ignore_errors=True)
+    trib = IndexBuilder(
+        spark,
+        tri_idx,
+        IndexParams(
+            num_buckets=16, block_size=128, fields=CONTENT_TRIGRAM_FIELDS
+        ),
+        n_groups=1,
+    )
+    tri_s, _ = timed(lambda: trib.build(sf_docs, resume=False))
+    queries["build_sf_trigram"] = round(tri_s, 3)
+    tri_eng = SearchEngine(IndexReader(spark, tri_idx))
+    queries["q14_substring"] = round(
+        p50(lambda: tri_eng.search_content_substring("ge sor").count()), 3
+    )
+    queries["q15_regex"] = round(
+        p50(
+            lambda: tri_eng.search_content_regex(
+                r"merge [a-z]+ sort", case_sensitive=False
+            ).count()
+        ),
+        3,
+    )
+
     # ---- phase 4: pipeline ops ----
     from codeindex_spark.ops.analysis import quality_score
     from codeindex_spark.ops.dedup import minhash_lsh_pairs
+    from codeindex_spark.ops.pipeline import (
+        chunk_documents,
+        sample_by_hash,
+        scrub_text,
+    )
     from codeindex_spark.ops.similarity import brute_force_cosine_topk
     from pyspark.sql import functions as F
 
@@ -147,14 +182,27 @@ def main() -> None:
             emb, qvec, k=10, exclude_id=0
         ).collect(),
         "op_quality": lambda: quality_score(docs_df).count(),
+        "op_scrub": lambda: scrub_text(docs_df).count(),
+        "op_chunk": lambda: chunk_documents(docs_df).count(),
+        "op_sample": lambda: sample_by_hash(docs_df, 0.25, seed="42").count(),
     }
     for name, fn in opset.items():
         queries[name] = round(p50(fn), 3)
 
-    # headline total keeps the round-1-comparable set; q_batch8 is an
-    # informational extra (8 scored queries in ONE job, vs the ~8x
-    # per-query job cost visible in the q0* keys)
-    total = sum(v for k, v in queries.items() if k != "q_batch8")
+    # headline total keeps the round-1-comparable set; keys added in
+    # later rounds (batch execution, trigram search, pipeline-prep
+    # ops) are informational extras so the r01 total stays apples-to-
+    # apples across rounds
+    EXTRA_KEYS = {
+        "q_batch8",
+        "build_sf_trigram",
+        "q14_substring",
+        "q15_regex",
+        "op_scrub",
+        "op_chunk",
+        "op_sample",
+    }
+    total = sum(v for k, v in queries.items() if k not in EXTRA_KEYS)
     result.update(
         {
             "metric": "index build + reference query set + pipeline ops, wall seconds",
