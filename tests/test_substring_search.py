@@ -7,7 +7,11 @@ absent needles must short-circuit without a corpus scan.
 
 from __future__ import annotations
 
+import re
+
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from codeindex_spark.corpus import CorpusSpec, generate_documents, spark_documents
 from codeindex_spark.index.build import (
@@ -167,3 +171,38 @@ def test_substring_requires_opt_in_field(spark, tmp_path_factory):
 )
 def test_required_literals(pattern, expected):
     assert required_literals(pattern) == expected
+
+
+# soundness property: every extracted literal is a substring of EVERY
+# string the pattern matches (the extractor may under-extract, never
+# over-extract — over-extraction would drop valid search results)
+_atom = st.one_of(
+    st.text(alphabet="abcxyz 01", min_size=1, max_size=4),
+    st.sampled_from([".", r"\d", r"\w", "[abc]", "[a-z]"]),
+)
+_piece = st.builds(
+    lambda a, q: a + q, _atom, st.sampled_from(["", "?", "*", "+", "{2}", "{1,3}"])
+)
+_pattern = st.one_of(
+    st.lists(_piece, min_size=1, max_size=5).map("".join),
+    st.builds(
+        lambda l, r: f"{l}({r})", st.lists(_piece, min_size=1, max_size=3).map("".join),
+        st.lists(_piece, min_size=1, max_size=2).map("".join),
+    ),
+    st.builds(lambda l, r: f"{l}|{r}", _atom, _atom),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.data())
+def test_required_literals_sound(data):
+    pattern = data.draw(_pattern)
+    lits = required_literals(pattern)
+    if not lits:
+        return
+    try:
+        s = data.draw(st.from_regex(pattern, fullmatch=True))
+    except re.error:
+        return
+    for lit in lits:
+        assert lit in s, (pattern, lit, s)
