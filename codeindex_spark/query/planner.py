@@ -857,7 +857,8 @@ class SearchEngine:
         return docs.join(cand, "doc_id", "left_semi")
 
     def _substring_search(
-        self, field: str, verify_col, substr: str
+        self, field: str, verify_col, substr: str,
+        filters: "Filters | None" = None,
     ) -> DataFrame:
         s = substr.lower()
         docs = self.reader.docs
@@ -866,6 +867,10 @@ class SearchEngine:
             return docs.filter(F.lit(False))
         if not isinstance(cand, str):
             docs = self._apply_candidates(docs, cand)
+        if filters is not None and not filters.empty:
+            # metadata predicates stack ON the candidate-pruned scan:
+            # plain Catalyst filters, evaluated before the contains()
+            docs = filters.apply(docs)
         return docs.filter(F.lower(verify_col).contains(s))
 
     def search_path_substring(self, substr: str) -> DataFrame:
@@ -882,7 +887,9 @@ class SearchEngine:
         empty without any scan."""
         return self._substring_search("path_trigram", F.col("path"), substr)
 
-    def search_content_substring(self, substr: str) -> DataFrame:
+    def search_content_substring(
+        self, substr: str, filters: "Filters | None" = None
+    ) -> DataFrame:
         """Substring CONTENT search via the opt-in content_trigram
         field — the public code-search scale design (Cox's codesearch
         trigram index / Zoekt): intersect the needle's rarest trigram
@@ -898,12 +905,12 @@ class SearchEngine:
                 "(opt in via IndexParams(fields=CONTENT_TRIGRAM_FIELDS))"
             )
         return self._substring_search(
-            "content_trigram", F.col("content"), substr
+            "content_trigram", F.col("content"), substr, filters
         )
 
     def search_content_regex(
         self, pattern: str, case_sensitive: bool = True,
-        scan_fallback: bool = True,
+        scan_fallback: bool = True, filters: "Filters | None" = None,
     ) -> DataFrame:
         """Regex content search with trigram prefilter (public design:
         swtch.com/~rsc/regexp/regexp4.html). Required literal runs are
@@ -920,6 +927,8 @@ class SearchEngine:
             if len(lit) >= 3
         ]
         docs = self.reader.docs
+        if filters is not None and not filters.empty:
+            docs = filters.apply(docs)
         rx = pattern if case_sensitive else f"(?i){pattern}"
         if not lits:
             if not scan_fallback:

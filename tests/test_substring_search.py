@@ -122,6 +122,31 @@ def test_content_regex_no_literal_fallback_and_refusal(engine, pdocs):
         engine.search_content_regex(pattern, scan_fallback=False)
 
 
+def test_substring_and_regex_with_filters(engine, pdocs):
+    from codeindex_spark.query.planner import Filters
+
+    flt = Filters(file_ext="py")
+    got = _got_paths(engine.search_content_substring("string", filters=flt))
+    exp = {
+        r["path"]
+        for r in pdocs.to_dict("records")
+        if "string" in r["content"].lower() and r["path"].endswith(".py")
+    }
+    assert got == exp and exp
+    got_rx = _got_paths(
+        engine.search_content_regex(r"get [a-z]+ string", filters=flt)
+    )
+    import re
+
+    exp_rx = {
+        r["path"]
+        for r in pdocs.to_dict("records")
+        if re.search(r"get [a-z]+ string", r["content"])
+        and r["path"].endswith(".py")
+    }
+    assert got_rx == exp_rx
+
+
 def test_substring_plan_pushes_candidates_to_scan(engine):
     # selective needle: candidates are driver-collected (bounded) and
     # pushed as doc_id IN (...) into the docs parquet scan — the
