@@ -49,8 +49,17 @@ def cmd_build(args) -> int:
         fmt=args.format,
         snapshot_id=args.snapshot_id,
     )
+    if args.with_content_trigram:
+        from codeindex_spark.index.build import CONTENT_TRIGRAM_FIELDS
+
+        fields = CONTENT_TRIGRAM_FIELDS
+    else:
+        from codeindex_spark.index.build import ALL_FIELDS
+
+        fields = ALL_FIELDS
     params = IndexParams(
-        num_buckets=args.num_buckets, block_size=args.block_size
+        num_buckets=args.num_buckets, block_size=args.block_size,
+        fields=fields,
     )
     builder = IndexBuilder(spark, args.index, params, n_groups=args.groups)
     records = builder.build(docs, resume=not args.no_resume)
@@ -114,6 +123,36 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_grep(args) -> int:
+    """Substring / regex content search over the trigram index
+    (build with --with-content-trigram)."""
+    from codeindex_spark.index.segments import IndexReader
+    from codeindex_spark.query.planner import Filters, SearchEngine
+
+    spark = _get_spark(args)
+    eng = SearchEngine(IndexReader(spark, args.index))
+    filters = Filters(
+        repo=args.repo, lang=args.lang, file_ext=args.ext,
+        path_prefix=args.path_prefix,
+    )
+    if args.regex:
+        hits = eng.search_content_regex(
+            args.pattern,
+            case_sensitive=args.case_sensitive,
+            scan_fallback=not args.no_scan_fallback,
+            filters=filters,
+        )
+    else:
+        hits = eng.search_content_substring(args.pattern, filters=filters)
+    for r in hits.select("doc_id", "repo", "path").limit(args.limit).collect():
+        print(
+            json.dumps(
+                {"doc_id": r["doc_id"], "repo": r["repo"], "path": r["path"]}
+            )
+        )
+    return 0
+
+
 def cmd_hints(args) -> int:
     from codeindex_spark.index.segments import IndexReader
     from codeindex_spark.query.planner import SearchEngine
@@ -163,6 +202,11 @@ def main(argv=None) -> int:
     b.add_argument("--block-size", type=int, default=128)
     b.add_argument("--groups", type=int, default=4)
     b.add_argument("--no-resume", action="store_true")
+    b.add_argument(
+        "--with-content-trigram",
+        action="store_true",
+        help="index content char trigrams (enables the grep command)",
+    )
     b.set_defaults(fn=cmd_build)
 
     s = sub.add_parser("search", help="top-k BM25 search")
@@ -177,6 +221,26 @@ def main(argv=None) -> int:
     s.add_argument("--ext")
     s.add_argument("--path-prefix")
     s.set_defaults(fn=cmd_search)
+
+    g = sub.add_parser(
+        "grep", help="substring/regex content search (trigram index)"
+    )
+    g.add_argument("--index", required=True)
+    g.add_argument("--pattern", required=True)
+    g.add_argument("--regex", action="store_true")
+    g.add_argument("--case-sensitive", action="store_true")
+    g.add_argument(
+        "--no-scan-fallback",
+        action="store_true",
+        help="error instead of full scan when the regex has no "
+        "required literal",
+    )
+    g.add_argument("--limit", type=int, default=100)
+    g.add_argument("--repo")
+    g.add_argument("--lang")
+    g.add_argument("--ext")
+    g.add_argument("--path-prefix")
+    g.set_defaults(fn=cmd_grep)
 
     h = sub.add_parser("hints", help="autocomplete hint words")
     h.add_argument("--index", required=True)
