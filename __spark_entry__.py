@@ -396,11 +396,12 @@ def _q_content_substring(spark, sf_dir):
     needle crosses a word boundary, so no token query could express
     it."""
     eng = _engine(spark, sf_dir)
-    res = eng.search_content_substring("ge sor")
+    res = eng.search_content_substring("ge sor", with_counts=True)
     return res.select(
         F.regexp_extract("path", r"/(\d+)\.txt$", 1)
         .cast("long")
-        .alias("doc_id")
+        .alias("doc_id"),
+        "n_matches",
     )
 
 
@@ -1121,7 +1122,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE contains(lower(source || '/' || CAST(doc_id AS VARCHAR)
                            || '.txt'), 'c3/1')""",
         "q19_content_substring": """
-            SELECT doc_id FROM documents WHERE contains(text, 'ge sor')""",
+            SELECT doc_id,
+                   ((length(text) - length(replace(text, 'ge sor', '')))
+                    // 6)::BIGINT AS n_matches
+            FROM documents WHERE contains(text, 'ge sor')""",
         "q20_content_regex": """
             SELECT doc_id FROM documents
             WHERE regexp_matches(text, 'merge [a-z]+ sort')""",

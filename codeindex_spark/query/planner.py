@@ -858,20 +858,33 @@ class SearchEngine:
 
     def _substring_search(
         self, field: str, verify_col, substr: str,
-        filters: "Filters | None" = None,
+        filters: "Filters | None" = None, with_counts: bool = False,
     ) -> DataFrame:
         s = substr.lower()
         docs = self.reader.docs
         cand = self._trigram_candidates(field, s)
         if cand is None:
-            return docs.filter(F.lit(False))
-        if not isinstance(cand, str):
+            docs = docs.filter(F.lit(False))
+        elif not isinstance(cand, str):
             docs = self._apply_candidates(docs, cand)
         if filters is not None and not filters.empty:
             # metadata predicates stack ON the candidate-pruned scan:
             # plain Catalyst filters, evaluated before the contains()
             docs = filters.apply(docs)
-        return docs.filter(F.lower(verify_col).contains(s))
+        out = docs.filter(F.lower(verify_col).contains(s))
+        if not with_counts:
+            return out
+        # occurrence count via literal replace (portable to any
+        # engine, no regex escaping concerns):
+        # (len(t) - len(replace(t, s, ''))) / len(s)
+        t = F.lower(verify_col)
+        n = (
+            (F.length(t) - F.length(F.replace(t, F.lit(s), F.lit(""))))
+            / F.lit(len(s))
+        ).cast("long")
+        return out.withColumn("n_matches", n).orderBy(
+            F.desc("n_matches"), F.asc("doc_id")
+        )
 
     def search_path_substring(self, substr: str) -> DataFrame:
         """Substring path search via the path n-gram field (north_star
@@ -888,7 +901,8 @@ class SearchEngine:
         return self._substring_search("path_trigram", F.col("path"), substr)
 
     def search_content_substring(
-        self, substr: str, filters: "Filters | None" = None
+        self, substr: str, filters: "Filters | None" = None,
+        with_counts: bool = False,
     ) -> DataFrame:
         """Substring CONTENT search via the opt-in content_trigram
         field — the public code-search scale design (Cox's codesearch
@@ -905,7 +919,8 @@ class SearchEngine:
                 "(opt in via IndexParams(fields=CONTENT_TRIGRAM_FIELDS))"
             )
         return self._substring_search(
-            "content_trigram", F.col("content"), substr, filters
+            "content_trigram", F.col("content"), substr, filters,
+            with_counts,
         )
 
     def search_content_regex(

@@ -122,6 +122,22 @@ def test_content_regex_no_literal_fallback_and_refusal(engine, pdocs):
         engine.search_content_regex(pattern, scan_fallback=False)
 
 
+def test_substring_with_counts(engine, pdocs):
+    rows = engine.search_content_substring(
+        "string", with_counts=True
+    ).collect()
+    got = {r["path"]: r["n_matches"] for r in rows}
+    exp = {
+        r["path"]: r["content"].lower().count("string")
+        for r in pdocs.to_dict("records")
+        if "string" in r["content"].lower()
+    }
+    assert got == exp
+    # ordered by n_matches desc, doc_id asc
+    pairs = [(r["n_matches"], r["doc_id"]) for r in rows]
+    assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
+
+
 def test_substring_and_regex_with_filters(engine, pdocs):
     from codeindex_spark.query.planner import Filters
 
@@ -167,6 +183,62 @@ def test_substring_requires_opt_in_field(spark, tmp_path_factory):
     eng = SearchEngine(IndexReader(spark, d))
     with pytest.raises(ValueError, match="content_trigram"):
         eng.search_content_substring("abc")
+
+
+def test_substring_search_through_incremental_updates(spark, tmp_path):
+    """Trigram substring search over a stacked (base + delta +
+    tombstones) MultiReader: the content_trigram field must flow
+    through delta builds, and verification runs on live docs only —
+    deleted/replaced content must not match, added content must."""
+    import pandas as pd
+
+    from codeindex_spark.streaming.maintain import IncrementalIndex
+
+    def rows(items):
+        return pd.DataFrame(
+            [
+                {
+                    "repo": "r0",
+                    "path": p,
+                    "commit": c,
+                    "lang": "x",
+                    "content": t,
+                }
+                for p, c, t in items
+            ]
+        )
+
+    v1 = rows(
+        [
+            ("a.py", "c1", "alpha betagamma delta"),
+            ("b.py", "c1", "zzuniquesub lives here"),
+            ("c.py", "c1", "doomed dropme content"),
+        ]
+    )
+    v2 = rows(
+        [
+            ("a.py", "c2", "alpha replaced entirely"),  # update
+            ("b.py", "c1", "zzuniquesub lives here"),  # unchanged
+            ("d.py", "c2", "fresh qqnewsub arrival"),  # add; c.py deleted
+        ]
+    )
+    inc = IncrementalIndex(spark, str(tmp_path / "triinc"), PARAMS, n_groups=1)
+    inc.build_base(spark.createDataFrame(v1))
+    inc.apply_snapshot(spark.createDataFrame(v2))
+    eng = SearchEngine(inc.reader())
+
+    def paths(needle):
+        return {
+            r["path"]
+            for r in eng.search_content_substring(needle).collect()
+        }
+
+    assert paths("zzuniquesub") == {"b.py"}
+    assert paths("qqnewsub") == {"d.py"}  # delta-indexed trigram
+    assert paths("dropme") == set()  # deleted doc can't match
+    assert paths("betagamma") == set()  # replaced content can't match
+    assert paths("agam") == set()  # mid-word fragment of old content
+    assert paths("replaced ent") == {"a.py"}  # new version matches
 
 
 # ---------------- required_literals (pure) ----------------
