@@ -289,10 +289,16 @@ def _tok_count_cols(docs: DataFrame) -> DataFrame:
         F.greatest(F.length(F.lower(F.col("path"))) - 2, F.lit(0))
         .cast("long")
         .alias("_tc_path_trigram"),
-        # regexp_count (not length-2) so the count matches the Python
-        # findall exactly when content contains newlines ('.' excludes
-        # \n in both engines; paths never contain newlines, content may)
-        F.regexp_count(F.coalesce(F.col("content"), F.lit("")), F.lit(TRIGRAM_RE))
+        # sum over \n-split segments of max(len-2, 0): matches the
+        # Python findall exactly — '.' excludes only \n in Python, and
+        # Spark length() is code-point based like Python slicing. A
+        # JVM regexp_count would diverge on astral chars (UTF-16 code
+        # units) and on \r (Java '.' excludes it, Python doesn't).
+        F.aggregate(
+            F.split(F.coalesce(F.col("content"), F.lit("")), "\n"),
+            F.lit(0),
+            lambda acc, seg: acc + F.greatest(F.length(seg) - 2, F.lit(0)),
+        )
         .cast("long")
         .alias("_tc_content_trigram"),
     )

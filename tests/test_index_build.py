@@ -227,3 +227,29 @@ def test_jvm_token_count_parity(spark):
         got["_tc_file_name"]
         == got["file_name"].fillna("").str.lower().str.count(TOKEN_RE)
     ).all()
+    # content_trigram counts via the same lookahead regex on both
+    # sides ('.' excludes \n in Python AND Java — newline-bearing
+    # content must agree, which length-2 would get wrong)
+    from codeindex_spark.index.build import TRIGRAM_RE
+
+    assert (
+        got["_tc_content_trigram"]
+        == got["content"].fillna("").str.lower().str.count(TRIGRAM_RE)
+    ).all()
+
+
+def test_content_trigram_count_newlines(spark):
+    # "ab\ncd\nef": no 3-char run without a newline -> 0 trigrams;
+    # "abc\ndefg" -> "abc", "def", "efg" = 3
+    from codeindex_spark.index.build import _tok_count_cols
+
+    df = spark.createDataFrame(
+        [("ab\ncd\nef", "x", "x"), ("abc\ndefg", "x", "x")],
+        "content string, file_name string, path string",
+    )
+    got = {
+        r["content"]: r["_tc_content_trigram"]
+        for r in _tok_count_cols(df).collect()
+    }
+    assert got["ab\ncd\nef"] == 0
+    assert got["abc\ndefg"] == 3
