@@ -422,6 +422,22 @@ def _q_content_regex(spark, sf_dir):
     )
 
 
+def _q_grep_lines(spark, sf_dir):
+    """Matched-line display for substring search (grep shape): JVM
+    array transform/filter/slice over trigram-pruned candidates —
+    sf docs are single-line, so each hit yields line 1."""
+    from codeindex_spark.query.present import grep_matched_lines
+
+    eng = _engine(spark, sf_dir)
+    return grep_matched_lines(eng, "ge sor").select(
+        F.regexp_extract("path", r"/(\d+)\.txt$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("line_number").cast("long").alias("line_number"),
+        "line_text",
+    )
+
+
 def _q_filename_term(spark, sf_dir):
     """Tokenized file-name field search (reference FileName TextField,
     IndexBuilderHelper.cs:25). Engine names tokenize to exactly
@@ -843,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,
         "pv_highlight": _q_preview_highlight,
         "pv_matched_lines": _q_matched_lines,
+        "pv_grep_lines": _q_grep_lines,
         "tx_quality": _q_quality,
         "tx_fingerprint": _q_fingerprint,
         "tx_bpe_count": _q_bpe_count,
@@ -1277,6 +1294,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, t.score, trim(ct) AS line_text,
                    1::BIGINT AS line_number
             FROM topd t JOIN cased USING (doc_id)""",
+        "pv_grep_lines": """WITH cased AS (
+              SELECT doc_id, array_to_string(list_transform(
+                string_split(text, ' '),
+                w -> CASE WHEN length(w) >= 6 THEN upper(w) ELSE w END
+              ), ' ') AS ct FROM documents)
+            SELECT doc_id, 1::BIGINT AS line_number,
+                   trim(ct) AS line_text
+            FROM cased
+            WHERE contains(lower(ct), 'ge sor')""",
         "tx_quality": f"""WITH {_TOK},
             st AS (
               SELECT doc_id, count(*) AS n_tokens,

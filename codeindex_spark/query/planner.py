@@ -818,8 +818,21 @@ class SearchEngine:
 
         Only the MAX_PRUNE_GRAMS rarest grams (by df, term-asc
         tie-break for determinism) are intersected; the verify step
-        keeps results exact regardless."""
-        grams = sorted({s[i : i + 3] for i in range(len(s) - 2)})
+        keeps results exact regardless.
+
+        Grams are taken per \\n-split segment of the needle: the
+        tokenizer never emits a trigram spanning a newline, so a
+        \\n-bearing gram is ALWAYS absent from the dictionary and its
+        absence proves nothing — using it would wrongly return empty
+        for cross-line substrings. Newline-free segment grams remain
+        required substrings, so pruning on them stays sound."""
+        grams = sorted(
+            {
+                seg[i : i + 3]
+                for seg in s.split("\n")
+                for i in range(len(seg) - 2)
+            }
+        )
         if not grams:
             return "scan"
         dfs = self._lookup_exact_df({field: set(grams)})
@@ -936,10 +949,13 @@ class SearchEngine:
         partial match. A pattern with no required literal ≥ 3 chars
         (top-level alternation, all-optional) can't be prefiltered:
         scan_fallback=True degrades to a full doc scan, False raises."""
+        # split literals on \n for the same reason _trigram_candidates
+        # does: no indexed trigram ever spans a newline
         lits = [
-            lit.lower()
+            seg.lower()
             for lit in required_literals(pattern)
-            if len(lit) >= 3
+            for seg in lit.split("\n")
+            if len(seg) >= 3
         ]
         docs = self.reader.docs
         if filters is not None and not filters.empty:

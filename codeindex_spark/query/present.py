@@ -180,3 +180,53 @@ def search_with_matched_lines(
         .orderBy(F.desc("score"), F.asc("doc_id"), F.asc("line_number"))
         .limit(max_lines)
     )
+
+
+def grep_matched_lines(
+    engine: SearchEngine,
+    pattern: str,
+    regex: bool = False,
+    case_sensitive: bool = False,
+    filters=None,
+    max_lines_per_doc: int = 100,
+) -> DataFrame:
+    """Matched lines for substring/regex content search — the grep
+    display shape: (doc_id, repo, path, line_number, line_text).
+
+    Candidates come from the trigram index (search_content_substring /
+    search_content_regex — never a corpus scan); line extraction is
+    pure JVM array algebra: transform (attach 1-based line numbers) ->
+    filter (line matches) -> slice (per-doc cap is STRUCTURAL, no
+    window/shuffle) -> posexplode. A needle spanning a line break
+    matches the doc but no single line, like grep.
+    """
+    if regex:
+        hits = engine.search_content_regex(
+            pattern, case_sensitive=case_sensitive, filters=filters
+        )
+        rx = pattern if case_sensitive else f"(?i){pattern}"
+        line_pred = lambda st: st["t"].rlike(rx)  # noqa: E731
+    else:
+        s = pattern.lower()
+        hits = engine.search_content_substring(pattern, filters=filters)
+        line_pred = lambda st: F.lower(st["t"]).contains(s)  # noqa: E731
+    numbered = F.transform(
+        F.split(F.col("content"), "\n"),
+        lambda l, i: F.struct(
+            (i + F.lit(1)).alias("n"), l.alias("t")
+        ),
+    )
+    capped = F.slice(F.filter(numbered, line_pred), 1, max_lines_per_doc)
+    return (
+        hits.select(
+            "doc_id", "repo", "path", F.explode(capped).alias("m")
+        )
+        .select(
+            "doc_id",
+            "repo",
+            "path",
+            F.col("m.n").alias("line_number"),
+            F.trim(F.col("m.t")).alias("line_text"),
+        )
+        .orderBy("doc_id", "line_number")
+    )

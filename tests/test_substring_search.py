@@ -241,6 +241,58 @@ def test_substring_search_through_incremental_updates(spark, tmp_path):
     assert paths("replaced ent") == {"a.py"}  # new version matches
 
 
+def test_grep_matched_lines(spark, tmp_path):
+    import pandas as pd
+
+    from codeindex_spark.query.present import grep_matched_lines
+
+    docs = pd.DataFrame(
+        [
+            {
+                "repo": "r",
+                "path": "m.py",
+                "commit": "c",
+                "lang": "x",
+                "content": "first needleline here\nno match\n  needleline again  \ncross nee",
+            },
+            {
+                "repo": "r",
+                "path": "n.py",
+                "commit": "c",
+                "lang": "x",
+                # needle spans the line break: doc matches as a
+                # substring but NO single line contains it
+                "content": "ends with needle\nline starts",
+            },
+        ]
+    )
+    d = str(tmp_path / "grepidx")
+    IndexBuilder(spark, d, PARAMS, n_groups=1).build(
+        spark.createDataFrame(docs), resume=False
+    )
+    eng = SearchEngine(IndexReader(spark, d))
+    rows = grep_matched_lines(eng, "needleline").collect()
+    assert [(r["path"], r["line_number"], r["line_text"]) for r in rows] == [
+        ("m.py", 1, "first needleline here"),
+        ("m.py", 3, "needleline again"),
+    ]
+    # cross-line substring: the DOC matches (trigram pruning must use
+    # only newline-free segment grams — a \n-bearing gram is never
+    # indexed and would wrongly prove absence)...
+    cross = eng.search_content_substring("needle\nline")
+    assert {r["path"] for r in cross.collect()} == {"n.py"}
+    # ...but zero single LINES contain it (grep semantics)
+    assert grep_matched_lines(eng, "needle\nline").count() == 0
+    # regex mode
+    rx = grep_matched_lines(eng, r"needleline (here|again)", regex=True)
+    assert rx.count() == 2
+    # per-doc cap is structural
+    assert (
+        grep_matched_lines(eng, "needleline", max_lines_per_doc=1).count()
+        == 1
+    )
+
+
 # ---------------- required_literals (pure) ----------------
 
 
