@@ -135,6 +135,24 @@ def cmd_grep(args) -> int:
         repo=args.repo, lang=args.lang, file_ext=args.ext,
         path_prefix=args.path_prefix,
     )
+    if args.lines:
+        from codeindex_spark.query.present import grep_matched_lines
+
+        rows = grep_matched_lines(
+            eng, args.pattern, regex=args.regex,
+            case_sensitive=args.case_sensitive, filters=filters,
+        ).limit(args.limit).collect()
+        for r in rows:
+            print(
+                json.dumps(
+                    {
+                        "path": r["path"],
+                        "line": r["line_number"],
+                        "text": r["line_text"],
+                    }
+                )
+            )
+        return 0
     if args.regex:
         hits = eng.search_content_regex(
             args.pattern,
@@ -236,6 +254,11 @@ def main(argv=None) -> int:
         "required literal",
     )
     g.add_argument("--limit", type=int, default=100)
+    g.add_argument(
+        "--lines",
+        action="store_true",
+        help="print matched lines (path, line number, text)",
+    )
     g.add_argument("--repo")
     g.add_argument("--lang")
     g.add_argument("--ext")
