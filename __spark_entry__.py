@@ -6,7 +6,7 @@ matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
 Entries map to SURVEY.md §2 operators:
-  q01..q20  — index-query operators (Q1-Q10, K1/K2, P1/P2, S1, T3/T5,
+  q01..q21  — index-query operators (Q1-Q10, K1/K2, P1/P2, S1, T3/T5,
               batch multi-query, path-trigram substring, content
               trigram substring + regex)
   a1        — aggregation operators (A1/A2 corpus stats, term dict)
@@ -419,6 +419,21 @@ def _q_content_regex(spark, sf_dir):
         F.regexp_extract("path", r"/(\d+)\.txt$", 1)
         .cast("long")
         .alias("doc_id")
+    )
+
+
+def _q_substring_batch(spark, sf_dir):
+    """Batch multi-needle substring sweep: one dictionary job + one
+    posting/kernel job + one pushdown verify scan for all needles."""
+    eng = _engine(spark, sf_dir)
+    res = eng.search_content_substring_many(
+        {"a": "ge sor", "b": "rt mer", "c": "w fast"}
+    )
+    return res.select(
+        "needle",
+        F.regexp_extract("path", r"/(\d+)\.txt$", 1)
+        .cast("long")
+        .alias("doc_id"),
     )
 
 
@@ -847,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_filename_term": _q_filename_term,
         "q19_content_substring": _q_content_substring,
         "q20_content_regex": _q_content_regex,
+        "q21_substring_batch": _q_substring_batch,
         "a1_doc_len": _q_doc_len,
         "dd_exact": _q_dedup_exact,
         "dd_jaccard": _q_dedup_jaccard,
@@ -1146,6 +1162,13 @@ def oracle_sql() -> dict[str, str]:
         "q20_content_regex": """
             SELECT doc_id FROM documents
             WHERE regexp_matches(text, 'merge [a-z]+ sort')""",
+        "q21_substring_batch": """
+            SELECT 'a' AS needle, doc_id FROM documents
+            WHERE contains(text, 'ge sor')
+            UNION ALL
+            SELECT 'b', doc_id FROM documents WHERE contains(text, 'rt mer')
+            UNION ALL
+            SELECT 'c', doc_id FROM documents WHERE contains(text, 'w fast')""",
         "q18_filename_term": """
             WITH st AS (SELECT count(*)::DOUBLE AS df FROM documents),
             nn AS (SELECT count(*)::DOUBLE AS n FROM documents)

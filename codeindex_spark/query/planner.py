@@ -936,6 +936,100 @@ class SearchEngine:
             with_counts,
         )
 
+    def search_content_substring_many(
+        self,
+        needles: "dict[str, str] | list[str]",
+        filters: "Filters | None" = None,
+    ) -> DataFrame:
+        """Batch substring search: (needle, doc_id, repo, path) for
+        every doc containing each needle — the pattern-list corpus
+        sweep of a training pipeline (secret scans, license strings,
+        contamination probes).
+
+        Cost is amortized across the batch: ONE dictionary lookup for
+        the union of all needles' trigrams (cached), ONE posting scan
+        + block kernel job for every needle's rarest-gram AND (via
+        score_many), ONE candidate-pushdown verify scan for the union
+        of candidate ids. Needles with an unindexed trigram are
+        dropped as provably absent without any scan; needles shorter
+        than one trigram fall back to a scan verify."""
+        if "content_trigram" not in tuple(self.params.fields):
+            raise ValueError(
+                "index was built without the content_trigram field "
+                "(opt in via IndexParams(fields=CONTENT_TRIGRAM_FIELDS))"
+            )
+        if not isinstance(needles, dict):
+            needles = {n: n for n in needles}
+        per: dict[str, tuple[str, set]] = {}
+        all_grams: set[str] = set()
+        for name, s0 in needles.items():
+            s = s0.lower()
+            grams = {
+                seg[i : i + 3]
+                for seg in s.split("\n")
+                for i in range(len(seg) - 2)
+            }
+            per[name] = (s, grams)
+            all_grams |= grams
+        dfs = self._lookup_exact_df({"content_trigram": all_grams})
+        qmap: dict[str, ast.Node] = {}
+        scanning: dict[str, str] = {}
+        for name, (s, grams) in per.items():
+            if not grams:
+                scanning[name] = s
+                continue
+            if any(("content_trigram", g) not in dfs for g in grams):
+                continue  # a required trigram is unindexed: no match
+            rare = sorted(
+                grams, key=lambda g: (dfs[("content_trigram", g)], g)
+            )[: self.MAX_PRUNE_GRAMS]
+            qmap[name] = (
+                ast.Term(rare[0], "content_trigram")
+                if len(rare) == 1
+                else ast.And(
+                    tuple(ast.Term(g, "content_trigram") for g in rare)
+                )
+            )
+        docs = self.reader.docs
+        if filters is not None and not filters.empty:
+            docs = filters.apply(docs)
+        out_cols = ("needle", "doc_id", "repo", "path")
+        parts: list[DataFrame] = []
+        if qmap:
+            cand = self.score_many(qmap).select("query", "doc_id")
+            pruned = self._apply_candidates(
+                docs, cand.select("doc_id").distinct()
+            )
+            needle_map = F.create_map(
+                *[
+                    x
+                    for name in sorted(qmap)
+                    for x in (F.lit(name), F.lit(per[name][0]))
+                ]
+            )
+            parts.append(
+                cand.join(pruned, "doc_id")
+                .withColumn("_s", needle_map[F.col("query")])
+                .filter(F.lower(F.col("content")).contains(F.col("_s")))
+                .select(
+                    F.col("query").alias("needle"), "doc_id", "repo", "path"
+                )
+            )
+        for name, s in scanning.items():
+            parts.append(
+                docs.filter(F.lower(F.col("content")).contains(s)).select(
+                    F.lit(name).alias("needle"), "doc_id", "repo", "path"
+                )
+            )
+        if not parts:
+            return docs.filter(F.lit(False)).select(
+                F.lit("").alias("needle"), "doc_id", "repo", "path"
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.select(*out_cols)
+
     def search_content_regex(
         self, pattern: str, case_sensitive: bool = True,
         scan_fallback: bool = True, filters: "Filters | None" = None,

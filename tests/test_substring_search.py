@@ -241,6 +241,31 @@ def test_substring_search_through_incremental_updates(spark, tmp_path):
     assert paths("replaced ent") == {"a.py"}  # new version matches
 
 
+def test_substring_many_matches_per_needle_bruteforce(engine, pdocs):
+    needles = {
+        "hot": "string",
+        "cross": "ng str",
+        "mid": "tringi",
+        "absent": "zzxqjq",  # provably absent: dropped, no scan
+        "tiny": "ls",  # < 1 trigram: scan-verify path
+    }
+    rows = engine.search_content_substring_many(needles).collect()
+    got: dict[str, set] = {}
+    for r in rows:
+        got.setdefault(r["needle"], set()).add(r["path"])
+    recs = pdocs.to_dict("records")
+    for name, s in needles.items():
+        exp = {r["path"] for r in recs if s in r["content"].lower()}
+        assert got.get(name, set()) == exp, name
+    assert "absent" not in got
+    # batch == N single searches
+    for name, s in needles.items():
+        if name == "absent":
+            continue
+        single = _got_paths(engine.search_content_substring(s))
+        assert got.get(name, set()) == single, name
+
+
 def test_grep_matched_lines(spark, tmp_path):
     import pandas as pd
 
