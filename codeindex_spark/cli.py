@@ -141,6 +141,7 @@ def cmd_grep(args) -> int:
         rows = grep_matched_lines(
             eng, args.pattern, regex=args.regex,
             case_sensitive=args.case_sensitive, filters=filters,
+            scan_fallback=not args.no_scan_fallback,
         ).limit(args.limit).collect()
         for r in rows:
             print(
@@ -161,7 +162,11 @@ def cmd_grep(args) -> int:
             filters=filters,
         )
     else:
-        hits = eng.search_content_substring(args.pattern, filters=filters)
+        hits = eng.search_content_substring(
+            args.pattern,
+            filters=filters,
+            case_sensitive=args.case_sensitive,
+        )
     for r in hits.select("doc_id", "repo", "path").limit(args.limit).collect():
         print(
             json.dumps(

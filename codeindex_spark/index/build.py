@@ -294,8 +294,10 @@ def _tok_count_cols(docs: DataFrame) -> DataFrame:
         # Spark length() is code-point based like Python slicing. A
         # JVM regexp_count would diverge on astral chars (UTF-16 code
         # units) and on \r (Java '.' excludes it, Python doesn't).
+        # lower() FIRST, like the tokenizer: lowercase mappings can
+        # change length (e.g. U+0130 expands to 2 code points).
         F.aggregate(
-            F.split(F.coalesce(F.col("content"), F.lit("")), "\n"),
+            F.split(F.lower(F.coalesce(F.col("content"), F.lit(""))), "\n"),
             F.lit(0),
             lambda acc, seg: acc + F.greatest(F.length(seg) - 2, F.lit(0)),
         )

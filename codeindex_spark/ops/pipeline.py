@@ -94,7 +94,12 @@ def hash_threshold(rate: float) -> str:
     Engine-portable — any md5 produces the same string."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError("rate must be in [0, 1]")
-    return format(int(rate * 0x100000000) & 0xFFFFFFFF, "08x") if rate < 1.0 else "g"
+    if rate == 1.0:
+        return "g"  # 'g' > 'f' in hex order: keeps every row
+    # min() not &-mask: the largest double below 1.0 rounds UP to
+    # exactly 2^32, and a mask would wrap it to 0 (sample nothing
+    # for a ~100% rate) instead of saturating
+    return format(min(int(rate * 0x100000000), 0xFFFFFFFF), "08x")
 
 
 def sample_key(seed: str, id_col: Column) -> Column:

@@ -168,7 +168,15 @@ def required_literals(pattern: str) -> list[str]:
     ends the run after it (``ab+c`` need not contain "abc");
     groups and character classes are skipped wholesale; escapes and
     ``. ^ $`` end the run. Over-restricting would drop matches, so
-    anything unclear contributes nothing."""
+    anything unclear contributes nothing.
+
+    Verification runs the pattern under JAVA regex (rlike), so the
+    skipper honors Java syntax where it differs from Python: character
+    classes nest (``[a-z&&[^bc]]``) and are skipped with bracket
+    depth. A malformed pattern (unterminated group/class, trailing
+    backslash) returns [] — the engine surfaces the real syntax error
+    at rlike time; guessing literals from garbage risks a false
+    absence proof."""
     runs: list[str] = []
     cur: list[str] = []
 
@@ -177,7 +185,27 @@ def required_literals(pattern: str) -> list[str]:
             runs.append("".join(cur))
             cur.clear()
 
-    i, n = 0, len(pattern)
+    n = len(pattern)
+
+    def skip_class(j: int) -> int:
+        """j at '['; return index past the matching ']' honoring Java
+        nested classes, or -1 if unterminated."""
+        depth = 0
+        while j < n:
+            ch = pattern[j]
+            if ch == "\\":
+                j += 2
+                continue
+            if ch == "[":
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    return j + 1
+            j += 1
+        return -1
+
+    i = 0
     while i < n:
         c = pattern[i]
         if c == "|":  # top-level alternation: nothing is required
@@ -189,20 +217,22 @@ def required_literals(pattern: str) -> list[str]:
                 if pattern[i] == "\\":
                     i += 2
                     continue
-                if pattern[i] == "[":  # class inside group
-                    i += 1
-                    while i < n and pattern[i] != "]":
-                        i += 2 if pattern[i] == "\\" else 1
+                if pattern[i] == "[":  # class inside group: nested
+                    i = skip_class(i)
+                    if i < 0:
+                        return []  # malformed: no literal is safe
+                    continue
                 depth += {"(": 1, ")": -1}.get(pattern[i], 0)
                 i += 1
+            if depth:
+                return []  # unterminated group
             # quantifier after the group keeps it non-required anyway
             continue
         if c == "[":  # character class: no single required char
             flush()
-            i += 1
-            while i < n and pattern[i] != "]":
-                i += 2 if pattern[i] == "\\" else 1
-            i += 1
+            i = skip_class(i)
+            if i < 0:
+                return []
             continue
         if c == "\\":  # escape: \d \w \b... are classes/anchors; even
             flush()  # literal escapes are skipped (sound either way)
@@ -807,6 +837,33 @@ class SearchEngine:
     # cost the most and prune the least. 8 is Zoekt's default ballpark.
     MAX_PRUNE_GRAMS = 8
 
+    @staticmethod
+    def _segment_grams(s: str) -> set[str]:
+        """Trigrams of the \\n-split segments of a lowercased needle.
+        The tokenizer never emits a trigram spanning a newline, so a
+        \\n-bearing gram is ALWAYS absent from the dictionary and its
+        absence proves nothing; segment grams remain required."""
+        return {
+            seg[i : i + 3]
+            for seg in s.split("\n")
+            for i in range(len(seg) - 2)
+        }
+
+    def _rarest_gram_node(
+        self, field: str, grams: set, dfs: dict
+    ) -> "ast.Node | None":
+        """AND node over the MAX_PRUNE_GRAMS rarest grams (df asc,
+        term-asc tie-break for determinism), or None when some gram is
+        absent from the dictionary — proof no doc contains the needle."""
+        if any((field, g) not in dfs for g in grams):
+            return None
+        rare = sorted(grams, key=lambda g: (dfs[(field, g)], g))[
+            : self.MAX_PRUNE_GRAMS
+        ]
+        if len(rare) == 1:
+            return ast.Term(rare[0], field)
+        return ast.And(tuple(ast.Term(g, field) for g in rare))
+
     def _trigram_candidates(self, field: str, s: str):
         """Candidate doc_ids whose `field` contains every trigram of
         lowercased needle `s`.
@@ -820,31 +877,15 @@ class SearchEngine:
         tie-break for determinism) are intersected; the verify step
         keeps results exact regardless.
 
-        Grams are taken per \\n-split segment of the needle: the
-        tokenizer never emits a trigram spanning a newline, so a
-        \\n-bearing gram is ALWAYS absent from the dictionary and its
-        absence proves nothing — using it would wrongly return empty
-        for cross-line substrings. Newline-free segment grams remain
-        required substrings, so pruning on them stays sound."""
-        grams = sorted(
-            {
-                seg[i : i + 3]
-                for seg in s.split("\n")
-                for i in range(len(seg) - 2)
-            }
-        )
+        Grams come from _segment_grams (\\n-split segments), keeping
+        the absence proof sound for cross-line needles."""
+        grams = self._segment_grams(s)
         if not grams:
             return "scan"
-        dfs = self._lookup_exact_df({field: set(grams)})
-        if len(dfs) < len(grams):
+        dfs = self._lookup_exact_df({field: grams})
+        node = self._rarest_gram_node(field, grams, dfs)
+        if node is None:
             return None
-        grams.sort(key=lambda g: (dfs[(field, g)], g))
-        grams = grams[: self.MAX_PRUNE_GRAMS]
-        node: ast.Node = (
-            ast.Term(grams[0], field)
-            if len(grams) == 1
-            else ast.And(tuple(ast.Term(g, field) for g in grams))
-        )
         return self.score(node).select("doc_id")
 
     # bounded-collect candidate pushdown: up to this many candidate
@@ -872,7 +913,11 @@ class SearchEngine:
     def _substring_search(
         self, field: str, verify_col, substr: str,
         filters: "Filters | None" = None, with_counts: bool = False,
+        case_sensitive: bool = False,
     ) -> DataFrame:
+        # trigram prefilter is ALWAYS on the lowered needle (the index
+        # lowercases); for case-sensitive verify that stays sound —
+        # lit ⊆ content ⇒ lower(lit) ⊆ lower(content)
         s = substr.lower()
         docs = self.reader.docs
         cand = self._trigram_candidates(field, s)
@@ -884,16 +929,20 @@ class SearchEngine:
             # metadata predicates stack ON the candidate-pruned scan:
             # plain Catalyst filters, evaluated before the contains()
             docs = filters.apply(docs)
-        out = docs.filter(F.lower(verify_col).contains(s))
+        t = verify_col if case_sensitive else F.lower(verify_col)
+        needle = substr if case_sensitive else s
+        out = docs.filter(t.contains(needle))
         if not with_counts:
             return out
         # occurrence count via literal replace (portable to any
         # engine, no regex escaping concerns):
         # (len(t) - len(replace(t, s, ''))) / len(s)
-        t = F.lower(verify_col)
         n = (
-            (F.length(t) - F.length(F.replace(t, F.lit(s), F.lit(""))))
-            / F.lit(len(s))
+            (
+                F.length(t)
+                - F.length(F.replace(t, F.lit(needle), F.lit("")))
+            )
+            / F.lit(len(needle))
         ).cast("long")
         return out.withColumn("n_matches", n).orderBy(
             F.desc("n_matches"), F.asc("doc_id")
@@ -915,7 +964,7 @@ class SearchEngine:
 
     def search_content_substring(
         self, substr: str, filters: "Filters | None" = None,
-        with_counts: bool = False,
+        with_counts: bool = False, case_sensitive: bool = False,
     ) -> DataFrame:
         """Substring CONTENT search via the opt-in content_trigram
         field — the public code-search scale design (Cox's codesearch
@@ -933,7 +982,7 @@ class SearchEngine:
             )
         return self._substring_search(
             "content_trigram", F.col("content"), substr, filters,
-            with_counts,
+            with_counts, case_sensitive,
         )
 
     def search_content_substring_many(
@@ -964,11 +1013,7 @@ class SearchEngine:
         all_grams: set[str] = set()
         for name, s0 in needles.items():
             s = s0.lower()
-            grams = {
-                seg[i : i + 3]
-                for seg in s.split("\n")
-                for i in range(len(seg) - 2)
-            }
+            grams = self._segment_grams(s)
             per[name] = (s, grams)
             all_grams |= grams
         dfs = self._lookup_exact_df({"content_trigram": all_grams})
@@ -978,43 +1023,63 @@ class SearchEngine:
             if not grams:
                 scanning[name] = s
                 continue
-            if any(("content_trigram", g) not in dfs for g in grams):
-                continue  # a required trigram is unindexed: no match
-            rare = sorted(
-                grams, key=lambda g: (dfs[("content_trigram", g)], g)
-            )[: self.MAX_PRUNE_GRAMS]
-            qmap[name] = (
-                ast.Term(rare[0], "content_trigram")
-                if len(rare) == 1
-                else ast.And(
-                    tuple(ast.Term(g, "content_trigram") for g in rare)
-                )
-            )
+            node = self._rarest_gram_node("content_trigram", grams, dfs)
+            if node is not None:  # None: provably absent, drop needle
+                qmap[name] = node
         docs = self.reader.docs
         if filters is not None and not filters.empty:
             docs = filters.apply(docs)
         out_cols = ("needle", "doc_id", "repo", "path")
         parts: list[DataFrame] = []
         if qmap:
+            # collect (query, doc_id) pairs ONCE (bounded) so the
+            # score_many posting-scan+kernel job runs exactly once —
+            # a lazy reuse would re-execute it when the returned plan
+            # evaluates. Within the cap the pairs become a local
+            # relation (broadcast join) + isin pushdown on docs; above
+            # it, fall back to the lazy semi-join shape (recompute is
+            # then the lesser cost).
             cand = self.score_many(qmap).select("query", "doc_id")
-            pruned = self._apply_candidates(
-                docs, cand.select("doc_id").distinct()
-            )
-            needle_map = F.create_map(
-                *[
-                    x
-                    for name in sorted(qmap)
-                    for x in (F.lit(name), F.lit(per[name][0]))
-                ]
-            )
-            parts.append(
-                cand.join(pruned, "doc_id")
-                .withColumn("_s", needle_map[F.col("query")])
-                .filter(F.lower(F.col("content")).contains(F.col("_s")))
-                .select(
-                    F.col("query").alias("needle"), "doc_id", "repo", "path"
+            cap = self.CANDIDATE_PUSHDOWN_CAP
+            pairs = cand.limit(cap + 1).collect()
+            if len(pairs) <= cap:
+                if not pairs:
+                    cand = None
+                else:
+                    cand = self.reader.spark.createDataFrame(
+                        [(r["query"], r["doc_id"]) for r in pairs],
+                        "query string, doc_id long",
+                    )
+                    docs_pruned = docs.filter(
+                        F.col("doc_id").isin(
+                            list({r["doc_id"] for r in pairs})
+                        )
+                    )
+            else:
+                docs_pruned = docs.join(
+                    cand.select("doc_id").distinct(), "doc_id", "left_semi"
                 )
-            )
+            if cand is not None:
+                needle_map = F.create_map(
+                    *[
+                        x
+                        for name in sorted(qmap)
+                        for x in (F.lit(name), F.lit(per[name][0]))
+                    ]
+                )
+                parts.append(
+                    cand.join(docs_pruned, "doc_id")
+                    .withColumn("_s", needle_map[F.col("query")])
+                    .filter(
+                        F.lower(F.col("content")).contains(F.col("_s"))
+                    )
+                    .select(
+                        F.col("query").alias("needle"),
+                        "doc_id",
+                        "repo",
+                        "path",
+                    )
+                )
         for name, s in scanning.items():
             parts.append(
                 docs.filter(F.lower(F.col("content")).contains(s)).select(
@@ -1033,6 +1098,7 @@ class SearchEngine:
     def search_content_regex(
         self, pattern: str, case_sensitive: bool = True,
         scan_fallback: bool = True, filters: "Filters | None" = None,
+        line_anchors: bool = False,
     ) -> DataFrame:
         """Regex content search with trigram prefilter (public design:
         swtch.com/~rsc/regexp/regexp4.html). Required literal runs are
@@ -1040,10 +1106,11 @@ class SearchEngine:
         exactly like substring search (lowercased grams are sound for
         cased literals: lit ⊆ content ⇒ lower(lit) ⊆ lower(content)).
         Candidates are verified with rlike(pattern) — Java regex,
-        partial match. A pattern with no required literal ≥ 3 chars
-        (top-level alternation, all-optional) can't be prefiltered:
-        scan_fallback=True degrades to a full doc scan, False raises."""
-        # split literals on \n for the same reason _trigram_candidates
+        partial match. When the pattern can't be prefiltered (no
+        required literal ≥ 3 chars, OR the index lacks the
+        content_trigram field), scan_fallback=True degrades to a full
+        doc scan and False raises."""
+        # split literals on \n for the same reason _segment_grams
         # does: no indexed trigram ever spans a newline
         lits = [
             seg.lower()
@@ -1054,34 +1121,37 @@ class SearchEngine:
         docs = self.reader.docs
         if filters is not None and not filters.empty:
             docs = filters.apply(docs)
-        rx = pattern if case_sensitive else f"(?i){pattern}"
-        if not lits:
+        # line_anchors: verify under (?m) so ^/$ match at line
+        # boundaries — required by grep-style per-line display, where
+        # the doc filter must be a SUPERSET of any-line-matches (a
+        # start-of-content-only '^' would drop docs whose match sits
+        # on a later line)
+        rx = (
+            ("(?m)" if line_anchors else "")
+            + ("" if case_sensitive else "(?i)")
+            + pattern
+        )
+        have_field = "content_trigram" in tuple(self.params.fields)
+        if not lits or not have_field:
             if not scan_fallback:
                 raise ValueError(
-                    "pattern has no required literal >= 3 chars; "
-                    "refusing full scan (scan_fallback=False)"
+                    "cannot prefilter: "
+                    + (
+                        "pattern has no required literal >= 3 chars"
+                        if have_field
+                        else "index was built without the "
+                        "content_trigram field (opt in via "
+                        "IndexParams(fields=CONTENT_TRIGRAM_FIELDS))"
+                    )
+                    + "; refusing full scan (scan_fallback=False)"
                 )
             return docs.filter(F.col("content").rlike(rx))
-        if "content_trigram" not in tuple(self.params.fields):
-            raise ValueError(
-                "index was built without the content_trigram field "
-                "(opt in via IndexParams(fields=CONTENT_TRIGRAM_FIELDS))"
-            )
-        grams = sorted({g for s in lits for i in range(len(s) - 2)
-                        for g in (s[i : i + 3],)})
-        dfs = self._lookup_exact_df({"content_trigram": set(grams)})
-        if len(dfs) < len(grams):
+        grams = {g for s in lits for g in self._segment_grams(s)}
+        dfs = self._lookup_exact_df({"content_trigram": grams})
+        node = self._rarest_gram_node("content_trigram", grams, dfs)
+        if node is None:
             # some required trigram absent => no doc can match
             return docs.filter(F.lit(False))
-        grams.sort(key=lambda g: (dfs[("content_trigram", g)], g))
-        grams = grams[: self.MAX_PRUNE_GRAMS]
-        node: ast.Node = (
-            ast.Term(grams[0], "content_trigram")
-            if len(grams) == 1
-            else ast.And(
-                tuple(ast.Term(g, "content_trigram") for g in grams)
-            )
-        )
         cand = self.score(node).select("doc_id")
         return self._apply_candidates(docs, cand).filter(
             F.col("content").rlike(rx)

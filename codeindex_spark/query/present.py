@@ -189,6 +189,7 @@ def grep_matched_lines(
     case_sensitive: bool = False,
     filters=None,
     max_lines_per_doc: int = 100,
+    scan_fallback: bool = True,
 ) -> DataFrame:
     """Matched lines for substring/regex content search — the grep
     display shape: (doc_id, repo, path, line_number, line_text).
@@ -201,11 +202,19 @@ def grep_matched_lines(
     matches the doc but no single line, like grep.
     """
     if regex:
+        # line_anchors=True: doc verification runs under (?m) so ^/$
+        # anchored patterns keep docs whose match is on a later line
         hits = engine.search_content_regex(
-            pattern, case_sensitive=case_sensitive, filters=filters
+            pattern, case_sensitive=case_sensitive, filters=filters,
+            scan_fallback=scan_fallback, line_anchors=True,
         )
         rx = pattern if case_sensitive else f"(?i){pattern}"
         line_pred = lambda st: st["t"].rlike(rx)  # noqa: E731
+    elif case_sensitive:
+        hits = engine.search_content_substring(
+            pattern, filters=filters, case_sensitive=True
+        )
+        line_pred = lambda st: st["t"].contains(pattern)  # noqa: E731
     else:
         s = pattern.lower()
         hits = engine.search_content_substring(pattern, filters=filters)

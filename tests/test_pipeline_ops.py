@@ -119,3 +119,12 @@ def test_sample_matches_python_and_nests(spark):
     assert other != s25  # independent across seeds
     full = sample_by_hash(df, 1.0, seed="42").count()
     assert full == 2000 and sample_by_hash(df, 0.0).count() == 0
+
+
+def test_hash_threshold_saturates_near_one():
+    # largest double below 1.0 rounds up to 2^32: must saturate at
+    # 'ffffffff', not wrap to '00000000' (sample-nothing for ~100%)
+    assert hash_threshold(0.9999999999999999) == "ffffffff"
+    assert hash_threshold(1.0) == "g"
+    assert hash_threshold(0.25) == "40000000"
+    assert hash_threshold(0.0) == "00000000"

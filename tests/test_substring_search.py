@@ -78,6 +78,47 @@ def test_content_substring_case_insensitive(engine, pdocs):
     assert got == _expected_substring(pdocs, "string")
 
 
+def test_content_substring_case_sensitive(engine, pdocs):
+    # fixture content is mixed-case ("LucenePool...") — the cased
+    # verify must drop docs that only match case-insensitively
+    got = _got_paths(
+        engine.search_content_substring("LucenePool", case_sensitive=True)
+    )
+    exp = {
+        r["path"]
+        for r in pdocs.to_dict("records")
+        if "LucenePool" in r["content"]
+    }
+    assert got == exp and exp
+    insens = _got_paths(engine.search_content_substring("lucenepool"))
+    assert got <= insens
+
+
+def test_regex_scan_fallback_on_non_trigram_index(spark, tmp_path):
+    # index WITHOUT content_trigram: scan_fallback=True must degrade
+    # to a full scan even when the pattern has extractable literals
+    # (previously it raised only for the more selective patterns)
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        [
+            {"repo": "r", "path": "a.py", "commit": "c", "lang": "x",
+             "content": "merge sort here"},
+            {"repo": "r", "path": "b.py", "commit": "c", "lang": "x",
+             "content": "nothing else"},
+        ]
+    )
+    d = str(tmp_path / "noctri2")
+    IndexBuilder(
+        spark, d, IndexParams(num_buckets=16, block_size=32), n_groups=1
+    ).build(spark.createDataFrame(docs), resume=False)
+    eng = SearchEngine(IndexReader(spark, d))
+    got = {r["path"] for r in eng.search_content_regex("merge sort").collect()}
+    assert got == {"a.py"}
+    with pytest.raises(ValueError, match="content_trigram"):
+        eng.search_content_regex("merge sort", scan_fallback=False)
+
+
 def test_path_substring_still_exact(engine, pdocs):
     got = _got_paths(engine.search_path_substring("src/io/i"))
     exp = {
@@ -311,6 +352,14 @@ def test_grep_matched_lines(spark, tmp_path):
     # regex mode
     rx = grep_matched_lines(eng, r"needleline (here|again)", regex=True)
     assert rx.count() == 2
+    # ANCHORED regex: the match sits on line 3, not at content start —
+    # the doc-level prefilter must use (?m) or this silently drops it
+    anchored = grep_matched_lines(
+        eng, r"^\s*needleline again", regex=True
+    ).collect()
+    assert [(r["line_number"], r["line_text"]) for r in anchored] == [
+        (3, "needleline again")
+    ]
     # per-doc cap is structural
     assert (
         grep_matched_lines(eng, "needleline", max_lines_per_doc=1).count()
@@ -341,6 +390,15 @@ def test_grep_matched_lines(spark, tmp_path):
         ("(group)(only)", []),
         # \{3} matches literal "{3}", so "3" is genuinely required
         (r"cls [a-z]\{3}", ["cls ", "3"]),
+        # Java nested character class: the whole class is one unit —
+        # a first-]-stops scan would leak "]xyz" as a bogus literal
+        (r"[a-z&&[^bc]]xyz", ["xyz"]),
+        # malformed patterns extract nothing (rlike reports the real
+        # syntax error; guessing literals risks a false absence proof)
+        ("(a[bc", []),
+        ("(abc", []),
+        ("[abc", []),
+        (r"(a[\\", []),
     ],
 )
 def test_required_literals(pattern, expected):
