@@ -663,6 +663,31 @@ def _q_chunk(spark, sf_dir):
     )
 
 
+def _q_chunk_dedup(spark, sf_dir):
+    """Composed pipeline: chunk -> exact-dedup the chunks. Dedup of
+    training windows (not whole docs) is what a real pipeline runs —
+    boilerplate repeats at window granularity. Chunk key packs
+    (doc_id, chunk_id); md5 grouping is engine-portable."""
+    from codeindex_spark.ops.dedup import exact_duplicates
+    from codeindex_spark.ops.pipeline import chunk_documents
+
+    chunks = chunk_documents(
+        _load(spark, sf_dir, "documents"), chunk_tokens=16, stride=12
+    ).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("chunk_key"),
+        "chunk_text",
+    )
+    dups = exact_duplicates(chunks, id_col="chunk_key", text_col="chunk_text")
+    return (
+        dups.filter(F.col("n_docs") > 1)
+        .select(
+            F.col("text_hash").alias("chunk_hash"),
+            F.col("n_docs").cast("long").alias("n_chunks"),
+            F.col("keep_doc_id").cast("long").alias("keep_chunk_key"),
+        )
+    )
+
+
 def _q_sample(spark, sf_dir):
     """Deterministic hash sampling at rate 0.25, seed '42' — stable
     across engines/re-runs/partitionings, unlike df.sample()."""
@@ -881,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_bpe_count": _q_bpe_count,
         "tx_scrub": _q_scrub,
         "px_chunk": _q_chunk,
+        "px_chunk_dedup": _q_chunk_dedup,
         "px_sample": _q_sample,
         "mm_resize_plan": _q_mm_resize_plan,
         "mm_frame_sample": _q_mm_frame_sample,
@@ -1381,6 +1407,25 @@ def oracle_sql() -> dict[str, str]:
                    len(list_slice(toks, start + 1, start + 16))::BIGINT AS n_chunk_tokens,
                    array_to_string(list_slice(toks, start + 1, start + 16), ' ') AS chunk_text
             FROM s WHERE start < n AND n > 0""",
+        "px_chunk_dedup": """WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), ' +'),
+                                 w -> w <> '') AS toks
+              FROM documents),
+            s AS (
+              SELECT doc_id, toks, len(toks) AS n,
+                     unnest(range(0, greatest(len(toks), 1), 12)) AS start
+              FROM t),
+            ch AS (
+              SELECT doc_id * 1000 + (start // 12) AS chunk_key,
+                     array_to_string(
+                       list_slice(toks, start + 1, start + 16), ' '
+                     ) AS chunk_text
+              FROM s WHERE start < n AND n > 0)
+            SELECT md5(chunk_text) AS chunk_hash,
+                   count(*)::BIGINT AS n_chunks,
+                   min(chunk_key)::BIGINT AS keep_chunk_key
+            FROM ch GROUP BY md5(chunk_text) HAVING count(*) > 1""",
         "px_sample": """
             SELECT doc_id FROM documents
             WHERE substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)

@@ -187,6 +187,53 @@ def cmd_hints(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    """Index inspection (the CheckIndex/segment-info analog): per-field
+    dictionary and posting-block counts, corpus stats, on-disk bytes.
+    Everything is a small aggregate — no unbounded collect."""
+    from codeindex_spark.index.segments import IndexReader
+
+    from pyspark.sql import functions as F
+
+    spark = _get_spark(args)
+    rdr = IndexReader(spark, args.index)
+    fields = {}
+    for r in (
+        rdr.term_dict.groupBy("field")
+        .agg(F.count("*").alias("n_terms"), F.sum("df").alias("sum_df"))
+        .collect()
+    ):
+        fields[r["field"]] = {
+            "n_terms": r["n_terms"],
+            "sum_df": int(r["sum_df"]),
+        }
+    for r in (
+        rdr.postings.groupBy("field").agg(F.count("*").alias("n")).collect()
+    ):
+        fields.setdefault(r["field"], {})["n_posting_blocks"] = r["n"]
+    for r in rdr.stats.itertuples():
+        fields.setdefault(r.field, {})["avgdl"] = round(float(r.avgdl), 3)
+
+    def du(path):
+        total = 0
+        for dirpath, _d, files in os.walk(path):
+            for f in files:
+                total += os.path.getsize(os.path.join(dirpath, f))
+        return total
+
+    out = {
+        "n_docs": rdr.docs.count(),
+        "fields": dict(sorted(fields.items())),
+        "bytes": {
+            "postings": du(rdr.paths.postings),
+            "docs": du(rdr.paths.docs),
+        },
+        "params": rdr.params.to_dict(),
+    }
+    print(json.dumps(out, indent=2))
+    return 0
+
+
 def cmd_package(args) -> int:
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
@@ -276,6 +323,10 @@ def main(argv=None) -> int:
     h.add_argument("-k", type=int, default=20)
     h.add_argument("--case-sensitive", action="store_true")
     h.set_defaults(fn=cmd_hints)
+
+    st = sub.add_parser("stats", help="index inspection (CheckIndex analog)")
+    st.add_argument("--index", required=True)
+    st.set_defaults(fn=cmd_stats)
 
     p = sub.add_parser("package", help="zip the package for --py-files")
     p.add_argument("--out", default="codeindex_spark.zip")
