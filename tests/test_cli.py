@@ -1,0 +1,91 @@
+"""CLI surface (spark-submit deployment analog): build, search,
+grep (substring/regex/lines), hints, stats driven through main()."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from codeindex_spark.cli import main
+from codeindex_spark.corpus import CorpusSpec, spark_documents
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("cliidx")
+    docs_pq = str(root / "docs")
+    spark_documents(spark, CorpusSpec(n_docs=60), partitions=2).write.parquet(
+        docs_pq
+    )
+    index = str(root / "index")
+    rc = main(
+        [
+            "build",
+            "--input", docs_pq,
+            "--index", index,
+            "--num-buckets", "16",
+            "--groups", "1",
+            "--with-content-trigram",
+            "--no-resume",
+        ]
+    )
+    assert rc == 0
+    return index
+
+
+def _lines(capsys):
+    return [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+        if line.startswith("{")
+    ]
+
+
+def test_cli_search(idx, capsys):
+    assert main(["search", "--index", idx, "--query", "get AND string", "-k", "5"]) == 0
+    rows = _lines(capsys)
+    assert rows and all({"doc_id", "score", "repo", "path"} <= set(r) for r in rows)
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_cli_grep_modes(idx, capsys):
+    assert main(["grep", "--index", idx, "--pattern", "ng str", "--limit", "3"]) == 0
+    assert len(_lines(capsys)) == 3
+    assert main(
+        ["grep", "--index", idx, "--pattern", "get [a-z]+ string",
+         "--regex", "--limit", "2"]
+    ) == 0
+    assert len(_lines(capsys)) == 2
+    assert main(
+        ["grep", "--index", idx, "--pattern", "ng str", "--lines", "--limit", "4"]
+    ) == 0
+    rows = _lines(capsys)
+    assert len(rows) == 4 and all({"path", "line", "text"} <= set(r) for r in rows)
+    assert all("ng str" in r["text"].lower() for r in rows)
+
+
+def test_cli_grep_refusal(idx):
+    with pytest.raises(ValueError, match="required literal"):
+        main(
+            ["grep", "--index", idx, "--pattern", "a|b", "--regex",
+             "--no-scan-fallback"]
+        )
+    with pytest.raises(ValueError, match="required literal"):
+        main(
+            ["grep", "--index", idx, "--pattern", "a|b", "--regex",
+             "--lines", "--no-scan-fallback"]
+        )
+
+
+def test_cli_hints_and_stats(idx, capsys):
+    assert main(["hints", "--index", idx, "--prefix", "stri"]) == 0
+    words = capsys.readouterr().out.split()
+    assert words and all(w.startswith("stri") for w in words)
+    assert main(["stats", "--index", idx]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["n_docs"] == 60
+    assert "content_trigram" in out["fields"]
+    assert out["fields"]["content"]["n_terms"] > 0
+    assert out["bytes"]["postings"] > 0
