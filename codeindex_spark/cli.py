@@ -166,13 +166,13 @@ def cmd_grep(args) -> int:
             args.pattern,
             filters=filters,
             case_sensitive=args.case_sensitive,
+            with_counts=args.counts,
         )
-    for r in hits.select("doc_id", "repo", "path").limit(args.limit).collect():
-        print(
-            json.dumps(
-                {"doc_id": r["doc_id"], "repo": r["repo"], "path": r["path"]}
-            )
-        )
+    cols = ["doc_id", "repo", "path"] + (
+        ["n_matches"] if args.counts and not args.regex else []
+    )
+    for r in hits.select(*cols).limit(args.limit).collect():
+        print(json.dumps({c: r[c] for c in cols}))
     return 0
 
 
@@ -310,6 +310,11 @@ def main(argv=None) -> int:
         "--lines",
         action="store_true",
         help="print matched lines (path, line number, text)",
+    )
+    g.add_argument(
+        "--counts",
+        action="store_true",
+        help="substring mode: add n_matches, order by it descending",
     )
     g.add_argument("--repo")
     g.add_argument("--lang")

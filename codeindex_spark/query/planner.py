@@ -948,7 +948,9 @@ class SearchEngine:
             F.desc("n_matches"), F.asc("doc_id")
         )
 
-    def search_path_substring(self, substr: str) -> DataFrame:
+    def search_path_substring(
+        self, substr: str, filters: "Filters | None" = None
+    ) -> DataFrame:
         """Substring path search via the path n-gram field (north_star
         'path n-grams'): AND the substring's rarest char trigrams
         against path_trigram postings — the intersection prunes to a
@@ -960,7 +962,9 @@ class SearchEngine:
         to the doc scan (no trigram can represent them); a substring
         with any trigram absent from the dictionary short-circuits to
         empty without any scan."""
-        return self._substring_search("path_trigram", F.col("path"), substr)
+        return self._substring_search(
+            "path_trigram", F.col("path"), substr, filters
+        )
 
     def search_content_substring(
         self, substr: str, filters: "Filters | None" = None,

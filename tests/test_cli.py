@@ -66,6 +66,28 @@ def test_cli_grep_modes(idx, capsys):
     assert all("ng str" in r["text"].lower() for r in rows)
 
 
+def test_cli_grep_counts(idx, capsys):
+    assert main(
+        ["grep", "--index", idx, "--pattern", "string", "--counts",
+         "--limit", "5"]
+    ) == 0
+    rows = _lines(capsys)
+    assert rows and all("n_matches" in r for r in rows)
+    counts = [r["n_matches"] for r in rows]
+    assert counts == sorted(counts, reverse=True) and counts[0] >= 1
+
+
+def test_path_substring_filters(idx, spark):
+    from codeindex_spark.index.segments import IndexReader
+    from codeindex_spark.query.planner import Filters, SearchEngine
+
+    eng = SearchEngine(IndexReader(spark, idx))
+    allr = eng.search_path_substring("src/")
+    py = eng.search_path_substring("src/", filters=Filters(file_ext="py"))
+    assert 0 < py.count() < allr.count()
+    assert all(r["path"].endswith(".py") for r in py.collect())
+
+
 def test_cli_grep_refusal(idx):
     with pytest.raises(ValueError, match="required literal"):
         main(
