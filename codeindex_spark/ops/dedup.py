@@ -152,19 +152,55 @@ def _minhash_wide(
     num_hashes: int,
 ) -> DataFrame:
     """One row per doc with num_hashes minhash columns m0..m{H-1}:
-    m_i = min over shingles of (A_i*fp32(shingle) + B_i) mod P. ONE
-    aggregation over un-exploded shingle rows (num_hashes min()
-    columns) — the seed-explode variant multiplied the shuffle/agg
-    input by num_hashes for the same result (VERDICT r1 #4)."""
+    m_i = min over shingles of (A_i*fp32(shingle) + B_i) mod P.
+
+    The shingle list and its 32-bit fingerprints are built per-row
+    with JVM higher-order functions (transform / filter — ONE md5
+    per shingle, no toks-array duplication per exploded row), then
+    exploded to bare (doc_id, long) rows for a map-side-combined
+    groupBy: each partition pre-reduces to num_hashes longs per doc
+    before the shuffle, so shuffle volume is O(n_docs), not
+    O(n_shingles). No distinct() — the min over the raw
+    (duplicate-bearing) shingle list equals the min over the
+    distinct set. Docs with fewer than n tokens have no shingles
+    and are dropped (same as the inverted-list formulation).
+
+    (A zero-shuffle all-HOF variant — 8 array_min(transform(..))
+    over a fingerprint-array column — measured 5x SLOWER: projection
+    collapse inlines the array expression into every array_min and
+    Spark does not common-subexpression-eliminate through lambda
+    functions, so the md5 pass ran 8x.)"""
     if num_hashes > len(MINHASH_AB):
         raise ValueError(f"num_hashes > {len(MINHASH_AB)} not supported")
-    sh = shingles(df, id_col, text_col, n)
-    x = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
-    aggs = [
-        F.min((F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{i}")
-        for i, (a, b) in enumerate(MINHASH_AB[:num_hashes])
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    toks = F.split(F.col(text_col), " +")
+    with_toks = df.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+    sh_arr = F.filter(
+        F.transform(
+            F.col("_toks"),
+            lambda w, i: F.when(
+                i + n <= F.size(F.col("_toks")),
+                F.concat_ws(
+                    " ",
+                    *[F.element_at(F.col("_toks"), i + j + 1) for j in range(n)],
+                ),
+            ),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    xs = F.transform(
+        sh_arr, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    )
+    ex = ensure_parallelism(with_toks).select(
+        "doc_id", F.explode(xs).alias("x")
+    )
+    return ex.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_P)).alias(
+                f"m{i}"
+            )
+            for i, (a, b) in enumerate(MINHASH_AB[:num_hashes])
+        ]
+    )
 
 
 def minhash_signatures(
