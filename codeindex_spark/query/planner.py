@@ -889,15 +889,35 @@ class SearchEngine:
         return self.score(node).select("doc_id")
 
     # bounded-collect candidate pushdown: up to this many candidate
-    # doc_ids become a doc_id IN (...) predicate ON THE PARQUET SCAN
-    # (docs are doc_id-sorted per group dir -> row-group min/max
-    # pruning), so verification reads candidate neighborhoods, not the
-    # corpus. A semi-join would be "distributed" but forces a full
-    # docs scan with the verify predicate evaluated on every row —
-    # O(corpus) IO at 10^12 files. 8k longs is a trivial driver list;
-    # larger candidate sets (un-selective needles) fall back to the
-    # semi-join, which is then genuinely the right plan.
+    # doc_ids are collected to the driver and re-applied to the docs
+    # scan, so verification reads candidate neighborhoods, not the
+    # corpus. A lazy semi-join would be "distributed" but forces a
+    # full docs scan with the verify predicate evaluated on every row
+    # — O(corpus) IO at 10^12 files. 8k longs is a trivial driver
+    # list; larger candidate sets (un-selective needles) fall back to
+    # the semi-join, which is then genuinely the right plan.
     CANDIDATE_PUSHDOWN_CAP = 8192
+    # ...but only the first ISIN_PUSHDOWN_CAP ids become a literal
+    # doc_id IN (...) predicate: Catalyst's cost of analyzing /
+    # optimizing an In over thousands of literals is LINEAR in the
+    # list (measured ~0.7 ms/literal — 2 s of pure driver time at
+    # 2,700 ids, 10x the scan itself). Beyond the cap the ids ship as
+    # a broadcast-hash semi-join (local relation, no literal tree)
+    # plus a between(min,max) range predicate on the scan, which is
+    # what parquet row-group pruning reduces a big In to anyway
+    # (spark.sql.parquet.pushdown.inFilterThreshold).
+    ISIN_PUSHDOWN_CAP = 128
+
+    def _filter_by_ids(self, docs: DataFrame, ids: list) -> DataFrame:
+        if not ids:
+            return docs.filter(F.lit(False))
+        if len(ids) <= self.ISIN_PUSHDOWN_CAP:
+            return docs.filter(F.col("doc_id").isin(ids))
+        idf = self.reader.spark.createDataFrame(
+            [(int(i),) for i in ids], "doc_id long"
+        )
+        pruned = docs.filter(F.col("doc_id").between(min(ids), max(ids)))
+        return pruned.join(F.broadcast(idf), "doc_id", "left_semi")
 
     def _apply_candidates(self, docs: DataFrame, cand: DataFrame) -> DataFrame:
         ids = [
@@ -905,9 +925,7 @@ class SearchEngine:
             for r in cand.limit(self.CANDIDATE_PUSHDOWN_CAP + 1).collect()
         ]
         if len(ids) <= self.CANDIDATE_PUSHDOWN_CAP:
-            if not ids:
-                return docs.filter(F.lit(False))
-            return docs.filter(F.col("doc_id").isin(ids))
+            return self._filter_by_ids(docs, ids)
         return docs.join(cand, "doc_id", "left_semi")
 
     def _substring_search(
@@ -1054,10 +1072,8 @@ class SearchEngine:
                         [(r["query"], r["doc_id"]) for r in pairs],
                         "query string, doc_id long",
                     )
-                    docs_pruned = docs.filter(
-                        F.col("doc_id").isin(
-                            list({r["doc_id"] for r in pairs})
-                        )
+                    docs_pruned = self._filter_by_ids(
+                        docs, sorted({r["doc_id"] for r in pairs})
                     )
             else:
                 docs_pruned = docs.join(
