@@ -514,6 +514,18 @@ def _q_dedup_minhash(spark, sf_dir):
     )
 
 
+def _q_dedup_components(spark, sf_dir):
+    from codeindex_spark.ops.dedup import (
+        duplicate_components,
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(
+        _load(spark, sf_dir, "documents"), n=3, num_hashes=8, band_size=2
+    )
+    return duplicate_components(pairs)
+
+
 def _q_dedup_simhash(spark, sf_dir):
     from codeindex_spark.ops.dedup import simhash64
 
@@ -892,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_exact": _q_dedup_exact,
         "dd_jaccard": _q_dedup_jaccard,
         "dd_minhash_lsh": _q_dedup_minhash,
+        "dd_components": _q_dedup_components,
         "dd_simhash": _q_dedup_simhash,
         "dd_embed_neardup": _q_embed_neardup,
         "tx_langid": _q_langid,
@@ -1094,6 +1107,37 @@ def _minhash_consts():
 
 _MINHASH_P, _MINHASH_A, _MINHASH_B = _minhash_consts()
 
+# shared CTE chain: tok -> word-3-gram shingles -> 32-bit md5
+# fingerprints -> 8 universal-hash minima -> 2-wide LSH bands ->
+# candidate pairs (mh_pairs). Used by dd_minhash_lsh and as the edge
+# set of dd_components.
+_MINHASH_PAIR_CTES = f"""sh AS (
+              SELECT DISTINCT a.doc_id,
+                     a.term || ' ' || b.term || ' ' || c.term AS shingle
+              FROM tok a JOIN tok b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+                         JOIN tok c ON a.doc_id=c.doc_id AND c.pos=a.pos+2),
+            fp AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS x
+              FROM sh),
+            sig AS (
+              SELECT doc_id, s.seed,
+                     min((s.a * x + s.b) % {_MINHASH_P}) AS minhash
+              FROM fp, (SELECT unnest(range(8)) AS seed,
+                               unnest({_MINHASH_A}) AS a,
+                               unnest({_MINHASH_B}) AS b) s
+              GROUP BY doc_id, s.seed),
+            bands AS (
+              SELECT doc_id, seed // 2 AS band,
+                     string_agg(minhash::VARCHAR, '|' ORDER BY minhash)
+                       AS band_key
+              FROM sig GROUP BY doc_id, seed // 2),
+            mh_pairs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id)"""
+
 
 def oracle_sql() -> dict[str, str]:
     qdocs = lambda term: (
@@ -1247,31 +1291,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = doc_b
             WHERE inter / (sa.sz + sb.sz - inter) >= 0.1""",
         "dd_minhash_lsh": f"""WITH {_TOK},
-            sh AS (
-              SELECT DISTINCT a.doc_id,
-                     a.term || ' ' || b.term || ' ' || c.term AS shingle
-              FROM tok a JOIN tok b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
-                         JOIN tok c ON a.doc_id=c.doc_id AND c.pos=a.pos+2),
-            fp AS (
-              SELECT doc_id,
-                     ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS x
-              FROM sh),
-            sig AS (
-              SELECT doc_id, s.seed,
-                     min((s.a * x + s.b) % {_MINHASH_P}) AS minhash
-              FROM fp, (SELECT unnest(range(8)) AS seed,
-                               unnest({_MINHASH_A}) AS a,
-                               unnest({_MINHASH_B}) AS b) s
-              GROUP BY doc_id, s.seed),
-            bands AS (
-              SELECT doc_id, seed // 2 AS band,
-                     string_agg(minhash::VARCHAR, '|' ORDER BY minhash)
-                       AS band_key
-              FROM sig GROUP BY doc_id, seed // 2)
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.band_key = b.band_key
-             AND a.doc_id < b.doc_id""",
+            {_MINHASH_PAIR_CTES}
+            SELECT doc_a, doc_b FROM mh_pairs""",
+        # connected components over the minhash pair graph: DuckDB's
+        # recursive CTE reproduces min-reachable-label semantics (the
+        # walk closure accumulates every label reachable from each
+        # node; min over the closure = component id)
+        "dd_components": f"""WITH RECURSIVE {_TOK},
+            {_MINHASH_PAIR_CTES},
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+              UNION
+              SELECT doc_b AS src, doc_a AS dst FROM mh_pairs),
+            walk(doc_id, lab) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.dst, w.lab FROM walk w
+              JOIN edges e ON e.src = w.doc_id)
+            SELECT doc_id, min(lab) AS component
+            FROM walk GROUP BY doc_id""",
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings
                        WHERE vec_id = 0)

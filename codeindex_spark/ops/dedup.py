@@ -282,6 +282,120 @@ def minhash_lsh_pairs(
     )
 
 
+def duplicate_components(
+    pairs: DataFrame,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup candidate pairs:
+    (doc_id, component) where component = MIN doc_id reachable in the
+    undirected pair graph — the canonical-representative convention
+    of dedup pipelines (pairs alone cannot drive deletion; components
+    can: keep component, drop the rest).
+
+    Distributed min-label propagation with POINTER JUMPING: each
+    round first lowers every node's label to the min across its
+    neighbors' labels (one join + agg), then short-circuits chains by
+    replacing each label with its label's label (label-table
+    self-join). Pointer jumping doubles the propagation horizon per
+    round, so convergence is O(log diameter) rounds, not
+    O(diameter) — a 10^6-long template chain converges in ~20
+    rounds instead of 10^6. Each round is a constant number of
+    keyed shuffles; the label table is (doc_id, long), tiny relative
+    to the corpus. The driver loop carries only a changed-count.
+
+    Checkpointing: every round re-derives from the previous label
+    DataFrame; localCheckpoint() truncates the lineage so the plan
+    does not grow exponentially across iterations.
+    """
+    fwd = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("comp", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+
+    def label_sum(df: DataFrame) -> int:
+        # labels only ever decrease, so the total is unchanged iff
+        # fixpoint — an O(1)-result agg instead of a change-join.
+        # decimal(38,0): sum of 10^12 ids of 2^40 does not fit int64.
+        row = df.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]
+        return int(row["s"] or 0)
+
+    prev_sum = label_sum(labels)
+    for _ in range(max_iter):
+        # neighbor min: comp'(v) = min(comp(v), min over (u,v) of comp(u))
+        nbr_min = (
+            edges.join(
+                labels.withColumnRenamed("doc_id", "src"), "src"
+            )
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        stepped = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "comp", F.coalesce("nbr_comp", "comp")
+                ).alias("comp"),
+            )
+        )
+        # pointer jump: comp''(v) = comp'(comp'(v))
+        jumped = (
+            stepped.alias("a")
+            .join(
+                stepped.select(
+                    F.col("doc_id").alias("comp"),
+                    F.col("comp").alias("comp2"),
+                ).alias("b"),
+                "comp",
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.coalesce("comp2", "comp").alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        labels = jumped
+        new_sum = label_sum(labels)
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels.select("doc_id", F.col("comp").alias("component"))
+
+
+def dedup_keep_list(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Per-doc dedup verdict from candidate pairs: (doc_id,
+    component, keep). keep = the doc is its component's canonical
+    representative (min doc_id) — docs in no pair are their own
+    singleton component and are kept. Broadcast-friendly only when
+    the duped subset is small; the join is keyed, never cartesian."""
+    comp = duplicate_components(pairs, max_iter=max_iter)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("component"),
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("component"))
+    )
+
+
 def simhash64(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -326,3 +326,88 @@ def test_ivf_ann(spark, tmp_path):
         r["vec_id"] for r in ivf_search(idx, q2, k=5, n_probe=1).collect()
     ]
     assert approx2 == exact2
+
+
+def _pairs_df(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "doc_a long, doc_b long"
+    )
+
+
+def test_duplicate_components_chain_and_islands(spark):
+    from codeindex_spark.ops.dedup import duplicate_components
+
+    # chain 1-2-3-4-5 (exercises pointer jumping past one hop),
+    # island {10,11}, island {20,21,22} sharing only a hub
+    pairs = _pairs_df(
+        spark,
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (20, 22)],
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in duplicate_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_duplicate_components_matches_bruteforce(spark):
+    import random
+
+    from codeindex_spark.ops.dedup import duplicate_components
+
+    rng = random.Random(7)
+    nodes = list(range(200))
+    pairs = [
+        (min(a, b), max(a, b))
+        for a, b in (
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(150)
+        )
+        if a != b
+    ]
+    # brute force union-find
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    for a, b in pairs:
+        for n in (a, b):
+            expected[n] = find(n)
+    got = {
+        r["doc_id"]: r["component"]
+        for r in duplicate_components(_pairs_df(spark, pairs)).collect()
+    }
+    assert got == expected
+
+
+def test_dedup_keep_list(spark):
+    from codeindex_spark.ops.dedup import dedup_keep_list
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(8)], "doc_id long"
+    )
+    pairs = _pairs_df(spark, [(1, 3), (3, 5), (6, 7)])
+    rows = {r["doc_id"]: r for r in dedup_keep_list(docs, pairs).collect()}
+    assert len(rows) == 8
+    # singletons keep themselves
+    for i in (0, 2, 4):
+        assert rows[i]["component"] == i and rows[i]["keep"]
+    assert [rows[i]["component"] for i in (1, 3, 5)] == [1, 1, 1]
+    assert rows[1]["keep"] and not rows[3]["keep"] and not rows[5]["keep"]
+    assert rows[6]["keep"] and not rows[7]["keep"]
+    # exactly one keeper per component
+    from collections import Counter
+
+    keepers = Counter(
+        r["component"] for r in rows.values() if r["keep"]
+    )
+    assert all(v == 1 for v in keepers.values())
