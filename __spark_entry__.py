@@ -532,6 +532,26 @@ def _q_dedup_simhash(spark, sf_dir):
     return simhash64(_load(spark, sf_dir, "documents"))
 
 
+def _q_hybrid_rrf(spark, sf_dir):
+    """BM25 top-50 for 'spark' fused with cosine top-50 around the
+    vec_id-0 embedding by reciprocal-rank fusion (rrf_k=60), top 10.
+    vec_id is 1:1 with documents.doc_id at every sf dir."""
+    from codeindex_spark.ops.hybrid import hybrid_search
+    from codeindex_spark.ops.similarity import brute_force_cosine_topk
+
+    eng = _engine(spark, sf_dir)
+    lex = _bm25_topk_orig(eng, "spark", 50)
+    emb = _load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    sem = brute_force_cosine_topk(emb, list(qvec), k=50).select(
+        F.col("vec_id").alias("doc_id"), F.col("cosine").alias("score")
+    )
+    fused = hybrid_search(lex, sem, rrf_k=60, k=10)
+    return fused.select(
+        "doc_id", F.round("rrf_score", 6).alias("rrf_score"), "n_sources"
+    )
+
+
 def _q_ann_cosine(spark, sf_dir):
     from codeindex_spark.ops.similarity import brute_force_cosine_topk
 
@@ -909,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_embed_neardup": _q_embed_neardup,
         "tx_langid": _q_langid,
         "ann_cosine_topk": _q_ann_cosine,
+        "hy_rrf": _q_hybrid_rrf,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "pv_highlight": _q_preview_highlight,
@@ -1319,6 +1340,33 @@ def oracle_sql() -> dict[str, str]:
                                             (SELECT e FROM q)) DESC,
                      vec_id
             LIMIT 10""",
+        # RRF fusion of the BM25 lexical top-50 with the cosine
+        # semantic top-50; ranks (not scores) cross the fusion
+        # boundary, so the only portability requirements are the
+        # already-oracled BM25 rounding and cosine ORDERING
+        "hy_rrf": f"""WITH
+            lex AS (WITH {_BM25.format(term="spark", k=50)}),
+            lexr AS (SELECT doc_id,
+                            row_number() OVER (ORDER BY score DESC, doc_id)
+                              AS r
+                     FROM lex),
+            sem AS (SELECT vec_id AS doc_id,
+                           row_number() OVER (
+                             ORDER BY list_cosine_similarity(
+                               embedding::DOUBLE[],
+                               (SELECT embedding::DOUBLE[] FROM embeddings
+                                WHERE vec_id = 0)) DESC, vec_id) AS r
+                    FROM embeddings
+                    QUALIFY r <= 50),
+            unioned AS (SELECT doc_id, r FROM lexr
+                        UNION ALL
+                        SELECT doc_id, r FROM sem)
+            SELECT doc_id,
+                   round(sum((1.0::DOUBLE) / (60.0::DOUBLE + r)), 6)
+                     AS rrf_score,
+                   count(*) AS n_sources
+            FROM unioned GROUP BY doc_id
+            ORDER BY rrf_score DESC, doc_id LIMIT 10""",
         "dd_embed_neardup": f"""
             WITH bk(vec_id, bucket) AS (VALUES {_lsh_bucket_values()}),
             p AS (

@@ -411,3 +411,29 @@ def test_dedup_keep_list(spark):
         r["component"] for r in rows.values() if r["keep"]
     )
     assert all(v == 1 for v in keepers.values())
+
+
+def test_rrf_fuse(spark):
+    from codeindex_spark.ops.hybrid import hybrid_search, rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 3.0)], "doc_id long, score double"
+    )
+    sem = spark.createDataFrame(
+        [(2, 0.9), (4, 0.8), (1, 0.7)], "doc_id long, score double"
+    )
+    rows = {r["doc_id"]: r for r in hybrid_search(lex, sem, k=10).collect()}
+    # doc1: lex rank 1, sem rank 3; doc2: lex 2, sem 1; doc3: lex 3; doc4: sem 2
+    assert rows[1]["rrf_score"] == pytest.approx(1 / 61 + 1 / 63)
+    assert rows[2]["rrf_score"] == pytest.approx(1 / 62 + 1 / 61)
+    assert rows[3]["rrf_score"] == pytest.approx(1 / 63)
+    assert rows[4]["rrf_score"] == pytest.approx(1 / 62)
+    assert rows[1]["n_sources"] == 2 and rows[3]["n_sources"] == 1
+    # doc2 (ranks 2+1) outranks doc1 (ranks 1+3): 1/62+1/61 > 1/61+1/63
+    ordered = [r["doc_id"] for r in hybrid_search(lex, sem, k=10).collect()]
+    assert ordered == [2, 1, 4, 3]
+
+    # k truncation and single-source fusion
+    assert rrf_fuse({"only": lex}, k=2).count() == 2
+    with pytest.raises(ValueError):
+        rrf_fuse({})
