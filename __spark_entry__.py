@@ -526,6 +526,17 @@ def _q_dedup_components(spark, sf_dir):
     return duplicate_components(pairs)
 
 
+def _q_contamination(spark, sf_dir):
+    """Decontamination sweep: every 97th doc plays the benchmark;
+    5-gram collisions flag contaminated training docs (13 is the
+    production default; 5 exercises the op on the short sf texts)."""
+    from codeindex_spark.ops.dedup import contamination_overlaps
+
+    docs = _load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return contamination_overlaps(docs, bench, n=5)
+
+
 def _q_dedup_simhash(spark, sf_dir):
     from codeindex_spark.ops.dedup import simhash64
 
@@ -925,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_jaccard": _q_dedup_jaccard,
         "dd_minhash_lsh": _q_dedup_minhash,
         "dd_components": _q_dedup_components,
+        "dd_contamination": _q_contamination,
         "dd_simhash": _q_dedup_simhash,
         "dd_embed_neardup": _q_embed_neardup,
         "tx_langid": _q_langid,
@@ -1314,6 +1326,25 @@ def oracle_sql() -> dict[str, str]:
         "dd_minhash_lsh": f"""WITH {_TOK},
             {_MINHASH_PAIR_CTES}
             SELECT doc_a, doc_b FROM mh_pairs""",
+        # 5-gram decontamination: list_slice window == the engine's
+        # word shingles on the single-spaced sf text
+        "dd_contamination": """WITH sha AS (
+              SELECT d.doc_id,
+                     array_to_string(
+                       list_slice(string_split(d.text, ' '), i.i, i.i + 4),
+                       ' ') AS shingle
+              FROM documents d, LATERAL (
+                SELECT unnest(range(1,
+                         len(string_split(d.text, ' ')) - 3)) AS i) i),
+            tr AS (SELECT DISTINCT doc_id, shingle FROM sha),
+            be AS (SELECT DISTINCT doc_id AS bench_id, shingle
+                   FROM sha WHERE doc_id % 97 = 0)
+            SELECT doc_id,
+                   count(DISTINCT shingle) AS n_shared_ngrams,
+                   count(DISTINCT bench_id) AS n_bench_docs,
+                   min(bench_id) AS min_bench_id
+            FROM tr JOIN be USING (shingle)
+            GROUP BY doc_id""",
         # connected components over the minhash pair graph: DuckDB's
         # recursive CTE reproduces min-reachable-label semantics (the
         # walk closure accumulates every label reachable from each

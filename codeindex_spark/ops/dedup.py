@@ -282,6 +282,44 @@ def minhash_lsh_pairs(
     )
 
 
+def contamination_overlaps(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """Test-set decontamination: training docs sharing at least one
+    word n-gram with any benchmark doc — the standard 13-gram
+    collision rule of LLM training pipelines (GPT-3 appendix C /
+    PaLM / Llama decontamination). Returns (doc_id,
+    n_shared_ngrams, n_bench_docs, min_bench_id) per contaminated
+    training doc.
+
+    Scale shape: the benchmark side is tiny relative to a 100 TB
+    corpus (benchmarks are MBs), so its shingle set is broadcast —
+    the corpus-side scan is embarrassingly parallel with NO shuffle
+    of corpus shingles; the only aggregation is per contaminated
+    doc (a vanishing fraction). countDistinct is exact and bounded:
+    a doc has at most len(doc) shingles, a benchmark at most
+    len(bench) — no unbounded state.
+    """
+    tr = shingles(train, id_col, text_col, n)
+    be = shingles(bench, bench_id_col, text_col, n).withColumnRenamed(
+        "doc_id", "bench_id"
+    )
+    return (
+        tr.join(F.broadcast(be), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_ngrams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+            F.min("bench_id").alias("min_bench_id"),
+        )
+    )
+
+
 def duplicate_components(
     pairs: DataFrame,
     max_iter: int = 20,

@@ -437,3 +437,28 @@ def test_rrf_fuse(spark):
     assert rrf_fuse({"only": lex}, k=2).count() == 2
     with pytest.raises(ValueError):
         rrf_fuse({})
+
+
+def test_contamination_overlaps(spark):
+    from codeindex_spark.ops.dedup import contamination_overlaps
+
+    train = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),        # contains bench 10's 5-grams
+            (2, "x y z w v u t s"),        # clean
+            (3, "q q a b c d e q"),        # one shared 5-gram (a b c d e)
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(10, "a b c d e f g")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in contamination_overlaps(train, bench, n=5).collect()
+    }
+    # doc1 shares 'a b c d e', 'b c d e f', 'c d e f g' = 3 shingles
+    assert rows[1]["n_shared_ngrams"] == 3
+    assert rows[1]["n_bench_docs"] == 1 and rows[1]["min_bench_id"] == 10
+    assert rows[3]["n_shared_ngrams"] == 1
+    assert 2 not in rows
