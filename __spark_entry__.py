@@ -663,6 +663,18 @@ def _q_quality(spark, sf_dir):
     )
 
 
+def _q_repetition(spark, sf_dir):
+    from codeindex_spark.ops.analysis import repetition_stats
+
+    return repetition_stats(_load(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+        F.round("top2gram_char_frac", 6).alias("top2gram_char_frac"),
+        F.round("top3gram_char_frac", 6).alias("top3gram_char_frac"),
+    )
+
+
 def _q_scrub(spark, sf_dir):
     """PII/URL scrubbing over a deterministically augmented corpus:
     the sf text is pure [a-z ] so both engines append the same
@@ -948,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pv_matched_lines": _q_matched_lines,
         "pv_grep_lines": _q_grep_lines,
         "tx_quality": _q_quality,
+        "tx_repetition": _q_repetition,
         "tx_fingerprint": _q_fingerprint,
         "tx_bpe_count": _q_bpe_count,
         "tx_scrub": _q_scrub,
@@ -1469,6 +1482,59 @@ def oracle_sql() -> dict[str, str]:
                    trim(ct) AS line_text
             FROM cased
             WHERE contains(lower(ct), 'ge sor')""",
+        # Gopher repetition signals: raw \\n / single-space splits on
+        # both sides; top n-gram = max coverage (count*len), lex-min
+        # tie-break; denominators are line-chars resp. len(text)
+        "tx_repetition": """WITH ln AS (
+              SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+              FROM documents),
+            lc AS (SELECT doc_id, line, count(*) AS c
+                   FROM ln GROUP BY doc_id, line),
+            la AS (SELECT doc_id,
+                     sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END)::DOUBLE
+                       / sum(c) AS dlf,
+                     CASE WHEN sum(c * length(line)) = 0 THEN 0.0::DOUBLE
+                          ELSE sum(CASE WHEN c > 1
+                                        THEN (c - 1) * length(line)
+                                        ELSE 0 END)::DOUBLE
+                               / sum(c * length(line)) END AS dlcf
+                   FROM lc GROUP BY doc_id),
+            w AS (SELECT doc_id, string_split(text, ' ') AS l,
+                         length(text) AS nc
+                  FROM documents),
+            g2 AS (SELECT doc_id,
+                          array_to_string(list_slice(l, i.i, i.i + 1), ' ')
+                            AS g, nc
+                   FROM w, LATERAL (
+                     SELECT unnest(range(1, len(l))) AS i) i),
+            c2 AS (SELECT doc_id, g, nc, count(*) AS c
+                   FROM g2 GROUP BY doc_id, g, nc),
+            b2 AS (SELECT doc_id, (c * length(g))::DOUBLE / nc AS f,
+                          row_number() OVER (PARTITION BY doc_id
+                            ORDER BY c * length(g) DESC, g) AS rn
+                   FROM c2),
+            g3 AS (SELECT doc_id,
+                          array_to_string(list_slice(l, i.i, i.i + 2), ' ')
+                            AS g, nc
+                   FROM w, LATERAL (
+                     SELECT unnest(range(1, len(l) - 1)) AS i) i),
+            c3 AS (SELECT doc_id, g, nc, count(*) AS c
+                   FROM g3 GROUP BY doc_id, g, nc),
+            b3 AS (SELECT doc_id, (c * length(g))::DOUBLE / nc AS f,
+                          row_number() OVER (PARTITION BY doc_id
+                            ORDER BY c * length(g) DESC, g) AS rn
+                   FROM c3)
+            SELECT d.doc_id,
+                   round(la.dlf, 6) AS dup_line_frac,
+                   round(la.dlcf, 6) AS dup_line_char_frac,
+                   round(coalesce(b2.f, 0.0), 6) AS top2gram_char_frac,
+                   round(coalesce(b3.f, 0.0), 6) AS top3gram_char_frac
+            FROM documents d
+            JOIN la USING (doc_id)
+            LEFT JOIN (SELECT doc_id, f FROM b2 WHERE rn = 1) b2
+              USING (doc_id)
+            LEFT JOIN (SELECT doc_id, f FROM b3 WHERE rn = 1) b3
+              USING (doc_id)""",
         "tx_quality": f"""WITH {_TOK},
             st AS (
               SELECT doc_id, count(*) AS n_tokens,

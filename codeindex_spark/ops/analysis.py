@@ -7,6 +7,8 @@
 - language_id      — stopword-overlap n-gram heuristic (pandas UDF,
                      Arrow-batched); deterministic fake-ready corpus
                      of stopword tables for a handful of languages
+- repetition_stats  — Gopher-style duplicate-line / top-n-gram
+                     character fractions (zero-shuffle Arrow kernel)
 - token_count_bpe_ish — BPE-flavored token estimate via regex splits
 
 These run over a (id_col, text_col) corpus; all hot paths are
@@ -121,6 +123,84 @@ def language_id(
                     "doc_id": pdf[id_col].to_numpy(),
                     "lang_pred": preds,
                     "lang_conf": confs,
+                }
+            )
+
+    return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
+        kernel, schema=schema
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher/MassiveText repetition quality signals (Rae et al.
+    2021, table A1 subset) per doc:
+
+    - dup_line_frac      = Σ_{line l, count c_l > 1} (c_l - 1) / Σ c_l
+    - dup_line_char_frac = same, weighted by line length
+    - top2gram_char_frac / top3gram_char_frac = characters covered by
+      all occurrences of the single highest-coverage word n-gram
+      (coverage = count * len(gram); ties broken by lexicographically
+      smallest gram) / len(text)
+
+    Lines split on \\n, words on single spaces — both kept raw (no
+    empty filtering) so any engine reproduces the numbers exactly.
+
+    Per-doc metrics are embarrassingly parallel: ONE Arrow-batched
+    kernel, zero shuffles — the scale-correct shape (an explode +
+    groupBy formulation would shuffle every n-gram of a 100 TB
+    corpus for per-doc-local answers)."""
+    from collections import Counter
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("dup_line_frac", T.DoubleType(), False),
+            T.StructField("dup_line_char_frac", T.DoubleType(), False),
+            T.StructField("top2gram_char_frac", T.DoubleType(), False),
+            T.StructField("top3gram_char_frac", T.DoubleType(), False),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            dlf_l, dlcf_l, g2_l, g3_l = [], [], [], []
+            for text in pdf[text_col].fillna(""):
+                lines = text.split("\n")
+                total = len(lines)
+                tchars = sum(len(l) for l in lines)
+                cnt = Counter(lines)
+                dup = sum(c - 1 for c in cnt.values() if c > 1)
+                dupch = sum(
+                    (c - 1) * len(l) for l, c in cnt.items() if c > 1
+                )
+                dlf_l.append(dup / total if total else 0.0)
+                dlcf_l.append(dupch / tchars if tchars else 0.0)
+                words = text.split(" ")
+                nc = len(text)
+                for n, out in ((2, g2_l), (3, g3_l)):
+                    if len(words) < n or nc == 0:
+                        out.append(0.0)
+                        continue
+                    grams = Counter(
+                        " ".join(words[i : i + n])
+                        for i in range(len(words) - n + 1)
+                    )
+                    g, c = min(
+                        grams.items(),
+                        key=lambda kv: (-(kv[1] * len(kv[0])), kv[0]),
+                    )
+                    out.append(c * len(g) / nc)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].to_numpy(),
+                    "dup_line_frac": dlf_l,
+                    "dup_line_char_frac": dlcf_l,
+                    "top2gram_char_frac": g2_l,
+                    "top3gram_char_frac": g3_l,
                 }
             )
 

@@ -462,3 +462,31 @@ def test_contamination_overlaps(spark):
     assert rows[1]["n_bench_docs"] == 1 and rows[1]["min_bench_id"] == 10
     assert rows[3]["n_shared_ngrams"] == 1
     assert 2 not in rows
+
+
+def test_repetition_stats(spark):
+    from codeindex_spark.ops.analysis import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "aa bb\ncc dd\naa bb\naa bb"),  # line 'aa bb' x3
+            (2, "x y x y x y"),                  # heavy 2-gram repeats
+            (3, "unique words only here"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    # doc1: 4 lines, 'aa bb' count 3 -> dup lines (3-1)=2 of 4
+    assert rows[1]["dup_line_frac"] == pytest.approx(2 / 4)
+    # dup chars: 2 extra occurrences x 5 chars / total line chars 20
+    assert rows[1]["dup_line_char_frac"] == pytest.approx(10 / 20)
+    # doc2: len 11; 2-grams: 'x y' x3 (cov 9), 'y x' x2 (cov 6)
+    assert rows[2]["top2gram_char_frac"] == pytest.approx(9 / 11)
+    # 3-grams: 'x y x' x2 cov 10, 'y x y' x2 cov 10 -> lex-min 'x y x'
+    assert rows[2]["top3gram_char_frac"] == pytest.approx(10 / 11)
+    assert rows[3]["dup_line_frac"] == 0.0
+    # doc3 'unique words' cov 12 of 22 chars
+    assert rows[3]["top2gram_char_frac"] == pytest.approx(12 / 22)
+    assert rows[4]["dup_line_frac"] == 0.0
+    assert rows[4]["top2gram_char_frac"] == 0.0
