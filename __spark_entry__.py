@@ -663,6 +663,28 @@ def _q_quality(spark, sf_dir):
     )
 
 
+def _q_pipeline(spark, sf_dir):
+    """End-to-end training-data prep over the corpus: quality gate
+    (>= 0.3) -> exact-dedup keep (min doc_id per md5) ->
+    deterministic 50% hash sample -> overlapping token chunks.
+    Composes into ONE declarative plan; Catalyst executes it as a
+    single job."""
+    from codeindex_spark.ops.analysis import quality_score
+    from codeindex_spark.ops.pipeline import chunk_documents, sample_by_hash
+
+    docs = _load(spark, sf_dir, "documents")
+    ok = quality_score(docs).filter(F.col("quality") >= 0.3).select("doc_id")
+    qd = docs.join(ok, "doc_id")
+    keep = (
+        qd.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = qd.join(keep, "doc_id")
+    samp = sample_by_hash(kept, 0.5, seed="7")
+    return chunk_documents(samp, chunk_tokens=32, stride=24)
+
+
 def _q_repetition(spark, sf_dir):
     from codeindex_spark.ops.analysis import repetition_stats
 
@@ -961,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pv_grep_lines": _q_grep_lines,
         "tx_quality": _q_quality,
         "tx_repetition": _q_repetition,
+        "px_pipeline": _q_pipeline,
         "tx_fingerprint": _q_fingerprint,
         "tx_bpe_count": _q_bpe_count,
         "tx_scrub": _q_scrub,
@@ -1613,6 +1636,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)
                   < '40000000'""",
+        # composed prep pipeline: quality gate -> md5 dedup keep ->
+        # 50% hash sample -> 32/24 token chunks (each stage's SQL is
+        # the already-oracled recipe of its standalone entry)
+        "px_pipeline": f"""WITH {_TOK},
+            st AS (
+              SELECT doc_id, count(*) AS n_tokens,
+                     count(DISTINCT term) AS n_distinct
+              FROM tok GROUP BY doc_id),
+            ql AS (
+              SELECT doc_id FROM st
+              WHERE least(n_tokens / 64.0::DOUBLE, 1.0::DOUBLE)
+                    * (n_distinct / n_tokens) >= 0.3::DOUBLE),
+            keep AS (
+              SELECT min(d.doc_id) AS doc_id
+              FROM documents d JOIN ql USING (doc_id)
+              GROUP BY md5(d.text)),
+            samp AS (
+              SELECT doc_id FROM keep
+              WHERE substring(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                    < '80000000'),
+            t AS (
+              SELECT d.doc_id,
+                     list_filter(string_split_regex(trim(d.text), ' +'),
+                                 w -> w <> '') AS toks
+              FROM documents d JOIN samp USING (doc_id)),
+            s AS (
+              SELECT doc_id, toks, len(toks) AS n,
+                     unnest(range(0, greatest(len(toks), 1), 24)) AS start
+              FROM t)
+            SELECT doc_id, (start // 24)::BIGINT AS chunk_id,
+                   len(list_slice(toks, start + 1, start + 32))::BIGINT
+                     AS n_chunk_tokens,
+                   array_to_string(list_slice(toks, start + 1, start + 32),
+                                   ' ') AS chunk_text
+            FROM s WHERE start < n AND n > 0""",
         "rel_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 4) AS sum_qty,
