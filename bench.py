@@ -215,6 +215,12 @@ def main() -> None:
     docs_df = entrymod._load(spark, sf_dir, "documents")
     emb = entrymod._load(spark, sf_dir, "embeddings")
     qvec = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    from codeindex_spark.ops.analysis import repetition_stats
+    from codeindex_spark.ops.dedup import (
+        contamination_overlaps,
+        duplicate_components,
+    )
+
     opset = {
         "op_minhash_lsh": lambda: minhash_lsh_pairs(docs_df).count(),
         "op_ann_cosine": lambda: brute_force_cosine_topk(
@@ -224,6 +230,13 @@ def main() -> None:
         "op_scrub": lambda: scrub_text(docs_df).count(),
         "op_chunk": lambda: chunk_documents(docs_df).count(),
         "op_sample": lambda: sample_by_hash(docs_df, 0.25, seed="42").count(),
+        "op_repetition": lambda: repetition_stats(docs_df).count(),
+        "op_contamination": lambda: contamination_overlaps(
+            docs_df, docs_df.filter(F.col("doc_id") % 97 == 0), n=5
+        ).count(),
+        "op_components": lambda: duplicate_components(
+            minhash_lsh_pairs(docs_df)
+        ).count(),
     }
     for name, fn in opset.items():
         queries[name] = round(p50(fn), 3)
@@ -240,6 +253,9 @@ def main() -> None:
         "op_scrub",
         "op_chunk",
         "op_sample",
+        "op_repetition",
+        "op_contamination",
+        "op_components",
     }
     total = sum(v for k, v in queries.items() if k not in EXTRA_KEYS)
     result.update(
