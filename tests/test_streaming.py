@@ -631,3 +631,44 @@ def test_watermarked_windowed_counts(spark, tmp_path):
         for r in windowed_event_counts(batch_df).collect()
     }
     assert full[(0, "click")] == (3, 103.0)  # batch keeps the late row
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """First-seen-wins across micro-batches: one file per trigger, so
+    batch 2/3 duplicates are dropped by STATE, not by batch-local
+    grouping; within-batch ties resolve to the min doc_id."""
+    import json as _json
+
+    from codeindex_spark.streaming.dedup import stream_deduped_docs
+
+    docs_dir = tmp_path / "docstream"
+    docs_dir.mkdir()
+    batches = [
+        [(1, "alpha"), (2, "beta")],
+        [(3, "alpha"), (8, "gamma"), (4, "gamma")],  # within-batch dup
+        [(5, "beta"), (6, "alpha"), (7, "delta")],
+    ]
+    import os as _os
+    import time as _time
+
+    base = _time.time() - 100
+    for i, batch in enumerate(batches):
+        p = docs_dir / f"b{i}.json"
+        with open(p, "w") as f:
+            for doc_id, text in batch:
+                f.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        # FileStreamSource orders by modification time; same-second
+        # mtimes make trigger order (and thus first-seen) ambiguous
+        _os.utime(p, (base + 10 * i, base + 10 * i))
+    out = stream_deduped_docs(
+        spark,
+        str(docs_dir),
+        str(tmp_path / "ckpt"),
+        query_name="dedup_test",
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 4, 7}
+    assert rows[4]["text"] == "gamma"  # min doc_id won within batch 2
+    import hashlib as _h
+
+    assert rows[1]["text_hash"] == _h.md5(b"alpha").hexdigest()
