@@ -557,9 +557,18 @@ def _q_hybrid_rrf(spark, sf_dir):
     sem = brute_force_cosine_topk(emb, list(qvec), k=50).select(
         F.col("vec_id").alias("doc_id"), F.col("cosine").alias("score")
     )
-    fused = hybrid_search(lex, sem, rrf_k=60, k=10)
-    return fused.select(
-        "doc_id", F.round("rrf_score", 6).alias("rrf_score"), "n_sources"
+    # fuse the WHOLE candidate union (<= 100 docs), then round BEFORE
+    # the final rank — the oracle's ORDER BY resolves the rounded
+    # alias, so ranking unrounded scores could flip near-tie order
+    # and top-10 membership at the boundary (same convention as
+    # _bm25_topk_orig)
+    fused = hybrid_search(lex, sem, rrf_k=60, k=100)
+    return (
+        fused.select(
+            "doc_id", F.round("rrf_score", 6).alias("rrf_score"), "n_sources"
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(10)
     )
 
 
@@ -670,15 +679,14 @@ def _q_pipeline(spark, sf_dir):
     Composes into ONE declarative plan; Catalyst executes it as a
     single job."""
     from codeindex_spark.ops.analysis import quality_score
+    from codeindex_spark.ops.dedup import exact_duplicates
     from codeindex_spark.ops.pipeline import chunk_documents, sample_by_hash
 
     docs = _load(spark, sf_dir, "documents")
     ok = quality_score(docs).filter(F.col("quality") >= 0.3).select("doc_id")
     qd = docs.join(ok, "doc_id")
-    keep = (
-        qd.groupBy(F.md5("text").alias("h"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    keep = exact_duplicates(qd).select(
+        F.col("keep_doc_id").alias("doc_id")
     )
     kept = qd.join(keep, "doc_id")
     samp = sample_by_hash(kept, 0.5, seed="7")

@@ -69,14 +69,22 @@ def exact_duplicates(
 
 
 def shingles(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+    """Word n-gram shingles per doc: (doc_id, shingle), distinct per
+    doc by default.
 
     Tokenization = whitespace split (shingling operates on normalized
     text; callers lowercase/normalize upstream). JVM-side only:
     split + slice + concat_ws under posexplode — no Python.
-    """
+
+    ``distinct=False`` skips the dedup SHUFFLE of every shingle row —
+    pass it whenever the consumer is itself distinct-insensitive
+    (min/countDistinct aggregates, semi-join probes)."""
     toks = F.split(F.col(text_col), " +")
     df = ensure_parallelism(df)  # explode-heavy: never run on 1 split
     out = df.select(
@@ -86,7 +94,8 @@ def shingles(
         toks.alias("toks"),
     ).filter(F.col("pos") <= F.col("n_toks") - n)
     sh = F.concat_ws(" ", *[F.element_at("toks", F.col("pos") + i + 1) for i in range(n)])
-    return out.select("doc_id", sh.alias("shingle")).distinct()
+    out = out.select("doc_id", sh.alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(
@@ -305,7 +314,11 @@ def contamination_overlaps(
     a doc has at most len(doc) shingles, a benchmark at most
     len(bench) — no unbounded state.
     """
-    tr = shingles(train, id_col, text_col, n)
+    # corpus side: NO distinct — the aggregates below are
+    # countDistinct/min, so pre-dedup would add the exact
+    # O(corpus-shingles) shuffle this op exists to avoid. Bench side
+    # stays distinct (tiny, and it shrinks the broadcast).
+    tr = shingles(train, id_col, text_col, n, distinct=False)
     be = shingles(bench, bench_id_col, text_col, n).withColumnRenamed(
         "doc_id", "bench_id"
     )
@@ -348,9 +361,17 @@ def duplicate_components(
     fwd = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
-    edges = fwd.union(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    edges = (
+        fwd.union(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        # materialize ONCE: every round re-reads edges, and without
+        # this each round would re-execute the full upstream pairs
+        # lineage (for LSH pairs: the whole shingle/signature/band
+        # pipeline per iteration)
+        .localCheckpoint(eager=True)
+    )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
@@ -408,6 +429,15 @@ def duplicate_components(
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    else:
+        # silent non-convergence would hand back labels that split
+        # one real component into several — duplicates would survive
+        # any keep-list built on them
+        raise RuntimeError(
+            f"duplicate_components did not converge in {max_iter} "
+            "rounds; with pointer jumping this needs a component "
+            f"diameter > 2^{max_iter} — raise max_iter"
+        )
     return labels.select("doc_id", F.col("comp").alias("component"))
 
 

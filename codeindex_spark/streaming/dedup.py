@@ -94,9 +94,13 @@ def streaming_exact_dedup(
         return
         yield  # pragma: no cover — make this a generator on all paths
 
+    # md5(NULL) is NULL — all null-text rows would collapse into one
+    # "duplicate" group and the emitted row would violate the
+    # non-nullable text_hash field. Hash nulls as empty text instead
+    # (they dedup against genuinely empty docs, deterministically).
     hashed = docs.select(
         F.col(id_col).alias(id_col),
-        F.md5(F.col(text_col)).alias("text_hash"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("text_hash"),
         F.col(text_col).alias(text_col),
     )
     return hashed.groupBy("text_hash").applyInPandasWithState(

@@ -438,3 +438,25 @@ def test_required_literals_sound(data):
         return
     for lit in lits:
         assert lit in s, (pattern, lit, s)
+
+
+def test_filter_by_ids_broadcast_path(engine, spark):
+    """Above ISIN_PUSHDOWN_CAP the candidate ids must ship as a
+    broadcast semi-join + between(min,max) range predicate, with
+    results identical to the literal-In path."""
+    from pyspark.sql import functions as F
+
+    docs = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    ids = sorted({(i * 7) % 997 for i in range(300)})
+    assert len(ids) > engine.ISIN_PUSHDOWN_CAP
+    out = engine._filter_by_ids(docs, ids)
+    got = sorted(r["doc_id"] for r in out.collect())
+    assert got == ids
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    # range predicate reaches the scan side for row-group pruning
+    assert str(min(ids)) in plan and str(max(ids)) in plan
+    # small lists still take the literal-In path (no join at all)
+    small = engine._filter_by_ids(docs, ids[:50])
+    assert sorted(r["doc_id"] for r in small.collect()) == ids[:50]
+    assert "Join" not in small._jdf.queryExecution().executedPlan().toString()
