@@ -490,3 +490,36 @@ def test_repetition_stats(spark):
     assert rows[3]["top2gram_char_frac"] == pytest.approx(12 / 22)
     assert rows[4]["dup_line_frac"] == 0.0
     assert rows[4]["top2gram_char_frac"] == 0.0
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark):
+    """S-curve sanity: with 8 hashes / band_size 2, pairs at jaccard
+    >= 0.8 collide with probability ~0.99 — on this fixed corpus
+    (deterministic md5 hashes) EVERY high-jaccard pair must be an
+    LSH candidate, and candidates are a superset sanity-checked
+    against the exact pair list."""
+    from codeindex_spark.ops.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    words = base.split()
+    docs = []
+    for i in range(20):
+        # pair (2i, 2i+1): near-identical (one word appended)
+        t = " ".join(words[(i % 5):] + words[: (i % 5)]) + f" tail{i}"
+        docs.append((2 * i, t))
+        docs.append((2 * i + 1, t + " extra"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(df, n=3, threshold=0.8).collect()
+    }
+    assert exact, "fixture produced no high-jaccard pairs — dead test"
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(df, n=3, num_hashes=8, band_size=2).collect()
+    }
+    missed = exact - cand
+    assert not missed, f"LSH missed high-jaccard pairs: {missed}"
