@@ -166,17 +166,47 @@ def _doc_term_rows(
     total = int(counts.sum())
     if total == 0:
         return
-    doc_rep = np.repeat(doc_ids, counts)
-    dl_rep = np.repeat(counts, counts)
-    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-    pos = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
     terms = pd.Series(list(chain.from_iterable(lists)), dtype=object)
+    if emit_positions:
+        doc_rep = np.repeat(doc_ids, counts)
+        dl_rep = np.repeat(counts, counts)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        pos = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
 
     variants = []
     if field_cased is not None:
         variants.append((field_cased, terms))
     if field_lower is not None:
         variants.append((field_lower, terms.str.lower()))
+    if not emit_positions:
+        # tf-only fast path (positionless fields — trigram/camel):
+        # pack (batch-local doc index, term code) into one int64 and
+        # count with np.unique instead of the 3-key lexsort +
+        # boundary scan. Row order differs (batch order vs doc_id
+        # order) — irrelevant: build_postings re-sorts by
+        # (field, term, block_id, doc_id) before encoding.
+        idx_rep = np.repeat(
+            np.arange(len(doc_ids), dtype=np.int64), counts
+        )
+        empty = np.empty(0, dtype=np.int32)
+        for fname, tser in variants:
+            codes, uniques = pd.factorize(tser, sort=False)
+            k_terms = max(len(uniques), 1)
+            packed = idx_rep * k_terms + codes
+            u, tf = np.unique(packed, return_counts=True)
+            d_idx = u // k_terms
+            c_g = u - d_idx * k_terms
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids[d_idx],
+                    "field": fname,
+                    "term": uniques.take(c_g),
+                    "tf": tf.astype(np.int32),
+                    "positions": [empty] * len(u),
+                    "dl": counts[d_idx].astype(np.int32),
+                }
+            )
+        return
     for fname, tser in variants:
         codes, uniques = pd.factorize(tser, sort=False)
         order = np.lexsort((pos, codes, doc_rep))
