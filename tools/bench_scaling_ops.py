@@ -1,0 +1,121 @@
+"""Pooled two-level scaling evidence for a PIPELINE op (minhash-LSH
+dedup), complementing the build-job evidence in bench_scaling*.py.
+
+Same protocol as bench_scaling_pooled.py: N independent runs per
+parallelism level, one JVM each, levels interleaved, pooled
+aggregate throughput = total docs / total wall seconds. Each child
+does one untimed warmup pass over a 10k-doc slice first so
+whole-stage-codegen compilation does not land in the timed run
+(fixed cold costs weigh 4x heavier on the faster level and would
+understate efficiency).
+
+Usage: python tools/bench_scaling_ops.py [--docs 200000]
+       [--levels 2,8] [--runs 3]
+Writes BENCH/scaling_ops.json; update BENCH/BASELINE.md by hand.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import os, sys, time, json
+sys.path.insert(0, {repo!r})
+from codeindex_spark.session import get_spark
+from codeindex_spark.ops.dedup import minhash_lsh_pairs
+from pyspark.sql import functions as F
+
+cpus = {cpus}
+os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+spark = get_spark(app_name=f"opscaling{{cpus}}", cores=cpus,
+                  shuffle_partitions=max(cpus * 4, 16))
+docs = spark.read.parquet({corpus!r}).select(
+    F.xxhash64("path").alias("doc_id"), F.col("content").alias("text")
+)
+# untimed warmup: compile the plan shapes on a small slice
+minhash_lsh_pairs(docs.limit(10000)).count()
+t0 = time.monotonic()
+n_pairs = minhash_lsh_pairs(docs).count()
+dt = time.monotonic() - t0
+print(json.dumps({{"cpus": cpus, "seconds": round(dt, 2),
+                   "docs_per_sec": round({n_docs} / dt, 1),
+                   "n_pairs": n_pairs}}))
+spark.stop()
+"""
+
+
+def run_level(cpus: int, corpus: str, n_docs: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", CHILD.format(repo=REPO, cpus=cpus,
+                                            corpus=corpus, n_docs=n_docs)],
+        capture_output=True, text=True, timeout=3600, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=200_000)
+    ap.add_argument("--levels", default="2,8")
+    ap.add_argument("--runs", type=int, default=3)
+    args = ap.parse_args()
+    n, n4 = (int(x) for x in args.levels.split(","))
+
+    corpus = f"/tmp/scaling_corpus_{args.docs}"
+    if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+        gen = (
+            "import sys; sys.path.insert(0, {repo!r});\n"
+            "from codeindex_spark.session import get_spark\n"
+            "from codeindex_spark.corpus import CorpusSpec, spark_documents\n"
+            "spark = get_spark(app_name='gen', cores=32, shuffle_partitions=32)\n"
+            "spark_documents(spark, CorpusSpec(n_docs={n}, n_repos=64), partitions=64)"
+            ".write.mode('overwrite').parquet({corpus!r})\n"
+            "spark.stop()"
+        ).format(repo=REPO, n=args.docs, corpus=corpus)
+        subprocess.run([sys.executable, "-c", gen], check=True, timeout=1800)
+
+    runs: dict[int, list[dict]] = {n: [], n4: []}
+    for i in range(args.runs):
+        for cpus in (n, n4):
+            print(f"-- run {i + 1}/{args.runs} local[{cpus}] --", flush=True)
+            r = run_level(cpus, corpus, args.docs)
+            print(r, flush=True)
+            runs[cpus].append(r)
+
+    def pooled(rs: list[dict]) -> float:
+        return args.docs * len(rs) / sum(r["seconds"] for r in rs)
+
+    dps_n, dps_n4 = pooled(runs[n]), pooled(runs[n4])
+    eff = dps_n4 / ((n4 / n) * dps_n)
+    payload = {
+        "op": "minhash_lsh_pairs",
+        "n_docs": args.docs,
+        "protocol": (
+            f"{args.runs} independent runs per level on the same "
+            "materialized corpus, one JVM per run, untimed 10k-doc "
+            "warmup per JVM, levels interleaved; aggregate throughput "
+            "= total docs / total wall seconds"
+        ),
+        "runs": {
+            f"local[{cpus}]": rs for cpus, rs in runs.items()
+        },
+        "pooled_docs_per_sec": {
+            f"local[{n}]": round(dps_n, 1),
+            f"local[{n4}]": round(dps_n4, 1),
+        },
+        "scaling_efficiency": round(eff, 3),
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling_ops.json"), "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps(payload["pooled_docs_per_sec"]), "eff:", payload["scaling_efficiency"])
+
+
+if __name__ == "__main__":
+    main()
