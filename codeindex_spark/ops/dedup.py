@@ -247,14 +247,48 @@ def minhash_lsh_pairs(
     n: int = 3,
     num_hashes: int = 8,
     band_size: int = 2,
+    collapse_exact: bool = False,
+    hot_bucket_cap: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing at least one LSH band
     bucket: (doc_a, doc_b). bands = num_hashes/band_size; the standard
     S-curve trades precision vs recall via (num_hashes, band_size).
     Band keys come straight from the wide signature row (array_sort
     within the band == the former per-band sort_array(collect_list)),
-    so there is exactly one shuffle before the bucket self-join."""
-    wide = _minhash_wide(df, id_col, text_col, n, num_hashes)
+    so there is exactly one shuffle before the bucket self-join.
+
+    Duplicate-heavy corpora are the scale trap: m byte-identical
+    copies of one file share every signature and materialize
+    m(m-1)/2 candidate pairs — measured on a 200k-doc corpus with an
+    ~8.7k-doc exact-dup cluster, the pair shuffle (1.8x10^8 rows)
+    went disk-bound and erased 2->8-thread scaling entirely. Two
+    mitigations, both OFF by default (output-compatible):
+
+    - ``collapse_exact=True`` runs LSH over ONE representative (min
+      doc_id) per distinct text and emits pairs between
+      representatives only — the standard pipeline order (exact
+      dedup first, near-dup over uniques); compose with
+      exact_duplicates / duplicate_components to recover the
+      within-cluster pairs, which need no LSH to find.
+    - ``hot_bucket_cap`` drops band buckets with more members than
+      the cap (bounded recall loss, like ngram_jaccard_pairs'
+      hot-shingle cap) — the backstop for NEAR-identical floods
+      that survive exact collapse.
+    """
+    src = df
+    if collapse_exact:
+        src = (
+            df.select(
+                F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
+            )
+            .groupBy(F.md5(F.col(text_col)).alias("__h"))
+            .agg(
+                F.min(id_col).alias(id_col),
+                F.first(text_col).alias(text_col),
+            )
+            .drop("__h")
+        )
+    wide = _minhash_wide(src, id_col, text_col, n, num_hashes)
     n_bands = num_hashes // band_size
     bands = wide.select(
         "doc_id",
@@ -280,6 +314,14 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.band_key")
+    if hot_bucket_cap is not None:
+        hot = (
+            bands.groupBy("band", "band_key")
+            .count()
+            .filter(F.col("count") > hot_bucket_cap)
+            .select("band", "band_key")
+        )
+        bands = bands.join(hot, ["band", "band_key"], "left_anti")
     return (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "band_key"])

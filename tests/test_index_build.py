@@ -253,3 +253,47 @@ def test_content_trigram_count_newlines(spark):
     }
     assert got["ab\ncd\nef"] == 0
     assert got["abc\ndefg"] == 3
+
+
+def test_hot_term_skew_structurally_bounded(spark, tmp_path):
+    """A stopword-grade term (present in EVERY doc) must fan out
+    across (term, block_id) posting groups instead of hot-keying one
+    reducer: no posting row may cover more than block_size docs, and
+    the hot term spans ~n_docs/block_size blocks. This is the
+    north_star's 'salt-repartitions skewed hot terms' requirement —
+    met structurally by keying the shuffle on (field, term,
+    block_id)."""
+    from pyspark.sql import functions as F
+
+    n_docs, bsz = 600, 32
+    docs = spark.range(n_docs).selectExpr(
+        "concat('r', cast(id % 4 as string)) as repo",
+        "concat('d', cast(id as string), '.txt') as path",
+        "'c0' as commit",
+        "'en' as lang",
+        "concat('hotword filler', cast(id as string)) as content",
+    )
+    d = str(tmp_path / "skewidx")
+    IndexBuilder(
+        spark,
+        d,
+        IndexParams(num_buckets=8, block_size=bsz, fields=("content",)),
+        n_groups=1,
+    ).build(docs, resume=False)
+    reader = IndexReader(spark, d)
+    rows = (
+        reader.postings.filter(
+            (F.col("field") == "content") & (F.col("term") == "hotword")
+        )
+        .select("block_id", "n")
+        .collect()
+    )
+    assert rows, "hot term missing from postings"
+    # every posting group is bounded by block_size
+    assert max(r["n"] for r in rows) <= bsz
+    # the hot term fans out over all doc blocks (docID space is
+    # block-aligned per bucket, so >= ceil(n_docs/bsz) blocks)
+    assert len(rows) >= n_docs // bsz
+    # decoded docs per block stay within the block's doc range
+    total = sum(r["n"] for r in rows)
+    assert total == n_docs

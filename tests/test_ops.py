@@ -523,3 +523,34 @@ def test_minhash_lsh_recall_vs_exact_jaccard(spark):
     }
     missed = exact - cand
     assert not missed, f"LSH missed high-jaccard pairs: {missed}"
+
+
+def test_minhash_collapse_exact_and_bucket_cap(spark):
+    from codeindex_spark.ops.dedup import minhash_lsh_pairs
+
+    # 4 copies of A, 1 near-dup A', 1 unrelated B
+    a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    docs = [(i, a) for i in range(4)] + [
+        (10, a + " tail"),
+        (20, "z1 z2 z3 z4 z5 z6 z7 z8"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    full = {
+        (r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(df).collect()
+    }
+    # all 6 intra-cluster pairs plus (i,10) near-dup pairs
+    assert {(i, j) for i in range(4) for j in range(i + 1, 4)} <= full
+    collapsed = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(df, collapse_exact=True).collect()
+    }
+    # representatives only: no pair between two copies of A
+    assert not any(a_ < 4 and b_ < 4 for a_, b_ in collapsed)
+    # the near-dup link survives via the representative (0, 10)
+    assert (0, 10) in collapsed
+    # a cap below the A-cluster size suppresses its intra pairs
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(df, hot_bucket_cap=3).collect()
+    }
+    assert not {(i, j) for i in range(4) for j in range(i + 1, 4)} & capped
