@@ -526,6 +526,17 @@ def _q_dedup_components(spark, sf_dir):
     return duplicate_components(pairs)
 
 
+def _q_near_dedup_keep(spark, sf_dir):
+    """Full dedup verdict: exact collapse -> LSH over representatives
+    -> components -> one keeper per merged cluster. keep is cast to
+    int for engine-portable hashing."""
+    from codeindex_spark.ops.dedup import near_dedup_keep_list
+
+    return near_dedup_keep_list(_load(spark, sf_dir, "documents")).select(
+        "doc_id", "component", F.col("keep").cast("int").alias("keep")
+    )
+
+
 def _q_contamination(spark, sf_dir):
     """Decontamination sweep: every 97th doc plays the benchmark;
     5-gram collisions flag contaminated training docs (13 is the
@@ -979,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_minhash_lsh": _q_dedup_minhash,
         "dd_components": _q_dedup_components,
         "dd_contamination": _q_contamination,
+        "dd_keep": _q_near_dedup_keep,
         "dd_simhash": _q_dedup_simhash,
         "dd_embed_neardup": _q_embed_neardup,
         "tx_langid": _q_langid,
@@ -1389,6 +1401,34 @@ def oracle_sql() -> dict[str, str]:
                    min(bench_id) AS min_bench_id
             FROM tr JOIN be USING (shingle)
             GROUP BY doc_id""",
+        # full dedup verdict: exact md5 collapse, LSH pairs restricted
+        # to representatives (signatures are identical within an exact
+        # cluster, so endpoint restriction == running LSH over reps),
+        # recursive components, every doc inherits its rep's component
+        "dd_keep": f"""WITH RECURSIVE {_TOK},
+            {_MINHASH_PAIR_CTES},
+            reps AS (SELECT md5(text) AS h, min(doc_id) AS rep
+                     FROM documents GROUP BY md5(text)),
+            rp AS (SELECT p.doc_a, p.doc_b FROM mh_pairs p
+                   JOIN reps ra ON ra.rep = p.doc_a
+                   JOIN reps rb ON rb.rep = p.doc_b),
+            edges AS (SELECT doc_a AS src, doc_b AS dst FROM rp
+                      UNION
+                      SELECT doc_b AS src, doc_a AS dst FROM rp),
+            walk(doc_id, lab) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.dst, w.lab FROM walk w
+              JOIN edges e ON e.src = w.doc_id),
+            comp AS (SELECT doc_id AS rep, min(lab) AS component
+                     FROM walk GROUP BY doc_id),
+            dr AS (SELECT d.doc_id, r.rep FROM documents d
+                   JOIN reps r ON md5(d.text) = r.h)
+            SELECT dr.doc_id,
+                   coalesce(comp.component, dr.rep) AS component,
+                   (dr.doc_id = coalesce(comp.component, dr.rep))::INTEGER
+                     AS keep
+            FROM dr LEFT JOIN comp ON comp.rep = dr.rep""",
         # connected components over the minhash pair graph: DuckDB's
         # recursive CTE reproduces min-reachable-label semantics (the
         # walk closure accumulates every label reachable from each

@@ -506,6 +506,62 @@ def dedup_keep_list(
     )
 
 
+def near_dedup_keep_list(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    hot_bucket_cap: int | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """The full production dedup verdict, one operator: (doc_id,
+    component, keep) where component is the canonical (min) doc_id
+    of the doc's merged exact+near duplicate cluster and exactly one
+    doc per cluster has keep.
+
+    Pipeline order is the scale lesson from BENCH/scaling_ops.json:
+    exact texts collapse FIRST (m byte-identical copies would
+    otherwise materialize m^2/2 LSH pairs), MinHash-LSH runs over
+    the distinct-text representatives only, connected components
+    merge the near-dup graph, and every doc inherits its exact
+    representative's component. LSH costs O(distinct texts); the
+    exact collapse is one hash shuffle of the corpus."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    hashed = base.select("doc_id", F.md5("text").alias("h"), "text")
+    ex = hashed.groupBy("h").agg(
+        F.min("doc_id").alias("rep"), F.first("text").alias("text")
+    )
+    doc_rep = hashed.select("doc_id", "h").join(
+        ex.select("h", "rep"), "h"
+    ).select("doc_id", "rep")
+    reps = ex.select(F.col("rep").alias("doc_id"), "text")
+    pairs = minhash_lsh_pairs(
+        reps,
+        n=n,
+        num_hashes=num_hashes,
+        band_size=band_size,
+        hot_bucket_cap=hot_bucket_cap,
+    )
+    comp = duplicate_components(pairs, max_iter=max_iter)
+    rep_comp = (
+        doc_rep.select("rep")
+        .distinct()
+        .join(comp.withColumnRenamed("doc_id", "rep"), "rep", "left")
+        .select(
+            "rep", F.coalesce("component", F.col("rep")).alias("component")
+        )
+    )
+    return (
+        doc_rep.join(rep_comp, "rep")
+        .select("doc_id", "component")
+        .withColumn("keep", F.col("doc_id") == F.col("component"))
+    )
+
+
 def simhash64(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

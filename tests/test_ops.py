@@ -554,3 +554,24 @@ def test_minhash_collapse_exact_and_bucket_cap(spark):
         for r in minhash_lsh_pairs(df, hot_bucket_cap=3).collect()
     }
     assert not {(i, j) for i in range(4) for j in range(i + 1, 4)} & capped
+
+
+def test_near_dedup_keep_list(spark):
+    from codeindex_spark.ops.dedup import near_dedup_keep_list
+
+    a = "q w e r t y u i o p a s"
+    docs = [
+        (0, a), (5, a), (9, a),        # exact cluster {0,5,9}
+        (3, a + " zz"),                # near-dup of the a-cluster
+        (7, "m n b v c x z l k j h g"),  # unrelated
+        (8, "m n b v c x z l k j h g"),  # exact dup of 7
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in near_dedup_keep_list(df).collect()}
+    assert len(rows) == 6
+    # {0,5,9,3} merge (exact + near): canonical 0
+    assert [rows[i]["component"] for i in (0, 5, 9, 3)] == [0, 0, 0, 0]
+    # {7,8}: canonical 7
+    assert rows[7]["component"] == 7 and rows[8]["component"] == 7
+    keepers = [d for d, r in rows.items() if r["keep"]]
+    assert sorted(keepers) == [0, 7]
