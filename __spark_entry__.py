@@ -437,6 +437,27 @@ def _q_substring_batch(spark, sf_dir):
     )
 
 
+def _q_regex_batch(spark, sf_dir):
+    """Batch regex sweep: one dictionary job + one posting/kernel job
+    + one pushdown verify for all patterns (Java/RE2-portable
+    patterns, no lookaround)."""
+    eng = _engine(spark, sf_dir)
+    res = eng.search_content_regex_many(
+        {
+            "a": r"merge [a-z]+ sort",
+            "b": r"fast (sort|merge)",
+            "c": r"batch [a-z]+ [a-z]+ index",
+        },
+        case_sensitive=False,
+    )
+    return res.select(
+        "pattern",
+        F.regexp_extract("path", r"/(\d+)\.txt$", 1)
+        .cast("long")
+        .alias("doc_id"),
+    )
+
+
 def _q_grep_lines(spark, sf_dir):
     """Matched-line display for substring search (grep shape): JVM
     array transform/filter/slice over trigram-pruned candidates —
@@ -984,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_content_substring": _q_content_substring,
         "q20_content_regex": _q_content_regex,
         "q21_substring_batch": _q_substring_batch,
+        "q22_regex_batch": _q_regex_batch,
         "a1_doc_len": _q_doc_len,
         "dd_exact": _q_dedup_exact,
         "dd_jaccard": _q_dedup_jaccard,
@@ -1328,6 +1350,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'b', doc_id FROM documents WHERE contains(text, 'rt mer')
             UNION ALL
             SELECT 'c', doc_id FROM documents WHERE contains(text, 'w fast')""",
+        "q22_regex_batch": """
+            SELECT 'a' AS pattern, doc_id FROM documents
+            WHERE regexp_matches(text, 'merge [a-z]+ sort')
+            UNION ALL
+            SELECT 'b', doc_id FROM documents
+            WHERE regexp_matches(text, 'fast (sort|merge)')
+            UNION ALL
+            SELECT 'c', doc_id FROM documents
+            WHERE regexp_matches(text, 'batch [a-z]+ [a-z]+ index')""",
         "q18_filename_term": """
             WITH st AS (SELECT count(*)::DOUBLE AS df FROM documents),
             nn AS (SELECT count(*)::DOUBLE AS n FROM documents)

@@ -1115,6 +1115,123 @@ class SearchEngine:
             out = out.unionByName(p)
         return out.select(*out_cols)
 
+    def search_content_regex_many(
+        self,
+        patterns: "dict[str, str] | list[str]",
+        case_sensitive: bool = True,
+        filters: "Filters | None" = None,
+        scan_fallback: bool = True,
+    ) -> DataFrame:
+        """Batch regex sweep: (pattern, doc_id, repo, path) for every
+        doc matching each pattern — the secret-/license-/PII-pattern
+        corpus scan of a training pipeline, amortized like
+        search_content_substring_many: ONE dictionary lookup for the
+        union of every pattern's required-literal trigrams, ONE
+        posting scan + kernel job (score_many) for all prefilterable
+        patterns, ONE pruned verify scan for the union of candidate
+        ids. A pattern with an unindexed required trigram is provably
+        absent and dropped without any scan; patterns with no
+        required literal >= 3 chars fall back to a scan branch
+        (scan_fallback=False raises instead, naming them).
+
+        Verification evaluates each candidate row against ITS OWN
+        pattern via a per-row regex column — patterns vary per row,
+        so per-row compilation is inherent to the batched shape;
+        candidate sets are trigram-pruned small."""
+        if "content_trigram" not in tuple(self.params.fields):
+            raise ValueError(
+                "index was built without the content_trigram field "
+                "(opt in via IndexParams(fields=CONTENT_TRIGRAM_FIELDS))"
+            )
+        if not isinstance(patterns, dict):
+            patterns = {p: p for p in patterns}
+        flag = "" if case_sensitive else "(?i)"
+        per: dict[str, tuple[str, set]] = {}
+        all_grams: set[str] = set()
+        for name, pat in patterns.items():
+            lits = [
+                seg.lower()
+                for lit in required_literals(pat)
+                for seg in lit.split("\n")
+                if len(seg) >= 3
+            ]
+            grams = {g for s in lits for g in self._segment_grams(s)}
+            per[name] = (flag + pat, grams)
+            all_grams |= grams
+        unfilterable = [n for n, (_, g) in per.items() if not g]
+        if unfilterable and not scan_fallback:
+            raise ValueError(
+                "cannot prefilter (no required literal >= 3 chars), "
+                f"refusing full scan: {sorted(unfilterable)}"
+            )
+        dfs = self._lookup_exact_df({"content_trigram": all_grams})
+        qmap: dict[str, ast.Node] = {}
+        scanning: dict[str, str] = {}
+        for name, (rx, grams) in per.items():
+            if not grams:
+                scanning[name] = rx
+                continue
+            node = self._rarest_gram_node("content_trigram", grams, dfs)
+            if node is not None:  # None: provably absent, drop pattern
+                qmap[name] = node
+        docs = self.reader.docs
+        if filters is not None and not filters.empty:
+            docs = filters.apply(docs)
+        out_cols = ("pattern", "doc_id", "repo", "path")
+        parts: list[DataFrame] = []
+        if qmap:
+            cand = self.score_many(qmap).select("query", "doc_id")
+            cap = self.CANDIDATE_PUSHDOWN_CAP
+            pairs = cand.limit(cap + 1).collect()
+            if len(pairs) <= cap:
+                if not pairs:
+                    cand = None
+                else:
+                    cand = self.reader.spark.createDataFrame(
+                        [(r["query"], r["doc_id"]) for r in pairs],
+                        "query string, doc_id long",
+                    )
+                    docs_pruned = self._filter_by_ids(
+                        docs, sorted({r["doc_id"] for r in pairs})
+                    )
+            else:
+                docs_pruned = docs.join(
+                    cand.select("doc_id").distinct(), "doc_id", "left_semi"
+                )
+            if cand is not None:
+                rx_map = F.create_map(
+                    *[
+                        x
+                        for name in sorted(qmap)
+                        for x in (F.lit(name), F.lit(per[name][0]))
+                    ]
+                )
+                parts.append(
+                    cand.join(docs_pruned, "doc_id")
+                    .withColumn("_rx", rx_map[F.col("query")])
+                    .filter(F.expr("content rlike _rx"))
+                    .select(
+                        F.col("query").alias("pattern"),
+                        "doc_id",
+                        "repo",
+                        "path",
+                    )
+                )
+        for name, rx in scanning.items():
+            parts.append(
+                docs.filter(F.col("content").rlike(rx)).select(
+                    F.lit(name).alias("pattern"), "doc_id", "repo", "path"
+                )
+            )
+        if not parts:
+            return docs.filter(F.lit(False)).select(
+                F.lit("").alias("pattern"), "doc_id", "repo", "path"
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.select(*out_cols)
+
     def search_content_regex(
         self, pattern: str, case_sensitive: bool = True,
         scan_fallback: bool = True, filters: "Filters | None" = None,

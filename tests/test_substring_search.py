@@ -460,3 +460,29 @@ def test_filter_by_ids_broadcast_path(engine, spark):
     small = engine._filter_by_ids(docs, ids[:50])
     assert sorted(r["doc_id"] for r in small.collect()) == ids[:50]
     assert "Join" not in small._jdf.queryExecution().executedPlan().toString()
+
+
+def test_regex_many_matches_per_pattern(engine, pdocs):
+    """Batch regex == per-pattern singles; scan-fallback and
+    provably-absent patterns route correctly."""
+    pats = {
+        "p1": r"Lucene[A-Za-z]*Pool",
+        "p2": r"index [a-z]+ searcher",
+        "absent": r"zzqqxx[0-9]+yy",
+        "nolit": r"[0-9]{4}",  # no required literal -> scan branch
+    }
+    out = engine.search_content_regex_many(pats, case_sensitive=False)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["pattern"], set()).add(r["path"])
+    for name, pat in pats.items():
+        single = {
+            r["path"]
+            for r in engine.search_content_regex(
+                pat, case_sensitive=False
+            ).collect()
+        }
+        assert got.get(name, set()) == single, name
+    assert "absent" not in got
+    with pytest.raises(ValueError, match="nolit"):
+        engine.search_content_regex_many(pats, scan_fallback=False)
