@@ -336,3 +336,35 @@ def test_expand_cache_wildcard(engine, oracle):
     assert ("content", "w", "stri*") in engine._expand_cache
     r2 = [(r["doc_id"], r["score"]) for r in engine.search(q, k=K).collect()]
     assert r1 == r2
+
+
+def test_random_boolean_trees_rank_identical(engine, oracle):
+    """Seeded random query trees (AND/OR/NOT, nesting, wildcard and
+    fuzzy leaves) — the engine must stay rank-identical to the pure
+    oracle off the hand-picked fixture shapes too."""
+    import random
+
+    rng = random.Random(20260817)
+    words = [
+        "get", "string", "return", "index", "writer",
+        "add", "documents", "pool", "results", "clear",
+    ]
+
+    def leaf():
+        w = rng.choice(words)
+        r = rng.random()
+        if r < 0.15 and len(w) > 4:
+            return w[:4] + "*"
+        if r < 0.25:
+            return w + "~1"
+        return w
+
+    def tree(depth):
+        if depth == 0 or rng.random() < 0.3:
+            return leaf()
+        op = rng.choice(["AND", "OR", "NOT"])
+        return f"({tree(depth - 1)} {op} {tree(depth - 1)})"
+
+    for _ in range(12):
+        q = tree(2)
+        assert_rank_identical(engine.search(q, k=K), oracle.search(q, k=K))
