@@ -217,11 +217,9 @@ def _doc_term_rows(
         grp_starts = np.concatenate(([0], boundary + 1))
         grp_ends = np.concatenate((boundary + 1, [total]))
         tf = (grp_ends - grp_starts).astype(np.int32)
-        if emit_positions:
-            pos_lists = np.split(p_s.astype(np.int32), grp_starts[1:])
-        else:
-            empty = np.empty(0, dtype=np.int32)
-            pos_lists = [empty] * grp_starts.size
+        # emit_positions is always True here — the positionless case
+        # early-returned through the packed-unique fast path above
+        pos_lists = np.split(p_s.astype(np.int32), grp_starts[1:])
         yield pd.DataFrame(
             {
                 "doc_id": d_s[grp_starts],

@@ -526,14 +526,22 @@ def near_dedup_keep_list(
     otherwise materialize m^2/2 LSH pairs), MinHash-LSH runs over
     the distinct-text representatives only, connected components
     merge the near-dup graph, and every doc inherits its exact
-    representative's component. LSH costs O(distinct texts); the
-    exact collapse is one hash shuffle of the corpus."""
+    representative's component. LSH costs O(distinct texts).
+
+    The collapse result (one row per distinct text) is
+    localCheckpointed so its groupBy shuffle runs ONCE even though
+    three downstream consumers read it (pair generation, the rep
+    set, the final doc->rep mapping); the md5 corpus SCAN still runs
+    at the final action — a scan per action is inherent without
+    caching the whole corpus."""
     base = df.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
     hashed = base.select("doc_id", F.md5("text").alias("h"), "text")
-    ex = hashed.groupBy("h").agg(
-        F.min("doc_id").alias("rep"), F.first("text").alias("text")
+    ex = (
+        hashed.groupBy("h")
+        .agg(F.min("doc_id").alias("rep"), F.first("text").alias("text"))
+        .localCheckpoint(eager=True)
     )
     doc_rep = hashed.select("doc_id", "h").join(
         ex.select("h", "rep"), "h"

@@ -1051,15 +1051,45 @@ class SearchEngine:
         docs = self.reader.docs
         if filters is not None and not filters.empty:
             docs = filters.apply(docs)
-        out_cols = ("needle", "doc_id", "repo", "path")
+        verify = lambda c: F.lower(F.col("content")).contains(c)
+        return self._batched_prefiltered_verify(
+            qmap,
+            scanning,
+            {name: s for name, (s, _) in per.items()},
+            docs,
+            "needle",
+            verify,
+            verify,
+        )
+
+    def _batched_prefiltered_verify(
+        self,
+        qmap: "dict[str, ast.Node]",
+        scanning: "dict[str, str]",
+        payload: "dict[str, str]",
+        docs: DataFrame,
+        name_col: str,
+        row_verify,
+        scan_verify,
+    ) -> DataFrame:
+        """Shared tail of the batched substring/regex sweeps:
+        candidate (query, doc_id) pairs from ONE score_many job,
+        bounded driver collect + candidate pushdown (or lazy
+        semi-join above the cap), per-row payload verify, plus scan
+        branches for unprefilterable queries, unioned.
+
+        ``row_verify(payload_col)`` / ``scan_verify(payload_str)``
+        build the verify predicate for candidate rows / scan
+        branches; ``payload[name]`` is the per-query verify operand
+        (lowered needle, flagged regex)."""
         parts: list[DataFrame] = []
         if qmap:
             # collect (query, doc_id) pairs ONCE (bounded) so the
             # score_many posting-scan+kernel job runs exactly once —
             # a lazy reuse would re-execute it when the returned plan
             # evaluates. Within the cap the pairs become a local
-            # relation (broadcast join) + isin pushdown on docs; above
-            # it, fall back to the lazy semi-join shape (recompute is
+            # relation (broadcast join) + pushdown on docs; above it,
+            # fall back to the lazy semi-join shape (recompute is
             # then the lesser cost).
             cand = self.score_many(qmap).select("query", "doc_id")
             cap = self.CANDIDATE_PUSHDOWN_CAP
@@ -1080,21 +1110,19 @@ class SearchEngine:
                     cand.select("doc_id").distinct(), "doc_id", "left_semi"
                 )
             if cand is not None:
-                needle_map = F.create_map(
+                payload_map = F.create_map(
                     *[
                         x
                         for name in sorted(qmap)
-                        for x in (F.lit(name), F.lit(per[name][0]))
+                        for x in (F.lit(name), F.lit(payload[name]))
                     ]
                 )
                 parts.append(
                     cand.join(docs_pruned, "doc_id")
-                    .withColumn("_s", needle_map[F.col("query")])
-                    .filter(
-                        F.lower(F.col("content")).contains(F.col("_s"))
-                    )
+                    .withColumn("_p", payload_map[F.col("query")])
+                    .filter(row_verify(F.col("_p")))
                     .select(
-                        F.col("query").alias("needle"),
+                        F.col("query").alias(name_col),
                         "doc_id",
                         "repo",
                         "path",
@@ -1102,18 +1130,18 @@ class SearchEngine:
                 )
         for name, s in scanning.items():
             parts.append(
-                docs.filter(F.lower(F.col("content")).contains(s)).select(
-                    F.lit(name).alias("needle"), "doc_id", "repo", "path"
+                docs.filter(scan_verify(s)).select(
+                    F.lit(name).alias(name_col), "doc_id", "repo", "path"
                 )
             )
         if not parts:
             return docs.filter(F.lit(False)).select(
-                F.lit("").alias("needle"), "doc_id", "repo", "path"
+                F.lit("").alias(name_col), "doc_id", "repo", "path"
             )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out.select(*out_cols)
+        return out.select(name_col, "doc_id", "repo", "path")
 
     def search_content_regex_many(
         self,
@@ -1138,13 +1166,9 @@ class SearchEngine:
         pattern via a per-row regex column — patterns vary per row,
         so per-row compilation is inherent to the batched shape;
         candidate sets are trigram-pruned small."""
-        if "content_trigram" not in tuple(self.params.fields):
-            raise ValueError(
-                "index was built without the content_trigram field "
-                "(opt in via IndexParams(fields=CONTENT_TRIGRAM_FIELDS))"
-            )
         if not isinstance(patterns, dict):
             patterns = {p: p for p in patterns}
+        have_field = "content_trigram" in tuple(self.params.fields)
         flag = "" if case_sensitive else "(?i)"
         per: dict[str, tuple[str, set]] = {}
         all_grams: set[str] = set()
@@ -1155,16 +1179,34 @@ class SearchEngine:
                 for seg in lit.split("\n")
                 if len(seg) >= 3
             ]
-            grams = {g for s in lits for g in self._segment_grams(s)}
+            grams = (
+                {g for s in lits for g in self._segment_grams(s)}
+                if have_field
+                else set()
+            )
             per[name] = (flag + pat, grams)
             all_grams |= grams
         unfilterable = [n for n, (_, g) in per.items() if not g]
         if unfilterable and not scan_fallback:
+            # same contract as search_content_regex: scan_fallback
+            # gates BOTH the no-literal case and the missing-field
+            # case; with it on, unprefilterable patterns degrade to
+            # scan branches instead of raising
             raise ValueError(
-                "cannot prefilter (no required literal >= 3 chars), "
-                f"refusing full scan: {sorted(unfilterable)}"
+                "cannot prefilter ("
+                + (
+                    "no required literal >= 3 chars"
+                    if have_field
+                    else "index was built without the content_trigram "
+                    "field"
+                )
+                + f"), refusing full scan: {sorted(unfilterable)}"
             )
-        dfs = self._lookup_exact_df({"content_trigram": all_grams})
+        dfs = (
+            self._lookup_exact_df({"content_trigram": all_grams})
+            if all_grams
+            else {}
+        )
         qmap: dict[str, ast.Node] = {}
         scanning: dict[str, str] = {}
         for name, (rx, grams) in per.items():
@@ -1177,60 +1219,15 @@ class SearchEngine:
         docs = self.reader.docs
         if filters is not None and not filters.empty:
             docs = filters.apply(docs)
-        out_cols = ("pattern", "doc_id", "repo", "path")
-        parts: list[DataFrame] = []
-        if qmap:
-            cand = self.score_many(qmap).select("query", "doc_id")
-            cap = self.CANDIDATE_PUSHDOWN_CAP
-            pairs = cand.limit(cap + 1).collect()
-            if len(pairs) <= cap:
-                if not pairs:
-                    cand = None
-                else:
-                    cand = self.reader.spark.createDataFrame(
-                        [(r["query"], r["doc_id"]) for r in pairs],
-                        "query string, doc_id long",
-                    )
-                    docs_pruned = self._filter_by_ids(
-                        docs, sorted({r["doc_id"] for r in pairs})
-                    )
-            else:
-                docs_pruned = docs.join(
-                    cand.select("doc_id").distinct(), "doc_id", "left_semi"
-                )
-            if cand is not None:
-                rx_map = F.create_map(
-                    *[
-                        x
-                        for name in sorted(qmap)
-                        for x in (F.lit(name), F.lit(per[name][0]))
-                    ]
-                )
-                parts.append(
-                    cand.join(docs_pruned, "doc_id")
-                    .withColumn("_rx", rx_map[F.col("query")])
-                    .filter(F.expr("content rlike _rx"))
-                    .select(
-                        F.col("query").alias("pattern"),
-                        "doc_id",
-                        "repo",
-                        "path",
-                    )
-                )
-        for name, rx in scanning.items():
-            parts.append(
-                docs.filter(F.col("content").rlike(rx)).select(
-                    F.lit(name).alias("pattern"), "doc_id", "repo", "path"
-                )
-            )
-        if not parts:
-            return docs.filter(F.lit(False)).select(
-                F.lit("").alias("pattern"), "doc_id", "repo", "path"
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out.select(*out_cols)
+        return self._batched_prefiltered_verify(
+            qmap,
+            scanning,
+            {name: rx for name, (rx, _) in per.items()},
+            docs,
+            "pattern",
+            lambda c: F.regexp_like(F.col("content"), c),
+            lambda rx: F.col("content").rlike(rx),
+        )
 
     def search_content_regex(
         self, pattern: str, case_sensitive: bool = True,

@@ -486,3 +486,33 @@ def test_regex_many_matches_per_pattern(engine, pdocs):
     assert "absent" not in got
     with pytest.raises(ValueError, match="nolit"):
         engine.search_content_regex_many(pats, scan_fallback=False)
+
+
+def test_regex_many_scan_fallback_without_trigram_field(
+    spark, tmp_path_factory
+):
+    """Batch regex on an index WITHOUT content_trigram mirrors the
+    single-pattern contract: scan_fallback=True degrades every
+    pattern to a scan branch; False raises naming them."""
+    d = str(tmp_path_factory.mktemp("noctri_many"))
+    docs = spark_documents(spark, CorpusSpec(n_docs=20), partitions=2)
+    IndexBuilder(
+        spark, d, IndexParams(num_buckets=16, block_size=32), n_groups=1
+    ).build(docs, resume=False)
+    eng = SearchEngine(IndexReader(spark, d))
+    pats = {"p": r"get[a-z]*"}
+    out = {
+        r["path"]
+        for r in eng.search_content_regex_many(
+            pats, case_sensitive=False
+        ).collect()
+    }
+    single = {
+        r["path"]
+        for r in eng.search_content_regex(
+            r"get[a-z]*", case_sensitive=False
+        ).collect()
+    }
+    assert out == single and out
+    with pytest.raises(ValueError, match="content_trigram"):
+        eng.search_content_regex_many(pats, scan_fallback=False)

@@ -62,8 +62,14 @@ def run_level(cpus: int, corpus: str, n_docs: int) -> dict:
     out = subprocess.run(
         [sys.executable, "-c", CHILD.format(repo=REPO, cpus=cpus,
                                             corpus=corpus, n_docs=n_docs)],
-        capture_output=True, text=True, timeout=3600, check=True,
+        capture_output=True, text=True, timeout=3600,
     )
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-4000:])
+        raise RuntimeError(
+            f"bench child local[{cpus}] exited {out.returncode} "
+            "(stderr tail above)"
+        )
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
@@ -73,7 +79,10 @@ def main() -> None:
     ap.add_argument("--levels", default="2,8")
     ap.add_argument("--runs", type=int, default=3)
     args = ap.parse_args()
-    n, n4 = (int(x) for x in args.levels.split(","))
+    levels = [int(x) for x in args.levels.split(",")]
+    if len(levels) != 2 or levels[0] == levels[1]:
+        ap.error("--levels needs exactly two distinct values, e.g. 2,8")
+    n, n4 = levels
 
     corpus = f"/tmp/scaling_corpus_{args.docs}"
     if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
