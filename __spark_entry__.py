@@ -725,6 +725,19 @@ def _q_pipeline(spark, sf_dir):
     return chunk_documents(samp, chunk_tokens=32, stride=24)
 
 
+def _q_pack(spark, sf_dir):
+    """Sequence packing of the 32/24-token chunk stream into
+    256-token training bins (16 deterministic buckets)."""
+    from codeindex_spark.ops.pipeline import chunk_documents, pack_chunks
+
+    chunks = chunk_documents(
+        _load(spark, sf_dir, "documents"), chunk_tokens=32, stride=24
+    )
+    return pack_chunks(
+        chunks, budget_tokens=256, num_buckets=16
+    )
+
+
 def _q_repetition(spark, sf_dir):
     from codeindex_spark.ops.analysis import repetition_stats
 
@@ -1026,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_quality": _q_quality,
         "tx_repetition": _q_repetition,
         "px_pipeline": _q_pipeline,
+        "px_pack": _q_pack,
         "tx_fingerprint": _q_fingerprint,
         "tx_bpe_count": _q_bpe_count,
         "tx_scrub": _q_scrub,
@@ -1715,6 +1729,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)
                   < '40000000'""",
+        # sequence packing: same chunk CTE as px_chunk (32/24), then a
+        # bucketed window cumsum quantizes the token stream into
+        # 256-token packs
+        "px_pack": """WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), ' +'),
+                                 w -> w <> '') AS toks
+              FROM documents),
+            s AS (
+              SELECT doc_id, toks, len(toks) AS n,
+                     unnest(range(0, greatest(len(toks), 1), 24)) AS start
+              FROM t),
+            ch AS (
+              SELECT doc_id, (start // 24)::BIGINT AS chunk_id,
+                     len(list_slice(toks, start + 1, start + 32))::BIGINT
+                       AS n_chunk_tokens
+              FROM s WHERE start < n AND n > 0),
+            cum AS (
+              SELECT doc_id, chunk_id,
+                     (doc_id % 16)::INTEGER AS bucket,
+                     coalesce(sum(n_chunk_tokens) OVER (
+                       PARTITION BY doc_id % 16
+                       ORDER BY doc_id, chunk_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS before
+              FROM ch)
+            SELECT doc_id, chunk_id, bucket,
+                   (before // 256)::BIGINT AS pack_id,
+                   (before % 256)::BIGINT AS pack_offset
+            FROM cum""",
         # composed prep pipeline: quality gate -> md5 dedup keep ->
         # 50% hash sample -> 32/24 token chunks (each stage's SQL is
         # the already-oracled recipe of its standalone entry)

@@ -15,6 +15,10 @@ engine for oracle checks:
                       chunk count scales with doc length, so the
                       explode is bounded per row and the result
                       parallelizes by (doc, chunk) downstream.
+- pack_chunks       — sequence packing: chunks -> fixed-token-budget
+                      training bins via a bucketed window cumsum
+                      (deterministic quantized packing; no global
+                      order, no single reducer).
 - sample_by_hash    — deterministic reproducible sampling by content-
                       independent key hash: md5(seed:doc_id) compared
                       lexicographically against a hex threshold.
@@ -85,6 +89,56 @@ def chunk_documents(
         "chunk_id",
         F.size(chunk).alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    budget_tokens: int = 2048,
+    num_buckets: int = 64,
+    doc_col: str = "doc_id",
+    chunk_col: str = "chunk_id",
+    tok_col: str = "n_chunk_tokens",
+) -> DataFrame:
+    """Sequence packing: assign token chunks to fixed-budget training
+    bins — (doc_id, chunk_id, bucket, pack_id, pack_offset) where
+    pack_offset is the token start of the chunk inside its pack.
+
+    Contiguous quantized packing: within a deterministic bucket
+    (doc_id % num_buckets), chunks are laid out in (doc_id,
+    chunk_id) order and pack_id = floor(tokens_before / budget) —
+    the boundary chunk may overflow its pack by at most one chunk
+    length (standard overflow-then-truncate packing). Fully
+    deterministic and engine-reproducible, unlike greedy first-fit
+    whose running reset is inherently sequential state.
+
+    Scale shape: the window runs per bucket — num_buckets bounds
+    task count, the per-bucket sort is the only per-row cost, and
+    buckets are independent (no global order, no single reducer).
+    """
+    if budget_tokens <= 0 or num_buckets <= 0:
+        raise ValueError("budget_tokens and num_buckets must be positive")
+    from pyspark.sql import Window
+
+    bucket = (F.col(doc_col) % num_buckets).cast("int")
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(doc_col, chunk_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = chunks.select(
+        doc_col, chunk_col, F.col(tok_col), bucket.alias("bucket")
+    ).withColumn(
+        "_before", F.coalesce(F.sum(tok_col).over(w), F.lit(0))
+    )
+    return out.select(
+        doc_col,
+        chunk_col,
+        "bucket",
+        F.floor(F.col("_before") / budget_tokens).cast("long").alias(
+            "pack_id"
+        ),
+        (F.col("_before") % budget_tokens).cast("long").alias("pack_offset"),
     )
 
 

@@ -128,3 +128,32 @@ def test_hash_threshold_saturates_near_one():
     assert hash_threshold(1.0) == "g"
     assert hash_threshold(0.25) == "40000000"
     assert hash_threshold(0.0) == "00000000"
+
+
+def test_pack_chunks(spark):
+    from codeindex_spark.ops.pipeline import pack_chunks
+
+    # bucket 0: docs 0 and 2 (mod 2), bucket 1: doc 1
+    chunks = spark.createDataFrame(
+        [
+            (0, 0, 60), (0, 1, 60), (2, 0, 60), (2, 1, 60),
+            (1, 0, 100), (1, 1, 100),
+        ],
+        "doc_id long, chunk_id long, n_chunk_tokens long",
+    )
+    rows = {
+        (r["doc_id"], r["chunk_id"]): r
+        for r in pack_chunks(chunks, budget_tokens=128, num_buckets=2).collect()
+    }
+    # bucket 0 stream: 60,60,60,60 -> before 0,60,120,180
+    assert rows[(0, 0)]["pack_id"] == 0 and rows[(0, 0)]["pack_offset"] == 0
+    assert rows[(0, 1)]["pack_id"] == 0 and rows[(0, 1)]["pack_offset"] == 60
+    # third chunk starts at 120 < 128: same pack (overflow-then-truncate)
+    assert rows[(2, 0)]["pack_id"] == 0 and rows[(2, 0)]["pack_offset"] == 120
+    assert rows[(2, 1)]["pack_id"] == 1 and rows[(2, 1)]["pack_offset"] == 52
+    # bucket 1 independent: before 0,100
+    assert rows[(1, 0)]["pack_id"] == 0
+    assert rows[(1, 1)]["pack_id"] == 0 and rows[(1, 1)]["pack_offset"] == 100
+    assert rows[(1, 0)]["bucket"] == 1
+    with pytest.raises(ValueError):
+        pack_chunks(chunks, budget_tokens=0)
