@@ -725,6 +725,20 @@ def _q_pipeline(spark, sf_dir):
     return chunk_documents(samp, chunk_tokens=32, stride=24)
 
 
+def _q_sample_stratified(spark, sf_dir):
+    """Domain-mixing sample: per-lang rates (en 50%, others 12.5%),
+    deterministic md5-threshold per stratum."""
+    from codeindex_spark.ops.pipeline import sample_by_hash_stratified
+
+    return sample_by_hash_stratified(
+        _load(spark, sf_dir, "documents"),
+        {"en": 0.5, "de": 0.125},
+        key_col="lang",
+        seed="9",
+        default_rate=0.25,
+    ).select("doc_id", "lang")
+
+
 def _q_pack(spark, sf_dir):
     """Sequence packing of the 32/24-token chunk stream into
     256-token training bins (16 deterministic buckets)."""
@@ -1040,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_repetition": _q_repetition,
         "px_pipeline": _q_pipeline,
         "px_pack": _q_pack,
+        "px_sample_strat": _q_sample_stratified,
         "tx_fingerprint": _q_fingerprint,
         "tx_bpe_count": _q_bpe_count,
         "tx_scrub": _q_scrub,
@@ -1729,6 +1744,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)
                   < '40000000'""",
+        # per-stratum md5 thresholds: en 0.5 -> 80000000,
+        # de 0.125 -> 20000000, default 0.25 -> 40000000
+        "px_sample_strat": """
+            SELECT doc_id, lang FROM documents
+            WHERE substring(md5('9:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  < CASE lang WHEN 'en' THEN '80000000'
+                              WHEN 'de' THEN '20000000'
+                              ELSE '40000000' END""",
         # sequence packing: same chunk CTE as px_chunk (32/24), then a
         # bucketed window cumsum quantizes the token stream into
         # 256-token packs

@@ -142,6 +142,34 @@ def pack_chunks(
     )
 
 
+def sample_by_hash_stratified(
+    df: DataFrame,
+    rates: "dict[str, float]",
+    key_col: str,
+    seed: str = "0",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the domain-mixing
+    primitive: each key_col value gets its own rate (e.g. lang or
+    source weights), rows of unlisted keys default to default_rate.
+    Same md5-threshold machinery as sample_by_hash, so the sample is
+    reproducible row-for-row across runs, engines, and repartitions,
+    and nested across rates per stratum (raising one stratum's rate
+    only ADDS rows of that stratum)."""
+    for k, r in rates.items():
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate for {k!r} must be in [0,1], got {r}")
+    if not (0.0 <= default_rate <= 1.0):
+        raise ValueError(f"default_rate must be in [0,1], got {default_rate}")
+    thr = F.lit(hash_threshold(default_rate))
+    for k in sorted(rates):
+        thr = F.when(
+            F.col(key_col) == k, F.lit(hash_threshold(rates[k]))
+        ).otherwise(thr)
+    return df.filter(sample_key(seed, F.col(id_col)) < thr)
+
+
 def hash_threshold(rate: float) -> str:
     """8-hex-digit threshold: keep when the first 8 md5 hex chars are
     lexicographically below it (lowercase hex order == numeric order).

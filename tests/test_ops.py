@@ -575,3 +575,12 @@ def test_near_dedup_keep_list(spark):
     assert rows[7]["component"] == 7 and rows[8]["component"] == 7
     keepers = [d for d, r in rows.items() if r["keep"]]
     assert sorted(keepers) == [0, 7]
+
+
+def test_duplicate_components_raises_on_non_convergence(spark):
+    from codeindex_spark.ops.dedup import duplicate_components
+
+    # a 40-node chain cannot converge in one round even with jumping
+    pairs = _pairs_df(spark, [(i, i + 1) for i in range(40)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_components(pairs, max_iter=1)

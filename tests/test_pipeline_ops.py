@@ -157,3 +157,44 @@ def test_pack_chunks(spark):
     assert rows[(1, 0)]["bucket"] == 1
     with pytest.raises(ValueError):
         pack_chunks(chunks, budget_tokens=0)
+
+
+def test_sample_by_hash_stratified(spark):
+    from pyspark.sql import functions as F
+
+    from codeindex_spark.ops.pipeline import (
+        sample_by_hash,
+        sample_by_hash_stratified,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 == 0 else ("de" if i % 3 == 1 else "fr"))
+         for i in range(600)],
+        "doc_id long, lang string",
+    )
+    out = sample_by_hash_stratified(
+        df, {"en": 0.5, "de": 0.1}, key_col="lang", seed="s", default_rate=0.0
+    )
+    rows = out.collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    # default_rate 0 drops unlisted strata entirely
+    assert "fr" not in by_lang
+    # per-stratum == plain sample_by_hash at that rate on the stratum
+    for lang, rate in (("en", 0.5), ("de", 0.1)):
+        exp = {
+            r["doc_id"]
+            for r in sample_by_hash(
+                df.filter(F.col("lang") == lang), rate, seed="s"
+            ).collect()
+        }
+        assert by_lang.get(lang, set()) == exp
+    # nesting: raising a stratum's rate only adds rows of that stratum
+    bigger = sample_by_hash_stratified(
+        df, {"en": 0.8, "de": 0.1}, key_col="lang", seed="s"
+    )
+    big_ids = {r["doc_id"] for r in bigger.collect()}
+    assert {r["doc_id"] for r in rows} <= big_ids
+    with pytest.raises(ValueError):
+        sample_by_hash_stratified(df, {"en": 1.5}, key_col="lang")
