@@ -310,6 +310,7 @@ class IvfIndex:
     cells: DataFrame
     vec_col: str = "embedding"
     id_col: str = "vec_id"
+    path: str | None = None
 
 
 def ivf_build(
@@ -337,7 +338,33 @@ def ivf_build(
         cells = vectors.sparkSession.read.parquet(path)
     else:
         cells = assigned.cache()
-    return IvfIndex(centroids, cells, vec_col=vec_col, id_col=id_col)
+    return IvfIndex(centroids, cells, vec_col=vec_col, id_col=id_col, path=path)
+
+
+def ivf_add(index: IvfIndex, new_vectors: DataFrame) -> IvfIndex:
+    """Incremental IVF maintenance: assign NEW vectors with the
+    EXISTING quantizer (no retrain — the standard IVF add path; the
+    coarse quantizer is a codebook, not a model of every vector) and
+    append them to the cell table. Path-backed indexes append only
+    the touched centroid partitions; in-memory indexes union +
+    re-cache. Quantizer drift under distribution shift is handled by
+    a periodic full ivf_build re-train, the analog of segment
+    compaction."""
+    assigned = ivf_assign(
+        new_vectors, index.centroids, index.id_col, index.vec_col,
+        keep_vec=True,
+    )
+    if index.path is not None:
+        assigned.write.partitionBy("centroid").mode("append").parquet(
+            index.path
+        )
+        cells = new_vectors.sparkSession.read.parquet(index.path)
+    else:
+        cells = index.cells.unionByName(assigned).cache()
+    return IvfIndex(
+        index.centroids, cells, vec_col=index.vec_col, id_col=index.id_col,
+        path=index.path,
+    )
 
 
 def ivf_search(

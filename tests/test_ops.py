@@ -584,3 +584,42 @@ def test_duplicate_components_raises_on_non_convergence(spark):
     pairs = _pairs_df(spark, [(i, i + 1) for i in range(40)])
     with pytest.raises(RuntimeError, match="did not converge"):
         duplicate_components(pairs, max_iter=1)
+
+
+def test_ivf_add_incremental(spark, tmp_path):
+    from codeindex_spark.ops.similarity import (
+        brute_force_cosine_topk,
+        ivf_add,
+        ivf_build,
+        ivf_search,
+    )
+
+    rng = np.random.default_rng(31)
+    mat = rng.standard_normal((50, 8))
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = ivf_build(
+        vecs, dim=8, n_centroids=4, path=str(tmp_path / "ivf")
+    )
+    new = rng.standard_normal((10, 8))
+    new_vecs = spark.createDataFrame(
+        [(100 + i, [float(x) for x in new[i]]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    idx2 = ivf_add(idx, new_vecs)
+    assert idx2.cells.count() == 60
+    # a new vector queried by itself must be its own nearest neighbor
+    q = [float(x) for x in new[3]]
+    top = ivf_search(idx2, q, k=1, n_probe=4).collect()
+    assert top[0]["vec_id"] == 103
+    # full-probe search == brute force over the union
+    exact = [
+        r["vec_id"]
+        for r in brute_force_cosine_topk(
+            vecs.unionByName(new_vecs), q, k=5
+        ).collect()
+    ]
+    got = [r["vec_id"] for r in ivf_search(idx2, q, k=5, n_probe=4).collect()]
+    assert got == exact
