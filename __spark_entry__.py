@@ -988,6 +988,39 @@ def _q_mm_feature_hist(spark, sf_dir):
     return image_histogram_counts(synth_media(spark, n=16, kind="image"))
 
 
+def _q_mm_audio_windows(spark, sf_dir):
+    from codeindex_spark.ops.multimodal import (
+        audio_window_features,
+        synth_media,
+    )
+
+    return audio_window_features(
+        synth_media(spark, n=16, kind="audio"), window_ms=250
+    )
+
+
+def _mm_audio_values(n: int = 16) -> str:
+    """Windowed audio metrics recomputed independently with plain
+    numpy+hashlib (same seeded fake PCM as ops/multimodal.py) —
+    emitted as a VALUES literal for DuckDB."""
+    import hashlib
+
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        payload = hashlib.sha256(f"media{i}".encode()).digest() * 8
+        seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+        rng = np.random.default_rng(seed)
+        pcm = rng.integers(-32768, 32768, size=16000, dtype=np.int16)
+        for w, start in enumerate(range(0, 16000, 4000)):
+            seg = pcm[start : start + 4000]
+            sumsq = int((seg.astype(np.int64) ** 2).sum())
+            zc = int(((seg[:-1] < 0) != (seg[1:] < 0)).sum())
+            rows.append(f"({i},{w},{len(seg)},{sumsq},{zc})")
+    return ",".join(rows)
+
+
 def _mm_hist_values(n: int = 16) -> str:
     """The fake-decode histogram recomputed independently with plain
     numpy+hashlib (same seeded definition as ops/multimodal.py synth +
@@ -1064,6 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_resize_plan": _q_mm_resize_plan,
         "mm_frame_sample": _q_mm_frame_sample,
         "mm_feature_hist": _q_mm_feature_hist,
+        "mm_audio_windows": _q_mm_audio_windows,
         "st_event_compaction": _q_event_compaction,
         "st_event_window": _q_event_window,
         "rel_pricing_summary": _q_pricing_summary,
@@ -1865,6 +1899,9 @@ def oracle_sql() -> dict[str, str]:
         "mm_feature_hist": f"""
             SELECT * FROM (VALUES {_mm_hist_values()})
             AS t(media_id, b0, b1, b2, b3, b4, b5, b6, b7, n_bytes)""",
+        "mm_audio_windows": f"""
+            SELECT * FROM (VALUES {_mm_audio_values()})
+            AS t(media_id, window_id, n_samples, sumsq, zero_crossings)""",
         "st_event_compaction": """
             SELECT user_id, arg_max(event_type, ts) AS last_type,
                    round(arg_max(value, ts), 6) AS last_value,

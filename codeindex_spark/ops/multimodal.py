@@ -89,6 +89,77 @@ def decode_image(payload: bytes, width: int, height: int, channels: int, fake: b
     return _fake_decode(payload, width, height, channels)
 
 
+def decode_audio(
+    payload: bytes, sample_rate: int, duration_ms: int, fake: bool = False
+) -> np.ndarray:
+    """int16 PCM mono. Real decoding needs an audio codec library not
+    present in this environment; fake=True yields payload-hash-seeded
+    samples (same seed derivation as the image fake)."""
+    if not fake:
+        raise NotImplementedError(
+            "real audio decoding requires an audio codec library not "
+            "present in this environment; pass fake=True for the "
+            "deterministic stub"
+        )
+    n = sample_rate * duration_ms // 1000
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return rng.integers(-32768, 32768, size=n, dtype=np.int16)
+
+
+AUDIO_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("window_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("sumsq", T.LongType(), False),
+        T.StructField("zero_crossings", T.LongType(), False),
+    ]
+)
+
+
+def audio_window_features(
+    df: DataFrame, window_ms: int = 250, fake: bool = True
+) -> DataFrame:
+    """mapInPandas decode (stub) -> per-window energy (sum of squared
+    samples) and zero-crossing count — the audio analog of
+    extract_image_features: batch shape, Arrow transfer, and schema
+    are the real production plumbing; integer metrics survive any
+    engine comparison exactly."""
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {k: [] for k in (
+                "media_id", "window_id", "n_samples", "sumsq",
+                "zero_crossings",
+            )}
+            for r in pdf.itertuples():
+                meta = r.meta
+                pcm = decode_audio(
+                    bytes(r.payload),
+                    meta["sample_rate"],
+                    meta["duration_ms"],
+                    fake=fake,
+                )
+                win = meta["sample_rate"] * window_ms // 1000
+                for w, start in enumerate(range(0, len(pcm), win)):
+                    seg = pcm[start : start + win]
+                    out["media_id"].append(r.media_id)
+                    out["window_id"].append(w)
+                    out["n_samples"].append(len(seg))
+                    out["sumsq"].append(
+                        int((seg.astype(np.int64) ** 2).sum())
+                    )
+                    out["zero_crossings"].append(
+                        int(((seg[:-1] < 0) != (seg[1:] < 0)).sum())
+                    )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(kernel, schema=AUDIO_WINDOW_SCHEMA)
+
+
 def extract_image_features(df: DataFrame, fake: bool = True) -> DataFrame:
     """mapInPandas feature extraction: decode (stub) -> 8-bin channel
     histogram feature vector. The batch shape / Arrow transfer /

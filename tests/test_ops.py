@@ -623,3 +623,29 @@ def test_ivf_add_incremental(spark, tmp_path):
     ]
     got = [r["vec_id"] for r in ivf_search(idx2, q, k=5, n_probe=4).collect()]
     assert got == exact
+
+
+def test_audio_window_features(spark):
+    import hashlib as _h
+
+    from codeindex_spark.ops.multimodal import (
+        audio_window_features,
+        decode_audio,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=4, kind="audio")
+    rows = audio_window_features(media, window_ms=250).collect()
+    # 1000 ms / 250 ms = 4 windows per clip
+    assert len(rows) == 16
+    by_key = {(r["media_id"], r["window_id"]): r for r in rows}
+    # cross-check one window against a local numpy recompute
+    payload = _h.sha256(b"media0").digest() * 8
+    pcm = decode_audio(payload, 16000, 1000, fake=True)
+    seg = pcm[:4000]
+    r = by_key[(0, 0)]
+    assert r["n_samples"] == 4000
+    assert r["sumsq"] == int((seg.astype(np.int64) ** 2).sum())
+    assert r["zero_crossings"] == int(((seg[:-1] < 0) != (seg[1:] < 0)).sum())
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"x", 16000, 1000, fake=False)
