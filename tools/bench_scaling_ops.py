@@ -29,6 +29,7 @@ import os, sys, time, json
 sys.path.insert(0, {repo!r})
 from codeindex_spark.session import get_spark
 from codeindex_spark.ops.dedup import minhash_lsh_pairs
+from codeindex_spark.ops.analysis import repetition_stats
 from pyspark.sql import functions as F
 
 cpus = {cpus}
@@ -38,30 +39,36 @@ spark = get_spark(app_name=f"opscaling{{cpus}}", cores=cpus,
 docs = spark.read.parquet({corpus!r}).select(
     F.xxhash64("path").alias("doc_id"), F.col("content").alias("text")
 )
-# recommended pipeline shape on duplicate-heavy data: exact texts
-# collapse to one representative AND hot band buckets are capped —
-# the synthetic corpus is pathological (an ~8.7k-doc exact-dup
-# cluster plus template families with identical signatures), so
-# the uncapped op materializes >10^8 candidate pairs and the run
-# measures shuffle-spill disk, not the engine
-OP = lambda d: minhash_lsh_pairs(d, collapse_exact=True,
-                                 hot_bucket_cap=50)
+# minhash: recommended pipeline shape on duplicate-heavy data —
+# exact texts collapse to one representative AND hot band buckets
+# are capped; the synthetic corpus is pathological (an ~8.7k-doc
+# exact-dup cluster plus template families with identical
+# signatures), so the uncapped op materializes >10^8 candidate
+# pairs and the run measures shuffle-spill disk, not the engine.
+# repetition: zero-shuffle Arrow kernel — the CPU-bound contrast.
+OPS = {{
+    "minhash": lambda d: minhash_lsh_pairs(d, collapse_exact=True,
+                                           hot_bucket_cap=50),
+    "repetition": lambda d: repetition_stats(d),
+}}
+OP = OPS[{op!r}]
 # untimed warmup: compile the plan shapes on a small slice
 OP(docs.limit(10000)).count()
 t0 = time.monotonic()
-n_pairs = OP(docs).count()
+n_out = OP(docs).count()
 dt = time.monotonic() - t0
 print(json.dumps({{"cpus": cpus, "seconds": round(dt, 2),
                    "docs_per_sec": round({n_docs} / dt, 1),
-                   "n_pairs": n_pairs}}))
+                   "n_out": n_out}}))
 spark.stop()
 """
 
 
-def run_level(cpus: int, corpus: str, n_docs: int) -> dict:
+def run_level(cpus: int, corpus: str, n_docs: int, op: str) -> dict:
     out = subprocess.run(
         [sys.executable, "-c", CHILD.format(repo=REPO, cpus=cpus,
-                                            corpus=corpus, n_docs=n_docs)],
+                                            corpus=corpus, n_docs=n_docs,
+                                            op=op)],
         capture_output=True, text=True, timeout=3600,
     )
     if out.returncode != 0:
@@ -78,6 +85,8 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=200_000)
     ap.add_argument("--levels", default="2,8")
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--op", default="minhash",
+                    choices=["minhash", "repetition"])
     args = ap.parse_args()
     levels = [int(x) for x in args.levels.split(",")]
     if len(levels) != 2 or levels[0] == levels[1]:
@@ -101,7 +110,7 @@ def main() -> None:
     for i in range(args.runs):
         for cpus in (n, n4):
             print(f"-- run {i + 1}/{args.runs} local[{cpus}] --", flush=True)
-            r = run_level(cpus, corpus, args.docs)
+            r = run_level(cpus, corpus, args.docs, args.op)
             print(r, flush=True)
             runs[cpus].append(r)
 
@@ -111,7 +120,7 @@ def main() -> None:
     dps_n, dps_n4 = pooled(runs[n]), pooled(runs[n4])
     eff = dps_n4 / ((n4 / n) * dps_n)
     payload = {
-        "op": "minhash_lsh_pairs",
+        "op": args.op,
         "n_docs": args.docs,
         "protocol": (
             f"{args.runs} independent runs per level on the same "
@@ -129,7 +138,9 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling_ops.json"), "w") as f:
+    out_name = ("scaling_ops.json" if args.op == "minhash"
+                else f"scaling_ops_{args.op}.json")
+    with open(os.path.join(REPO, "BENCH", out_name), "w") as f:
         json.dump(payload, f, indent=1)
     print(json.dumps(payload["pooled_docs_per_sec"]), "eff:", payload["scaling_efficiency"])
 
