@@ -126,6 +126,8 @@ def audio_window_features(
     extract_image_features: batch shape, Arrow transfer, and schema
     are the real production plumbing; integer metrics survive any
     engine comparison exactly."""
+    if window_ms <= 0:
+        raise ValueError(f"window_ms must be positive, got {window_ms}")
 
     def kernel(batches):
         for pdf in batches:
@@ -144,6 +146,11 @@ def audio_window_features(
                     fake=fake,
                 )
                 win = meta["sample_rate"] * window_ms // 1000
+                if win < 1:
+                    raise ValueError(
+                        f"window_ms={window_ms} spans <1 sample at "
+                        f"sample_rate={meta['sample_rate']}"
+                    )
                 for w, start in enumerate(range(0, len(pcm), win)):
                     seg = pcm[start : start + win]
                     out["media_id"].append(r.media_id)

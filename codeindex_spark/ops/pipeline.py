@@ -131,11 +131,13 @@ def pack_chunks(
     ).withColumn(
         "_before", F.coalesce(F.sum(tok_col).over(w), F.lit(0))
     )
+    # `div` is exact integral division — a float floor() would lose
+    # integer precision once a bucket's cumulative tokens pass 2^53
     return out.select(
         doc_col,
         chunk_col,
         "bucket",
-        F.floor(F.col("_before") / budget_tokens).cast("long").alias(
+        F.expr(f"_before div {int(budget_tokens)}").cast("long").alias(
             "pack_id"
         ),
         (F.col("_before") % budget_tokens).cast("long").alias("pack_offset"),
@@ -162,11 +164,15 @@ def sample_by_hash_stratified(
             raise ValueError(f"rate for {k!r} must be in [0,1], got {r}")
     if not (0.0 <= default_rate <= 1.0):
         raise ValueError(f"default_rate must be in [0,1], got {default_rate}")
-    thr = F.lit(hash_threshold(default_rate))
+    thr = None
     for k in sorted(rates):
-        thr = F.when(
-            F.col(key_col) == k, F.lit(hash_threshold(rates[k]))
-        ).otherwise(thr)
+        cond = F.col(key_col) == k
+        lit = F.lit(hash_threshold(rates[k]))
+        thr = F.when(cond, lit) if thr is None else thr.when(cond, lit)
+    if thr is None:
+        thr = F.lit(hash_threshold(default_rate))
+    else:
+        thr = thr.otherwise(F.lit(hash_threshold(default_rate)))
     return df.filter(sample_key(seed, F.col(id_col)) < thr)
 
 

@@ -258,7 +258,7 @@ def ivf_assign(
     keep_vec=True carries the embedding through so the index build
     needs no join back to the corpus."""
     fields = [
-        T.StructField("vec_id", T.LongType(), False),
+        T.StructField(id_col, T.LongType(), False),
         T.StructField("centroid", T.IntegerType(), False),
     ]
     if keep_vec:
@@ -287,7 +287,7 @@ def ivf_assign(
             )
             assign = (mat @ centroids.T).argmax(axis=1)
             cols = {
-                "vec_id": pdf[id_col].to_numpy(),
+                id_col: pdf[id_col].to_numpy(),
                 "centroid": assign.astype(np.int32),
             }
             if keep_vec:
@@ -361,6 +361,7 @@ def ivf_add(index: IvfIndex, new_vectors: DataFrame) -> IvfIndex:
         cells = new_vectors.sparkSession.read.parquet(index.path)
     else:
         cells = index.cells.unionByName(assigned).cache()
+        index.cells.unpersist()
     return IvfIndex(
         index.centroids, cells, vec_col=index.vec_col, id_col=index.id_col,
         path=index.path,

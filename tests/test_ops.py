@@ -649,3 +649,28 @@ def test_audio_window_features(spark):
     assert r["zero_crossings"] == int(((seg[:-1] < 0) != (seg[1:] < 0)).sum())
     with pytest.raises(NotImplementedError):
         decode_audio(b"x", 16000, 1000, fake=False)
+
+
+def test_ivf_add_in_memory_and_custom_id_col(spark):
+    from codeindex_spark.ops.similarity import ivf_add, ivf_build, ivf_search
+
+    rng = np.random.default_rng(37)
+    mat = rng.standard_normal((30, 8))
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(30)],
+        "item_id long, embedding array<float>",
+    )
+    idx = ivf_build(vecs, dim=8, n_centroids=4, id_col="item_id")
+    new = rng.standard_normal((5, 8))
+    new_vecs = spark.createDataFrame(
+        [(100 + i, [float(x) for x in new[i]]) for i in range(5)],
+        "item_id long, embedding array<float>",
+    )
+    idx2 = ivf_add(idx, new_vecs)  # in-memory branch
+    assert idx2.cells.count() == 35
+    assert "item_id" in idx2.cells.columns
+    q = [float(x) for x in new[2]]
+    # brute_force_cosine_topk normalizes the output id column to
+    # vec_id regardless of the index's id_col (its documented shape)
+    top = ivf_search(idx2, q, k=1, n_probe=4).collect()
+    assert top[0]["vec_id"] == 102

@@ -1,5 +1,10 @@
-"""Pooled two-level scaling evidence for a PIPELINE op (minhash-LSH
-dedup), complementing the build-job evidence in bench_scaling*.py.
+"""Pooled two-level scaling evidence for PIPELINE ops,
+complementing the build-job evidence in bench_scaling*.py.
+
+--op minhash    : minhash-LSH dedup in its recommended shape
+                  (collapse_exact + hot_bucket_cap) — shuffle-heavy.
+--op repetition : repetition_stats — the zero-shuffle CPU-bound
+                  contrast.
 
 Same protocol as bench_scaling_pooled.py: N independent runs per
 parallelism level, one JVM each, levels interleaved, pooled
@@ -10,8 +15,10 @@ whole-stage-codegen compilation does not land in the timed run
 understate efficiency).
 
 Usage: python tools/bench_scaling_ops.py [--docs 200000]
-       [--levels 2,8] [--runs 3]
-Writes BENCH/scaling_ops.json; update BENCH/BASELINE.md by hand.
+       [--levels 2,8] [--runs 3] [--op minhash|repetition]
+Writes BENCH/scaling_ops.json (minhash; schema-compatible with the
+committed artifact: op=minhash_lsh_pairs, n_pairs) or
+BENCH/scaling_ops_<op>.json; update BENCH/BASELINE.md by hand.
 """
 
 from __future__ import annotations
@@ -119,8 +126,21 @@ def main() -> None:
 
     dps_n, dps_n4 = pooled(runs[n]), pooled(runs[n4])
     eff = dps_n4 / ((n4 / n) * dps_n)
+    run_rows = {
+        f"local[{cpus}]": [
+            (
+                {**{k: v for k, v in r.items() if k != "n_out"},
+                 "n_pairs": r["n_out"]}
+                if args.op == "minhash"
+                else r
+            )
+            for r in rs
+        ]
+        for cpus, rs in runs.items()
+    }
     payload = {
-        "op": args.op,
+        "op": "minhash_lsh_pairs" if args.op == "minhash"
+        else "repetition_stats",
         "n_docs": args.docs,
         "protocol": (
             f"{args.runs} independent runs per level on the same "
@@ -128,9 +148,7 @@ def main() -> None:
             "warmup per JVM, levels interleaved; aggregate throughput "
             "= total docs / total wall seconds"
         ),
-        "runs": {
-            f"local[{cpus}]": rs for cpus, rs in runs.items()
-        },
+        "runs": run_rows,
         "pooled_docs_per_sec": {
             f"local[{n}]": round(dps_n, 1),
             f"local[{n4}]": round(dps_n4, 1),
