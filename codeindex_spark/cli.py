@@ -234,6 +234,45 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """Full dedup verdict over a documents table: exact collapse ->
+    MinHash-LSH over representatives -> connected components -> one
+    keeper per merged cluster. Writes (doc_id, component, keep)
+    parquet with --out; always prints a JSON summary."""
+    from codeindex_spark.ops.dedup import near_dedup_keep_list
+
+    from pyspark.sql import functions as F
+
+    spark = _get_spark(args)
+    docs = spark.read.parquet(args.input)
+    verdict = near_dedup_keep_list(
+        docs,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        hot_bucket_cap=args.hot_bucket_cap,
+    )
+    if args.out:
+        verdict.write.mode("overwrite").parquet(args.out)
+        verdict = spark.read.parquet(args.out)
+    row = verdict.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        F.countDistinct("component").alias("n_components"),
+    ).collect()[0]
+    print(
+        json.dumps(
+            {
+                "n_docs": row["n_docs"],
+                "n_keep": int(row["n_keep"]),
+                "n_dropped": row["n_docs"] - int(row["n_keep"]),
+                "n_components": row["n_components"],
+                "out": args.out,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_package(args) -> int:
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
@@ -332,6 +371,24 @@ def main(argv=None) -> int:
     st = sub.add_parser("stats", help="index inspection (CheckIndex analog)")
     st.add_argument("--index", required=True)
     st.set_defaults(fn=cmd_stats)
+
+    d = sub.add_parser(
+        "dedup",
+        help="exact+near dedup verdict (keep list) over a documents "
+        "parquet",
+    )
+    d.add_argument("--input", required=True)
+    d.add_argument("--out", help="write (doc_id, component, keep) parquet")
+    d.add_argument("--id-col", default="doc_id")
+    d.add_argument("--text-col", default="text")
+    d.add_argument(
+        "--hot-bucket-cap",
+        type=int,
+        default=None,
+        help="drop LSH band buckets larger than this (near-identical "
+        "flood backstop)",
+    )
+    d.set_defaults(fn=cmd_dedup)
 
     p = sub.add_parser("package", help="zip the package for --py-files")
     p.add_argument("--out", default="codeindex_spark.zip")

@@ -111,3 +111,27 @@ def test_cli_hints_and_stats(idx, capsys):
     assert "content_trigram" in out["fields"]
     assert out["fields"]["content"]["n_terms"] > 0
     assert out["bytes"]["postings"] > 0
+
+
+def test_cli_dedup(spark, tmp_path, capsys):
+    import json as _json
+
+    from codeindex_spark.cli import main
+
+    a = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [(0, a), (1, a), (2, a + " eta"), (5, "totally different words here")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs_pq")
+    docs.write.parquet(src)
+    out = str(tmp_path / "verdict_pq")
+    rc = main(["dedup", "--input", src, "--out", out])
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # {0,1,2} merge (exact 0/1 + near 2), 5 alone -> 2 keepers
+    assert summary["n_docs"] == 4
+    assert summary["n_keep"] == 2 and summary["n_components"] == 2
+    rows = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert rows[0]["keep"] and rows[5]["keep"]
+    assert not rows[1]["keep"] and not rows[2]["keep"]
