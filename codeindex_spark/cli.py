@@ -215,11 +215,22 @@ def cmd_stats(args) -> int:
         fields.setdefault(r.field, {})["avgdl"] = round(float(r.avgdl), 3)
 
     def du(path):
-        total = 0
-        for dirpath, _d, files in os.walk(path):
-            for f in files:
-                total += os.path.getsize(os.path.join(dirpath, f))
-        return total
+        # Hadoop FileSystem API, not os.walk: the CLI accepts any
+        # Hadoop-resolvable index path (s3a://, hdfs://, ...) and
+        # os.walk silently reports 0 bytes for those
+        try:
+            jvm = spark._jvm
+            p = jvm.org.apache.hadoop.fs.Path(str(path))
+            fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+            return int(fs.getContentSummary(p).getLength())
+        except Exception:
+            if os.path.isdir(path):  # local fallback
+                return sum(
+                    os.path.getsize(os.path.join(dp, f))
+                    for dp, _d, files in os.walk(path)
+                    for f in files
+                )
+            return None
 
     out = {
         "n_docs": rdr.docs.count(),

@@ -108,7 +108,13 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs >= threshold:
     (doc_a, doc_b, jaccard). Inverted-index self-join on shingle."""
-    sh = shingles(df, id_col, text_col, n).cache()
+    from pyspark import StorageLevel
+
+    # reused 3x (sizes, hot, the self-joined cool) so persisting is
+    # right — but DISK_ONLY, not cache(): at corpus scale the shingle
+    # set dwarfs executor memory and MEMORY_AND_DISK eviction churn
+    # costs more than a straight disk read
+    sh = shingles(df, id_col, text_col, n).persist(StorageLevel.DISK_ONLY)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     hot = sh.groupBy("shingle").count().filter(F.col("count") > hot_cap)
     cool = sh.join(hot.select("shingle"), "shingle", "left_anti")
@@ -421,16 +427,6 @@ def duplicate_components(
         .localCheckpoint(eager=True)
     )
 
-    def label_sum(df: DataFrame) -> int:
-        # labels only ever decrease, so the total is unchanged iff
-        # fixpoint — an O(1)-result agg instead of a change-join.
-        # decimal(38,0): sum of 10^12 ids of 2^40 does not fit int64.
-        row = df.agg(
-            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]
-        return int(row["s"] or 0)
-
-    prev_sum = label_sum(labels)
     for _ in range(max_iter):
         # neighbor min: comp'(v) = min(comp(v), min over (u,v) of comp(u))
         nbr_min = (
@@ -440,6 +436,10 @@ def duplicate_components(
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        # prev_comp rides along so convergence is an exact per-row
+        # comparison — type-agnostic (string ids min-propagate fine,
+        # but cast to decimal would NULL them and a sum-based probe
+        # would silently report fixpoint after one round)
         stepped = (
             labels.join(nbr_min, "doc_id", "left")
             .select(
@@ -447,6 +447,7 @@ def duplicate_components(
                 F.least(
                     "comp", F.coalesce("nbr_comp", "comp")
                 ).alias("comp"),
+                F.col("comp").alias("prev_comp"),
             )
         )
         # pointer jump: comp''(v) = comp'(comp'(v))
@@ -463,14 +464,18 @@ def duplicate_components(
             .select(
                 "doc_id",
                 F.coalesce("comp2", "comp").alias("comp"),
+                "prev_comp",
             )
             .localCheckpoint(eager=True)
         )
-        labels = jumped
-        new_sum = label_sum(labels)
-        if new_sum == prev_sum:
+        changed = jumped.agg(
+            F.count(
+                F.when(~F.col("comp").eqNullSafe(F.col("prev_comp")), 1)
+            ).alias("c")
+        ).collect()[0]["c"]
+        labels = jumped.select("doc_id", "comp")
+        if changed == 0:
             break
-        prev_sum = new_sum
     else:
         # silent non-convergence would hand back labels that split
         # one real component into several — duplicates would survive
@@ -622,10 +627,19 @@ def simhash64(
 
 
 def simhash_near_pairs(
-    sim: DataFrame, bits_per_band: int = 16
+    sim: DataFrame,
+    bits_per_band: int = 16,
+    hot_bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup candidates: equal 16-bit band in the simhash (hamming
-    distance <= 3 guaranteed recall by pigeonhole over 4 bands)."""
+    distance <= 3 guaranteed recall by pigeonhole over 4 bands).
+
+    hot_bucket_cap bounds the quadratic self-join: a flood of
+    templated/near-empty docs collapses into a handful of band keys
+    and materializes m^2/2 pairs (the exact disk-bound failure
+    BENCH/scaling_ops.json measured on the minhash path); bands with
+    more than cap members are dropped wholesale — collapse exact
+    duplicates first so a hot band means genuinely templated text."""
     n_bands = 64 // bits_per_band
     mask = (1 << bits_per_band) - 1
     banded = sim.select(
@@ -644,6 +658,14 @@ def simhash_near_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
+    if hot_bucket_cap is not None:
+        hot = (
+            banded.groupBy("band", "key")
+            .count()
+            .filter(F.col("count") > hot_bucket_cap)
+            .select("band", "key")
+        )
+        banded = banded.join(hot, ["band", "key"], "left_anti")
     return (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "key"])

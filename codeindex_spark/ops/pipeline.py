@@ -95,7 +95,7 @@ def chunk_documents(
 def pack_chunks(
     chunks: DataFrame,
     budget_tokens: int = 2048,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     doc_col: str = "doc_id",
     chunk_col: str = "chunk_id",
     tok_col: str = "n_chunk_tokens",
@@ -115,12 +115,23 @@ def pack_chunks(
     Scale shape: the window runs per bucket — num_buckets bounds
     task count, the per-bucket sort is the only per-row cost, and
     buckets are independent (no global order, no single reducer).
+    When the caller does not pass num_buckets it scales with the
+    cluster (4x defaultParallelism, floor 64) so a fixed small
+    default never caps parallelism or balloons per-bucket sort size
+    on a large cluster. Pass it explicitly for reproducible bucket
+    assignment across differently-sized clusters.
     """
+    if num_buckets is None:
+        num_buckets = max(
+            64, 4 * chunks.sparkSession.sparkContext.defaultParallelism
+        )
     if budget_tokens <= 0 or num_buckets <= 0:
         raise ValueError("budget_tokens and num_buckets must be positive")
     from pyspark.sql import Window
 
-    bucket = (F.col(doc_col) % num_buckets).cast("int")
+    # pmod, not %: negative doc ids (e.g. xxhash64 keys) must still
+    # land in [0, num_buckets)
+    bucket = F.pmod(F.col(doc_col), F.lit(num_buckets)).cast("int")
     w = (
         Window.partitionBy("bucket")
         .orderBy(doc_col, chunk_col)

@@ -166,8 +166,13 @@ def required_literals(pattern: str) -> list[str]:
     everything (``a|b`` requires neither); ``x?``/``x*``/``x{..}``
     make x optional, ending the run WITHOUT x; ``x+`` requires x but
     ends the run after it (``ab+c`` need not contain "abc");
-    groups and character classes are skipped wholesale; escapes and
-    ``. ^ $`` end the run. Over-restricting would drop matches, so
+    groups and character classes are skipped wholesale; ``. ^ $`` and
+    class/anchor escapes end the run. Multi-char escape bodies are
+    decoded to their literal char (``\\x41bc`` requires "Abc", never
+    the bogus "41bc") and ``\\Q...\\E`` regions contribute their
+    quoted text (a trailing quantifier binds the last quoted char
+    only); undecodable bodies (``\\N{..}``, malformed hex/octal) bail
+    to []. Over-restricting would drop matches, so
     anything unclear contributes nothing.
 
     Verification runs the pattern under JAVA regex (rlike), so the
@@ -234,8 +239,100 @@ def required_literals(pattern: str) -> list[str]:
             if i < 0:
                 return []
             continue
-        if c == "\\":  # escape: \d \w \b... are classes/anchors; even
-            flush()  # literal escapes are skipped (sound either way)
+        if c == "\\":  # escape — Java semantics (verification is rlike)
+            nxt = pattern[i + 1] if i + 1 < n else ""
+            if not nxt:
+                return []  # trailing backslash: malformed
+            if nxt == "Q":
+                # \Q...\E quoted region: contents are literal chars. A
+                # quantifier right after \E binds to the LAST quoted
+                # char only, so that char leaves the required run.
+                end = pattern.find("\\E", i + 2)
+                if end == -1:
+                    quoted, i = pattern[i + 2 :], n
+                else:
+                    quoted, i = pattern[i + 2 : end], end + 2
+                after = pattern[i] if i < n else ""
+                if quoted and after and after in "*?{":
+                    cur.extend(quoted[:-1])
+                    flush()
+                    if after in "*?":
+                        i += 1  # '{..}' body is skipped by the main loop
+                    continue
+                if quoted and after == "+":
+                    cur.extend(quoted)
+                    flush()
+                    i += 1
+                    continue
+                cur.extend(quoted)  # run may continue past \E
+                continue
+            decoded: str | None = None
+            i2 = i + 2
+            if nxt == "x":  # \xhh or \x{h..h}
+                if pattern[i + 2 : i + 3] == "{":
+                    end = pattern.find("}", i + 3)
+                    if end == -1:
+                        return []
+                    body, i2 = pattern[i + 3 : end], end + 1
+                else:
+                    body, i2 = pattern[i + 2 : i + 4], i + 4
+                    if len(body) != 2:
+                        return []
+                try:
+                    cp = int(body, 16)
+                except ValueError:
+                    return []
+                if not body or cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
+                    return []
+                decoded = chr(cp)
+            elif nxt == "u":  # \uhhhh
+                body, i2 = pattern[i + 2 : i + 6], i + 6
+                if len(body) != 4:
+                    return []
+                try:
+                    cp = int(body, 16)
+                except ValueError:
+                    return []
+                if 0xD800 <= cp <= 0xDFFF:
+                    return []  # surrogate half: pairing rules, bail
+                decoded = chr(cp)
+            elif nxt == "0":  # \0n \0nn \0mnn octal (m in 0-3)
+                j = i + 2
+                digs = ""
+                while j < n and pattern[j] in "01234567" and len(digs) < 3:
+                    digs += pattern[j]
+                    j += 1
+                if len(digs) == 3 and digs[0] not in "0123":
+                    digs = digs[:2]
+                    j -= 1
+                if not digs:
+                    return []  # Java requires >=1 octal digit
+                decoded = chr(int(digs, 8))
+                i2 = j
+            elif nxt == "c":  # \cX control escape
+                if i + 2 >= n:
+                    return []
+                decoded = chr(ord(pattern[i + 2]) ^ 64)
+                i2 = i + 3
+            elif nxt == "N":  # \N{NAME}: names aren't decoded here
+                return []
+            if decoded is not None:
+                after = pattern[i2] if i2 < n else ""
+                if after and after in "*?{":
+                    flush()
+                    i = i2 + (1 if after in "*?" else 0)
+                    continue
+                if after == "+":
+                    cur.append(decoded)
+                    flush()
+                    i = i2 + 1
+                    continue
+                cur.append(decoded)
+                i = i2
+                continue
+            # \d \w \b... are classes/anchors; single-char literal
+            # escapes (\. \\) are skipped too (sound either way)
+            flush()
             i += 2
             continue
         if c in ".^$":

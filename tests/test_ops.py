@@ -90,6 +90,33 @@ def test_simhash_identical_for_dups(spark, docs):
     assert (a, b) in near
 
 
+def test_simhash_near_pairs_hot_bucket_cap(spark):
+    """A 1k-identical-simhash flood must emit bounded pairs under the
+    cap (the uncapped join materializes m^2/2 ~ 500k rows — the
+    duplicate-flood trap BENCH/scaling_ops.json measured on minhash),
+    while distinct small clusters still pair."""
+    from codeindex_spark.ops.dedup import simhash_near_pairs
+
+    flood = [(i, 0xDEADBEEFCAFE) for i in range(1000)]
+    # small genuine cluster: same hash, below cap
+    cluster = [(2000, 0x0123456789AB), (2001, 0x0123456789AB)]
+    sim = spark.createDataFrame(
+        flood + cluster, "doc_id long, simhash long"
+    )
+    pairs = simhash_near_pairs(sim, hot_bucket_cap=100)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert got == {(2000, 2001)}  # flood bands dropped wholesale
+    # uncapped default still pairs everything (semantics unchanged)
+    few = spark.createDataFrame(
+        flood[:3] + cluster, "doc_id long, simhash long"
+    )
+    got_all = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_near_pairs(few).collect()
+    }
+    assert (0, 1) in got_all and (2000, 2001) in got_all
+
+
 def test_brute_force_cosine(spark):
     from codeindex_spark.ops.similarity import brute_force_cosine_topk
 
@@ -575,6 +602,29 @@ def test_near_dedup_keep_list(spark):
     assert rows[7]["component"] == 7 and rows[8]["component"] == 7
     keepers = [d for d, r in rows.items() if r["keep"]]
     assert sorted(keepers) == [0, 7]
+
+
+def test_duplicate_components_string_ids(spark):
+    """String doc ids must min-propagate across multi-hop chains.
+    Regression: a decimal-cast convergence probe NULLed string ids,
+    summed 0 every round, and declared fixpoint after one round —
+    silently splitting deep chains into several components."""
+    from codeindex_spark.ops.dedup import duplicate_components
+
+    pairs = spark.createDataFrame(
+        [(f"d{i:02d}", f"d{i + 1:02d}") for i in range(9)]
+        + [("x1", "x2")],
+        "doc_a string, doc_b string",
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in duplicate_components(pairs).collect()
+    }
+    assert got == {
+        **{f"d{i:02d}": "d00" for i in range(10)},
+        "x1": "x1",
+        "x2": "x1",
+    }
 
 
 def test_duplicate_components_raises_on_non_convergence(spark):

@@ -399,6 +399,30 @@ def test_grep_matched_lines(spark, tmp_path):
         ("(abc", []),
         ("[abc", []),
         (r"(a[\\", []),
+        # multi-char escape bodies decode to their literal char — the
+        # body must never leak as a bogus required literal (\x41bc
+        # matches "Abc", not "41bc")
+        (r"\x41bc", ["Abc"]),
+        (r"\x{41}bc", ["Abc"]),
+        (r"Abc", ["Abc"]),
+        (r"\0101bc", ["Abc"]),
+        (r"\x41+bc", ["A", "bc"]),
+        (r"\x41*bc", ["bc"]),
+        (r"\cAbc", ["\x01bc"]),
+        (r"foo\x4", []),  # malformed hex: Java needs exactly 2 digits
+        (r"foo\x4gbar", []),
+        (r"\08bc", []),  # \0 needs >=1 octal digit in Java
+        (r"\N{LATIN SMALL LETTER A}bc", []),
+        ("foo\\", []),  # trailing backslash: malformed
+        # \Q...\E quoted regions: contents literal; a quantifier after
+        # \E binds only to the LAST quoted char
+        (r"\Qa.c\E", ["a.c"]),
+        (r"\Qa.c\Edef", ["a.cdef"]),
+        (r"\Qx\E*", []),
+        (r"\Qab\E*c", ["a", "c"]),
+        (r"\Qab\E+c", ["ab", "c"]),
+        (r"\Qab\E{2}c", ["a", "c"]),
+        (r"x\Qa|b\E", ["xa|b"]),
     ],
 )
 def test_required_literals(pattern, expected):
@@ -410,7 +434,12 @@ def test_required_literals(pattern, expected):
 # over-extract — over-extraction would drop valid search results)
 _atom = st.one_of(
     st.text(alphabet="abcxyz 01", min_size=1, max_size=4),
-    st.sampled_from([".", r"\d", r"\w", "[abc]", "[a-z]"]),
+    # \x61/b escapes mean the same char in Java and Python re, so
+    # from_regex exercises the decode path; multi-char bodies must
+    # never leak digits into the extracted literals
+    st.sampled_from(
+        [".", r"\d", r"\w", "[abc]", "[a-z]", r"\x61", r"\x7a", r"b"]
+    ),
 )
 _piece = st.builds(
     lambda a, q: a + q, _atom, st.sampled_from(["", "?", "*", "+", "{2}", "{1,3}"])
