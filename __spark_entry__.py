@@ -983,9 +983,12 @@ def _q_mm_feature_hist(spark, sf_dir):
         synth_media,
     )
 
-    # payloads are seeded bytes (synth_media) — the sf tables carry no
-    # binary column; the decode+histogram kernel is the thing under test
-    return image_histogram_counts(synth_media(spark, n=16, kind="image"))
+    # payloads are REAL encoded PPM (P6) bytes of seeded pixels — the
+    # sf tables carry no binary column; the genuine decode+histogram
+    # kernel (fake=False) is the thing under test
+    return image_histogram_counts(
+        synth_media(spark, n=16, kind="image", real=True), fake=False
+    )
 
 
 def _q_mm_audio_windows(spark, sf_dir):
@@ -994,14 +997,20 @@ def _q_mm_audio_windows(spark, sf_dir):
         synth_media,
     )
 
+    # payloads are REAL 16-bit PCM WAV bytes of seeded samples,
+    # decoded by the genuine (fake=False) stdlib-wave path
     return audio_window_features(
-        synth_media(spark, n=16, kind="audio"), window_ms=250
+        synth_media(spark, n=16, kind="audio", real=True),
+        window_ms=250,
+        fake=False,
     )
 
 
 def _mm_audio_values(n: int = 16) -> str:
     """Windowed audio metrics recomputed independently with plain
-    numpy+hashlib (same seeded fake PCM as ops/multimodal.py) —
+    numpy+hashlib (the same media_id-seeded samples synth_media
+    encodes into real WAV payloads — this recompute never touches the
+    codec, so it cross-checks encode->decode->window end to end) —
     emitted as a VALUES literal for DuckDB."""
     import hashlib
 
@@ -1009,8 +1018,9 @@ def _mm_audio_values(n: int = 16) -> str:
 
     rows = []
     for i in range(n):
-        payload = hashlib.sha256(f"media{i}".encode()).digest() * 8
-        seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+        seed = int.from_bytes(
+            hashlib.sha256(f"media{i}".encode()).digest()[:8], "big"
+        )
         rng = np.random.default_rng(seed)
         pcm = rng.integers(-32768, 32768, size=16000, dtype=np.int16)
         for w, start in enumerate(range(0, 16000, 4000)):
@@ -1022,22 +1032,28 @@ def _mm_audio_values(n: int = 16) -> str:
 
 
 def _mm_hist_values(n: int = 16) -> str:
-    """The fake-decode histogram recomputed independently with plain
-    numpy+hashlib (same seeded definition as ops/multimodal.py synth +
-    _fake_decode) — emitted as a VALUES literal for DuckDB."""
+    """The real-decode histogram recomputed independently with plain
+    numpy+hashlib (the same media_id-seeded pixels synth_media
+    encodes into real P6 PPM payloads — this recompute never touches
+    the codec, so it cross-checks encode->decode->histogram end to
+    end; n_bytes is the PPM size computed arithmetically:
+    len("P6\\n32 24\\n255\\n") + 24*32*3) — emitted as a VALUES
+    literal for DuckDB."""
     import hashlib
 
     import numpy as np
 
+    ppm_bytes = len(b"P6\n32 24\n255\n") + 24 * 32 * 3
     rows = []
     for i in range(n):
-        payload = hashlib.sha256(f"media{i}".encode()).digest() * 8
-        seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+        seed = int.from_bytes(
+            hashlib.sha256(f"media{i}".encode()).digest()[:8], "big"
+        )
         rng = np.random.default_rng(seed)
         img = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
         hist, _ = np.histogram(img, bins=8, range=(0, 256))
         rows.append(
-            f"({i},{','.join(str(int(x)) for x in hist)},{len(payload)})"
+            f"({i},{','.join(str(int(x)) for x in hist)},{ppm_bytes})"
         )
     return ",".join(rows)
 

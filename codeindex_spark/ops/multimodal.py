@@ -1,12 +1,15 @@
 """Multimodal column plumbing — binary payloads with typed metadata.
 
 Image/audio/video payloads are opaque ``binary`` columns plus a typed
-metadata struct. The decode step is STUBBED (no codec libraries in
-this container): ``decode_image`` raises NotImplementedError unless
-``fake=True``, in which case a deterministic fake decoder (seeded by
-the payload hash) produces stable "pixels" so the Spark-side plumbing
-— schema, partitioning, mapInPandas batch shape, feature extraction —
-is real and testable end-to-end.
+metadata struct. One REAL codec per modality needs no external
+libraries and is implemented here: binary PPM (P6) images parsed with
+pure numpy, and 16-bit PCM WAV audio via the stdlib ``wave`` module —
+plus matching encoders so tests and synthetic media exercise the real
+decode path end-to-end. Compressed formats (JPEG/PNG/MP3/...) would
+need codec libraries absent from this container, so ``decode_image``
+/ ``decode_audio`` raise NotImplementedError for payloads that are
+not PPM/WAV; ``fake=True`` selects a deterministic payload-hash-
+seeded stub decoder for plumbing tests that don't care about bytes.
 
 Schema:
     media(media_id: long, kind: string, payload: binary,
@@ -54,11 +57,33 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def synth_media(spark, n: int = 16, kind: str = "image") -> DataFrame:
-    """Deterministic synthetic media table (payload = seeded bytes)."""
+def synth_media(
+    spark, n: int = 16, kind: str = "image", real: bool = False
+) -> DataFrame:
+    """Deterministic synthetic media table. real=False: payload =
+    opaque seeded bytes (decode with fake=True). real=True: payload =
+    genuine encoded media — a P6 PPM of seeded pixels for images, a
+    16-bit PCM WAV of seeded samples for audio — decodable with the
+    real (fake=False) path. Content is seeded by media_id either way.
+    """
     rows = []
     for i in range(n):
-        payload = hashlib.sha256(f"media{i}".encode()).digest() * 8
+        seed_bytes = hashlib.sha256(f"media{i}".encode()).digest()
+        if not real:
+            payload = seed_bytes * 8
+        else:
+            rng = np.random.default_rng(
+                int.from_bytes(seed_bytes[:8], "big")
+            )
+            if kind == "image":
+                payload = encode_ppm(
+                    rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+                )
+            else:
+                payload = encode_wav_pcm(
+                    rng.integers(-32768, 32768, size=16000, dtype=np.int16),
+                    16000,
+                )
         rows.append(
             (
                 i,
@@ -72,6 +97,87 @@ def synth_media(spark, n: int = 16, kind: str = "image") -> DataFrame:
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
+# ---------- real codecs (no external libraries) ----------
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Binary PPM (P6, maxval 255) from an (h, w, 3) uint8 array."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("encode_ppm needs an (h, w, 3) uint8 array")
+    h, w = img.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + img.tobytes()
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    """Parse a binary PPM (P6): header tokens (width, height, maxval)
+    with #-comment support, then raw big-endian RGB bytes."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PPM header")
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace byte after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 PPM supported, got {maxval}")
+    need = w * h * 3
+    raster = payload[pos : pos + need]
+    if len(raster) != need:
+        raise ValueError(
+            f"PPM raster truncated: need {need} bytes, have {len(raster)}"
+        )
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_wav_pcm(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Mono 16-bit PCM WAV bytes from an int16 array (stdlib wave)."""
+    import io
+    import wave
+
+    if samples.dtype != np.int16:
+        raise ValueError("encode_wav_pcm needs an int16 array")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Parse a 16-bit PCM WAV: (mono int16 samples, sample_rate).
+    Multi-channel input keeps channel 0 (deterministic, cheap; a
+    production mixdown policy belongs in the caller)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError(
+                f"only 16-bit PCM WAV supported, got sampwidth="
+                f"{w.getsampwidth()}"
+            )
+        nch = w.getnchannels()
+        sr = w.getframerate()
+        raw = w.readframes(w.getnframes())
+    pcm = np.frombuffer(raw, dtype="<i2")
+    if nch > 1:
+        pcm = pcm.reshape(-1, nch)[:, 0]
+    return np.ascontiguousarray(pcm), sr
+
+
 def _fake_decode(payload: bytes, width: int, height: int, channels: int) -> np.ndarray:
     """Deterministic fake 'decode': payload-hash-seeded pixels."""
     seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
@@ -80,31 +186,58 @@ def _fake_decode(payload: bytes, width: int, height: int, channels: int) -> np.n
 
 
 def decode_image(payload: bytes, width: int, height: int, channels: int, fake: bool = False) -> np.ndarray:
-    if not fake:
+    """(height, width, channels) uint8 pixels. Real path decodes
+    binary PPM (P6) with pure numpy and cross-checks the metadata
+    struct against the container header — a mismatch means corrupt
+    metadata upstream, which must fail loudly, not propagate.
+    Compressed formats (JPEG/PNG/...) need codec libraries absent
+    from this container."""
+    if fake:
+        return _fake_decode(payload, width, height, channels)
+    if payload[:2] != b"P6":
         raise NotImplementedError(
-            "real image decoding requires an image codec library not "
-            "present in this environment; pass fake=True for the "
-            "deterministic stub"
+            "only binary PPM (P6) images decode without external codec "
+            "libraries; compressed formats need an image codec not "
+            "present in this environment (or pass fake=True for the "
+            "deterministic stub)"
         )
-    return _fake_decode(payload, width, height, channels)
+    img = _decode_ppm(bytes(payload))
+    if (img.shape[0], img.shape[1]) != (height, width) or channels != 3:
+        raise ValueError(
+            f"metadata/container mismatch: meta says {width}x{height}x"
+            f"{channels}, PPM header says {img.shape[1]}x{img.shape[0]}x3"
+        )
+    return img
 
 
 def decode_audio(
     payload: bytes, sample_rate: int, duration_ms: int, fake: bool = False
 ) -> np.ndarray:
-    """int16 PCM mono. Real decoding needs an audio codec library not
-    present in this environment; fake=True yields payload-hash-seeded
-    samples (same seed derivation as the image fake)."""
-    if not fake:
+    """int16 PCM mono. Real path decodes 16-bit PCM WAV via the
+    stdlib ``wave`` module and cross-checks the metadata sample rate
+    against the container (corrupt metadata must fail loudly).
+    Compressed formats (MP3/AAC/...) need codec libraries absent from
+    this container. fake=True yields payload-hash-seeded samples
+    (same seed derivation as the image fake)."""
+    if fake:
+        n = sample_rate * duration_ms // 1000
+        seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+        rng = np.random.default_rng(seed)
+        return rng.integers(-32768, 32768, size=n, dtype=np.int16)
+    if bytes(payload[:4]) != b"RIFF":
         raise NotImplementedError(
-            "real audio decoding requires an audio codec library not "
-            "present in this environment; pass fake=True for the "
-            "deterministic stub"
+            "only 16-bit PCM WAV decodes without external codec "
+            "libraries; compressed formats need an audio codec not "
+            "present in this environment (or pass fake=True for the "
+            "deterministic stub)"
         )
-    n = sample_rate * duration_ms // 1000
-    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
-    rng = np.random.default_rng(seed)
-    return rng.integers(-32768, 32768, size=n, dtype=np.int16)
+    pcm, sr = _decode_wav(bytes(payload))
+    if sample_rate is not None and sr != sample_rate:
+        raise ValueError(
+            f"metadata/container mismatch: meta says sample_rate="
+            f"{sample_rate}, WAV header says {sr}"
+        )
+    return pcm
 
 
 AUDIO_WINDOW_SCHEMA = T.StructType(
