@@ -334,31 +334,83 @@ def ivf_build(
     )
     assigned = ivf_assign(vectors, centroids, id_col, vec_col, keep_vec=True)
     if path is not None:
-        assigned.write.partitionBy("centroid").mode("overwrite").parquet(path)
-        cells = vectors.sparkSession.read.parquet(path)
+        import shutil
+
+        shutil.rmtree(_ivf_cells_root(path), ignore_errors=True)
+        _ivf_publish_batch(assigned, path, "base")
+        cells = _ivf_read_cells(vectors.sparkSession, path)
     else:
         cells = assigned.cache()
     return IvfIndex(centroids, cells, vec_col=vec_col, id_col=id_col, path=path)
 
 
-def ivf_add(index: IvfIndex, new_vectors: DataFrame) -> IvfIndex:
+def _ivf_cells_root(path: str) -> str:
+    import os
+
+    return os.path.join(path, "cells")
+
+
+def _ivf_read_cells(spark, path: str) -> DataFrame:
+    # `batch` is a bookkeeping partition column, not index data
+    return spark.read.parquet(_ivf_cells_root(path)).drop("batch")
+
+
+def _ivf_publish_batch(assigned: DataFrame, path: str, batch_id: str) -> bool:
+    """Stage-then-rename publication of one cell batch: write the
+    assigned vectors (partitioned by centroid) under _staging, then
+    one atomic directory rename into cells/batch=<id>/. A crash
+    mid-write leaves only an invisible staging dir; a crash before
+    the rename re-stages from scratch on retry; an already-published
+    batch_id is a no-op — so retries are exactly-once. Same
+    discipline as the posting-index group manifests (segments.py).
+    Note: directory rename is atomic on POSIX filesystems and HDFS;
+    on object stores use a transactional table format instead."""
+    import os
+    import shutil
+
+    if not batch_id or not all(
+        c.isalnum() or c in "_-" for c in batch_id
+    ):
+        raise ValueError(
+            f"batch_id must be non-empty [A-Za-z0-9_-], got {batch_id!r}"
+        )
+    final = os.path.join(_ivf_cells_root(path), f"batch={batch_id}")
+    if os.path.exists(final):
+        return False
+    staging = os.path.join(path, "_staging", batch_id)
+    shutil.rmtree(staging, ignore_errors=True)  # orphan from a crash
+    assigned.write.partitionBy("centroid").mode("overwrite").parquet(staging)
+    os.makedirs(_ivf_cells_root(path), exist_ok=True)
+    os.rename(staging, final)
+    return True
+
+
+def ivf_add(
+    index: IvfIndex, new_vectors: DataFrame, batch_id: str | None = None
+) -> IvfIndex:
     """Incremental IVF maintenance: assign NEW vectors with the
     EXISTING quantizer (no retrain — the standard IVF add path; the
     coarse quantizer is a codebook, not a model of every vector) and
-    append them to the cell table. Path-backed indexes append only
-    the touched centroid partitions; in-memory indexes union +
+    append them to the cell table. Path-backed indexes publish the
+    batch atomically (stage + rename, see _ivf_publish_batch) so a
+    killed add never leaves partial files a re-run would duplicate —
+    pass a deterministic batch_id to make retries exactly-once (an
+    already-published id is skipped). In-memory indexes union +
     re-cache. Quantizer drift under distribution shift is handled by
     a periodic full ivf_build re-train, the analog of segment
-    compaction."""
+    compaction (which also folds accumulated batch dirs back into
+    one)."""
     assigned = ivf_assign(
         new_vectors, index.centroids, index.id_col, index.vec_col,
         keep_vec=True,
     )
     if index.path is not None:
-        assigned.write.partitionBy("centroid").mode("append").parquet(
-            index.path
-        )
-        cells = new_vectors.sparkSession.read.parquet(index.path)
+        if batch_id is None:
+            import uuid
+
+            batch_id = uuid.uuid4().hex
+        _ivf_publish_batch(assigned, index.path, batch_id)
+        cells = _ivf_read_cells(new_vectors.sparkSession, index.path)
     else:
         cells = index.cells.unionByName(assigned).cache()
         index.cells.unpersist()

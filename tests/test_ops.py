@@ -781,6 +781,50 @@ def test_ivf_add_incremental(spark, tmp_path):
     assert got == exact
 
 
+def test_ivf_add_atomic_exactly_once(spark, tmp_path):
+    """A killed add (staging written, publish rename never reached)
+    must be invisible to readers, and a re-run with the same batch_id
+    must yield exactly-once rows — including when the batch was
+    already published before the crash."""
+    import os
+
+    from codeindex_spark.ops.similarity import (
+        _ivf_cells_root,
+        ivf_add,
+        ivf_build,
+    )
+
+    rng = np.random.default_rng(8)
+    mat = rng.standard_normal((30, 8))
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "ivf")
+    idx = ivf_build(vecs, dim=8, n_centroids=2, path=path)
+    new = rng.standard_normal((5, 8))
+    new_vecs = spark.createDataFrame(
+        [(100 + i, [float(x) for x in new[i]]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    # simulate a crash mid-write: staging exists, rename never ran
+    staging = os.path.join(path, "_staging", "b1")
+    new_vecs.limit(2).withColumn("centroid", F.lit(0)).write.partitionBy(
+        "centroid"
+    ).parquet(staging)
+    assert idx.cells.count() == 30  # partial staging is invisible
+    # retry with the same batch_id: stages from scratch, publishes once
+    idx2 = ivf_add(idx, new_vecs, batch_id="b1")
+    assert idx2.cells.count() == 35
+    assert not os.path.exists(staging)
+    # re-running the SAME batch (crash after publish) adds nothing
+    idx3 = ivf_add(idx2, new_vecs, batch_id="b1")
+    assert idx3.cells.count() == 35
+    assert sorted(os.listdir(_ivf_cells_root(path))) == [
+        "batch=b1", "batch=base",
+    ]
+
+
 def test_audio_window_features(spark):
     import hashlib as _h
 
