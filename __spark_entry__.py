@@ -287,6 +287,21 @@ def _q_phrase_wildcard(spark, sf_dir):
     )
 
 
+def _q_phrase_slop(spark, sf_dir):
+    # '"fast sort"~2': in-order with at most 2 skipped positions —
+    # the classic-QueryParser proximity surface (QueryGenerator.cs:217)
+    eng = _engine(spark, sf_dir)
+    return _orig_ids(eng, eng.score('"fast sort"~2'), extra=_SCORE())
+
+
+def _q_boosted_or(spark, sf_dir):
+    # 'fast^2 OR sort': clause boost scales the leaf contribution;
+    # factor 2 is a power of two so rounding commutes and the DuckDB
+    # oracle (2*c) is bit-exact against the engine (idf*2)*tfnorm
+    eng = _engine(spark, sf_dir)
+    return _orig_ids(eng, eng.score("fast^2 OR sort"), extra=_SCORE())
+
+
 def _q_wildcard(spark, sf_dir):
     eng = _engine(spark, sf_dir)
     return _orig_ids(eng, eng.score("sc*"), extra=_SCORE())
@@ -1065,6 +1080,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q03_bool_or_not": _q_bool_or_not,
         "q04_phrase": _q_phrase,
         "q05_phrase_wildcard": _q_phrase_wildcard,
+        "q23_phrase_slop": _q_phrase_slop,
+        "q24_boosted_or": _q_boosted_or,
         "q06_wildcard": _q_wildcard,
         "q07_fuzzy": _q_fuzzy,
         "q08_term_dict": _q_term_dict,
@@ -1356,6 +1373,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, round(sum(c), 6) AS score
             FROM contrib JOIN pm USING (doc_id)
             WHERE term IN ('fast', 'sort') GROUP BY doc_id""",
+        # sloppy phrase: in-order, gap = b.pos - a.pos - 1 <= 2; score
+        # = sum of both terms' contributions in matched docs (same
+        # convention as the exact phrase — no Lucene 1/(1+d) weight)
+        "q23_phrase_slop": f"""WITH {_CONTRIB},
+            pm AS (
+              SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
+                ON a.doc_id = b.doc_id
+               AND b.pos > a.pos AND b.pos <= a.pos + 3
+              WHERE a.term = 'fast' AND b.term = 'sort')
+            SELECT doc_id, round(sum(c), 6) AS score
+            FROM contrib JOIN pm USING (doc_id)
+            WHERE term IN ('fast', 'sort') GROUP BY doc_id""",
+        # clause boost: term^2 doubles that leaf's contribution (the
+        # engine bakes the factor into the row idf; x2 is exact in
+        # binary floating point so the comparison is bit-stable)
+        "q24_boosted_or": f"""WITH {_CONTRIB}
+            SELECT doc_id,
+                   round(sum(CASE WHEN term = 'fast'
+                             THEN 2.0::DOUBLE * c ELSE c END), 6) AS score
+            FROM contrib WHERE term IN ('fast', 'sort')
+            GROUP BY doc_id""",
         # phrase-with-wildcard score: every slot-expansion term present
         # in a matched doc contributes, adjacent or not (oracle.py:199-204)
         "q05_phrase_wildcard": f"""WITH {_CONTRIB},

@@ -22,6 +22,7 @@ oracle both evaluate it, which is what makes rank-identity checkable.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from typing import Union
 
@@ -46,12 +47,14 @@ DEFAULT_FIELD = "content"
 class Term:
     term: str
     field: str = DEFAULT_FIELD
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
 class Wildcard:
     pattern: str  # contains * or ?
     field: str = DEFAULT_FIELD
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -59,6 +62,7 @@ class Fuzzy:
     term: str
     max_edits: int = 2
     field: str = DEFAULT_FIELD
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -66,6 +70,13 @@ class Phrase:
     # each slot is a literal term or a Wildcard pattern string
     slots: tuple[str, ...]
     field: str = DEFAULT_FIELD
+    boost: float = 1.0
+    # proximity slop ("a b"~N): slots may match in order with up to
+    # N total skipped positions between first and last (exact
+    # adjacency when 0). Unlike Lucene's sloppy phrase, out-of-order
+    # matches are NOT accepted — in-order-with-gaps is the documented
+    # semantic here (and what a positional join expresses naturally).
+    slop: int = 0
 
 
 @dataclass(frozen=True)
@@ -88,6 +99,28 @@ class QueryParseError(ValueError):
     pass
 
 
+def apply_boost(node: Node, factor: float) -> Node:
+    """Fold a score boost onto the leaves. Every combinator scores by
+    summing its children (And/Or sum, Not filters), so boost
+    distributes — a group boost ``(a b)^2`` rewrites to per-leaf
+    boosts and no structural Boost node is needed. Keeping boost on
+    the leaf also keeps the planner's WAND upper bounds sound: the
+    bound is computed from per-leaf idf, which carries the boost."""
+    from dataclasses import replace
+
+    if isinstance(node, (Term, Wildcard, Fuzzy, Phrase)):
+        return replace(node, boost=node.boost * factor)
+    if isinstance(node, And):
+        return And(tuple(apply_boost(c, factor) for c in node.children))
+    if isinstance(node, Or):
+        return Or(tuple(apply_boost(c, factor) for c in node.children))
+    if isinstance(node, Not):
+        # the negative side only filters docs out; its scores are
+        # never summed, so boosting it would change nothing
+        return Not(apply_boost(node.positive, factor), node.negative)
+    raise TypeError(node)
+
+
 def _is_wildcard(tok: str) -> bool:
     return "*" in tok or "?" in tok
 
@@ -100,6 +133,16 @@ def _check_leading_wildcard(tok: str) -> None:
 
 
 def _leaf(word: str, fld: str, lowercase: bool) -> Node:
+    boost = 1.0
+    if "^" in word:  # term^2 / stri*^1.5 / strng~1^3 (boost is last)
+        base, _, bsuf = word.rpartition("^")
+        try:
+            boost = float(bsuf)
+        except ValueError as e:
+            raise QueryParseError(f"bad boost suffix in {word!r}") from e
+        if boost <= 0 or not base:
+            raise QueryParseError(f"bad boost in {word!r}")
+        word = base
     fuzzy_edits: int | None = None
     if "~" in word:
         base, _, suffix = word.partition("~")
@@ -118,11 +161,11 @@ def _leaf(word: str, fld: str, lowercase: bool) -> Node:
     if fuzzy_edits is not None:
         if _is_wildcard(word):
             raise QueryParseError("fuzzy and wildcard cannot combine")
-        return Fuzzy(word, fuzzy_edits, fld)
+        return Fuzzy(word, fuzzy_edits, fld, boost)
     if _is_wildcard(word):
         _check_leading_wildcard(word)
-        return Wildcard(word, fld)
-    return Term(word, fld)
+        return Wildcard(word, fld, boost)
+    return Term(word, fld, boost)
 
 
 def _phrase(text: str, fld: str, lowercase: bool) -> Node:
@@ -229,13 +272,58 @@ class _Parser:
             raise QueryParseError("bare '-' operator needs a preceding clause")
         return self.atom()
 
+    _SUFFIX_RE = re.compile(r"^(?:~(\d+))?(?:\^(\d+(?:\.\d+)?))?$")
+
+    def _consume_suffix(self, allow_slop: bool) -> tuple[int, float]:
+        """Optional ``~N`` (slop) and/or ``^F`` (boost) token right
+        after a quoted phrase or closed group — the lexer emits it as
+        a separate token because the quote/paren ended the previous
+        one. Unrecognized ~/^ tokens are left in place (they fail
+        later with the normal term errors)."""
+        t = self.peek()
+        if t is None or not (t.startswith("~") or t.startswith("^")):
+            return 0, 1.0
+        m = self._SUFFIX_RE.match(t)
+        if not m or (m.group(1) is None and m.group(2) is None):
+            return 0, 1.0
+        slop = int(m.group(1)) if m.group(1) else 0
+        boost = float(m.group(2)) if m.group(2) else 1.0
+        if slop and not allow_slop:
+            raise QueryParseError(
+                "proximity slop (~N) applies only to quoted phrases"
+            )
+        if m.group(2) is not None and boost <= 0:
+            raise QueryParseError(f"bad boost in {t!r}")
+        self.next()
+        return slop, boost
+
+    def _phrase_with_suffix(self, text: str, fld: str) -> Node:
+        from dataclasses import replace
+
+        node = _phrase(text, fld, self._lower_for(fld))
+        slop, boost = self._consume_suffix(allow_slop=True)
+        if slop and isinstance(node, Phrase):
+            node = replace(node, slop=slop)
+        if boost != 1.0:
+            node = apply_boost(node, boost)
+        return node
+
     def atom(self) -> Node:
         t = self.next()
         if t == "(":
             node = self.or_expr()
             if self.next() != ")":
                 raise QueryParseError("expected ')'")
-            return node
+            _, boost = self._consume_suffix(allow_slop=False)
+            return apply_boost(node, boost) if boost != 1.0 else node
+        if t and t[0] in "[{":
+            # Lucene classic range syntax — deliberately unsupported:
+            # terms are not ordered meaningfully for code search and a
+            # silent term-parse would return wrong results
+            raise QueryParseError(
+                f"range queries are not supported: {t!r} "
+                "(Lucene [a TO b] / {a TO b} syntax)"
+            )
         fld = self.field_default
         if ":" in t and not t.startswith('"'):
             prefix, _, rest = t.partition(":")
@@ -250,9 +338,9 @@ class _Parser:
                 if t.startswith('"'):
                     if not t.endswith('"') or len(t) < 2:
                         raise QueryParseError(f"bad quoted field value {t!r}")
-                    return _phrase(t[1:-1], fld, self._lower_for(fld))
+                    return self._phrase_with_suffix(t[1:-1], fld)
         if t.startswith('"') and t.endswith('"') and len(t) >= 2:
-            return _phrase(t[1:-1], fld, self._lower_for(fld))
+            return self._phrase_with_suffix(t[1:-1], fld)
         if not t:
             raise QueryParseError("empty token")
         return _leaf(t, fld, self._lower_for(fld))

@@ -19,6 +19,7 @@ Scoring contract (shared with the planner):
 
 from __future__ import annotations
 
+import bisect
 import math
 import re
 from dataclasses import dataclass, field
@@ -173,9 +174,10 @@ class OracleIndex:
     def eval(self, node: ast.Node) -> dict[int, float]:
         if isinstance(node, (ast.Term, ast.Wildcard, ast.Fuzzy)):
             out: dict[int, float] = {}
+            boost = float(getattr(node, "boost", 1.0))
             for t in self._expand(node.field, node):
                 for d, s in self._term_scores(node.field, t).items():
-                    out[d] = out.get(d, 0.0) + s
+                    out[d] = out.get(d, 0.0) + s * boost
             return out
         if isinstance(node, ast.Phrase):
             return self._eval_phrase(node)
@@ -210,24 +212,61 @@ class OracleIndex:
                 docs |= set(self.postings[fld].get(t, {}))
             slot_docs.append(docs)
         cand = set.intersection(*slot_docs)
+        slop = int(getattr(node, "slop", 0))
+        boost = float(getattr(node, "boost", 1.0))
         out: dict[int, float] = {}
         for d in cand:
-            valid = set()
-            for t in slot_terms[0]:
-                valid |= set(self.postings[fld].get(t, {}).get(d, []))
-            for ts in slot_terms[1:]:
-                nxt = set()
-                for t in ts:
-                    nxt |= set(self.postings[fld].get(t, {}).get(d, []))
-                valid = {p + 1 for p in valid} & nxt
-                if not valid:
-                    break
-            if valid:
+            if slop <= 0:
+                valid = set()
+                for t in slot_terms[0]:
+                    valid |= set(self.postings[fld].get(t, {}).get(d, []))
+                for ts in slot_terms[1:]:
+                    nxt = set()
+                    for t in ts:
+                        nxt |= set(self.postings[fld].get(t, {}).get(d, []))
+                    valid = {p + 1 for p in valid} & nxt
+                    if not valid:
+                        break
+                ok = bool(valid)
+            else:
+                # sloppy (in-order, total gap <= slop) via normalized
+                # q = pos - slot: need a nondecreasing q-chain across
+                # slots with span <= slop — the same best-chain-start
+                # DP the Spark kernel runs vectorized
+                chain: dict[int, int] = {}  # q -> best (max) start q
+                for t in slot_terms[0]:
+                    for p in self.postings[fld].get(t, {}).get(d, []):
+                        chain[p] = max(chain.get(p, p), p)
+                for i, ts in enumerate(slot_terms[1:], start=1):
+                    qs = sorted(chain)
+                    starts = [chain[q] for q in qs]
+                    run = []  # prefix max of best-start over sorted q
+                    m = -1
+                    for st in starts:
+                        m = max(m, st)
+                        run.append(m)
+                    nxt_chain: dict[int, int] = {}
+                    for t in ts:
+                        for p in self.postings[fld].get(t, {}).get(d, []):
+                            q = p - i
+                            j = bisect.bisect_right(qs, q) - 1
+                            if j < 0:
+                                continue
+                            start = run[j]
+                            if q - start <= slop:
+                                nxt_chain[q] = max(
+                                    nxt_chain.get(q, start), start
+                                )
+                    chain = nxt_chain
+                    if not chain:
+                        break
+                ok = bool(chain)
+            if ok:
                 score = 0.0
                 for ts in slot_terms:
                     for t in ts:
                         score += self._term_scores(fld, t).get(d, 0.0)
-                out[d] = score
+                out[d] = score * boost
         return out
 
     def _expand_slot(self, fld: str, slot: str) -> list[str]:

@@ -521,11 +521,13 @@ class SearchEngine:
         leaf_ids: dict[ast.Node, int] = {}
         wants: list[tuple[int, str, int, object]] = []
         exact_terms: dict[str, set[str]] = {}
+        boost_by_id: dict[int, float] = {}
         for leaf in ast.collect_leaves(root):
             if leaf in leaf_ids:
                 continue
             lid = len(leaf_ids)
             leaf_ids[leaf] = lid
+            boost_by_id[lid] = float(getattr(leaf, "boost", 1.0))
             fld = leaf.field
             if isinstance(leaf, ast.Phrase) and fld in getattr(
                 self.params, "positionless", ()
@@ -550,6 +552,7 @@ class SearchEngine:
 
         rows: list[dict] = []
         for lid, fld, slot_idx, spec in wants:
+            leaf_boost = boost_by_id[lid]
             n_docs, _ = self.reader.field_stats(fld)
             if isinstance(spec, str) and "*" not in spec and "?" not in spec:
                 df = exact_df.get((fld, spec))
@@ -565,7 +568,13 @@ class SearchEngine:
                         "term": term,
                         "leaf_id": lid,
                         "slot": slot_idx,
-                        "idf": idf_bm25(n_docs, df),
+                        # leaf boost (term^2 / "a b"^2) is baked into
+                        # the row idf: every scoring path — disjunctive
+                        # kernel, tree kernel, phrase slots, and the
+                        # WAND block upper bound (idf * block_max) —
+                        # multiplies this column, so the boost scales
+                        # scores AND keeps the pruning bound sound
+                        "idf": idf_bm25(n_docs, df) * leaf_boost,
                     }
                 )
         return rows, leaf_ids
@@ -1510,6 +1519,11 @@ def _make_tree_batch_kernel(root, leaf_ids, avgdl, k1, b, block_size):
         for node, lid in leaf_ids.items()
         if isinstance(node, ast.Phrase)
     }
+    phrase_slops = {
+        lid: int(getattr(node, "slop", 0))
+        for node, lid in leaf_ids.items()
+        if isinstance(node, ast.Phrase)
+    }
     need_pos = bool(phrase_nslots)
 
     def eval_node(node, leaf_data):
@@ -1580,7 +1594,9 @@ def _make_tree_batch_kernel(root, leaf_ids, avgdl, k1, b, block_size):
                     docs, inv = np.unique(cat_d, return_inverse=True)
                     leaf_data[lid] = (docs, np.bincount(inv, weights=cat_s))
             for lid, parts in phrase.items():
-                leaf_data[lid] = _eval_phrase(parts, phrase_nslots[lid])
+                leaf_data[lid] = _eval_phrase(
+                    parts, phrase_nslots[lid], phrase_slops[lid]
+                )
             d, sc = eval_node(root, leaf_data)
             if d.size:
                 out_d.append(d)
@@ -1599,25 +1615,37 @@ def _make_tree_batch_kernel(root, leaf_ids, avgdl, k1, b, block_size):
     return kernel
 
 
-def _eval_phrase(parts, n_slots):
-    """Exact-order adjacency (SpanNear distance 0, in-order —
-    QueryGenerator.cs:177-192 semantics) within one block.
+def _eval_phrase(parts, n_slots, slop=0):
+    """Positional phrase match within one block: exact-order adjacency
+    when slop=0 (SpanNear distance 0, in-order —
+    QueryGenerator.cs:177-192 semantics), or in-order with at most
+    ``slop`` total skipped positions ("a b"~N).
 
     parts: [(slot, docs, contrib, pcounts_per_entry, pos_flat)] —
     possibly several expansions per slot, positions pre-decoded.
     n_slots is the TRUE phrase length from the AST. Returns
-    (docs, scores) for docs where slots appear at consecutive
-    positions; score = Σ_slot (per-doc slot contribution).
+    (docs, scores); score = Σ_slot (per-doc slot contribution).
+
+    Positions are normalized to q = pos - slot, so an exact match is
+    "all slots share one q" (straight k-way intersection) and a
+    sloppy match is "a nondecreasing q-chain with span <= slop"
+    (q_{i+1} >= q_i ⟺ p_{i+1} > p_i, and Σ gaps = q_last - q_first).
+    The slop pass is a vectorized best-chain-start DP over the packed
+    sorted arrays — prefix max + binary search per slot, no per-doc
+    Python loop. Out-of-order matches are NOT accepted (documented
+    deviation from Lucene's sloppy phrase).
     """
     slot_pairs: list = [None] * n_slots
     slot_scores: list = [None] * n_slots
-    SHIFT = np.int64(1) << np.int64(32)
+    SHIFT_BITS = np.int64(32)
+    SHIFT = np.int64(1) << SHIFT_BITS
+    MASK = SHIFT - np.int64(1)
 
     by_slot: dict[int, list] = {}
     for slot, docs, contrib, pc, flat in parts:
         by_slot.setdefault(int(slot), []).append((docs, contrib, pc, flat))
     # All parts belong to ONE posting block, so doc_ids span < block_size.
-    # Pack (doc_id - base) * 2^32 + position: block-local offsets keep the
+    # Pack (doc_id - base) * 2^32 + q: block-local offsets keep the
     # key far below int64 even when global doc_ids exceed 2^31 (the
     # 10^12-doc target), where packing the global doc_id would overflow.
     firsts = [
@@ -1635,7 +1663,9 @@ def _eval_phrase(parts, n_slots):
         pair_chunks, d_chunks, s_chunks = [], [], []
         for docs, contrib, pc, flat in by_slot[s]:
             doc_rep = np.repeat(docs - base, pc)
-            pair_chunks.append(doc_rep * SHIFT + flat)
+            q = flat - np.int64(s)
+            keep = q >= 0  # pos < slot can never complete a chain
+            pair_chunks.append(doc_rep[keep] * SHIFT + q[keep])
             d_chunks.append(docs)
             s_chunks.append(contrib)
         slot_pairs[s] = np.unique(np.concatenate(pair_chunks))
@@ -1644,12 +1674,41 @@ def _eval_phrase(parts, n_slots):
         ud, inv = np.unique(cat_d, return_inverse=True)
         slot_scores[s] = (ud, np.bincount(inv, weights=cat_s))
 
-    valid = slot_pairs[0]
-    for s in range(1, n_slots):
-        valid = np.intersect1d(valid + 1, slot_pairs[s], assume_unique=True)
-    if valid.size == 0:
-        return _EMPTY_D, _EMPTY_S
-    matched = np.unique(valid >> np.int64(32)) + base
+    if slop <= 0:
+        valid = slot_pairs[0]
+        for s in range(1, n_slots):
+            valid = np.intersect1d(valid, slot_pairs[s], assume_unique=True)
+        if valid.size == 0:
+            return _EMPTY_D, _EMPTY_S
+        matched = np.unique(valid >> SHIFT_BITS) + base
+    else:
+        # cur: packed (doc, q) chain ends for slot s; best[i]: the
+        # maximal chain start q (minimal span) over chains ending at
+        # cur[i]. Transition: for each next-slot (doc, q'), the best
+        # predecessor is the max `best` among same-doc entries with
+        # q <= q' — a prefix max over the sorted packed array (doc in
+        # the high bits makes the running max reset per doc for free)
+        # found by one searchsorted.
+        cur = slot_pairs[0]
+        best = cur & MASK
+        for s in range(1, n_slots):
+            nxt = slot_pairs[s]
+            if cur.size == 0 or nxt.size == 0:
+                return _EMPTY_D, _EMPTY_S
+            run_max = np.maximum.accumulate(
+                ((cur >> SHIFT_BITS) << SHIFT_BITS) + best
+            )
+            idx = np.searchsorted(cur, nxt, side="right") - 1
+            ok = idx >= 0
+            cand = run_max[np.maximum(idx, 0)]
+            ok &= (cand >> SHIFT_BITS) == (nxt >> SHIFT_BITS)
+            start = cand & MASK
+            ok &= (nxt & MASK) - start <= slop  # span can only grow
+            cur = nxt[ok]
+            best = start[ok]
+        if cur.size == 0:
+            return _EMPTY_D, _EMPTY_S
+        matched = np.unique(cur >> SHIFT_BITS) + base
     total = np.zeros(matched.size, dtype=np.float64)
     for ud, sc in slot_scores:
         idx = np.searchsorted(ud, matched)

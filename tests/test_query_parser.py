@@ -94,3 +94,62 @@ def test_collect_leaves():
     q = parse_query("(a OR b*) AND c NOT d~1")
     leaves = ast.collect_leaves(q)
     assert len(leaves) == 4
+
+
+# ---------------- Lucene classic extras: boost, slop, ranges ----------------
+
+
+def test_boost_on_leaves():
+    # QueryGenerator.cs:217-222 hands the classic QueryParser (and its
+    # full syntax doc) to users — term^2 must parse, not raise
+    assert parse_query("abc^2") == Term("abc", "content", 2.0)
+    assert parse_query("ABC^0.5") == Term("abc", "content", 0.5)
+    assert parse_query("stri*^1.5") == Wildcard("stri*", "content", 1.5)
+    assert parse_query("strng~1^3") == Fuzzy("strng", 1, "content", 3.0)
+    assert parse_query("Content:abc^2") == Term("abc", "content", 2.0)
+
+
+def test_boost_on_phrase_and_group():
+    assert parse_query('"a b"^2') == Phrase(("a", "b"), "content", 2.0)
+    # group boost distributes onto leaves (score algebra is sum-based)
+    assert parse_query("(a b)^2") == Or(
+        (Term("a", "content", 2.0), Term("b", "content", 2.0))
+    )
+    q = parse_query("(x AND y)^3 OR z")
+    assert q == Or(
+        (
+            And((Term("x", "content", 3.0), Term("y", "content", 3.0))),
+            Term("z"),
+        )
+    )
+
+
+def test_phrase_slop():
+    assert parse_query('"a b"~3') == Phrase(("a", "b"), "content", 1.0, 3)
+    assert parse_query('"a b"~3^2') == Phrase(("a", "b"), "content", 2.0, 3)
+    assert parse_query('Content:"a b"~1') == Phrase(
+        ("a", "b"), "content", 1.0, 1
+    )
+    # slop on a single-term phrase degrades to a plain term (Lucene)
+    assert parse_query('"abc"~2') == Term("abc", "content")
+
+
+def test_slop_on_group_rejected():
+    with pytest.raises(QueryParseError, match="slop"):
+        parse_query("(a b)~3")
+
+
+def test_range_rejected_with_clear_error():
+    with pytest.raises(QueryParseError, match="range"):
+        parse_query("[a TO b]")
+    with pytest.raises(QueryParseError, match="range"):
+        parse_query("x AND {1 TO 5}")
+
+
+def test_bad_boost_rejected():
+    with pytest.raises(QueryParseError):
+        parse_query("abc^0")
+    with pytest.raises(QueryParseError):
+        parse_query("abc^x")
+    with pytest.raises(QueryParseError):
+        parse_query("^2")

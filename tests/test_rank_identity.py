@@ -368,3 +368,50 @@ def test_random_boolean_trees_rank_identical(engine, oracle):
     for _ in range(12):
         q = tree(2)
         assert_rank_identical(engine.search(q, k=K), oracle.search(q, k=K))
+
+
+def test_phrase_slop_rank_identity(engine, oracle):
+    """Sloppy phrase (in-order, total gap <= N) is rank- and
+    score-identical between the Spark positional kernel and the pure
+    oracle DP, and monotone: slop 0 matches are a subset of slop 2,
+    which is a subset of the AND of the terms."""
+    for q in ('"add documents"~1', '"index writer"~2', '"get string"~3'):
+        assert_rank_identical(
+            engine.search(q, k=K), oracle.search(ast.parse_query(q), k=K)
+        )
+    # k large enough to be un-truncated: subset relations hold on the
+    # FULL match sets, not on a top-k that tighter queries fill with
+    # different tails
+    big = 10_000
+    exact = engine.search(ast.parse_phrase_query("add documents"), k=big)
+    sloppy = engine.search('"add documents"~2', k=big)
+    both = engine.search("add AND documents", k=big)
+    d0 = {r["doc_id"] for r in exact.collect()}
+    d2 = {r["doc_id"] for r in sloppy.collect()}
+    dand = {r["doc_id"] for r in both.collect()}
+    assert d0 <= d2 <= dand and d0
+
+
+def test_boost_rank_identity(engine, oracle):
+    """Boosted clauses scale scores identically in engine and oracle,
+    through every kernel path (disjunctive fast path is disabled for
+    boosted trees only when structure requires it — scores must agree
+    regardless)."""
+    for q in (
+        "get^2 OR string",
+        "index^0.5 AND writer",
+        '"add documents"^2',
+        "stri*^3",
+        "(index writer)^2 OR get",
+    ):
+        assert_rank_identical(
+            engine.search(q, k=K), oracle.search(ast.parse_query(q), k=K)
+        )
+    # boost factor 2 exactly doubles a single-term score
+    base = {r["doc_id"]: r["score"] for r in engine.search("get", k=K).collect()}
+    boosted = {
+        r["doc_id"]: r["score"] for r in engine.search("get^2", k=K).collect()
+    }
+    assert set(base) == set(boosted)
+    for d, s in base.items():
+        assert boosted[d] == pytest.approx(2 * s, rel=1e-12)
