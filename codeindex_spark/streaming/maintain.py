@@ -63,70 +63,97 @@ EVENT_SCHEMA = T.StructType(
 
 # ------------------------------------------------------------------ ST3
 
-def compact_events(
-    events: DataFrame, max_driver_renames: int = 10000
-) -> DataFrame:
+def compact_events(events: DataFrame) -> DataFrame:
     """Event-queue compaction (FileChangesPreProcessing.cs:11-110
     semantics, three passes in reference order):
 
     1. RemoveTemplateChanges (:24-58): for each Renamed, the first
        LATER Renamed whose new path equals this one's old path is
-       removed, and this one becomes Changed(old_path). The link is
-       CROSS-PATH (Renamed A->B then B->A, but also A->B then C->A),
-       so it cannot run inside a per-path group: renames are pulled
-       to the driver — they are a vanishing fraction of a debounced
-       FS event stream, matching the reference's in-memory queue —
-       and processed in ts order exactly like the reference loop.
+       removed, and this one becomes Changed(old_path).
     2. RemoveTemplateDeletedChanges (:60-84): per path, a Deleted
        followed (anywhere later) by a Created drops the Deleted and
        turns that Created into Changed.
     3. RemoveDuplicatedChanges (:86-105): per (path, old_path, type),
        keep the LAST of exact duplicates.
 
+    Pass 1's link is CROSS-PATH (Renamed A->B then C->A), so it
+    cannot run inside a per-path group — but the reference's
+    sequential loop is order-isomorphic to a DECLARATIVE matching on
+    the original queue: a conversion at queue position i never
+    changes any row at j > i (conversions only touch the row being
+    processed, and drops don't change types), so every Renamed r
+    independently matches the first strictly-later Renamed u — queue
+    order = (ts, path, old_path) lexicographic, the same total order
+    the driver loop sorted by — with u.path == r.old_path. Matched r
+    converts to Changed(r.old_path); each distinct matched u loses
+    exactly one copy (every matcher picks the same first copy). That
+    is one keyed equi-join on (old_path = path) + a min-struct agg —
+    fully distributed, no driver pull, no rename-count cap (a
+    repo-root move with millions of renames is just a join).
+    Identical surviving duplicates collapse to one row here; pass 3
+    (keep-last of exact duplicates) makes that a no-op downstream.
+
     Passes 2-3 run distributed in a grouped pandas kernel (per-path
-    groups are tiny). ``max_driver_renames`` guards the driver pull;
-    the reference algorithm is itself O(R^2) in the rename count.
+    groups are tiny).
     """
-    spark = events.sparkSession
     renames = events.filter(F.col("change_type") == "Renamed")
-    rows = [
-        r.asDict()
-        for r in renames.orderBy("ts", "path", "old_path").limit(
-            max_driver_renames + 1
-        ).collect()
-    ]
-    if len(rows) > max_driver_renames:
-        raise ValueError(
-            f"more than {max_driver_renames} Renamed events in one "
-            "compaction batch; widen max_driver_renames or split the batch"
+    ren = renames.groupBy("ts", "path", "old_path").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    key = F.struct("ts", "path", "old_path")
+    u_side = ren.select(
+        F.col("path").alias("u_path"), key.alias("u_key")
+    )
+    ch_side = ren.select("ts", "path", "old_path", "cnt", key.alias("ch_key"))
+    matches = (
+        ch_side.join(
+            u_side,
+            (F.col("u_path") == F.col("old_path"))
+            & (F.col("u_key") > F.col("ch_key")),
         )
-    # pass 1 — mutate in place exactly like the reference loop: marked
-    # events stay visible, converted events change type immediately
-    dropped: set[int] = set()
-    for i, ch in enumerate(rows):
-        if ch["change_type"] != "Renamed":
-            continue
-        for j in range(i + 1, len(rows)):
-            u = rows[j]
-            if u["change_type"] == "Renamed" and u["path"] == ch["old_path"]:
-                dropped.add(j)
-                ch["change_type"] = "Changed"
-                ch["path"] = ch["old_path"]
-                ch["old_path"] = None
-                break
-    survived = [r for i, r in enumerate(rows) if i not in dropped]
-    non_renames = events.filter(F.col("change_type") != "Renamed")
-    if survived:
-        adj = non_renames.unionByName(
-            spark.createDataFrame(
-                pd.DataFrame(
-                    survived, columns=["path", "old_path", "change_type", "ts"]
-                ),
-                schema=EVENT_SCHEMA,
-            )
+        .groupBy("ch_key")
+        .agg(F.min("u_key").alias("mu"))
+    )
+    converted = matches.select("ch_key", F.lit(True).alias("has_match"))
+    dropped_u = (
+        matches.select(F.col("mu").alias("ch_key"))
+        .distinct()
+        .withColumn("was_dropped", F.lit(True))
+    )
+    # degenerate self-rename (path == old_path) duplicated: the first
+    # copy matches a later identical copy in the reference loop, which
+    # strict > on equal keys cannot see — special-case it
+    self_match = (F.col("path") == F.col("old_path")) & (F.col("cnt") > 1)
+    resolved = (
+        ch_side.join(converted, "ch_key", "left")
+        .join(dropped_u, "ch_key", "left")
+        .withColumn(
+            "conv", F.coalesce("has_match", F.lit(False)) | self_match
         )
-    else:
-        adj = non_renames
+        .withColumn(
+            "eff",
+            F.col("cnt")
+            - F.when(
+                F.coalesce("was_dropped", F.lit(False)) | self_match, 1
+            ).otherwise(0),
+        )
+        .filter(F.col("eff") > 0)
+    )
+    survived = resolved.select(
+        F.when(F.col("conv"), F.col("old_path"))
+        .otherwise(F.col("path"))
+        .alias("path"),
+        F.when(F.col("conv"), F.lit(None).cast("string"))
+        .otherwise(F.col("old_path"))
+        .alias("old_path"),
+        F.when(F.col("conv"), F.lit("Changed"))
+        .otherwise(F.lit("Renamed"))
+        .alias("change_type"),
+        "ts",
+    )
+    adj = events.filter(F.col("change_type") != "Renamed").unionByName(
+        survived
+    )
 
     def compact(key, pdf: pd.DataFrame) -> pd.DataFrame:
         # ts is the queue order; break exact-ts ties deterministically

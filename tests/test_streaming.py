@@ -672,3 +672,62 @@ def test_streaming_exact_dedup(spark, tmp_path):
     import hashlib as _h
 
     assert rows[1]["text_hash"] == _h.md5(b"alpha").hexdigest()
+
+
+def test_compact_events_repo_root_move_scale(spark):
+    """A repo-root move (12k renames in one batch) compacts with the
+    join-based pass 1 — the old driver pull hard-failed above 10k.
+    No rename links exist here (all old paths are under src/), so
+    every rename must survive unchanged."""
+    from pyspark.sql import functions as F
+
+    n = 12_000
+    ev = spark.range(n).select(
+        F.concat(F.lit("dst/f"), F.col("id")).alias("path"),
+        F.concat(F.lit("src/f"), F.col("id")).alias("old_path"),
+        F.lit("Renamed").alias("change_type"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
+    )
+    out = compact_events(ev)
+    assert out.count() == n
+    assert out.filter(F.col("change_type") != "Renamed").count() == 0
+
+
+def test_compact_events_rename_edge_cases(spark):
+    # A->B then C->A: ch(A->B) matches u(C->A) -> one Changed(/a),
+    # the C->A rename is consumed (reference RemoveTemplateChanges)
+    ev = _events(
+        spark,
+        [("/b", "/a", "Renamed", 1), ("/a", "/c", "Renamed", 2)],
+    )
+    out = sorted(
+        (r["change_type"], r["path"], r["old_path"])
+        for r in compact_events(ev).collect()
+    )
+    assert out == [("Changed", "/a", None)]
+    # two chs matching the SAME u: both convert, u drops once
+    ev2 = _events(
+        spark,
+        [
+            ("/b", "/a", "Renamed", 1),
+            ("/c", "/a", "Renamed", 2),
+            ("/a", "/x", "Renamed", 3),
+        ],
+    )
+    out2 = sorted(
+        (r["change_type"], r["path"], r["old_path"])
+        for r in compact_events(ev2).collect()
+    )
+    # both A-old renames convert to Changed(/a); pass 3 keeps one
+    assert out2 == [("Changed", "/a", None)]
+    # degenerate duplicated self-rename A->A: first copy matches the
+    # second in the reference loop -> one Changed(/a)
+    ev3 = _events(
+        spark,
+        [("/a", "/a", "Renamed", 1), ("/a", "/a", "Renamed", 1)],
+    )
+    out3 = [
+        (r["change_type"], r["path"], r["old_path"])
+        for r in compact_events(ev3).collect()
+    ]
+    assert out3 == [("Changed", "/a", None)]
