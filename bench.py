@@ -201,6 +201,100 @@ def main() -> None:
         3,
     )
 
+    # ---- phase 3c: zipfian-vocabulary trigram evidence (r3) ----
+    # The sf corpus has a 31-word vocabulary — the trigram WORST case:
+    # every gram is hot, so the rarest-gram AND prunes almost nothing
+    # and q14/q15 there measure job launch + a near-corpus candidate
+    # set. A realistic zipfian vocabulary (5k distinct words, s=1.1)
+    # is what actual code/text corpora look like, and there the
+    # candidate set is a vanishing fraction of the corpus — the
+    # design's claimed scale behavior, evidenced with the candidate
+    # counts recorded alongside the runtimes.
+    import numpy as np
+    import pandas as pd
+
+    zrng = np.random.default_rng(20260817)
+    letters = list("abcdefghijklmnopqrstuvwxyz")
+    zvocab = list(
+        dict.fromkeys(
+            "".join(zrng.choice(letters, size=int(zrng.integers(4, 11))))
+            for _ in range(5000)
+        )
+    )
+    zranks = np.arange(1, len(zvocab) + 1, dtype=np.float64)
+    zprobs = 1.0 / zranks**1.1
+    zprobs /= zprobs.sum()
+    zvoc_arr = np.array(zvocab)
+    n_zipf_docs = 10000
+
+    def _zipf_gen(batches):
+        for pdf in batches:
+            texts = []
+            for did in pdf["id"]:
+                r = np.random.default_rng(7_000_000 + int(did))
+                words = r.choice(len(zvoc_arr), size=120, p=zprobs)
+                texts.append(" ".join(zvoc_arr[words]))
+            yield pd.DataFrame({"doc_id": pdf["id"], "text": texts})
+
+    zipf_pq = "/tmp/bench_corpus_zipf"
+    shutil.rmtree(zipf_pq, ignore_errors=True)
+    (
+        spark.range(n_zipf_docs)
+        .repartition(cpus)
+        .mapInPandas(_zipf_gen, schema="doc_id long, text string")
+        .select(
+            F.lit("zipf").alias("repo"),
+            F.concat(
+                F.lit("zipf/"), F.col("doc_id").cast("string"), F.lit(".txt")
+            ).alias("path"),
+            F.lit("c000000000000").alias("commit"),
+            F.lit("en").alias("lang"),
+            F.col("text").alias("content"),
+        )
+        .write.parquet(zipf_pq)
+    )
+    zipf_docs = spark.read.parquet(zipf_pq)
+    zipf_idx = "/tmp/bench_idx_zipf_tri"
+    shutil.rmtree(zipf_idx, ignore_errors=True)
+    zb = IndexBuilder(
+        spark,
+        zipf_idx,
+        IndexParams(
+            num_buckets=16, block_size=128, fields=CONTENT_TRIGRAM_FIELDS
+        ),
+        n_groups=1,
+    )
+    ztri_s, _ = timed(lambda: zb.build(zipf_docs, resume=False))
+    queries["build_zipf_trigram"] = round(ztri_s, 3)
+    zeng = SearchEngine(IndexReader(spark, zipf_idx))
+    # needles from mid-rank vocabulary: present but selective
+    zneedle = zvocab[400]
+    zregex = rf"{zvocab[120]} [a-z]+ {zvocab[150]}"
+    queries["q14z_substring"] = round(
+        p50(lambda: zeng.search_content_substring(zneedle).count()), 3
+    )
+    queries["q15z_regex"] = round(
+        p50(lambda: zeng.search_content_regex(zregex).count()), 3
+    )
+
+    def _cand_count(engine, needle):
+        c = engine._trigram_candidates("content_trigram", needle.lower())
+        if c is None:
+            return 0
+        if isinstance(c, str):
+            return -1  # scan fallback
+        return c.count()
+
+    result["trigram_evidence"] = {
+        "sf_vocab_words": 31,
+        "sf_candidates_q14": _cand_count(tri_eng, "ge sor"),
+        "sf_corpus_docs": n_sf_docs,
+        "zipf_vocab_words": len(zvocab),
+        "zipf_candidates_q14z": _cand_count(zeng, zneedle),
+        "zipf_corpus_docs": n_zipf_docs,
+        "zipf_matches_q14z": zeng.search_content_substring(zneedle).count(),
+    }
+
     # ---- phase 4: pipeline ops ----
     from codeindex_spark.ops.analysis import quality_score
     from codeindex_spark.ops.dedup import minhash_lsh_pairs
@@ -250,6 +344,9 @@ def main() -> None:
         "build_sf_trigram",
         "q14_substring",
         "q15_regex",
+        "build_zipf_trigram",
+        "q14z_substring",
+        "q15z_regex",
         "op_scrub",
         "op_chunk",
         "op_sample",
