@@ -132,20 +132,46 @@ def _check_leading_wildcard(tok: str) -> None:
         )
 
 
+def _split_unescaped(word: str) -> list[tuple[str, bool]]:
+    """(char, escaped) pairs — Lucene classic ``\\`` escaping: an
+    escaped char is always literal (never an operator)."""
+    out: list[tuple[str, bool]] = []
+    i = 0
+    while i < len(word):
+        if word[i] == "\\" and i + 1 < len(word):
+            out.append((word[i + 1], True))
+            i += 2
+        else:
+            out.append((word[i], False))
+            i += 1
+    return out
+
+
 def _leaf(word: str, fld: str, lowercase: bool) -> Node:
+    chars = _split_unescaped(word)
+
+    def find_op(op: str, from_right: bool = False):
+        rng = range(len(chars) - 1, -1, -1) if from_right else range(len(chars))
+        for i in rng:
+            if chars[i][0] == op and not chars[i][1]:
+                return i
+        return None
+
     boost = 1.0
-    if "^" in word:  # term^2 / stri*^1.5 / strng~1^3 (boost is last)
-        base, _, bsuf = word.rpartition("^")
+    bi = find_op("^", from_right=True)
+    if bi is not None:  # term^2 / stri*^1.5 / strng~1^3 (boost is last)
+        bsuf = "".join(c for c, _ in chars[bi + 1 :])
         try:
             boost = float(bsuf)
         except ValueError as e:
             raise QueryParseError(f"bad boost suffix in {word!r}") from e
-        if boost <= 0 or not base:
+        if boost <= 0 or bi == 0:
             raise QueryParseError(f"bad boost in {word!r}")
-        word = base
+        chars = chars[:bi]
     fuzzy_edits: int | None = None
-    if "~" in word:
-        base, _, suffix = word.partition("~")
+    fi = find_op("~")
+    if fi is not None:
+        suffix = "".join(c for c, _ in chars[fi + 1 :])
         if suffix == "":
             fuzzy_edits = 2
         else:
@@ -153,19 +179,32 @@ def _leaf(word: str, fld: str, lowercase: bool) -> Node:
                 fuzzy_edits = int(suffix)
             except ValueError as e:
                 raise QueryParseError(f"bad fuzzy suffix in {word!r}") from e
-        word = base
+        chars = chars[:fi]
+    wild = any(c in "*?" and not esc for c, esc in chars)
+    has_escaped_wild = any(c in "*?" and esc for c, esc in chars)
+    term = "".join(c for c, _ in chars)
     if lowercase:
-        word = word.lower()
-    if not word:
+        term = term.lower()
+    if not term:
         raise QueryParseError("empty term")
     if fuzzy_edits is not None:
-        if _is_wildcard(word):
+        if wild:
             raise QueryParseError("fuzzy and wildcard cannot combine")
-        return Fuzzy(word, fuzzy_edits, fld, boost)
-    if _is_wildcard(word):
-        _check_leading_wildcard(word)
-        return Wildcard(word, fld, boost)
-    return Term(word, fld, boost)
+        return Fuzzy(term, fuzzy_edits, fld, boost)
+    if wild:
+        if has_escaped_wild:
+            # a pattern mixing operator and literal */? would need
+            # escape-aware expansion — refuse loudly over mis-matching
+            raise QueryParseError(
+                f"escaped wildcard chars inside a wildcard pattern are "
+                f"not supported: {word!r}"
+            )
+        if term.startswith("*") or term.startswith("?"):
+            raise QueryParseError(
+                f"leading wildcard is not supported: {term!r}"
+            )
+        return Wildcard(term, fld, boost)
+    return Term(term, fld, boost)
 
 
 def _phrase(text: str, fld: str, lowercase: bool) -> Node:
@@ -213,6 +252,9 @@ class _Parser:
             else:
                 j = i
                 while j < n and not text[j].isspace() and text[j] not in '()"':
+                    if text[j] == "\\" and j + 1 < n:
+                        j += 2  # escaped char stays inside the token
+                        continue
                     j += 1
                 toks.append(text[i:j])
                 i = j

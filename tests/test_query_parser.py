@@ -153,3 +153,23 @@ def test_bad_boost_rejected():
         parse_query("abc^x")
     with pytest.raises(QueryParseError):
         parse_query("^2")
+
+
+def test_backslash_escaping():
+    # Lucene classic escaping: an escaped char is literal, never an
+    # operator — the last documented parser surface (QueryParser
+    # syntax doc via QueryGenerator.cs:217-222)
+    assert parse_query(r"foo\*bar") == Term("foo*bar", "content")
+    assert parse_query(r"foo\~2") == Term("foo~2", "content")
+    assert parse_query(r"foo\^2") == Term("foo^2", "content")
+    assert parse_query(r"foo\:bar") == Term("foo:bar", "content")
+    assert parse_query(r"foo\ bar") == Term("foo bar", "content")
+    assert parse_query(r"a\\b") == Term("a\\b", "content")
+    # escaped leading star is a literal char, not a leading wildcard
+    assert parse_query(r"\*abc") == Term("*abc", "content")
+    # operators still work next to escapes
+    assert parse_query(r"foo\:bar~1") == Fuzzy("foo:bar", 1, "content")
+    assert parse_query(r"foo\*x^2") == Term("foo*x", "content", 2.0)
+    # mixing literal and operator wildcard chars is refused loudly
+    with pytest.raises(QueryParseError, match="escaped wildcard"):
+        parse_query(r"foo\*b*r")
