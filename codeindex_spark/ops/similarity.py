@@ -334,9 +334,7 @@ def ivf_build(
     )
     assigned = ivf_assign(vectors, centroids, id_col, vec_col, keep_vec=True)
     if path is not None:
-        import shutil
-
-        shutil.rmtree(_ivf_cells_root(path), ignore_errors=True)
+        _PathOps(vectors.sparkSession, path).rmtree(_ivf_cells_root(path))
         _ivf_publish_batch(assigned, path, "base")
         cells = _ivf_read_cells(vectors.sparkSession, path)
     else:
@@ -355,18 +353,77 @@ def _ivf_read_cells(spark, path: str) -> DataFrame:
     return spark.read.parquet(_ivf_cells_root(path)).drop("batch")
 
 
+class _PathOps:
+    """Directory ops that follow the path's filesystem: plain os/
+    shutil for local paths, the Hadoop FileSystem API (via the Spark
+    JVM gateway) for any scheme-qualified path (hdfs://, s3a://, ...)
+    — the same set of paths the Spark writes themselves accept.
+    file:// also goes through Hadoop's LocalFileSystem (os.path
+    cannot parse the scheme). Directory rename is atomic on POSIX
+    filesystems and HDFS; object stores emulate rename non-atomically
+    — use a transactional table format there for multi-writer
+    setups."""
+
+    def __init__(self, spark, path: str):
+        self._hadoop = "://" in path
+        if self._hadoop:
+            jvm = spark._jvm
+            self._P = jvm.org.apache.hadoop.fs.Path
+            self._fs = self._P(path).getFileSystem(
+                spark._jsc.hadoopConfiguration()
+            )
+
+    def exists(self, p: str) -> bool:
+        if self._hadoop:
+            return bool(self._fs.exists(self._P(p)))
+        import os
+
+        return os.path.exists(p)
+
+    def rmtree(self, p: str) -> None:
+        if self._hadoop:
+            self._fs.delete(self._P(p), True)
+        else:
+            import shutil
+
+            shutil.rmtree(p, ignore_errors=True)
+
+    def mkdirs(self, p: str) -> None:
+        if self._hadoop:
+            self._fs.mkdirs(self._P(p))
+        else:
+            import os
+
+            os.makedirs(p, exist_ok=True)
+
+    def rename(self, src: str, dst: str) -> bool:
+        """False when dst already exists (the loser of a publish
+        race); raises on other failures."""
+        if self._hadoop:
+            return bool(self._fs.rename(self._P(src), self._P(dst)))
+        import os
+
+        try:
+            os.rename(src, dst)
+            return True
+        except OSError:
+            if os.path.exists(dst):
+                return False
+            raise
+
+
 def _ivf_publish_batch(assigned: DataFrame, path: str, batch_id: str) -> bool:
     """Stage-then-rename publication of one cell batch: write the
-    assigned vectors (partitioned by centroid) under _staging, then
-    one atomic directory rename into cells/batch=<id>/. A crash
-    mid-write leaves only an invisible staging dir; a crash before
-    the rename re-stages from scratch on retry; an already-published
-    batch_id is a no-op — so retries are exactly-once. Same
-    discipline as the posting-index group manifests (segments.py).
-    Note: directory rename is atomic on POSIX filesystems and HDFS;
-    on object stores use a transactional table format instead."""
+    assigned vectors (partitioned by centroid) under a per-attempt
+    _staging dir, then one atomic directory rename into
+    cells/batch=<id>/. A crash mid-write leaves only an invisible
+    staging dir; an already-published batch_id is a no-op; and
+    because every attempt stages into its OWN directory, a concurrent
+    retry can never clobber another attempt's files — the rename is
+    the single commit point and exactly one attempt wins it. Same
+    discipline as the posting-index group manifests (segments.py)."""
     import os
-    import shutil
+    import uuid
 
     if not batch_id or not all(
         c.isalnum() or c in "_-" for c in batch_id
@@ -374,14 +431,18 @@ def _ivf_publish_batch(assigned: DataFrame, path: str, batch_id: str) -> bool:
         raise ValueError(
             f"batch_id must be non-empty [A-Za-z0-9_-], got {batch_id!r}"
         )
+    ops = _PathOps(assigned.sparkSession, path)
     final = os.path.join(_ivf_cells_root(path), f"batch={batch_id}")
-    if os.path.exists(final):
+    if ops.exists(final):
         return False
-    staging = os.path.join(path, "_staging", batch_id)
-    shutil.rmtree(staging, ignore_errors=True)  # orphan from a crash
+    staging = os.path.join(
+        path, "_staging", f"{batch_id}-{uuid.uuid4().hex}"
+    )
     assigned.write.partitionBy("centroid").mode("overwrite").parquet(staging)
-    os.makedirs(_ivf_cells_root(path), exist_ok=True)
-    os.rename(staging, final)
+    ops.mkdirs(_ivf_cells_root(path))
+    if not ops.rename(staging, final):
+        ops.rmtree(staging)  # lost the race: batch already published
+        return False
     return True
 
 

@@ -165,7 +165,9 @@ def _leaf(word: str, fld: str, lowercase: bool) -> Node:
             boost = float(bsuf)
         except ValueError as e:
             raise QueryParseError(f"bad boost suffix in {word!r}") from e
-        if boost <= 0 or bi == 0:
+        # not(boost > 0) also catches NaN, which float() accepts but
+        # which would silently poison every score and WAND bound
+        if not (0 < boost < float("inf")) or bi == 0:
             raise QueryParseError(f"bad boost in {word!r}")
         chars = chars[:bi]
     fuzzy_edits: int | None = None
@@ -209,15 +211,29 @@ def _leaf(word: str, fld: str, lowercase: bool) -> Node:
 
 def _phrase(text: str, fld: str, lowercase: bool) -> Node:
     # whitespace-split slots; wildcard allowed mid/end, never leading
-    # (QueryGenerator.cs:154-158)
-    slots = [w for w in text.split() if w]
-    if not slots:
-        raise QueryParseError("empty phrase")
-    if lowercase:
-        slots = [w.lower() for w in slots]
-    for s in slots:
+    # (QueryGenerator.cs:154-158). Backslash escapes unescape the
+    # same way as bare terms, EXCEPT escaped wildcard chars: a slot
+    # string cannot carry per-char literalness downstream, so a
+    # literal-*/? slot is refused loudly instead of silently
+    # re-detected as a wildcard pattern by the planner.
+    slots = []
+    for w in text.split():
+        if not w:
+            continue
+        chars = _split_unescaped(w)
+        if any(c in "*?" and esc for c, esc in chars):
+            raise QueryParseError(
+                f"escaped wildcard chars are not supported inside "
+                f"phrase slots: {w!r}"
+            )
+        s = "".join(c for c, _ in chars)
+        if lowercase:
+            s = s.lower()
         if _is_wildcard(s):
             _check_leading_wildcard(s)
+        slots.append(s)
+    if not slots:
+        raise QueryParseError("empty phrase")
     if len(slots) == 1 and not _is_wildcard(slots[0]):
         return Term(slots[0], fld)
     return Phrase(tuple(slots), fld)
@@ -375,6 +391,11 @@ class _Parser:
                 # twin in case-sensitive mode); other fields are as-is
                 fld = self.field_default if alias == "content" else alias
                 t = rest
+                if t and t[0] in "[{":  # FileName:[a TO b] — same
+                    raise QueryParseError(  # rejection as bare ranges
+                        f"range queries are not supported: {t!r} "
+                        "(Lucene [a TO b] / {a TO b} syntax)"
+                    )
                 if t == "" and (self.peek() or "").startswith('"'):
                     t = self.next()  # Field:"quoted phrase" splits in lexer
                 if t.startswith('"'):

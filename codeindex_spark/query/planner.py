@@ -519,7 +519,7 @@ class SearchEngine:
         wildcard/fuzzy expansions need their own predicate scans.
         """
         leaf_ids: dict[ast.Node, int] = {}
-        wants: list[tuple[int, str, int, object]] = []
+        wants: list[tuple[int, str, int, object, bool]] = []
         exact_terms: dict[str, set[str]] = {}
         boost_by_id: dict[int, float] = {}
         for leaf in ast.collect_leaves(root):
@@ -536,25 +536,31 @@ class SearchEngine:
                     f"field {fld!r} is indexed without positions; "
                     "phrase queries are not supported on it"
                 )
+            # exactness is a PARSER decision carried explicitly: a
+            # Term may contain literal '*'/'?' chars (backslash
+            # escaping, foo\*bar) and must stay an exact lookup —
+            # re-detecting wildcards from the string here would
+            # expand what the parser declared literal
             if isinstance(leaf, ast.Phrase):
                 for slot_idx, slot in enumerate(leaf.slots):
-                    wants.append((lid, fld, slot_idx, slot))
-                    if "*" not in slot and "?" not in slot:
+                    is_wild = "*" in slot or "?" in slot
+                    wants.append((lid, fld, slot_idx, slot, not is_wild))
+                    if not is_wild:
                         exact_terms.setdefault(fld, set()).add(slot)
             elif isinstance(leaf, ast.Term):
-                wants.append((lid, fld, -1, leaf.term))
+                wants.append((lid, fld, -1, leaf.term, True))
                 exact_terms.setdefault(fld, set()).add(leaf.term)
             else:
-                wants.append((lid, fld, -1, leaf))
+                wants.append((lid, fld, -1, leaf, False))
 
         if exact_df is None:
             exact_df = self._lookup_exact_df(exact_terms)
 
         rows: list[dict] = []
-        for lid, fld, slot_idx, spec in wants:
+        for lid, fld, slot_idx, spec, exact in wants:
             leaf_boost = boost_by_id[lid]
             n_docs, _ = self.reader.field_stats(fld)
-            if isinstance(spec, str) and "*" not in spec and "?" not in spec:
+            if exact:
                 df = exact_df.get((fld, spec))
                 expansions = [(spec, df)] if df is not None else []
             elif isinstance(spec, str):  # wildcard phrase slot

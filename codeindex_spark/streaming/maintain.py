@@ -120,22 +120,30 @@ def compact_events(events: DataFrame) -> DataFrame:
         .distinct()
         .withColumn("was_dropped", F.lit(True))
     )
-    # degenerate self-rename (path == old_path) duplicated: the first
-    # copy matches a later identical copy in the reference loop, which
-    # strict > on equal keys cannot see — special-case it
-    self_match = (F.col("path") == F.col("old_path")) & (F.col("cnt") > 1)
+    # degenerate self-renames (path == old_path): strict > on equal
+    # keys cannot see copy-to-copy matches, so mirror the reference
+    # loop's chain behavior explicitly. Duplicated self-renames
+    # chain-drop each other: copy_i matches (and drops) copy_{i+1},
+    # so unmatched-from-outside groups keep exactly ONE survivor
+    # (Changed when cnt > 1), while a group some OTHER rename matched
+    # loses its head copy too — the chain then kills every copy.
+    self_ren = F.col("path") == F.col("old_path")
+    dropped = F.coalesce("was_dropped", F.lit(False))
     resolved = (
         ch_side.join(converted, "ch_key", "left")
         .join(dropped_u, "ch_key", "left")
         .withColumn(
-            "conv", F.coalesce("has_match", F.lit(False)) | self_match
+            "conv",
+            F.coalesce("has_match", F.lit(False))
+            | (self_ren & (F.col("cnt") > 1)),
         )
         .withColumn(
             "eff",
-            F.col("cnt")
-            - F.when(
-                F.coalesce("was_dropped", F.lit(False)) | self_match, 1
-            ).otherwise(0),
+            F.when(self_ren & dropped, F.lit(0))
+            .when(self_ren, F.lit(1))
+            .otherwise(
+                F.col("cnt") - F.when(dropped, 1).otherwise(0)
+            ),
         )
         .filter(F.col("eff") > 0)
     )

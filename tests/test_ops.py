@@ -813,10 +813,12 @@ def test_ivf_add_atomic_exactly_once(spark, tmp_path):
         "centroid"
     ).parquet(staging)
     assert idx.cells.count() == 30  # partial staging is invisible
-    # retry with the same batch_id: stages from scratch, publishes once
+    # retry with the same batch_id: stages into its OWN attempt dir
+    # (concurrent retries can never clobber each other), publishes once
     idx2 = ivf_add(idx, new_vecs, batch_id="b1")
     assert idx2.cells.count() == 35
-    assert not os.path.exists(staging)
+    # the crashed attempt's orphan staging dir stays invisible
+    assert os.path.exists(staging)
     # re-running the SAME batch (crash after publish) adds nothing
     idx3 = ivf_add(idx2, new_vecs, batch_id="b1")
     assert idx3.cells.count() == 35

@@ -173,3 +173,27 @@ def test_backslash_escaping():
     # mixing literal and operator wildcard chars is refused loudly
     with pytest.raises(QueryParseError, match="escaped wildcard"):
         parse_query(r"foo\*b*r")
+
+
+def test_field_qualified_range_rejected():
+    with pytest.raises(QueryParseError, match="range"):
+        parse_query("FileName:[a TO b]")
+    with pytest.raises(QueryParseError, match="range"):
+        parse_query("Content:{1 TO 5}")
+
+
+def test_nonfinite_boost_rejected():
+    for bad in ("abc^nan", "abc^inf", "abc^-1"):
+        with pytest.raises(QueryParseError):
+            parse_query(bad)
+
+
+def test_phrase_slot_escaping():
+    # escapes unescape inside phrase slots like bare terms...
+    assert parse_query(r'"foo\:bar baz"') == Phrase(
+        ("foo:bar", "baz"), "content"
+    )
+    # ...but literal (escaped) wildcard chars cannot ride in a slot
+    # string — refused loudly instead of silently expanded
+    with pytest.raises(QueryParseError, match="escaped wildcard"):
+        parse_query(r'"sort\* fast"')

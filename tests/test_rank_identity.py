@@ -415,3 +415,26 @@ def test_boost_rank_identity(engine, oracle):
     assert set(base) == set(boosted)
     for d, s in base.items():
         assert boosted[d] == pytest.approx(2 * s, rel=1e-12)
+
+
+def test_phrase_slop_with_wildcard_slots(engine, oracle):
+    """Slop and wildcard-in-phrase compose: each slot expands via the
+    dictionary, then the sloppy chain DP runs over the union of
+    expansions — engine and oracle must agree rank- and score-wise."""
+    for q in ('"add doc*"~2', '"ind* writer"~1'):
+        assert_rank_identical(
+            engine.search(q, k=K), oracle.search(ast.parse_query(q), k=K)
+        )
+
+
+def test_escaped_wildcard_term_is_exact(engine, oracle):
+    """foo\\*bar parses to a literal Term containing '*'; the planner
+    must do an exact dictionary lookup (no token contains '*', so
+    zero hits) — NOT re-detect the string as a wildcard pattern and
+    expand it to match fooXbar docs."""
+    q = ast.parse_query(r"stri\*ng")
+    assert q == ast.Term("stri*ng", "content")
+    assert engine.search(q, k=K).count() == 0
+    assert oracle.search(q, k=K) == []
+    # the unescaped sibling IS a wildcard and matches
+    assert engine.search("stri*ng", k=K).count() > 0

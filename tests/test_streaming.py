@@ -731,3 +731,19 @@ def test_compact_events_rename_edge_cases(spark):
         for r in compact_events(ev3).collect()
     ]
     assert out3 == [("Changed", "/a", None)]
+    # self-rename group matched from OUTSIDE chain-drops every copy:
+    # the reference loop's head drop cascades (copy_i drops copy_i+1)
+    # — only the external matcher's Changed survives, with ITS ts
+    ev4 = _events(
+        spark,
+        [
+            ("/b", "/a", "Renamed", 1),
+            ("/a", "/a", "Renamed", 2),
+            ("/a", "/a", "Renamed", 2),
+        ],
+    )
+    out4 = [
+        (r["change_type"], r["path"], r["old_path"], r["ts"])
+        for r in compact_events(ev4).collect()
+    ]
+    assert out4 == [("Changed", "/a", None, _ts(1))]
