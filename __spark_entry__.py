@@ -307,6 +307,14 @@ def _q_wildcard(spark, sf_dir):
     return _orig_ids(eng, eng.score("sc*"), extra=_SCORE())
 
 
+def _q_term_range(spark, sf_dir):
+    # '[query TO sort}': classic-parser term range, mixed inclusivity
+    # (includes 'query', excludes 'sort') — expands against the
+    # dictionary slice and sums per-term BM25 like any multi-term leaf
+    eng = _engine(spark, sf_dir)
+    return _orig_ids(eng, eng.score("[query TO sort}"), extra=_SCORE())
+
+
 def _q_fuzzy(spark, sf_dir):
     eng = _engine(spark, sf_dir)
     return _orig_ids(eng, eng.score("spak~1"), extra=_SCORE())
@@ -1082,6 +1090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q05_phrase_wildcard": _q_phrase_wildcard,
         "q23_phrase_slop": _q_phrase_slop,
         "q24_boosted_or": _q_boosted_or,
+        "q25_term_range": _q_term_range,
         "q06_wildcard": _q_wildcard,
         "q07_fuzzy": _q_fuzzy,
         "q08_term_dict": _q_term_dict,
@@ -1394,6 +1403,11 @@ def oracle_sql() -> dict[str, str]:
                              THEN 2.0::DOUBLE * c ELSE c END), 6) AS score
             FROM contrib WHERE term IN ('fast', 'sort')
             GROUP BY doc_id""",
+        # term range [query TO sort}: lexicographic dictionary slice,
+        # lo inclusive / hi exclusive, per-term contributions summed
+        "q25_term_range": f"""WITH {_CONTRIB}
+            SELECT doc_id, round(sum(c), 6) AS score FROM contrib
+            WHERE term >= 'query' AND term < 'sort' GROUP BY doc_id""",
         # phrase-with-wildcard score: every slot-expansion term present
         # in a matched doc contributes, adjacent or not (oracle.py:199-204)
         "q05_phrase_wildcard": f"""WITH {_CONTRIB},

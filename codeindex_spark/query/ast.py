@@ -15,6 +15,10 @@ Mirrors the query surface the reference exposes through
 - phrase mode: quoted exact-order adjacency, wildcard-in-phrase
   (SpanNearQuery(..., 0, True) — QueryGenerator.cs:107-213)
 - CodePK point lookup short-circuit (QueryGenerator.cs:56-59)
+- classic-parser extras reachable when the reference hands users the
+  full QueryParser (QueryGenerator.cs:217-222): boost ``term^2``,
+  proximity slop ``"a b"~3``, term ranges ``[a TO b]`` / ``{a TO b}``
+  with open sides ``[a TO *]``, backslash escaping
 
 The AST is engine-neutral: the Spark planner and the pure-Python
 oracle both evaluate it, which is what makes rank-identity checkable.
@@ -26,7 +30,9 @@ import re
 from dataclasses import dataclass, field
 from typing import Union
 
-Node = Union["Term", "Wildcard", "Fuzzy", "Phrase", "And", "Or", "Not"]
+Node = Union[
+    "Term", "Wildcard", "Fuzzy", "Range", "Phrase", "And", "Or", "Not"
+]
 
 # user-facing field names (reference SearchRequest.cs:6-28) -> index fields
 FIELD_ALIASES = {
@@ -61,6 +67,24 @@ class Wildcard:
 class Fuzzy:
     term: str
     max_edits: int = 2
+    field: str = DEFAULT_FIELD
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Range:
+    """Lucene classic term range ``field:[a TO b]`` / ``{a TO b}``:
+    every dictionary term lexicographically between the endpoints
+    matches, scored like any other multi-term expansion (per-term
+    BM25 contributions summed). ``None`` endpoint = open side
+    (``[a TO *]``). Inclusive brackets ``[]``, exclusive ``{}``,
+    mixed allowed (QueryParserBase range grammar — the reference
+    hands users the full classic parser, QueryGenerator.cs:217-222)."""
+
+    lo: str | None
+    hi: str | None
+    lo_inc: bool = True
+    hi_inc: bool = True
     field: str = DEFAULT_FIELD
     boost: float = 1.0
 
@@ -108,7 +132,7 @@ def apply_boost(node: Node, factor: float) -> Node:
     bound is computed from per-leaf idf, which carries the boost."""
     from dataclasses import replace
 
-    if isinstance(node, (Term, Wildcard, Fuzzy, Phrase)):
+    if isinstance(node, (Term, Wildcard, Fuzzy, Range, Phrase)):
         return replace(node, boost=node.boost * factor)
     if isinstance(node, And):
         return And(tuple(apply_boost(c, factor) for c in node.children))
@@ -366,6 +390,66 @@ class _Parser:
             node = apply_boost(node, boost)
         return node
 
+    _RANGE_RE = re.compile(
+        r"^([\[{])(.+?) TO (.+?)([\]}])(?:\^(\S+))?$"
+    )
+    _RANGE_END_RE = re.compile(r"[\]}](\^\S*)?$")
+
+    def _range_tail(self, first: str, fld: str) -> Node:
+        """``[a TO b]`` / ``{a TO b}`` term range. The lexer splits on
+        whitespace, so the range arrives as >= 3 tokens (``[a``,
+        ``TO``, ``b]``) that are re-joined here; an optional ``^F``
+        boost rides the closing token. ``*`` endpoint = open side.
+        Endpoints are plain terms: backslash escapes decode, all
+        chars are literal (no wildcard operators inside ranges), and
+        they lowercase with the field's analyzer like every other
+        leaf."""
+        parts = [first]
+        while not self._RANGE_END_RE.search(parts[-1]):
+            nxt = self.peek()
+            if nxt is None or nxt in ("(", ")") or nxt.startswith('"'):
+                raise QueryParseError(
+                    f"unterminated range query {' '.join(parts)!r} "
+                    "(expected [a TO b])"
+                )
+            parts.append(self.next())
+        raw = " ".join(parts)
+        m = self._RANGE_RE.match(raw)
+        if not m:
+            raise QueryParseError(
+                f"bad range syntax {raw!r} (expected [a TO b], "
+                "{a TO b}, open sides via *)"
+            )
+        lo_raw, hi_raw = m.group(2), m.group(3)
+        if " " in lo_raw or " " in hi_raw:
+            raise QueryParseError(
+                f"range endpoints must be single terms: {raw!r}"
+            )
+        boost = 1.0
+        if m.group(5) is not None:
+            try:
+                boost = float(m.group(5))
+            except ValueError as e:
+                raise QueryParseError(f"bad boost suffix in {raw!r}") from e
+            if not (0 < boost < float("inf")):
+                raise QueryParseError(f"bad boost in {raw!r}")
+
+        def endpoint(s: str) -> str | None:
+            if s == "*":
+                return None
+            term = "".join(c for c, _ in _split_unescaped(s))
+            return term.lower() if self._lower_for(fld) else term
+
+        lo, hi = endpoint(lo_raw), endpoint(hi_raw)
+        if lo is None and hi is None:
+            raise QueryParseError(
+                "[* TO *] matches every term — use a match-all scan "
+                "instead of an unbounded range"
+            )
+        return Range(
+            lo, hi, m.group(1) == "[", m.group(4) == "]", fld, boost
+        )
+
     def atom(self) -> Node:
         t = self.next()
         if t == "(":
@@ -375,13 +459,7 @@ class _Parser:
             _, boost = self._consume_suffix(allow_slop=False)
             return apply_boost(node, boost) if boost != 1.0 else node
         if t and t[0] in "[{":
-            # Lucene classic range syntax — deliberately unsupported:
-            # terms are not ordered meaningfully for code search and a
-            # silent term-parse would return wrong results
-            raise QueryParseError(
-                f"range queries are not supported: {t!r} "
-                "(Lucene [a TO b] / {a TO b} syntax)"
-            )
+            return self._range_tail(t, self.field_default)
         fld = self.field_default
         if ":" in t and not t.startswith('"'):
             prefix, _, rest = t.partition(":")
@@ -391,11 +469,8 @@ class _Parser:
                 # twin in case-sensitive mode); other fields are as-is
                 fld = self.field_default if alias == "content" else alias
                 t = rest
-                if t and t[0] in "[{":  # FileName:[a TO b] — same
-                    raise QueryParseError(  # rejection as bare ranges
-                        f"range queries are not supported: {t!r} "
-                        "(Lucene [a TO b] / {a TO b} syntax)"
-                    )
+                if t and t[0] in "[{":  # FileName:[a TO b]
+                    return self._range_tail(t, fld)
                 if t == "" and (self.peek() or "").startswith('"'):
                     t = self.next()  # Field:"quoted phrase" splits in lexer
                 if t.startswith('"'):
@@ -440,7 +515,7 @@ def parse_phrase_query(
 
 
 def collect_leaves(node: Node) -> list[Node]:
-    if isinstance(node, (Term, Wildcard, Fuzzy, Phrase)):
+    if isinstance(node, (Term, Wildcard, Fuzzy, Range, Phrase)):
         return [node]
     if isinstance(node, (And, Or)):
         out = []

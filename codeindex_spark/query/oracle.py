@@ -149,6 +149,17 @@ class OracleIndex:
             return [leaf.term] if leaf.term in terms else []
         if isinstance(leaf, ast.Wildcard):
             return self._expand_pattern(fld, leaf.pattern)
+        if isinstance(leaf, ast.Range):
+            def ok(t: str) -> bool:
+                if leaf.lo is not None:
+                    if t < leaf.lo or (t == leaf.lo and not leaf.lo_inc):
+                        return False
+                if leaf.hi is not None:
+                    if t > leaf.hi or (t == leaf.hi and not leaf.hi_inc):
+                        return False
+                return True
+
+            return sorted(t for t in terms if ok(t))[:MAX_EXPANSIONS]
         if isinstance(leaf, ast.Fuzzy):
             q, k = leaf.term, leaf.max_edits
             out = [
@@ -172,7 +183,7 @@ class OracleIndex:
     # ---------- evaluation ----------
 
     def eval(self, node: ast.Node) -> dict[int, float]:
-        if isinstance(node, (ast.Term, ast.Wildcard, ast.Fuzzy)):
+        if isinstance(node, (ast.Term, ast.Wildcard, ast.Fuzzy, ast.Range)):
             out: dict[int, float] = {}
             boost = float(getattr(node, "boost", 1.0))
             for t in self._expand(node.field, node):

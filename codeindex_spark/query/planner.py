@@ -406,6 +406,8 @@ class SearchEngine:
             ck = (field, "w", leaf.pattern)
         elif isinstance(leaf, ast.Fuzzy):
             ck = (field, "f", leaf.term, leaf.max_edits)
+        elif isinstance(leaf, ast.Range):
+            ck = (field, "r", leaf.lo, leaf.hi, leaf.lo_inc, leaf.hi_inc)
         if ck is not None and ck in self._expand_cache:
             return self._expand_cache[ck]
         td = self.reader.term_dict.filter(F.col("field") == field)
@@ -413,6 +415,24 @@ class SearchEngine:
             rows = td.filter(F.col("term") == leaf.term).select("term", "df").collect()
         elif isinstance(leaf, ast.Wildcard):
             rows = self._expand_pattern(td, leaf.pattern)
+        elif isinstance(leaf, ast.Range):
+            # pure range predicate on the sorted dictionary — parquet
+            # min/max row-group pruning applies, same as a wildcard's
+            # literal-prefix slice but with both bounds pushed down
+            cond = F.lit(True)
+            if leaf.lo is not None:
+                c = F.col("term") >= leaf.lo if leaf.lo_inc else F.col("term") > leaf.lo
+                cond = cond & c
+            if leaf.hi is not None:
+                c = F.col("term") <= leaf.hi if leaf.hi_inc else F.col("term") < leaf.hi
+                cond = cond & c
+            rows = (
+                td.filter(cond)
+                .select("term", "df")
+                .orderBy("term")
+                .limit(MAX_EXPANSIONS)
+                .collect()
+            )
         elif isinstance(leaf, ast.Fuzzy):
             q = leaf.term
             k = leaf.max_edits
@@ -1430,7 +1450,7 @@ def _is_pure_disjunction(node) -> bool:
     """True when the tree is only Or / Term / Wildcard / Fuzzy — the
     semantics reduce to 'sum every matched leaf contribution per doc',
     which vectorizes across ALL posting rows with no per-block logic."""
-    if isinstance(node, (ast.Term, ast.Wildcard, ast.Fuzzy)):
+    if isinstance(node, (ast.Term, ast.Wildcard, ast.Fuzzy, ast.Range)):
         return True
     if isinstance(node, ast.Or):
         return all(_is_pure_disjunction(c) for c in node.children)
@@ -1533,7 +1553,9 @@ def _make_tree_batch_kernel(root, leaf_ids, avgdl, k1, b, block_size):
     need_pos = bool(phrase_nslots)
 
     def eval_node(node, leaf_data):
-        if isinstance(node, (ast.Term, ast.Wildcard, ast.Fuzzy, ast.Phrase)):
+        if isinstance(
+            node, (ast.Term, ast.Wildcard, ast.Fuzzy, ast.Range, ast.Phrase)
+        ):
             return leaf_data.get(id_of[node], (_EMPTY_D, _EMPTY_S))
         if isinstance(node, ast.And):
             docs, scores = eval_node(node.children[0], leaf_data)

@@ -15,6 +15,7 @@ from codeindex_spark.query.ast import (
     Or,
     Phrase,
     QueryParseError,
+    Range,
     Term,
     Wildcard,
     parse_phrase_query,
@@ -139,11 +140,10 @@ def test_slop_on_group_rejected():
         parse_query("(a b)~3")
 
 
-def test_range_rejected_with_clear_error():
-    with pytest.raises(QueryParseError, match="range"):
-        parse_query("[a TO b]")
-    with pytest.raises(QueryParseError, match="range"):
-        parse_query("x AND {1 TO 5}")
+def test_range_in_boolean_context():
+    assert parse_query("x AND {1 TO 5}") == And(
+        (Term("x"), Range("1", "5", False, False, "content"))
+    )
 
 
 def test_bad_boost_rejected():
@@ -175,11 +175,58 @@ def test_backslash_escaping():
         parse_query(r"foo\*b*r")
 
 
-def test_field_qualified_range_rejected():
-    with pytest.raises(QueryParseError, match="range"):
-        parse_query("FileName:[a TO b]")
-    with pytest.raises(QueryParseError, match="range"):
-        parse_query("Content:{1 TO 5}")
+def test_range_queries():
+    # inclusive / exclusive / mixed brackets (Lucene classic grammar)
+    assert parse_query("[apple TO banana]") == Range(
+        "apple", "banana", True, True, "content"
+    )
+    assert parse_query("{apple TO banana}") == Range(
+        "apple", "banana", False, False, "content"
+    )
+    assert parse_query("[apple TO banana}") == Range(
+        "apple", "banana", True, False, "content"
+    )
+    # field-qualified, boost suffix, open side
+    assert parse_query("FileName:[a TO m]^2") == Range(
+        "a", "m", True, True, "file_name", 2.0
+    )
+    assert parse_query("[apple TO *]") == Range(
+        "apple", None, True, True, "content"
+    )
+    assert parse_query("[* TO apple]") == Range(
+        None, "apple", True, True, "content"
+    )
+    # endpoints follow the field analyzer's casing
+    assert parse_query("Content:[A TO B]") == Range("a", "b", True, True, "content")
+    assert parse_query("Content:[A TO B]", case_sensitive=True) == Range(
+        "A", "B", True, True, "content_cs"
+    )
+    # composes with boolean structure and group boost
+    assert parse_query("foo AND [a TO b]") == And(
+        (Term("foo"), Range("a", "b", True, True, "content"))
+    )
+    assert parse_query("([a TO b])^3") == Range(
+        "a", "b", True, True, "content", 3.0
+    )
+    # escapes decode literally inside endpoints
+    assert parse_query(r"[foo\:a TO foo\:b]") == Range(
+        "foo:a", "foo:b", True, True, "content"
+    )
+
+
+def test_range_query_errors():
+    for bad in (
+        "[a TO b",          # unterminated
+        "[a TO",            # unterminated, no hi
+        "[* TO *]",         # unbounded both sides
+        "[a b TO c]",       # multi-term endpoint
+        "[a TO b c]",       # multi-term endpoint
+        "[a TO b]^nan",     # non-finite boost
+        "[a TO b]^0",       # non-positive boost
+        "[TO b]",           # missing lo
+    ):
+        with pytest.raises(QueryParseError):
+            parse_query(bad)
 
 
 def test_nonfinite_boost_rejected():

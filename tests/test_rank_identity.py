@@ -438,3 +438,31 @@ def test_escaped_wildcard_term_is_exact(engine, oracle):
     assert oracle.search(q, k=K) == []
     # the unescaped sibling IS a wildcard and matches
     assert engine.search("stri*ng", k=K).count() > 0
+
+
+def test_range_rank_identity(engine, oracle):
+    """Term ranges expand against the dictionary slice and score like
+    any other multi-term leaf — engine and oracle must agree on docs
+    AND scores for inclusive/exclusive/open/cased variants."""
+    for q in (
+        "[batch TO commit]",
+        "{add TO content}",
+        "[size TO *]",
+        "[* TO batch]",
+        "file_name:[a TO z]",
+        "foo OR [index TO merge]^2",
+        "[batch TO commit] AND size",
+    ):
+        node = ast.parse_query(q)
+        assert_rank_identical(engine.search(node, k=K), oracle.search(node, k=K))
+
+
+def test_range_matches_expected_terms(engine, oracle):
+    # the oracle's range expansion agrees with a brute-force slice of
+    # its own dictionary (guards both sides against off-by-one
+    # inclusivity bugs agreeing with each other)
+    terms = set(oracle.postings["content"])
+    node = ast.parse_query("{batch TO size}")
+    expanded = set(oracle._expand("content", node))
+    brute = {t for t in terms if "batch" < t < "size"}
+    assert expanded == brute and expanded  # non-empty
