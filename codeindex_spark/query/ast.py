@@ -171,6 +171,39 @@ def _split_unescaped(word: str) -> list[tuple[str, bool]]:
     return out
 
 
+_MAX_FUZZY_EDITS = 2  # Lucene FuzzyQuery.MAXIMUM_SUPPORTED_DISTANCE
+
+
+def _fuzzy_edits(suffix: str, term: str, word: str) -> int:
+    """Lucene classic fuzzy-slop semantics — the exact code path the
+    reference delegates to (QueryParserBase.HandleBareFuzzy +
+    FuzzyQuery.FloatToEdits, via QueryGenerator.cs:217-222): bare
+    ``~`` = 2 edits; a value >= 1 must be integral and clamps to the
+    2-edit maximum (``~3`` means 2, not an error); ``0 < s < 1`` is a
+    legacy minimum-similarity that converts to edits by term length
+    (``abcde~0.8`` -> int(0.2 * 5) = 1); negative / nan rejected."""
+    if suffix == "":
+        return _MAX_FUZZY_EDITS
+    try:
+        s = float(suffix)
+    except ValueError as e:
+        raise QueryParseError(f"bad fuzzy suffix in {word!r}") from e
+    if not (0 <= s < float("inf")):  # also rejects nan
+        raise QueryParseError(
+            f"fuzzy value must be 0..1 (similarity) or an integer "
+            f"edit distance: {word!r}"
+        )
+    if s >= 1:
+        if s != int(s):
+            raise QueryParseError(
+                f"fractional edit distances are not allowed: {word!r}"
+            )
+        return min(int(s), _MAX_FUZZY_EDITS)
+    if s == 0:
+        return 0
+    return min(int((1.0 - s) * len(term)), _MAX_FUZZY_EDITS)
+
+
 def _leaf(word: str, fld: str, lowercase: bool) -> Node:
     chars = _split_unescaped(word)
 
@@ -194,17 +227,10 @@ def _leaf(word: str, fld: str, lowercase: bool) -> Node:
         if not (0 < boost < float("inf")) or bi == 0:
             raise QueryParseError(f"bad boost in {word!r}")
         chars = chars[:bi]
-    fuzzy_edits: int | None = None
+    fuzzy_raw: str | None = None
     fi = find_op("~")
     if fi is not None:
-        suffix = "".join(c for c, _ in chars[fi + 1 :])
-        if suffix == "":
-            fuzzy_edits = 2
-        else:
-            try:
-                fuzzy_edits = int(suffix)
-            except ValueError as e:
-                raise QueryParseError(f"bad fuzzy suffix in {word!r}") from e
+        fuzzy_raw = "".join(c for c, _ in chars[fi + 1 :])
         chars = chars[:fi]
     wild = any(c in "*?" and not esc for c, esc in chars)
     has_escaped_wild = any(c in "*?" and esc for c, esc in chars)
@@ -213,10 +239,10 @@ def _leaf(word: str, fld: str, lowercase: bool) -> Node:
         term = term.lower()
     if not term:
         raise QueryParseError("empty term")
-    if fuzzy_edits is not None:
+    if fuzzy_raw is not None:
         if wild:
             raise QueryParseError("fuzzy and wildcard cannot combine")
-        return Fuzzy(term, fuzzy_edits, fld, boost)
+        return Fuzzy(term, _fuzzy_edits(fuzzy_raw, term, word), fld, boost)
     if wild:
         if has_escaped_wild:
             # a pattern mixing operator and literal */? would need

@@ -244,3 +244,22 @@ def test_phrase_slot_escaping():
     # string — refused loudly instead of silently expanded
     with pytest.raises(QueryParseError, match="escaped wildcard"):
         parse_query(r'"sort\* fast"')
+
+
+def test_fuzzy_lucene_slop_semantics():
+    """QueryParserBase.HandleBareFuzzy + FuzzyQuery.FloatToEdits: bare
+    ~ is 2 edits, integers clamp to the 2-edit max, 0<s<1 is a legacy
+    minimum-similarity converted by term length, fractions > 1 and
+    negatives are parse errors."""
+    assert parse_query("spark~") == Fuzzy("spark", 2, "content")
+    assert parse_query("spark~3") == Fuzzy("spark", 2, "content")  # clamp
+    assert parse_query("spark~0") == Fuzzy("spark", 0, "content")
+    # (1 - 0.8) * 5 rounds down to 0 in both float and double
+    assert parse_query("spark~0.8") == Fuzzy("spark", 0, "content")
+    # (1 - 0.9) * 13 = 1.3 -> 1
+    assert parse_query("organization~0.9") == Fuzzy(
+        "organization", 1, "content"
+    )
+    for bad in ("spark~1.5", "spark~-1", "spark~nan", "spark~x"):
+        with pytest.raises(QueryParseError):
+            parse_query(bad)
