@@ -881,6 +881,24 @@ def _q_bpe_count(spark, sf_dir):
     )
 
 
+def _q_lm_score(spark, sf_dir):
+    """Stupid-backoff trigram LM quality score (beyond-reference,
+    CCNet-style perplexity filter): train on the documents table,
+    score the same table; min_count=2 prunes rare higher-order grams
+    so the backoff path is exercised. The oracle replays the exact
+    count-ratio model and per-position backoff in SQL."""
+    from codeindex_spark.ops.lm import lm_score, lm_train
+
+    docs = _load(spark, sf_dir, "documents")
+    model = lm_train(docs, n=3, min_count=2)
+    out = lm_score(docs, model, n=3, broadcast_model=True)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("avg_log10_p", 6).alias("lm_logp"),
+    )
+
+
 def _q_pricing_summary(spark, sf_dir):
     # TPC-H Q1-style aggregation (scan -> filter -> grouped agg)
     li = _load(spark, sf_dir, "lineitem")
@@ -1133,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_fingerprint": _q_fingerprint,
         "tx_bpe_count": _q_bpe_count,
         "tx_scrub": _q_scrub,
+        "tx_lm_score": _q_lm_score,
         "px_chunk": _q_chunk,
         "px_chunk_dedup": _q_chunk_dedup,
         "px_sample": _q_sample,
@@ -1791,6 +1810,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_words::BIGINT AS n_words,
                    (n_words + extra)::BIGINT AS n_bpe_est
             FROM pt""",
+        "tx_lm_score": """WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(trim(text)), ' +'),
+                                 w -> w <> '') AS t
+              FROM documents),
+            toks2 AS (
+              SELECT doc_id, t, len(t) AS nt FROM toks WHERE len(t) > 0),
+            pos AS (
+              SELECT doc_id, t, nt, u.i
+              FROM toks2, UNNEST(range(1, nt + 1)) u(i)),
+            g AS (
+              SELECT k.ord AS ord,
+                     array_to_string(list_slice(t, i, i + k.ord - 1), ' ') AS gram
+              FROM pos, (VALUES (1), (2), (3)) k(ord)
+              WHERE i + k.ord - 1 <= nt),
+            counts AS (
+              SELECT ord, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+            scal AS (
+              SELECT sum(cnt)::DOUBLE AS total, count(*)::DOUBLE AS v
+              FROM counts WHERE ord = 1),
+            model AS (
+              SELECT 0 AS ord, '' AS gram, 1.0::DOUBLE / (total + v) AS p
+              FROM scal
+              UNION ALL
+              SELECT 1, gram, (cnt + 1.0::DOUBLE) / (total + v)
+              FROM counts, scal WHERE ord = 1
+              UNION ALL
+              SELECT c.ord, c.gram, c.cnt::DOUBLE / x.cnt::DOUBLE
+              FROM counts c JOIN counts x
+                ON x.ord = c.ord - 1
+               AND x.gram = array_to_string(
+                     list_slice(string_split(c.gram, ' '), 1, c.ord - 1), ' ')
+              WHERE c.ord >= 2 AND c.cnt >= 2),
+            keyed AS (
+              SELECT doc_id, i,
+                     t[i] AS g1,
+                     CASE WHEN i >= 2
+                          THEN array_to_string(list_slice(t, i - 1, i), ' ')
+                     END AS g2,
+                     CASE WHEN i >= 3
+                          THEN array_to_string(list_slice(t, i - 2, i), ' ')
+                     END AS g3
+              FROM pos),
+            jo AS (
+              SELECT k.doc_id,
+                     1 + (k.g2 IS NOT NULL)::INT + (k.g3 IS NOT NULL)::INT AS avail,
+                     m1.p AS p1, m2.p AS p2, m3.p AS p3, o.p AS poov
+              FROM keyed k
+              LEFT JOIN model m1 ON m1.ord = 1 AND m1.gram = k.g1
+              LEFT JOIN model m2 ON m2.ord = 2 AND m2.gram = k.g2
+              LEFT JOIN model m3 ON m3.ord = 3 AND m3.gram = k.g3
+              CROSS JOIN (SELECT p FROM model WHERE ord = 0) o),
+            sc AS (
+              SELECT doc_id,
+                     log10(COALESCE(
+                       p3 * power(0.4::DOUBLE, (avail - 3)::DOUBLE),
+                       p2 * power(0.4::DOUBLE, (avail - 2)::DOUBLE),
+                       p1 * power(0.4::DOUBLE, (avail - 1)::DOUBLE),
+                       poov * power(0.4::DOUBLE, (avail - 1)::DOUBLE))) AS lp
+              FROM jo)
+            SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                   round(avg(lp), 6) AS lm_logp
+            FROM sc GROUP BY doc_id""",
         "tx_scrub": """WITH aug AS (
               SELECT doc_id,
                      text || ' visit http://ex.com/' || CAST(doc_id AS VARCHAR)

@@ -1,0 +1,156 @@
+"""Stupid-backoff LM train/score: hand-computed probabilities on a
+tiny corpus, backoff/OOV paths, min_count pruning, and the ranking
+property the quality filter relies on."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from codeindex_spark.ops.lm import lm_score, lm_train
+
+ALPHA = 0.4
+
+# unigrams: the:3 cat:2 sat:2 ran:1 dog:1  -> total=9, V=5
+CORPUS = ["the cat sat", "the cat ran", "the dog sat"]
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+    )
+
+
+@pytest.fixture(scope="module")
+def model(spark, tiny_docs):
+    return lm_train(tiny_docs, n=3).cache()
+
+
+def _model_dict(model):
+    return {(r["order"], r["gram"]): r["p"] for r in model.collect()}
+
+
+def test_train_probabilities(model):
+    m = _model_dict(model)
+    # add-one unigrams over total=9, V=5
+    assert m[(1, "the")] == pytest.approx((3 + 1) / 14)
+    assert m[(1, "cat")] == pytest.approx((2 + 1) / 14)
+    assert m[(1, "ran")] == pytest.approx((1 + 1) / 14)
+    # OOV floor
+    assert m[(0, "")] == pytest.approx(1 / 14)
+    # conditionals: count(gram)/count(context)
+    assert m[(2, "the cat")] == pytest.approx(2 / 3)
+    assert m[(2, "the dog")] == pytest.approx(1 / 3)
+    assert m[(2, "dog sat")] == pytest.approx(1 / 1)
+    assert m[(3, "the cat sat")] == pytest.approx(1 / 2)
+    assert m[(3, "the dog sat")] == pytest.approx(1 / 1)
+    # no spurious orders
+    assert max(o for o, _ in m) == 3
+
+
+def _score_one(spark, model, text, **kw):
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    rows = lm_score(docs, model, n=3, **kw).collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+def test_score_fully_seen_doc(spark, model):
+    # i=1 'the': avail=1 -> p1 = 4/14 (no penalty)
+    # i=2 'the cat': avail=2 -> p2 = 2/3
+    # i=3 'the cat sat': avail=3 -> p3 = 1/2
+    r = _score_one(spark, model, "the cat sat")
+    want = (math.log10(4 / 14) + math.log10(2 / 3) + math.log10(0.5)) / 3
+    assert r["n_tokens"] == 3
+    assert r["avg_log10_p"] == pytest.approx(want, abs=1e-12)
+
+
+def test_score_backoff_two_levels(spark, model):
+    # 'the dog ran': i=3 has avail=3 but neither trigram 'the dog ran'
+    # nor bigram 'dog ran' was seen -> p1(ran) * alpha^2
+    r = _score_one(spark, model, "the dog ran")
+    want = (
+        math.log10(4 / 14)
+        + math.log10(1 / 3)
+        + math.log10((2 / 14) * ALPHA**2)
+    ) / 3
+    assert r["avg_log10_p"] == pytest.approx(want, abs=1e-12)
+
+
+def test_score_oov_floor(spark, model):
+    # unseen unigram -> floor 1/14, avail=1 so no alpha penalty
+    r = _score_one(spark, model, "zebra")
+    assert r["avg_log10_p"] == pytest.approx(math.log10(1 / 14), abs=1e-12)
+    # OOV mid-doc: avail for position 2 is 2 -> floor * alpha^1
+    r2 = _score_one(spark, model, "the zebra")
+    want = (math.log10(4 / 14) + math.log10((1 / 14) * ALPHA)) / 2
+    assert r2["avg_log10_p"] == pytest.approx(want, abs=1e-12)
+
+
+def test_min_count_prunes_higher_orders_only(spark, tiny_docs):
+    m = lm_train(tiny_docs, n=3, min_count=2)
+    d = _model_dict(m)
+    # every trigram has count 1 -> all pruned; 'the cat' (count 2) stays
+    assert not [g for (o, g) in d if o == 3]
+    assert (2, "the cat") in d
+    assert (2, "dog sat") not in d
+    # unigrams are never pruned (they are the floor)
+    assert (1, "ran") in d
+    # scoring backs off through the pruned orders:
+    # 'the cat sat' i=3: trigram pruned, bigram 'cat sat' pruned ->
+    # p1(sat) * alpha^2
+    r = _score_one(spark, m, "the cat sat")
+    want = (
+        math.log10(4 / 14)
+        + math.log10(2 / 3)
+        + math.log10((3 / 14) * ALPHA**2)
+    ) / 3
+    assert r["avg_log10_p"] == pytest.approx(want, abs=1e-12)
+
+
+def test_tokenize_whitespace_and_empty(spark, model):
+    r = _score_one(spark, model, "  the   cat\tsat ".replace("\t", " "))
+    assert r["n_tokens"] == 3
+    # empty/whitespace-only docs are dropped, not scored as zero
+    docs = spark.createDataFrame(
+        [(0, "the cat"), (1, "   ")], "doc_id long, text string"
+    )
+    out = lm_score(docs, model, n=3)
+    assert [row["doc_id"] for row in out.collect()] == [0]
+
+
+def test_ranking_property_corpus_like_beats_gibberish(spark, tiny_docs):
+    m = lm_train(tiny_docs, n=3)
+    docs = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "sat the ran dog cat"), (2, "qq zz xx")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["avg_log10_p"] for r in lm_score(docs, m, n=3).collect()
+    }
+    assert got[0] > got[1] > got[2]
+
+
+def test_broadcast_model_same_scores(spark, tiny_docs, model):
+    plain = {
+        r["doc_id"]: r["avg_log10_p"]
+        for r in lm_score(tiny_docs, model, n=3).collect()
+    }
+    bcast = {
+        r["doc_id"]: r["avg_log10_p"]
+        for r in lm_score(
+            tiny_docs, model, n=3, broadcast_model=True
+        ).collect()
+    }
+    assert plain == pytest.approx(bcast)
+
+
+def test_bigram_only_model(spark, tiny_docs):
+    m = lm_train(tiny_docs, n=2)
+    r = _score_one(spark, m, "the cat")
+    want = (math.log10(4 / 14) + math.log10(2 / 3)) / 2
+    assert r["avg_log10_p"] == pytest.approx(want, abs=1e-12)
+    with pytest.raises(ValueError):
+        lm_train(tiny_docs, n=0)
