@@ -302,6 +302,15 @@ def _q_boosted_or(spark, sf_dir):
     return _orig_ids(eng, eng.score("fast^2 OR sort"), extra=_SCORE())
 
 
+def _q_bool_clauses(spark, sf_dir):
+    # Lucene classic +/- clauses (QueryParserBase MUST/SHOULD/
+    # MUST_NOT, reachable via QueryGenerator.cs:217-222): docs MUST
+    # contain 'merge', MUST NOT contain 'spark'; 'batch' only adds
+    # its BM25 contribution where it happens to match
+    eng = _engine(spark, sf_dir)
+    return _orig_ids(eng, eng.score("+merge batch -spark"), extra=_SCORE())
+
+
 def _q_wildcard(spark, sf_dir):
     eng = _engine(spark, sf_dir)
     return _orig_ids(eng, eng.score("sc*"), extra=_SCORE())
@@ -881,6 +890,35 @@ def _q_bpe_count(spark, sf_dir):
     )
 
 
+def _q_para_dedup(spark, sf_dir):
+    """CCNet-style corpus-level paragraph dedup (beyond-reference).
+    The sf text is one line, so both sides first synthesize
+    deterministic pseudo-paragraphs (8-word windows joined by \\n),
+    then dedup: first corpus-wide occurrence of each paragraph wins,
+    docs reassemble from survivors in original order."""
+    from codeindex_spark.ops.pipeline import paragraph_dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " +"), lambda w: w != "")
+    aug = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks), F.lit(8)),
+                lambda i: F.array_join(F.slice(toks, i, 8), " "),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    out = paragraph_dedup(aug)
+    return out.select(
+        "doc_id",
+        "text",
+        F.col("n_paras").cast("long").alias("n_paras"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+    )
+
+
 def _q_lm_score(spark, sf_dir):
     """Stupid-backoff trigram LM quality score (beyond-reference,
     CCNet-style perplexity filter): train on the documents table,
@@ -1109,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_phrase_slop": _q_phrase_slop,
         "q24_boosted_or": _q_boosted_or,
         "q25_term_range": _q_term_range,
+        "q26_bool_clauses": _q_bool_clauses,
         "q06_wildcard": _q_wildcard,
         "q07_fuzzy": _q_fuzzy,
         "q08_term_dict": _q_term_dict,
@@ -1152,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_bpe_count": _q_bpe_count,
         "tx_scrub": _q_scrub,
         "tx_lm_score": _q_lm_score,
+        "px_para_dedup": _q_para_dedup,
         "px_chunk": _q_chunk,
         "px_chunk_dedup": _q_chunk_dedup,
         "px_sample": _q_sample,
@@ -1427,6 +1467,18 @@ def oracle_sql() -> dict[str, str]:
         "q25_term_range": f"""WITH {_CONTRIB}
             SELECT doc_id, round(sum(c), 6) AS score FROM contrib
             WHERE term >= 'query' AND term < 'sort' GROUP BY doc_id""",
+        # +merge batch -spark: MUST merge (defines the doc set),
+        # SHOULD batch (adds its contribution only where present),
+        # MUST_NOT spark (filters). coalesce(+0.0) is exact in
+        # doubles, so the must-only docs hash identically
+        "q26_bool_clauses": f"""WITH {_CONTRIB},
+            m AS (SELECT doc_id, c FROM contrib WHERE term = 'merge'),
+            b AS (SELECT doc_id, c FROM contrib WHERE term = 'batch')
+            SELECT m.doc_id,
+                   round(m.c + coalesce(b.c, 0.0::DOUBLE), 6) AS score
+            FROM m LEFT JOIN b USING (doc_id)
+            WHERE m.doc_id NOT IN
+              (SELECT doc_id FROM contrib WHERE term = 'spark')""",
         # phrase-with-wildcard score: every slot-expansion term present
         # in a matched doc contributes, adjacent or not (oracle.py:199-204)
         "q05_phrase_wildcard": f"""WITH {_CONTRIB},
@@ -1810,6 +1862,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_words::BIGINT AS n_words,
                    (n_words + extra)::BIGINT AS n_bpe_est
             FROM pt""",
+        "px_para_dedup": """WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, ' +'),
+                                 w -> w <> '') AS t
+              FROM documents),
+            p AS (
+              SELECT doc_id, (u.i - 1) // 8 AS idx,
+                     array_to_string(list_slice(t, u.i, u.i + 7), ' ') AS para
+              FROM toks, UNNEST(range(1, len(t) + 1, 8)) u(i)
+              WHERE len(t) > 0),
+            pnz AS (
+              SELECT doc_id, idx, para,
+                     md5(lower(trim(regexp_replace(para, '\\s+', ' ', 'g')))) AS h
+              FROM p WHERE trim(para) <> ''),
+            kept AS (
+              SELECT doc_id, idx, para FROM pnz
+              QUALIFY row_number()
+                OVER (PARTITION BY h ORDER BY doc_id, idx) = 1),
+            n AS (
+              SELECT doc_id, count(*)::BIGINT AS n_paras
+              FROM pnz GROUP BY doc_id),
+            k AS (
+              SELECT doc_id,
+                     string_agg(para, chr(10) ORDER BY idx) AS text,
+                     count(*)::BIGINT AS n_kept
+              FROM kept GROUP BY doc_id)
+            SELECT doc_id, k.text, n.n_paras, k.n_kept
+            FROM n JOIN k USING (doc_id)""",
         "tx_lm_score": """WITH toks AS (
               SELECT doc_id,
                      list_filter(regexp_split_to_array(lower(trim(text)), ' +'),

@@ -18,7 +18,10 @@ Mirrors the query surface the reference exposes through
 - classic-parser extras reachable when the reference hands users the
   full QueryParser (QueryGenerator.cs:217-222): boost ``term^2``,
   proximity slop ``"a b"~3``, term ranges ``[a TO b]`` / ``{a TO b}``
-  with open sides ``[a TO *]``, backslash escaping
+  with open sides ``[a TO *]``, backslash escaping, required /
+  prohibited clause prefixes ``+a b -c`` (MUST / SHOULD / MUST_NOT),
+  the ``a AND NOT b`` compound, and field-scoped groups
+  ``FileName:(a OR b)``
 
 The AST is engine-neutral: the Spark planner and the pure-Python
 oracle both evaluate it, which is what makes rank-identity checkable.
@@ -31,7 +34,8 @@ from dataclasses import dataclass, field
 from typing import Union
 
 Node = Union[
-    "Term", "Wildcard", "Fuzzy", "Range", "Phrase", "And", "Or", "Not"
+    "Term", "Wildcard", "Fuzzy", "Range", "Phrase", "And", "Or", "Not",
+    "Bool",
 ]
 
 # user-facing field names (reference SearchRequest.cs:6-28) -> index fields
@@ -119,6 +123,29 @@ class Not:
     negative: Node
 
 
+@dataclass(frozen=True)
+class Bool:
+    """Lucene classic ``+``/``-`` clause semantics (BooleanClause
+    MUST / SHOULD / MUST_NOT — ``+a b -c`` parses to MUST a, SHOULD
+    b, MUST_NOT c via QueryParserBase, reachable because the
+    reference hands users the whole classic parser,
+    QueryGenerator.cs:217-222).
+
+    Matching set: docs containing every ``must`` clause (or, when
+    ``must`` is empty, at least one ``should`` clause), minus docs
+    matching any ``must_not``. Score: sum of the scores of every
+    MATCHING positive clause — a should clause a doc happens to match
+    adds its score, one it doesn't match costs nothing. The parser
+    only emits this node for the irreducible mixed case (must AND
+    should both non-empty, or no positives at all — a match-nothing
+    query, Lucene's pure-negative BooleanQuery); every other sign
+    combination rewrites to And/Or/Not."""
+
+    must: tuple[Node, ...] = ()
+    should: tuple[Node, ...] = ()
+    must_not: tuple[Node, ...] = ()
+
+
 class QueryParseError(ValueError):
     pass
 
@@ -142,6 +169,12 @@ def apply_boost(node: Node, factor: float) -> Node:
         # the negative side only filters docs out; its scores are
         # never summed, so boosting it would change nothing
         return Not(apply_boost(node.positive, factor), node.negative)
+    if isinstance(node, Bool):
+        return Bool(
+            tuple(apply_boost(c, factor) for c in node.must),
+            tuple(apply_boost(c, factor) for c in node.should),
+            node.must_not,
+        )
     raise TypeError(node)
 
 
@@ -289,6 +322,29 @@ def _phrase(text: str, fld: str, lowercase: bool) -> Node:
     return Phrase(tuple(slots), fld)
 
 
+def _one_or(nodes) -> Node:
+    return nodes[0] if len(nodes) == 1 else Or(tuple(nodes))
+
+
+def _bool_node(must, should, must_not) -> Node:
+    """Normalize a +/- clause list to the smallest equivalent tree:
+    only the irreducible cases (must AND should together; no
+    positives at all) need the Bool node — everything else is plain
+    And/Or/Not, which keeps the hot kernels on their existing paths."""
+    if must and should:
+        return Bool(tuple(must), tuple(should), tuple(must_not))
+    if not must and not should:
+        return Bool((), (), tuple(must_not))  # matches nothing
+    pos = (
+        (must[0] if len(must) == 1 else And(tuple(must)))
+        if must
+        else _one_or(should)
+    )
+    if must_not:
+        return Not(pos, _one_or(must_not))
+    return pos
+
+
 class _Parser:
     """Recursive descent over a token stream. Default operator is OR
     (Lucene classic default)."""
@@ -297,6 +353,11 @@ class _Parser:
         self.toks = self._lex(text)
         self.i = 0
         self.field_default = field_default
+        # the session's content field ('content' or the cased twin) —
+        # field_default temporarily changes inside Field:(...) groups,
+        # but a nested 'content:' prefix must still route to the
+        # session's content field, not the group's
+        self.content_field = field_default
         self.lowercase = lowercase
 
     @staticmethod
@@ -343,42 +404,101 @@ class _Parser:
         return node
 
     def or_expr(self) -> Node:
-        parts = [self.and_expr()]
+        parts = [self.signed_and_expr()]
         while True:
             t = self.peek()
             if t is not None and t.upper() in ("OR", "||"):
                 self.next()
-                parts.append(self.and_expr())
+                parts.append(self.signed_and_expr())
             elif t is not None and t not in (")",) and t.upper() not in (
                 "AND", "&&", "NOT",
             ):
                 # implicit operator = OR (Lucene classic default)
-                parts.append(self.and_expr())
+                parts.append(self.signed_and_expr())
             else:
                 break
-        return parts[0] if len(parts) == 1 else Or(tuple(parts))
+        if all(sign is None for sign, _ in parts):
+            nodes = [n for _, n in parts]
+            return nodes[0] if len(nodes) == 1 else Or(tuple(nodes))
+        # Lucene classic +/- clause list (QueryParserBase): '+' =
+        # MUST, '-' = MUST_NOT, unsigned = SHOULD
+        return _bool_node(
+            tuple(n for s, n in parts if s == "+"),
+            tuple(n for s, n in parts if s is None),
+            tuple(n for s, n in parts if s == "-"),
+        )
 
-    def and_expr(self) -> Node:
-        node = self.unary()
+    def signed_and_expr(self) -> tuple[str | None, Node]:
+        """One OR-level clause: an AND/NOT chain whose members may
+        carry ``+``/``-`` signs. A single-member chain propagates its
+        sign up to the OR clause list; a multi-member chain resolves
+        signs internally ('+' is redundant under AND, '-' members
+        become the NOT filter)."""
+        chain = [self.signed_unary()]
         while True:
             t = self.peek()
             if t is not None and t.upper() in ("AND", "&&"):
                 self.next()
-                rhs = self.unary()
-                node = And((node, rhs)) if not isinstance(node, And) else And(
-                    node.children + (rhs,)
-                )
+                nxt = self.peek()
+                if (
+                    nxt is not None
+                    and nxt.upper() == "NOT"
+                    and self.i + 1 < len(self.toks)
+                ):
+                    # 'a AND NOT b' — classic-parser compound: the
+                    # clause after NOT is prohibited
+                    self.next()
+                    s2, n2 = self.signed_unary()
+                    if s2 == "+":
+                        raise QueryParseError(
+                            "cannot combine NOT with a '+' clause"
+                        )
+                    chain.append(("-", n2))
+                else:
+                    chain.append(self.signed_unary())
             elif t is not None and t.upper() == "NOT":
                 self.next()
-                node = Not(node, self.unary())
+                s2, n2 = self.signed_unary()
+                if s2 == "+":
+                    raise QueryParseError(
+                        "cannot combine NOT with a '+' clause"
+                    )
+                chain.append(("-", n2))
             else:
-                return node
+                break
+        if len(chain) == 1:
+            return chain[0]
+        positives = [n for s, n in chain if s != "-"]
+        negatives = [n for s, n in chain if s == "-"]
+        if not positives:
+            # 'AND' of only prohibited clauses — surface as one
+            # prohibited clause (docs matching ANY of them are out;
+            # alone at top level this matches nothing, like Lucene)
+            return ("-", _one_or(negatives))
+        node = positives[0] if len(positives) == 1 else And(tuple(positives))
+        if negatives:
+            node = Not(node, _one_or(negatives))
+        return (None, node)
 
-    def unary(self) -> Node:
+    def signed_unary(self) -> tuple[str | None, Node]:
+        """Optional Lucene ``+``/``-`` clause prefix, then an atom.
+        The sign is usually glued to its clause token (``+spark``,
+        ``-filename:x``); before a group or quoted phrase the lexer
+        emits it bare (``- ( a b )`` tokens)."""
         t = self.peek()
-        if t == "-":
-            raise QueryParseError("bare '-' operator needs a preceding clause")
-        return self.atom()
+        sign: str | None = None
+        if t is not None and t != "" and t[0] in "+-":
+            if len(t) > 1:
+                sign = t[0]
+                self.toks[self.i] = t[1:]
+            else:
+                if self.i + 1 >= len(self.toks):
+                    raise QueryParseError(
+                        f"{t!r} must be followed by a clause"
+                    )
+                sign = t
+                self.next()
+        return sign, self.atom()
 
     _SUFFIX_RE = re.compile(r"^(?:~(\d+))?(?:\^(\d+(?:\.\d+)?))?$")
 
@@ -493,8 +613,22 @@ class _Parser:
             if alias is not None:
                 # "content" routes to the mode's content field (cased
                 # twin in case-sensitive mode); other fields are as-is
-                fld = self.field_default if alias == "content" else alias
+                fld = self.content_field if alias == "content" else alias
                 t = rest
+                if t == "" and self.peek() == "(":
+                    # field-scoped group Field:(a OR b) — classic
+                    # QueryParser grouping with a field override
+                    self.next()
+                    saved = self.field_default
+                    self.field_default = fld
+                    try:
+                        node = self.or_expr()
+                    finally:
+                        self.field_default = saved
+                    if self.next() != ")":
+                        raise QueryParseError("expected ')'")
+                    _, boost = self._consume_suffix(allow_slop=False)
+                    return apply_boost(node, boost) if boost != 1.0 else node
                 if t and t[0] in "[{":  # FileName:[a TO b]
                     return self._range_tail(t, fld)
                 if t == "" and (self.peek() or "").startswith('"'):
@@ -550,4 +684,9 @@ def collect_leaves(node: Node) -> list[Node]:
         return out
     if isinstance(node, Not):
         return collect_leaves(node.positive) + collect_leaves(node.negative)
+    if isinstance(node, Bool):
+        out = []
+        for c in node.must + node.should + node.must_not:
+            out.extend(collect_leaves(c))
+        return out
     raise TypeError(f"unknown node {node!r}")

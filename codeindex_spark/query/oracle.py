@@ -208,6 +208,29 @@ class OracleIndex:
             pos = self.eval(node.positive)
             neg = set(self.eval(node.negative))
             return {d: s for d, s in pos.items() if d not in neg}
+        if isinstance(node, ast.Bool):
+            if not node.must and not node.should:
+                return {}
+            if node.must:
+                maps = [self.eval(c) for c in node.must]
+                docs = set(maps[0])
+                for m in maps[1:]:
+                    docs &= set(m)
+                out = {d: sum(m[d] for m in maps) for d in docs}
+                for c in node.should:
+                    m = self.eval(c)
+                    for d in out:
+                        if d in m:
+                            out[d] += m[d]
+            else:
+                out = {}
+                for c in node.should:
+                    for d, s in self.eval(c).items():
+                        out[d] = out.get(d, 0.0) + s
+            for c in node.must_not:
+                neg = set(self.eval(c))
+                out = {d: s for d, s in out.items() if d not in neg}
+            return out
         raise TypeError(node)
 
     def _eval_phrase(self, node: ast.Phrase) -> dict[int, float]:

@@ -1583,6 +1583,35 @@ def _make_tree_batch_kernel(root, leaf_ids, avgdl, k1, b, block_size):
             dn, _ = eval_node(node.negative, leaf_data)
             keep = ~np.isin(dp, dn, assume_unique=True)
             return dp[keep], sp[keep]
+        if isinstance(node, ast.Bool):
+            # Lucene MUST/SHOULD/MUST_NOT: the parser only emits the
+            # irreducible shapes — (a) must+should mixed: intersect
+            # musts, then ADD each should's score where it matches
+            # (never filtering); (b) no positives: match nothing.
+            if not node.must and not node.should:
+                return _EMPTY_D, _EMPTY_S
+            if node.must:
+                docs, scores = eval_node(node.must[0], leaf_data)
+                for child in node.must[1:]:
+                    d2, s2 = eval_node(child, leaf_data)
+                    docs, i1, i2 = np.intersect1d(
+                        docs, d2, assume_unique=True, return_indices=True
+                    )
+                    scores = scores[i1] + s2[i2]
+                for child in node.should:
+                    d2, s2 = eval_node(child, leaf_data)
+                    _, i1, i2 = np.intersect1d(
+                        docs, d2, assume_unique=True, return_indices=True
+                    )
+                    scores = scores.copy()
+                    scores[i1] += s2[i2]
+            else:
+                docs, scores = eval_node(ast.Or(node.should), leaf_data)
+            for child in node.must_not:
+                dn, _ = eval_node(child, leaf_data)
+                keep = ~np.isin(docs, dn, assume_unique=True)
+                docs, scores = docs[keep], scores[keep]
+            return docs, scores
         raise TypeError(node)
 
     def kernel(body: pd.DataFrame) -> pd.DataFrame:

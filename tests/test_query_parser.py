@@ -263,3 +263,76 @@ def test_fuzzy_lucene_slop_semantics():
     for bad in ("spark~1.5", "spark~-1", "spark~nan", "spark~x"):
         with pytest.raises(QueryParseError):
             parse_query(bad)
+
+
+def test_required_prohibited_clauses():
+    """Lucene classic +/- clause prefixes (QueryParserBase: '+' =
+    MUST, '-' = MUST_NOT, unsigned = SHOULD; reachable because the
+    reference hands users the full classic parser,
+    QueryGenerator.cs:217-222)."""
+    Bool = ast.Bool
+    # irreducible mixed case: must + should
+    assert parse_query("+spark index") == Bool(
+        must=(Term("spark"),), should=(Term("index"),)
+    )
+    assert parse_query("+spark -legacy index") == Bool(
+        must=(Term("spark"),),
+        should=(Term("index"),),
+        must_not=(Term("legacy"),),
+    )
+    # reducible cases rewrite to plain trees
+    assert parse_query("spark -legacy") == Not(Term("spark"), Term("legacy"))
+    assert parse_query("-legacy spark") == Not(Term("spark"), Term("legacy"))
+    assert parse_query("+spark +index") == And((Term("spark"), Term("index")))
+    assert parse_query("+spark") == Term("spark")
+    # pure-negative query matches nothing (Lucene BooleanQuery with
+    # only MUST_NOT clauses)
+    assert parse_query("-spark") == Bool(must_not=(Term("spark"),))
+    assert parse_query("-spark -index") == Bool(
+        must_not=(Term("spark"), Term("index"))
+    )
+    # signs compose with fields, groups, phrases
+    assert parse_query("-filename:log spark") == Not(
+        Term("spark"), Term("log", "file_name")
+    )
+    assert parse_query('+(a b) -c') == Not(
+        Or((Term("a"), Term("b"))), Term("c")
+    )
+    assert parse_query('-"the phrase" x') == Not(
+        Term("x"), Phrase(("the", "phrase"))
+    )
+
+
+def test_and_not_compound():
+    assert parse_query("a AND NOT b") == Not(Term("a"), Term("b"))
+    assert parse_query("a AND NOT b AND c") == Not(
+        And((Term("a"), Term("c"))), Term("b")
+    )
+    with pytest.raises(QueryParseError):
+        parse_query("a AND NOT +b")
+
+
+def test_field_scoped_group():
+    assert parse_query("filename:(a b)") == Or(
+        (Term("a", "file_name"), Term("b", "file_name"))
+    )
+    assert parse_query("content:(spark OR index)") == Or(
+        (Term("spark"), Term("index"))
+    )
+    # group boost distributes to leaves
+    assert parse_query("filename:(a b)^2") == Or(
+        (Term("a", "file_name", 2.0), Term("b", "file_name", 2.0))
+    )
+    # signs inside a field group
+    assert parse_query("content:(+x -y z)") == ast.Bool(
+        must=(Term("x"),), should=(Term("z"),), must_not=(Term("y"),)
+    )
+    # nested field prefix overrides the group field; nested 'content:'
+    # routes to the SESSION content field, not the group's
+    assert parse_query("filename:(a content:b)") == Or(
+        (Term("a", "file_name"), Term("b", "content"))
+    )
+    q = parse_query("filename:(a content:b)", case_sensitive=True)
+    assert q == Or((Term("a", "file_name"), Term("b", "content_cs")))
+    with pytest.raises(QueryParseError):
+        parse_query("filename:(a b")

@@ -466,3 +466,77 @@ def test_range_matches_expected_terms(engine, oracle):
     expanded = set(oracle._expand("content", node))
     brute = {t for t in terms if "batch" < t < "size"}
     assert expanded == brute and expanded  # non-empty
+
+
+def test_bool_clause_rank_identity(engine, oracle):
+    """Lucene +/- clause semantics: MUST filters and scores, SHOULD
+    only adds score where it matches, MUST_NOT filters. Engine and
+    pure oracle must agree on docIDs and scores through the Bool
+    kernel path."""
+    for q in (
+        "+index writer",
+        "+index -writer get",
+        "+get +string return",
+        "index -writer",
+        "+stri* get",
+        "+index writer~1 -pool",
+    ):
+        assert_rank_identical(engine.search(q, k=K), oracle.search(q, k=K))
+
+
+def test_bool_must_should_semantics(engine):
+    """The matching set of '+a b' equals the set of 'a'; scores are
+    >= the pure-must scores (should only adds)."""
+    big = 10_000
+    must_only = {
+        r["doc_id"]: r["score"]
+        for r in engine.search("index", k=big).collect()
+    }
+    mixed = {
+        r["doc_id"]: r["score"]
+        for r in engine.search("+index writer", k=big).collect()
+    }
+    assert set(mixed) == set(must_only)
+    assert all(mixed[d] >= must_only[d] - 1e-12 for d in mixed)
+    # and strictly greater exactly where the should clause matches
+    wr = {r["doc_id"] for r in engine.search("writer", k=big).collect()}
+    for d in mixed:
+        if d in wr:
+            assert mixed[d] > must_only[d]
+        else:
+            assert mixed[d] == pytest.approx(must_only[d], rel=1e-9)
+
+
+def test_pure_negative_matches_nothing(engine, oracle):
+    assert engine.search("-index", k=K).count() == 0
+    assert oracle.search("-index", k=K) == []
+    assert engine.search("-index -writer", k=K).count() == 0
+
+
+def test_random_signed_clause_lists_rank_identical(engine, oracle):
+    """Seeded random +/- clause lists over term/wildcard/fuzzy leaves
+    stay rank-identical between engine and oracle."""
+    import random
+
+    rng = random.Random(20260818)
+    words = [
+        "get", "string", "return", "index", "writer",
+        "add", "documents", "pool", "results", "clear",
+    ]
+
+    def leaf():
+        w = rng.choice(words)
+        r = rng.random()
+        if r < 0.15 and len(w) > 4:
+            return w[:4] + "*"
+        if r < 0.25:
+            return w + "~1"
+        return w
+
+    for _ in range(12):
+        n = rng.randint(2, 5)
+        signs = [rng.choice(["+", "-", ""]) for _ in range(n)]
+        if all(s == "-" for s in signs):
+            signs[0] = "+"
+        q = " ".join(f"{s}{leaf()}" for s in signs)
+        assert_rank_identical(engine.search(q, k=K), oracle.search(q, k=K))
