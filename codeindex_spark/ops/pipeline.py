@@ -19,6 +19,11 @@ engine for oracle checks:
                       training bins via a bucketed window cumsum
                       (deterministic quantized packing; no global
                       order, no single reducer).
+- paragraph_dedup   — CCNet corpus-level paragraph dedup: keep the
+                      first occurrence of every (normalized)
+                      paragraph corpus-wide, reassemble docs from the
+                      survivors. Map-side-combinable min per hash —
+                      no hot-paragraph window sort.
 - sample_by_hash    — deterministic reproducible sampling by content-
                       independent key hash: md5(seed:doc_id) compared
                       lexicographically against a hex threshold.
@@ -220,3 +225,91 @@ def sample_by_hash(
     a bigger rate keeps every row a smaller rate kept), which is what
     makes held-out splits at 100 TB reproducible."""
     return df.filter(sample_key(seed, F.col(id_col)) < hash_threshold(rate))
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    partition_col: str | None = None,
+    normalize: bool = True,
+    drop_empty: bool = True,
+) -> DataFrame:
+    """CCNet-style corpus-level paragraph deduplication (Wenzek et
+    al. 2020, "CCNet: Extracting High Quality Monolingual Datasets
+    from Web Crawl Data"): split every doc on ``sep``, hash each
+    paragraph (normalized: lowercased, whitespace-collapsed), keep
+    only the FIRST occurrence corpus-wide — the (doc, position)
+    minimum — and reassemble each doc from its surviving paragraphs
+    in original order. Boilerplate (headers, nav bars, cookie
+    banners) collapses to its first occurrence; fully-boilerplate
+    docs disappear (``drop_empty``).
+
+    Returns (id_col, text, n_paras, n_kept).
+
+    ``partition_col`` scopes the dedup (CCNet dedups within language
+    shards): the hash key becomes (partition, hash), so identical
+    paragraphs in different partitions both survive.
+
+    Scale shape: one posexplode, then groupBy(hash).min(struct) —
+    map-side combinable, so a paragraph duplicated a million times
+    (THE hot case: empty lines, cookie banners) reduces to one row
+    per partition before the exchange, never a million-row window
+    partition sort. The winner set joins back on (hash, doc, idx) —
+    the hot hash carries ONE row on the agg side, m on the probe
+    side, emitting 1. Reassembly is a per-doc groupBy with an
+    array_sort, bounded by paragraphs-per-doc."""
+    keys = [partition_col] if partition_col else []
+    para = F.col("_para")
+    norm = (
+        F.lower(F.trim(F.regexp_replace(para, r"\s+", " ")))
+        if normalize
+        else para
+    )
+    exploded = df.select(
+        F.col(id_col),
+        *keys,
+        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias(
+            "_idx", "_para"
+        ),
+    ).withColumn("_h", F.md5(norm))
+    # empty/whitespace-only paragraphs are separators, not content:
+    # dropped up front so they neither dedup against each other nor
+    # survive reassembly
+    exploded = exploded.filter(F.trim(para) != "")
+    first = exploded.groupBy(*keys, "_h").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("_idx").alias("i"))
+              ).alias("_w")
+    )
+    kept = exploded.join(first, [*keys, "_h"]).where(
+        (F.col("_w.d") == F.col(id_col)) & (F.col("_w.i") == F.col("_idx"))
+    )
+    per_doc_n = exploded.groupBy(id_col).agg(
+        F.count("*").alias("n_paras")
+    )
+    kept_agg = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_idx", "_para"))),
+                lambda s: s["_para"],
+            ),
+            sep,
+        ).alias("text"),
+        F.count("*").alias("n_kept"),
+    )
+    if drop_empty:
+        return per_doc_n.join(kept_agg, id_col).select(
+            id_col, "text", "n_paras", "n_kept"
+        )
+    return (
+        df.select(id_col)
+        .join(per_doc_n, id_col, "left")
+        .join(kept_agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )

@@ -198,3 +198,90 @@ def test_sample_by_hash_stratified(spark):
     assert {r["doc_id"] for r in rows} <= big_ids
     with pytest.raises(ValueError):
         sample_by_hash_stratified(df, {"en": 1.5}, key_col="lang")
+
+
+def test_paragraph_dedup_first_wins(spark):
+    from codeindex_spark.ops.pipeline import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one\nshared boiler\nunique two"),
+            (2, "shared boiler\nother text"),
+            (3, "shared boiler"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r for r in paragraph_dedup(docs).collect()
+    }
+    # doc 1 (lowest id) keeps the shared paragraph, order preserved
+    assert got[1]["text"] == "unique one\nshared boiler\nunique two"
+    assert (got[1]["n_paras"], got[1]["n_kept"]) == (3, 3)
+    # doc 2 loses it, keeps the rest
+    assert got[2]["text"] == "other text"
+    assert (got[2]["n_paras"], got[2]["n_kept"]) == (2, 1)
+    # doc 3 was only boilerplate -> dropped entirely
+    assert 3 not in got
+
+
+def test_paragraph_dedup_normalization_and_empties(spark):
+    from codeindex_spark.ops.pipeline import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello   World\n\nx"),
+            (2, "hello world\ny"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    # case/whitespace variants hash together; empty paragraph (the
+    # double separator) neither counts nor survives
+    assert got[1]["text"] == "Hello   World\nx"
+    assert got[1]["n_paras"] == 2
+    assert got[2]["text"] == "y"
+    # normalize=False keeps the variants distinct
+    raw = {
+        r["doc_id"]: r["text"]
+        for r in paragraph_dedup(docs, normalize=False).collect()
+    }
+    assert raw[2] == "hello world\ny"
+
+
+def test_paragraph_dedup_within_doc_and_drop_empty_false(spark):
+    from codeindex_spark.ops.pipeline import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a\nb\na"), (2, "a")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(docs, drop_empty=False).collect()
+    }
+    # duplicate inside one doc: only the first position survives
+    assert got[1]["text"] == "a\nb"
+    assert (got[1]["n_paras"], got[1]["n_kept"]) == (3, 2)
+    # fully-deduped doc kept with its true paragraph count
+    assert got[2]["text"] == ""
+    assert (got[2]["n_paras"], got[2]["n_kept"]) == (1, 0)
+
+
+def test_paragraph_dedup_partition_scoped(spark):
+    from codeindex_spark.ops.pipeline import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "same para"),
+            (2, "fr", "same para"),
+            (3, "en", "same para"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(docs, partition_col="lang").collect()
+    }
+    # scoped: the en copy and the fr copy both survive; the second
+    # en copy does not
+    assert set(got) == {1, 2}
