@@ -937,6 +937,45 @@ def _q_lm_score(spark, sf_dir):
     )
 
 
+def _q_mlt(spark, sf_dir):
+    """More-like-this (Lucene queries MoreLikeThis semantics): source
+    doc = original id 3; tf·idf-ranked source terms (tf>=2, df>=5, top
+    25) OR-queried with BM25, source excluded, top 10. The oracle
+    replays term selection and the summed-contribution scoring in
+    SQL."""
+    eng = _engine(spark, sf_dir)
+    key = (
+        eng.reader.docs.filter(F.col("path").rlike(r"/3\.txt$"))
+        .select("doc_key")
+        .collect()[0]["doc_key"]
+    )
+    # 64-superset, then re-rank on (rounded score, ORIGINAL doc_id) so
+    # k-boundary ties resolve identically to the DuckDB oracle
+    res = eng.more_like_this(key, k=64)
+    out = _orig_ids(eng, res, extra=_SCORE())
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
+def _q_dsir(spark, sf_dir):
+    """DSIR data selection (beyond-reference, Xie et al. 2023):
+    hashed-bigram importance weights of every document against the
+    lang='zh' slice as the target distribution, then Gumbel-top-40
+    resampling with the md5-seeded (RNG-free) noise. The oracle
+    replays bucket hashing, the smoothed log-ratio model, and the
+    Gumbel key in SQL."""
+    from codeindex_spark.ops.dsir import dsir_log_weights, dsir_resample
+
+    docs = _load(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "zh")
+    w = dsir_log_weights(docs, target, n=2, num_buckets=512)
+    picked = dsir_resample(w, 40, seed="dsir")
+    return picked.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.round("log_weight", 6).alias("log_weight"),
+    ).orderBy("doc_id")
+
+
 def _q_pricing_summary(spark, sf_dir):
     # TPC-H Q1-style aggregation (scan -> filter -> grouped agg)
     li = _load(spark, sf_dir, "lineitem")
@@ -1192,6 +1231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_scrub": _q_scrub,
         "tx_lm_score": _q_lm_score,
         "px_para_dedup": _q_para_dedup,
+        "px_dsir": _q_dsir,
+        "q27_more_like_this": _q_mlt,
         "px_chunk": _q_chunk,
         "px_chunk_dedup": _q_chunk_dedup,
         "px_sample": _q_sample,
@@ -1890,6 +1931,76 @@ def oracle_sql() -> dict[str, str]:
               FROM kept GROUP BY doc_id)
             SELECT doc_id, k.text, n.n_paras, k.n_kept
             FROM n JOIN k USING (doc_id)""",
+        # MoreLikeThis: tf·idf term selection over source doc 3
+        # (tf>=2, df>=5, top 25 by score desc / term asc), summed
+        # BM25 contributions over the chosen terms, source excluded
+        "q27_more_like_this": f"""WITH {_CONTRIB},
+            srctf AS (
+              SELECT term, tf FROM tfa
+              WHERE doc_id = 3 AND tf >= 2.0::DOUBLE),
+            mlt AS (
+              SELECT s.term,
+                     s.tf * ln(1.0::DOUBLE
+                         + ((SELECT n_docs FROM nn) - d.df + 0.5::DOUBLE)
+                           / (d.df + 0.5::DOUBLE)) AS tscore
+              FROM srctf s JOIN dfa d USING (term)
+              WHERE d.df >= 5.0::DOUBLE),
+            chosen AS (
+              SELECT term FROM mlt ORDER BY tscore DESC, term ASC LIMIT 25),
+            sc AS (
+              SELECT doc_id, round(sum(c), 6) AS score
+              FROM contrib JOIN chosen USING (term)
+              WHERE doc_id <> 3 GROUP BY doc_id)
+            SELECT doc_id, score FROM sc
+            ORDER BY score DESC, doc_id LIMIT 10""",
+        # DSIR: hashed 1+2-gram buckets (first-8-hex md5 mod 512),
+        # add-1 smoothed target/raw log ratios, per-doc summed weight,
+        # Gumbel-top-40 with the md5-seeded uniform draw.
+        "px_dsir": """WITH toks AS (
+              SELECT doc_id, lang,
+                     list_filter(regexp_split_to_array(lower(trim(text)), ' +'),
+                                 w -> w <> '') AS t
+              FROM documents),
+            toks2 AS (
+              SELECT doc_id, lang, t, len(t) AS nt
+              FROM toks WHERE len(t) > 0),
+            g AS (
+              SELECT doc_id, lang,
+                     ('0x' || substr(md5(array_to_string(
+                          list_slice(t, u.i, u.i + k.ord - 1), ' ')), 1, 8)
+                     )::BIGINT % 512 AS bucket
+              FROM toks2, UNNEST(range(1, nt + 1)) u(i),
+                   (VALUES (1), (2)) k(ord)
+              WHERE u.i + k.ord - 1 <= nt),
+            cr AS (SELECT bucket, count(*) AS cnt_raw FROM g GROUP BY 1),
+            ct AS (SELECT bucket, count(*) AS cnt_target
+                   FROM g WHERE lang = 'zh' GROUP BY 1),
+            tot AS (
+              SELECT (SELECT sum(cnt_raw) FROM cr)::DOUBLE AS tr,
+                     (SELECT coalesce(sum(cnt_target), 0) FROM ct)::DOUBLE AS tt),
+            ratio AS (
+              SELECT cr.bucket,
+                     ln((coalesce(ct.cnt_target, 0)::DOUBLE + 1.0::DOUBLE)
+                        / (tt + 512.0::DOUBLE))
+                   - ln((cr.cnt_raw::DOUBLE + 1.0::DOUBLE)
+                        / (tr + 512.0::DOUBLE)) AS log_ratio
+              FROM cr LEFT JOIN ct USING (bucket), tot),
+            w AS (
+              SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+                     sum(r.log_ratio) AS log_weight
+              FROM g JOIN ratio r USING (bucket) GROUP BY 1),
+            keyed AS (
+              SELECT doc_id, n_grams, log_weight,
+                     log_weight - ln(-ln(
+                       (('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)),
+                                        1, 8))::BIGINT::DOUBLE + 0.5::DOUBLE)
+                       / 4294967296.0::DOUBLE)) AS gkey
+              FROM w),
+            picked AS (
+              SELECT doc_id, n_grams, log_weight FROM keyed
+              ORDER BY gkey DESC, doc_id ASC LIMIT 40)
+            SELECT doc_id, n_grams, round(log_weight, 6) AS log_weight
+            FROM picked ORDER BY doc_id""",
         "tx_lm_score": """WITH toks AS (
               SELECT doc_id,
                      list_filter(regexp_split_to_array(lower(trim(text)), ' +'),

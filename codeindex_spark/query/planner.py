@@ -1429,6 +1429,85 @@ class SearchEngine:
         """CodePK short-circuit (QueryGenerator.cs:56-59)."""
         return self.reader.docs.filter(F.col("doc_key") == doc_key)
 
+    def more_like_this(
+        self,
+        doc_key: str,
+        k: int = 10,
+        field: str = "content",
+        max_query_terms: int = 25,
+        min_term_freq: int = 2,
+        min_doc_freq: int = 5,
+        filters: "Filters | None" = None,
+    ) -> DataFrame:
+        """Find documents similar to a stored one — Lucene
+        MoreLikeThis semantics (lucene/queries MoreLikeThis.java,
+        public API; defaults mirror maxQueryTerms=25 / minTermFreq=2 /
+        minDocFreq=5): re-analyze the source doc's stored content,
+        rank its terms by tf·idf, OR-query the top ``max_query_terms``
+        with BM25, drop the source doc. Returns (doc_id, score)
+        ordered (score desc, doc_id asc).
+
+        Scale shape: the source doc is ONE stored row (pk-pruned
+        collect); term stats come from one bounded dictionary slice
+        (isin under 128 terms, broadcast semi-join + between range
+        above); the query itself is the engine's normal bounded
+        OR-of-terms plan — no corpus scan anywhere before the posting
+        kernel."""
+        from codeindex_spark.tokenizer import tokenize, tokenize_lower
+
+        src = (
+            self.reader.docs.filter(F.col("doc_key") == doc_key)
+            .select("doc_id", "content")
+            .collect()
+        )
+        if not src:
+            return self.reader.spark.createDataFrame([], SCORE_SCHEMA)
+        src_id = src[0]["doc_id"]
+        toks = (
+            tokenize(src[0]["content"] or "")
+            if field == "content_cs"
+            else tokenize_lower(src[0]["content"] or "")
+        )
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        terms = sorted(t for t, n in tf.items() if n >= min_term_freq)
+        if not terms:
+            return self.reader.spark.createDataFrame([], SCORE_SCHEMA)
+        td = self.reader.term_dict.filter(F.col("field") == field)
+        if len(terms) <= self.ISIN_PUSHDOWN_CAP:
+            td = td.filter(F.col("term").isin(terms))
+        else:
+            tdf = self.reader.spark.createDataFrame(
+                [(t,) for t in terms], "term string"
+            )
+            td = td.filter(
+                F.col("term").between(terms[0], terms[-1])
+            ).join(F.broadcast(tdf), "term", "left_semi")
+        n_docs, _ = self.reader.field_stats(field)
+        ranked = []  # (tf*idf, term) over terms past the df floor
+        for r in td.select("term", "df").collect():
+            df = int(r["df"])
+            if df < min_doc_freq:
+                continue
+            idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+            ranked.append((tf[r["term"]] * idf, r["term"]))
+        ranked.sort(key=lambda p: (-p[0], p[1]))
+        chosen = [t for _, t in ranked[:max_query_terms]]
+        if not chosen:
+            return self.reader.spark.createDataFrame([], SCORE_SCHEMA)
+        node: ast.Node = (
+            ast.Term(chosen[0], field)
+            if len(chosen) == 1
+            else ast.Or(tuple(ast.Term(t, field) for t in chosen))
+        )
+        top = self.search(node, k=k + 1, filters=filters)
+        return (
+            top.filter(F.col("doc_id") != src_id)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def hints(self, prefix: str, case_sensitive: bool = False, limit: int = 20) -> DataFrame:
         """Autocomplete: term-or-prefix on the hint words, limit 20
         (CodeIndexSearcher.GetHints, CodeIndexSearcher.cs:105-131)."""

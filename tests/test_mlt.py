@@ -1,0 +1,109 @@
+"""MoreLikeThis: engine result vs a from-scratch Python replay of the
+Lucene MLT recipe (tf·idf term selection over the stored source doc,
+then summed-BM25 OR query) on the same corpus."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from codeindex_spark.corpus import CorpusSpec, generate_documents, spark_documents
+from codeindex_spark.index.build import IndexParams
+from codeindex_spark.index.segments import IndexBuilder, IndexReader
+from codeindex_spark.query import ast
+from codeindex_spark.query.oracle import OracleIndex
+from codeindex_spark.query.planner import SearchEngine
+from codeindex_spark.tokenizer import tokenize_lower
+
+SPEC = CorpusSpec(n_docs=120)
+PARAMS = IndexParams(num_buckets=16, block_size=32)
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("mltidx"))
+    docs = spark_documents(spark, SPEC, partitions=4)
+    IndexBuilder(spark, d, PARAMS, n_groups=2).build(docs, resume=False)
+    return SearchEngine(IndexReader(spark, d))
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    return OracleIndex.build(
+        generate_documents(SPEC),
+        num_buckets=PARAMS.num_buckets,
+        block_size=PARAMS.block_size,
+        k1=PARAMS.k1,
+        b=PARAMS.b,
+    )
+
+
+def _py_mlt_terms(
+    corpus, src_path, max_query_terms=25, min_term_freq=2, min_doc_freq=5
+):
+    """Replay of the term-selection stage, straight from the corpus."""
+    docs_tokens = {r.path: tokenize_lower(r.content) for r in corpus.itertuples()}
+    n_docs = len(docs_tokens)
+    df = Counter()
+    for toks in docs_tokens.values():
+        df.update(set(toks))
+    tf = Counter(docs_tokens[src_path])
+    ranked = []
+    for term, f in tf.items():
+        if f < min_term_freq or df[term] < min_doc_freq:
+            continue
+        idf = math.log(1.0 + (n_docs - df[term] + 0.5) / (df[term] + 0.5))
+        ranked.append((f * idf, term))
+    ranked.sort(key=lambda p: (-p[0], p[1]))
+    return [t for _, t in ranked[:max_query_terms]]
+
+
+def _src(engine, corpus, i=7):
+    row = corpus.iloc[i]
+    key = (
+        engine.reader.docs.filter(F.col("path") == row["path"])
+        .select("doc_key", "doc_id")
+        .collect()[0]
+    )
+    return row, key["doc_key"], key["doc_id"]
+
+
+def test_mlt_matches_python_replay(engine, oracle):
+    corpus = generate_documents(SPEC)
+    row, doc_key, src_engine_id = _src(engine, corpus)
+    chosen = _py_mlt_terms(corpus, row["path"])
+    assert chosen, "fixture doc must yield MLT terms"
+    # oracle: summed-BM25 OR over the same terms, source excluded
+    node = ast.Or(tuple(ast.Term(t, "content") for t in chosen))
+    exp = {
+        d: s for d, s in oracle.eval(node).items() if d != src_engine_id
+    }
+    exp_rank = sorted(exp.items(), key=lambda p: (-p[1], p[0]))[:10]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in engine.more_like_this(doc_key, k=10).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in exp_rank]
+    for (gd, gs), (ed, es) in zip(got, exp_rank):
+        assert gs == pytest.approx(es, rel=1e-9), (gd, gs, es)
+    assert src_engine_id not in [d for d, _ in got]
+
+
+def test_mlt_term_knobs(engine):
+    corpus = generate_documents(SPEC)
+    row, doc_key, _ = _src(engine, corpus)
+    # crank the floors until nothing survives -> empty result
+    none = engine.more_like_this(
+        doc_key, k=5, min_term_freq=10_000
+    ).collect()
+    assert none == []
+    # max_query_terms=1 still returns similar docs
+    one = engine.more_like_this(doc_key, k=5, max_query_terms=1).collect()
+    assert 0 < len(one) <= 5
+
+
+def test_mlt_unknown_doc_key(engine):
+    assert engine.more_like_this("no-such-key", k=5).collect() == []
