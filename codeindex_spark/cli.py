@@ -284,6 +284,115 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_mlt(args) -> int:
+    """More-like-this: rank documents similar to one stored doc
+    (Lucene MoreLikeThis analog). Source picked by --doc-key, or by
+    --path (+ --repo when the path exists in several repos)."""
+    from pyspark.sql import functions as F
+
+    from codeindex_spark.index.segments import IndexReader
+    from codeindex_spark.query.planner import SearchEngine
+
+    spark = _get_spark(args)
+    eng = SearchEngine(IndexReader(spark, args.index))
+    key = args.doc_key
+    if key is None:
+        if not args.path:
+            print(json.dumps({"error": "pass --doc-key or --path"}))
+            return 2
+        d = eng.reader.docs.filter(F.col("path") == args.path)
+        if args.repo:
+            d = d.filter(F.col("repo") == args.repo)
+        rows = d.select("doc_key").limit(2).collect()
+        if not rows:
+            print(json.dumps({"error": "no document matches --path/--repo"}))
+            return 1
+        if len(rows) > 1:
+            print(json.dumps({"error": "ambiguous --path; add --repo"}))
+            return 2
+        key = rows[0]["doc_key"]
+    top = eng.more_like_this(
+        key,
+        k=args.k,
+        max_query_terms=args.max_terms,
+        min_term_freq=args.min_tf,
+        min_doc_freq=args.min_df,
+    )
+    meta = eng.reader.docs.select("doc_id", "repo", "path")
+    out = top.join(meta, "doc_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    for r in out.collect():
+        print(
+            json.dumps(
+                {
+                    "doc_id": r["doc_id"],
+                    "score": round(r["score"], 6),
+                    "repo": r["repo"],
+                    "path": r["path"],
+                }
+            )
+        )
+    return 0
+
+
+def cmd_select(args) -> int:
+    """DSIR data selection: weight --input docs by hashed-n-gram
+    importance against the --target corpus, Gumbel-top-k resample.
+    Writes the selected (id, n_grams, log_weight) parquet with --out;
+    always prints a JSON summary."""
+    from pyspark.sql import functions as F
+
+    from codeindex_spark.ops.dsir import dsir_log_weights, dsir_resample
+
+    spark = _get_spark(args)
+    raw = spark.read.parquet(args.input)
+    target = spark.read.parquet(args.target)
+    w = dsir_log_weights(
+        raw,
+        target,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        n=args.n,
+        num_buckets=args.buckets,
+    )
+    picked = dsir_resample(
+        w, args.k, id_col=args.id_col, seed=args.seed,
+        temperature=args.temperature,
+    )
+    if args.out:
+        picked.write.mode("overwrite").parquet(args.out)
+        picked = spark.read.parquet(args.out)
+    row = picked.agg(
+        F.count("*").alias("n"),
+        F.avg("log_weight").alias("avg_w"),
+        F.min("log_weight").alias("min_w"),
+        F.max("log_weight").alias("max_w"),
+    ).collect()[0]
+    print(
+        json.dumps(
+            {
+                "n_selected": row["n"],
+                "avg_log_weight": (
+                    round(float(row["avg_w"]), 6)
+                    if row["avg_w"] is not None
+                    else None
+                ),
+                "min_log_weight": (
+                    round(float(row["min_w"]), 6)
+                    if row["min_w"] is not None
+                    else None
+                ),
+                "max_log_weight": (
+                    round(float(row["max_w"]), 6)
+                    if row["max_w"] is not None
+                    else None
+                ),
+                "out": args.out,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_package(args) -> int:
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
@@ -400,6 +509,35 @@ def main(argv=None) -> int:
         "flood backstop)",
     )
     d.set_defaults(fn=cmd_dedup)
+
+    m = sub.add_parser(
+        "mlt", help="more-like-this: docs similar to a stored doc"
+    )
+    m.add_argument("--index", required=True)
+    m.add_argument("--doc-key", help="source doc primary key")
+    m.add_argument("--path", help="source doc path (alternative to --doc-key)")
+    m.add_argument("--repo", help="disambiguate --path across repos")
+    m.add_argument("-k", type=int, default=10)
+    m.add_argument("--max-terms", type=int, default=25)
+    m.add_argument("--min-tf", type=int, default=2)
+    m.add_argument("--min-df", type=int, default=5)
+    m.set_defaults(fn=cmd_mlt)
+
+    se = sub.add_parser(
+        "select",
+        help="DSIR importance resampling of --input toward --target",
+    )
+    se.add_argument("--input", required=True)
+    se.add_argument("--target", required=True)
+    se.add_argument("-k", type=int, required=True)
+    se.add_argument("--out", help="write selected rows parquet")
+    se.add_argument("--id-col", default="doc_id")
+    se.add_argument("--text-col", default="text")
+    se.add_argument("--n", type=int, default=2, help="max n-gram order")
+    se.add_argument("--buckets", type=int, default=10_000)
+    se.add_argument("--seed", default="dsir")
+    se.add_argument("--temperature", type=float, default=1.0)
+    se.set_defaults(fn=cmd_select)
 
     p = sub.add_parser("package", help="zip the package for --py-files")
     p.add_argument("--out", default="codeindex_spark.zip")

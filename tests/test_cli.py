@@ -135,3 +135,53 @@ def test_cli_dedup(spark, tmp_path, capsys):
     rows = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
     assert rows[0]["keep"] and rows[5]["keep"]
     assert not rows[1]["keep"] and not rows[2]["keep"]
+
+
+def test_cli_mlt(idx, capsys):
+    # resolve a real path from the index, then rank its neighbours
+    from codeindex_spark.corpus import CorpusSpec, generate_documents
+
+    path = generate_documents(CorpusSpec(n_docs=60)).iloc[7]["path"]
+    assert main(["mlt", "--index", idx, "--path", path, "-k", "5"]) == 0
+    rows = _lines(capsys)
+    assert 0 < len(rows) <= 5
+    assert all({"doc_id", "score", "repo", "path"} <= set(r) for r in rows)
+    assert all(r["path"] != path for r in rows)  # source excluded
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # unknown key exits non-zero with a JSON error
+    assert main(["mlt", "--index", idx, "--path", "nope.txt"]) == 1
+    assert "error" in _lines(capsys)[0]
+
+
+def test_cli_select(spark, tmp_path, capsys):
+    import json as _json
+
+    raw = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),
+            (1, "def main return values"),
+            (2, "the dog ran home"),
+            (3, "import os path join"),
+        ],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(100, "def parse return result"), (101, "import sys path split")],
+        "doc_id long, text string",
+    )
+    src, tgt = str(tmp_path / "raw_pq"), str(tmp_path / "tgt_pq")
+    raw.write.parquet(src)
+    target.write.parquet(tgt)
+    out = str(tmp_path / "sel_pq")
+    rc = main(
+        ["select", "--input", src, "--target", tgt, "-k", "2",
+         "--buckets", "64", "--temperature", "1e-9", "--out", out]
+    )
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["n_selected"] == 2
+    assert summary["min_log_weight"] <= summary["max_log_weight"]
+    # cold temperature = deterministic top-2 by weight = the code docs
+    picked = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert picked == [1, 3]
