@@ -937,6 +937,16 @@ def _q_lm_score(spark, sf_dir):
     )
 
 
+def _q_profile(spark, sf_dir):
+    """Per-language corpus profile (beyond-reference pipeline
+    monitoring): volumes, exact token-count quantiles (type-7
+    interpolation — quantile_cont parity), vocabulary size."""
+    from codeindex_spark.ops.analysis import corpus_profile
+
+    docs = _load(spark, sf_dir, "documents")
+    return corpus_profile(docs).orderBy("lang")
+
+
 def _q_mlt(spark, sf_dir):
     """More-like-this (Lucene queries MoreLikeThis semantics): source
     doc = original id 3; tf·idf-ranked source terms (tf>=2, df>=5, top
@@ -1233,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "px_para_dedup": _q_para_dedup,
         "px_dsir": _q_dsir,
         "q27_more_like_this": _q_mlt,
+        "tx_profile": _q_profile,
         "px_chunk": _q_chunk,
         "px_chunk_dedup": _q_chunk_dedup,
         "px_sample": _q_sample,
@@ -1931,6 +1942,31 @@ def oracle_sql() -> dict[str, str]:
               FROM kept GROUP BY doc_id)
             SELECT doc_id, k.text, n.n_paras, k.n_kept
             FROM n JOIN k USING (doc_id)""",
+        # corpus profile: exact type-7 quantiles == quantile_cont
+        "tx_profile": """WITH toks AS (
+              SELECT doc_id, lang, length(text) AS n_chars,
+                     list_filter(regexp_split_to_array(trim(text), ' +'),
+                                 w -> w <> '') AS t
+              FROM documents),
+            c AS (SELECT lang, n_chars, len(t) AS n_tokens FROM toks),
+            vol AS (
+              SELECT lang, count(*)::BIGINT AS n_docs,
+                     sum(n_tokens)::BIGINT AS total_tokens,
+                     round(avg(n_tokens), 6) AS avg_tokens,
+                     sum(n_chars)::BIGINT AS total_chars,
+                     round(quantile_cont(n_tokens, 0.25), 6) AS q25,
+                     round(quantile_cont(n_tokens, 0.50), 6) AS q50,
+                     round(quantile_cont(n_tokens, 0.75), 6) AS q75,
+                     round(quantile_cont(n_tokens, 0.95), 6) AS q95
+              FROM c GROUP BY lang),
+            v AS (
+              SELECT lang, count(DISTINCT tok)::BIGINT AS vocab_size
+              FROM (SELECT lang, unnest(t) AS tok FROM toks)
+              GROUP BY lang)
+            SELECT vol.lang, n_docs, total_tokens, avg_tokens,
+                   total_chars, q25, q50, q75, q95,
+                   coalesce(v.vocab_size, 0) AS vocab_size
+            FROM vol LEFT JOIN v USING (lang) ORDER BY lang""",
         # MoreLikeThis: tf·idf term selection over source doc 3
         # (tf>=2, df>=5, top 25 by score desc / term asc), summed
         # BM25 contributions over the chosen terms, source excluded

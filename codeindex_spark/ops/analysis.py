@@ -10,6 +10,8 @@
 - repetition_stats  — Gopher-style duplicate-line / top-n-gram
                      character fractions (zero-shuffle Arrow kernel)
 - token_count_bpe_ish — BPE-flavored token estimate via regex splits
+- corpus_profile   — per-group volumes, token-count quantiles
+                     (exact or t-digest), vocabulary size
 
 These run over a (id_col, text_col) corpus; all hot paths are
 built-in expressions, the language heuristic is a vectorized kernel.
@@ -228,4 +230,72 @@ def token_count_bpe_ish(
         F.col(id_col).alias("doc_id"),
         F.size(toks).alias("n_words"),
         (F.size(toks) + extra).alias("n_bpe_est"),
+    )
+
+
+def corpus_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group corpus profile for pipeline monitoring: (group,
+    n_docs, total_tokens, avg_tokens, total_chars, q25.. token-count
+    quantiles, vocab_size), one row per distinct ``group_col`` value.
+
+    Scale shape: ONE scan derives per-doc token/char counts; the
+    volume aggregate is a map-side-combinable groupBy(group).
+    ``exact=True`` uses ``percentile()`` — exact type-7 interpolation
+    (matches DuckDB ``quantile_cont``) but buffers each group's
+    counts on its reducer: the validation / small-corpus mode.
+    ``exact=False`` switches to ``approx_percentile`` (t-digest,
+    fixed memory per group) — the 100 TB path. Vocabulary size is a
+    distinct (group, token) count: keyed on the token, so skew is
+    bounded by vocabulary, not corpus size.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), " +"), lambda w: w != ""
+    )
+    counts = df.select(
+        F.col(group_col).alias("grp"),
+        F.size(toks).alias("n_tokens"),
+        F.length(F.col(text_col)).alias("n_chars"),
+    )
+    qarr = F.array(*[F.lit(float(q)) for q in quantiles])
+    pct = (
+        F.percentile("n_tokens", qarr)
+        if exact
+        else F.approx_percentile("n_tokens", qarr, F.lit(10_000))
+    )
+    vol = counts.groupBy("grp").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        pct.alias("_q"),
+    )
+    for i, q in enumerate(quantiles):
+        vol = vol.withColumn(
+            f"q{int(round(q * 100))}",
+            F.round(F.element_at("_q", i + 1).cast("double"), 6),
+        )
+    vol = vol.drop("_q")
+    vocab = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(F.array_distinct(toks)).alias("tok"),
+        )
+        .distinct()
+        .groupBy("grp")
+        .agg(F.count("*").alias("vocab_size"))
+    )
+    return vol.join(vocab, "grp", "left").select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "total_tokens",
+        "avg_tokens",
+        "total_chars",
+        *[f"q{int(round(q * 100))}" for q in quantiles],
+        F.coalesce("vocab_size", F.lit(0)).alias("vocab_size"),
     )

@@ -876,3 +876,45 @@ def test_ivf_add_in_memory_and_custom_id_col(spark):
     # vec_id regardless of the index's id_col (its documented shape)
     top = ivf_search(idx2, q, k=1, n_probe=4).collect()
     assert top[0]["vec_id"] == 102
+
+
+def test_corpus_profile(spark):
+    import numpy as np
+
+    from codeindex_spark.ops.analysis import corpus_profile
+
+    docs = [
+        ("en", "a b c"),
+        ("en", "a a b b c d e"),
+        ("en", "x"),
+        ("en", "a b c d e f g h i j"),
+        ("zh", "p q"),
+        ("zh", ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, l, t) for i, (l, t) in enumerate(docs)],
+        "doc_id long, lang string, text string",
+    )
+    out = {r["lang"]: r for r in corpus_profile(df).collect()}
+    en_counts = [3, 7, 1, 10]
+    assert out["en"]["n_docs"] == 4
+    assert out["en"]["total_tokens"] == sum(en_counts)
+    assert out["en"]["avg_tokens"] == pytest.approx(
+        round(sum(en_counts) / 4, 6)
+    )
+    assert out["en"]["total_chars"] == sum(len(t) for l, t in docs if l == "en")
+    # exact percentile == numpy linear (type-7) interpolation
+    for q, col in ((0.25, "q25"), (0.5, "q50"), (0.75, "q75"), (0.95, "q95")):
+        assert out["en"][col] == pytest.approx(
+            round(float(np.percentile(en_counts, q * 100)), 6)
+        ), col
+    assert out["en"]["vocab_size"] == 11  # a..j plus x
+    assert out["zh"]["n_docs"] == 2
+    assert out["zh"]["total_tokens"] == 2
+    assert out["zh"]["vocab_size"] == 2
+    # the 100 TB path returns the same shape with sane values
+    approx = {
+        r["lang"]: r for r in corpus_profile(df, exact=False).collect()
+    }
+    assert approx["en"]["n_docs"] == 4
+    assert 1.0 <= approx["en"]["q50"] <= 10.0
