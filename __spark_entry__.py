@@ -937,6 +937,19 @@ def _q_lm_score(spark, sf_dir):
     )
 
 
+def _q_facets(spark, sf_dir):
+    """Facet counts over the 'spark' match set by repo and lang — the
+    code-search sidebar breakdown. One query evaluation, unpivoted
+    single-shuffle group count."""
+    return _engine(spark, sf_dir).facet_counts("spark", by=("repo", "lang"))
+
+
+def _q_suggest(spark, sf_dir):
+    """Did-you-mean for the typo 'hast' — Lucene SpellChecker analog
+    (plain Levenshtein ranking distance asc, df desc, term asc)."""
+    return _engine(spark, sf_dir).suggest("hast", k=5)
+
+
 def _q_profile(spark, sf_dir):
     """Per-language corpus profile (beyond-reference pipeline
     monitoring): volumes, exact token-count quantiles (type-7
@@ -1243,6 +1256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "px_para_dedup": _q_para_dedup,
         "px_dsir": _q_dsir,
         "q27_more_like_this": _q_mlt,
+        "q28_facets": _q_facets,
+        "q29_suggest": _q_suggest,
         "tx_profile": _q_profile,
         "px_chunk": _q_chunk,
         "px_chunk_dedup": _q_chunk_dedup,
@@ -1942,6 +1957,28 @@ def oracle_sql() -> dict[str, str]:
               FROM kept GROUP BY doc_id)
             SELECT doc_id, k.text, n.n_paras, k.n_kept
             FROM n JOIN k USING (doc_id)""",
+        # facet counts over the docs matching term 'spark'
+        "q28_facets": f"""WITH {_TOK},
+            m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark')
+            SELECT facet, value, n_docs FROM (
+              SELECT 'repo' AS facet, d.source AS value,
+                     count(*)::BIGINT AS n_docs
+              FROM documents d JOIN m USING (doc_id) GROUP BY d.source
+              UNION ALL
+              SELECT 'lang' AS facet, d.lang AS value,
+                     count(*)::BIGINT AS n_docs
+              FROM documents d JOIN m USING (doc_id) GROUP BY d.lang)
+            ORDER BY facet, value""",
+        # did-you-mean: plain-Levenshtein dictionary neighbours of the
+        # typo, ranked distance asc / df desc / term asc
+        "q29_suggest": f"""WITH {_TOK},
+            tfa AS (SELECT doc_id, term FROM tok GROUP BY doc_id, term),
+            dfa AS (SELECT term, count(*)::BIGINT AS df FROM tfa
+                    GROUP BY term)
+            SELECT term, df,
+                   levenshtein(term, 'hast')::BIGINT AS distance
+            FROM dfa WHERE levenshtein(term, 'hast') <= 2
+            ORDER BY distance, df DESC, term LIMIT 5""",
         # corpus profile: exact type-7 quantiles == quantile_cont
         "tx_profile": """WITH toks AS (
               SELECT doc_id, lang, length(text) AS n_chars,

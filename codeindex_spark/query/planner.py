@@ -1429,6 +1429,77 @@ class SearchEngine:
         """CodePK short-circuit (QueryGenerator.cs:56-59)."""
         return self.reader.docs.filter(F.col("doc_key") == doc_key)
 
+    def facet_counts(
+        self,
+        query: ast.Node | str,
+        by: tuple[str, ...] = ("repo", "lang"),
+        filters: "Filters | None" = None,
+        case_sensitive: bool = False,
+    ) -> DataFrame:
+        """Facet counts over the matching doc set — the code-search
+        sidebar (GitHub / Zoekt-style result breakdown): one (facet,
+        value, n_docs) row per facet value per requested metadata
+        column.
+
+        Scale shape: the query evaluates ONCE; the docs scan is
+        column-pruned to (doc_id, *by) and semi-joined with the
+        matches; `unpivot` stacks the facet columns so ONE map-side
+        combinable groupBy produces every facet — not one scan+shuffle
+        per facet column."""
+        matched = self.score(query, case_sensitive).select("doc_id")
+        live = getattr(self.reader, "live_doc_ids", lambda: None)()
+        if live is not None:
+            matched = matched.join(live, "doc_id", "left_semi")
+        docs = self.reader.docs
+        if filters is not None and not filters.empty:
+            docs = filters.apply(docs)
+        j = (
+            docs.select("doc_id", *[F.col(c).cast("string").alias(c) for c in by])
+            .join(matched, "doc_id", "left_semi")
+            .unpivot("doc_id", list(by), "facet", "value")
+        )
+        return (
+            j.groupBy("facet", "value")
+            .agg(F.count("*").alias("n_docs"))
+            .orderBy("facet", "value")
+        )
+
+    def suggest(
+        self,
+        term: str,
+        k: int = 5,
+        field: str = "content",
+        max_edits: int = 2,
+    ) -> DataFrame:
+        """Did-you-mean — Lucene suggest-module SpellChecker analog
+        (plain Levenshtein, its default StringDistance; the engine's
+        FUZZY QUERY matching stays Damerau like Lucene FuzzyQuery):
+        dictionary terms within ``max_edits`` edits of ``term``,
+        ranked (distance asc, df desc, term asc).
+
+        Scale shape: a length-windowed slice of the sorted dictionary
+        (parquet min/max pruned via the length predicate's companion
+        term-range when prefixed) with the whole distance + rank in
+        JVM expressions — no Python loop, no collect."""
+        t = term if field == "content_cs" else term.lower()
+        td = self.reader.term_dict.filter(F.col("field") == field)
+        return (
+            td.filter(
+                (F.length("term") >= len(t) - max_edits)
+                & (F.length("term") <= len(t) + max_edits)
+            )
+            .filter(F.levenshtein(F.col("term"), F.lit(t)) <= max_edits)
+            .select(
+                "term",
+                "df",
+                F.levenshtein(F.col("term"), F.lit(t))
+                .cast("long")
+                .alias("distance"),
+            )
+            .orderBy(F.asc("distance"), F.desc("df"), F.asc("term"))
+            .limit(k)
+        )
+
     def more_like_this(
         self,
         doc_key: str,

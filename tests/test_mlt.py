@@ -107,3 +107,60 @@ def test_mlt_term_knobs(engine):
 
 def test_mlt_unknown_doc_key(engine):
     assert engine.more_like_this("no-such-key", k=5).collect() == []
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_facet_counts_match_python(engine):
+    corpus = generate_documents(SPEC)
+    from collections import Counter
+
+    want = Counter()
+    for r in corpus.itertuples():
+        if "get" in tokenize_lower(r.content):
+            want[("repo", r.repo)] += 1
+            want[("lang", r.lang)] += 1
+    got = {
+        (r["facet"], r["value"]): r["n_docs"]
+        for r in engine.facet_counts("get").collect()
+    }
+    assert got == dict(want)
+    # output ordered (facet, value)
+    rows = [(r["facet"], r["value"]) for r in engine.facet_counts("get").collect()]
+    assert rows == sorted(rows)
+
+
+def test_suggest_matches_python(engine):
+    corpus = generate_documents(SPEC)
+    from collections import Counter
+
+    df = Counter()
+    for r in corpus.itertuples():
+        df.update(set(tokenize_lower(r.content)))
+    q = "stirng"
+    cand = [
+        (t, n, _lev(t, q)) for t, n in df.items() if _lev(t, q) <= 2
+    ]
+    cand.sort(key=lambda p: (p[2], -p[1], p[0]))
+    got = [
+        (r["term"], r["df"], r["distance"])
+        for r in engine.suggest(q, k=5).collect()
+    ]
+    assert got == cand[:5]
+    # the corpus's planted typo 'strng' sits at distance 1, the real
+    # word 'string' at 2 — ranking is by distance first
+    assert [t for t, _, _ in got[:2]] == ["strng", "string"]
+
+
+def test_suggest_no_candidates(engine):
+    assert engine.suggest("zzzzzzzzzzzz", k=5).collect() == []
