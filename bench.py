@@ -171,6 +171,24 @@ def main() -> None:
         p50(lambda: eng.search_many(batch, k=100).collect()), 3
     )
 
+    # r3 query-side additions (informational extras)
+    from pyspark.sql import functions as _F
+
+    mlt_key = (
+        eng.reader.docs.filter(_F.col("path").rlike(r"/3\.txt$"))
+        .select("doc_key")
+        .collect()[0]["doc_key"]
+    )
+    queries["q_mlt"] = round(
+        p50(lambda: eng.more_like_this(mlt_key, k=10).collect()), 3
+    )
+    queries["q_facets"] = round(
+        p50(lambda: eng.facet_counts("spark").collect()), 3
+    )
+    queries["q_suggest"] = round(
+        p50(lambda: eng.suggest("hast", k=5).collect()), 3
+    )
+
     # ---- phase 3b: trigram substring/regex search (r2) ----
     # separate index: content_trigram is opt-in and must not perturb
     # the round-comparable build_sf_docs key
@@ -309,7 +327,8 @@ def main() -> None:
     docs_df = entrymod._load(spark, sf_dir, "documents")
     emb = entrymod._load(spark, sf_dir, "embeddings")
     qvec = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
-    from codeindex_spark.ops.analysis import repetition_stats
+    from codeindex_spark.ops.analysis import corpus_profile, repetition_stats
+    from codeindex_spark.ops.dsir import dsir_log_weights, dsir_resample
     from codeindex_spark.ops.dedup import (
         contamination_overlaps,
         duplicate_components,
@@ -331,6 +350,15 @@ def main() -> None:
         "op_components": lambda: duplicate_components(
             minhash_lsh_pairs(docs_df)
         ).count(),
+        "op_profile": lambda: corpus_profile(docs_df).collect(),
+        "op_dsir": lambda: dsir_resample(
+            dsir_log_weights(
+                docs_df,
+                docs_df.filter(F.col("lang") == "zh"),
+                num_buckets=4096,
+            ),
+            100,
+        ).collect(),
     }
     for name, fn in opset.items():
         queries[name] = round(p50(fn), 3)
@@ -353,6 +381,11 @@ def main() -> None:
         "op_repetition",
         "op_contamination",
         "op_components",
+        "op_profile",
+        "op_dsir",
+        "q_mlt",
+        "q_facets",
+        "q_suggest",
     }
     total = sum(v for k, v in queries.items() if k not in EXTRA_KEYS)
     result.update(

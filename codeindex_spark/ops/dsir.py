@@ -38,40 +38,47 @@ def _tokens(text_col: str):
     )
 
 
-def _gram_buckets(text_col: str, n: int, num_buckets: int):
-    """Array of hashed bucket ids for every order-1..n gram of the
-    doc. Each order is ONE flat transform over positions (no nested
-    higher-order-function lambdas — see ops/lm.py); bucket =
-    first-8-hex-chars of md5(gram) mod B, portable across engines."""
-    t = _tokens(text_col)
-
-    # NB: the lambda handed to F.transform must take exactly ONE
-    # parameter — a second parameter (even a defaulted `k=k`) makes
-    # pyspark dispatch to the (element, index) variant and silently
-    # rebinds it to the array index.
-    def _order_lambda(k: int):
-        return lambda i: F.when(
-            i + (k - 1) <= F.size(t),
-            F.array_join(F.slice(t, i, k), " "),
-        )
-
-    per_order = [
-        F.filter(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(t), F.lit(1))),
-                _order_lambda(k),
+def _bucket_rows(
+    df: DataFrame, text_col: str, n: int, num_buckets: int, extra=()
+) -> DataFrame:
+    """(*extra, bucket) — one row per order-1..n gram occurrence.
+    Tokens are materialized ONCE per row and gram windows come from
+    an exploded position column with plain slice expressions — the
+    lm.py shape. (The obvious spelling, HOF lambdas over the token
+    array with the split re-embedded in each one, re-splits the doc
+    per gram position because Spark does not CSE through lambda
+    bodies: measured 36.9 s vs 3.3 s warm for the full weight+resample
+    pipeline at sf0.1.) bucket = first-8-hex of md5(gram) mod B,
+    portable across engines."""
+    t, i = F.col("_t"), F.col("_i")
+    toks = df.select(*extra, _tokens(text_col).alias("_t")).filter(
+        F.size("_t") > 0
+    )
+    pos = toks.select(
+        *extra, "_t", F.explode(F.sequence(F.lit(1), F.size("_t"))).alias("_i")
+    )
+    grams = pos.select(
+        *extra,
+        F.explode(
+            F.array(
+                *[
+                    F.when(
+                        i + (k - 1) <= F.size(t),
+                        F.array_join(F.slice(t, i, k), " "),
+                    )
+                    for k in range(1, n + 1)
+                ]
+            )
+        ).alias("_g"),
+    ).filter(F.col("_g").isNotNull())
+    return grams.select(
+        *extra,
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("_g")), 1, 8), 16, 10).cast(
+                "long"
             ),
-            lambda g: g.isNotNull(),
-        )
-        for k in range(1, n + 1)
-    ]
-    grams = F.concat(*per_order) if len(per_order) > 1 else per_order[0]
-    return F.transform(
-        grams,
-        lambda g: F.pmod(
-            F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
             F.lit(num_buckets),
-        ),
+        ).alias("bucket"),
     )
 
 
@@ -79,9 +86,7 @@ def _bucket_counts(
     df: DataFrame, text_col: str, n: int, num_buckets: int
 ) -> DataFrame:
     return (
-        df.select(
-            F.explode(_gram_buckets(text_col, n, num_buckets)).alias("bucket")
-        )
+        _bucket_rows(df, text_col, n, num_buckets)
         .groupBy("bucket")
         .agg(F.count("*").alias("cnt"))
     )
@@ -134,9 +139,8 @@ def dsir_log_weights(
             - F.log((F.col("cnt_raw") + s) / denom_r)
         ).alias("log_ratio"),
     )
-    scored = raw.select(
-        F.col(id_col),
-        F.explode(_gram_buckets(text_col, n, num_buckets)).alias("bucket"),
+    scored = _bucket_rows(
+        raw, text_col, n, num_buckets, extra=(F.col(id_col),)
     )
     return (
         scored.join(F.broadcast(ratios), "bucket")
