@@ -937,6 +937,31 @@ def _q_lm_score(spark, sf_dir):
     )
 
 
+def _q_mixture(spark, sf_dir):
+    """Domain-mixture export (beyond-reference): exact per-group
+    takes realizing 40/30/30 en/zh/de at the largest feasible total;
+    membership = lowest md5(seed:id) per group, RNG-free."""
+    from codeindex_spark.ops.mixing import mixture_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    out = mixture_sample(docs, {"en": 0.4, "zh": 0.3, "de": 0.3})
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+def _q_shards(spark, sf_dir):
+    """Deterministic shard assignment: hash-uniform shard in [0,8),
+    reported as per-shard counts."""
+    from codeindex_spark.ops.mixing import assign_shards
+
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        assign_shards(docs, 8)
+        .groupBy("shard")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("shard")
+    )
+
+
 def _q_facets(spark, sf_dir):
     """Facet counts over the 'spark' match set by repo and lang — the
     code-search sidebar breakdown. One query evaluation, unpivoted
@@ -1259,6 +1284,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_facets": _q_facets,
         "q29_suggest": _q_suggest,
         "tx_profile": _q_profile,
+        "px_mixture": _q_mixture,
+        "px_shards": _q_shards,
         "px_chunk": _q_chunk,
         "px_chunk_dedup": _q_chunk_dedup,
         "px_sample": _q_sample,
@@ -1957,6 +1984,36 @@ def oracle_sql() -> dict[str, str]:
               FROM kept GROUP BY doc_id)
             SELECT doc_id, k.text, n.n_paras, k.n_kept
             FROM n JOIN k USING (doc_id)""",
+        # mixture export: scarcest group binds the feasible total,
+        # floor(total*prop) takes, lowest-md5 membership per group
+        "px_mixture": """WITH n AS (
+              SELECT lang AS g, count(*)::DOUBLE AS n
+              FROM documents GROUP BY lang),
+            p AS (SELECT * FROM (VALUES
+                  ('en', 0.4::DOUBLE), ('zh', 0.3::DOUBLE),
+                  ('de', 0.3::DOUBLE)) t(g, prop)),
+            feas AS (SELECT min(n.n / p.prop) AS total
+                     FROM n JOIN p USING (g)),
+            takes AS (SELECT p.g,
+                             floor((SELECT total FROM feas) * p.prop)::BIGINT
+                               AS take
+                      FROM p),
+            ranked AS (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)),
+                                doc_id) AS rn
+              FROM documents WHERE lang IN ('en', 'zh', 'de'))
+            SELECT r.doc_id, r.lang
+            FROM ranked r JOIN takes t ON t.g = r.lang
+            WHERE r.rn <= t.take ORDER BY r.doc_id""",
+        # hash-uniform deterministic shards, reported as counts
+        "px_shards": """SELECT
+              (('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+                               1, 8))::BIGINT % 8)::INTEGER AS shard,
+              count(*)::BIGINT AS n_docs
+            FROM documents GROUP BY 1 ORDER BY 1""",
         # facet counts over the docs matching term 'spark'
         "q28_facets": f"""WITH {_TOK},
             m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark')
