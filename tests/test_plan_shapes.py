@@ -69,3 +69,54 @@ def test_metadata_filter_is_catalyst_predicate(engine):
     assert "lang" in pushed
     read = plan.split("ReadSchema", 1)[1][:200]
     assert "content" not in read  # column pruning: no content bytes
+
+
+def test_suggest_pushes_field_and_length_window(engine):
+    plan = _plan(engine.suggest("stirng", k=5))
+    # field partition-pruned; length window + levenshtein evaluated
+    # on the pruned slice, never a full dictionary pass elsewhere
+    assert "PartitionFilters" in plan
+    assert "levenshtein" in plan
+    # top-k is a TakeOrdered, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_facets_single_group_shuffle(engine):
+    plan = _plan(engine.facet_counts("get"))
+    # ONE aggregate pair over the unpivoted rows: partial+final =
+    # exactly 2 HashAggregate operators for the facet count itself
+    # (the score side has its own); and no Cartesian anywhere
+    assert "CartesianProduct" not in plan
+    assert plan.count("Expand") <= 1  # unpivot lowers to one Expand
+
+
+def test_mixture_exact_shuffles_on_group_only(spark):
+    from codeindex_spark.ops.mixing import mixture_sample
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "zh", "t") for i in range(40)],
+        "doc_id long, lang string, text string",
+    )
+    plan = _plan(mixture_sample(docs, {"en": 0.5, "zh": 0.5}))
+    # the window rank partitions by the group column
+    assert "hashpartitioning(lang" in plan
+
+
+def test_mixture_approx_is_shuffle_free(spark):
+    from codeindex_spark.ops.mixing import mixture_sample
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "zh", "t") for i in range(40)],
+        "doc_id long, lang string, text string",
+    )
+    plan = _plan(mixture_sample(docs, {"en": 0.5, "zh": 0.5}, exact=False))
+    assert "Exchange" not in plan  # pure map-side filter
+
+
+def test_assign_shards_is_map_side(spark):
+    from codeindex_spark.ops.mixing import assign_shards
+
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(10)], "doc_id long, text string"
+    )
+    assert "Exchange" not in _plan(assign_shards(docs, 8))
