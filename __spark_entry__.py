@@ -672,6 +672,26 @@ def _q_ann_ivf(spark, sf_dir):
     return ivf_search(idx, list(qvec), k=5, n_probe=3).select("vec_id")
 
 
+def _q_ann_pq(spark, sf_dir):
+    """PQ ANN (Jégou 2011): seeded per-subspace codebooks, Arrow
+    encode to 8 codes/vector, ADC table-lookup top-20, exact cosine
+    re-rank to top-5. The oracle replays train/encode/ADC in numpy
+    and ranks the candidates by exact cosine in SQL."""
+    from codeindex_spark.ops.similarity import pq_ann_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    return pq_ann_topk(
+        emb.filter(F.col("vec_id") != 0),
+        list(qvec),
+        dim=64,
+        k=5,
+        m=8,
+        n_codes=16,
+        refine=4,
+    ).select("vec_id")
+
+
 def _q_preview_highlight(spark, sf_dir):
     """V1 HTML highlight (CodeIndexSearcher.cs:50-103): top-10 BM25
     docs with matched tokens span-wrapped in the (cased) content."""
@@ -1266,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hy_rrf": _q_hybrid_rrf,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_pq_topk": _q_ann_pq,
         "pv_highlight": _q_preview_highlight,
         "pv_matched_lines": _q_matched_lines,
         "pv_grep_lines": _q_grep_lines,
@@ -1324,6 +1345,59 @@ def _oracle_embedding_matrix():
         [np.asarray(v, dtype=np.float64) for v in emb["embedding"]]
     )
     return ids, mat
+
+
+def _pq_candidate_ids(
+    m: int = 8,
+    n_codes: int = 16,
+    k: int = 5,
+    refine: int = 4,
+    seed: int = 43,
+    sample: int = 2048,
+    iters: int = 10,
+) -> str:
+    """ADC top-(k*refine) candidates for ann_pq_topk: the same seeded
+    per-subspace k-means + expanded-form encode + table-lookup scores
+    rerun in plain numpy from parquet (ties: score desc, id asc)."""
+    import numpy as np
+
+    ids, mat = _oracle_embedding_matrix()
+    q = mat[ids == 0][0].astype(np.float64)
+    keep = ids != 0
+    ids, mat = ids[keep], mat[keep]
+
+    def norm(x):
+        n = np.linalg.norm(x, axis=-1, keepdims=True)
+        return x / np.maximum(n, 1e-12)
+
+    matn = norm(mat.astype(np.float64))
+    train = matn[:sample]
+    d = matn.shape[1] // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, n_codes, d))
+    for j in range(m):
+        sub = train[:, j * d : (j + 1) * d]
+        cb = sub[rng.choice(len(sub), size=n_codes, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(n_codes):
+                members = sub[assign == c]
+                if len(members):
+                    cb[c] = members.mean(axis=0)
+        books[j] = cb
+    sq = (books**2).sum(axis=2)
+    codes = np.empty((len(matn), m), dtype=np.int64)
+    for j in range(m):
+        sub = matn[:, j * d : (j + 1) * d]
+        codes[:, j] = (-2.0 * (sub @ books[j].T) + sq[j][None, :]).argmin(
+            axis=1
+        )
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    table = np.stack([books[j] @ qn[j * d : (j + 1) * d] for j in range(m)])
+    scores = table[np.arange(m)[None, :], codes].sum(axis=1)
+    order = np.lexsort((ids, -scores))[: k * refine]
+    return ",".join(str(int(i)) for i in ids[order])
 
 
 def _lsh_candidate_ids(n_bits: int = 6, seed: int = 42) -> str:
@@ -1839,6 +1913,15 @@ def oracle_sql() -> dict[str, str]:
                        WHERE vec_id = 0)
             SELECT vec_id FROM embeddings
             WHERE vec_id IN ({_ivf_candidate_ids()})
+            ORDER BY list_cosine_similarity(embedding::DOUBLE[],
+                                            (SELECT e FROM q)) DESC,
+                     vec_id
+            LIMIT 5""",
+        "ann_pq_topk": f"""
+            WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings
+                       WHERE vec_id = 0)
+            SELECT vec_id FROM embeddings
+            WHERE vec_id IN ({_pq_candidate_ids()})
             ORDER BY list_cosine_similarity(embedding::DOUBLE[],
                                             (SELECT e FROM q)) DESC,
                      vec_id

@@ -918,3 +918,70 @@ def test_corpus_profile(spark):
     }
     assert approx["en"]["n_docs"] == 4
     assert 1.0 <= approx["en"]["q50"] <= 10.0
+
+
+def test_pq_encode_matches_numpy_and_recall(spark):
+    """Codes == numpy replay (same expanded-form argmin); ADC scores
+    == table-lookup replay; end-to-end recall against brute force."""
+    from codeindex_spark.ops.similarity import (
+        brute_force_cosine_topk,
+        pq_adc_topk,
+        pq_ann_topk,
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    rng = np.random.default_rng(17)
+    mat32 = rng.standard_normal((160, 16)).astype(np.float32)
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in mat32[i]]) for i in range(160)],
+        "vec_id long, embedding array<float>",
+    )
+    books = pq_train_codebooks(vecs, dim=16, m=4, n_codes=8, sample=160)
+    assert books.shape == (4, 8, 4)
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(vecs, books).collect()
+    }
+    # numpy replay with the same expanded form
+    m64 = mat32.astype(np.float64)
+    m64 = m64 / np.maximum(np.linalg.norm(m64, axis=1, keepdims=True), 1e-12)
+    sq = (books**2).sum(axis=2)
+    for i in range(160):
+        want = [
+            int((-2.0 * (m64[i, j * 4 : (j + 1) * 4] @ books[j].T) + sq[j]).argmin())
+            for j in range(4)
+        ]
+        assert got[i] == want, i
+    # ADC replay on a few ids
+    q = [float(x) for x in mat32[3]]
+    qn = np.asarray(q, dtype=np.float64)
+    qn = qn / np.linalg.norm(qn)
+    table = np.stack([books[j] @ qn[j * 4 : (j + 1) * 4] for j in range(4)])
+    adc = {
+        r["vec_id"]: r["adc_score"]
+        for r in pq_adc_topk(pq_encode(vecs, books), books, q, k=20).collect()
+    }
+    for vid, s in adc.items():
+        want = sum(table[j, got[vid][j]] for j in range(4))
+        assert s == pytest.approx(want, rel=1e-12)
+    # recall: query point found, decent top-5 overlap with exact
+    exact = [r["vec_id"] for r in brute_force_cosine_topk(vecs, q, k=5).collect()]
+    approx = [
+        r["vec_id"]
+        for r in pq_ann_topk(vecs, q, dim=16, k=5, m=4, n_codes=8).collect()
+    ]
+    assert exact[0] == 3 and approx[0] == 3
+    assert len(set(exact) & set(approx)) >= 3
+
+
+def test_pq_validation(spark):
+    from codeindex_spark.ops.similarity import pq_train_codebooks
+
+    vecs = spark.createDataFrame(
+        [(0, [0.0] * 10)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError):
+        pq_train_codebooks(vecs, dim=10, m=3)
+    with pytest.raises(ValueError):
+        pq_train_codebooks(vecs, dim=10, m=2, n_codes=0)
