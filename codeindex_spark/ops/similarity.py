@@ -709,3 +709,52 @@ def pq_ann_topk(
     cand = pq_adc_topk(codes, codebooks, query_vec, k * refine, id_col)
     pool = vectors.join(cand.select(id_col), id_col, "left_semi")
     return brute_force_cosine_topk(pool, query_vec, k, id_col, vec_col)
+
+
+def ivf_pq_topk(
+    vectors: DataFrame,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    refine: int = 4,
+    seed: int = 42,
+    pq_seed: int = 43,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index: IvfIndex | None = None,
+    codebooks: np.ndarray | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """IVF+PQ (the FAISS IndexIVFPQ composition): coarse-probe the
+    ``n_probe`` nearest cells, ADC-rank ONLY their members' codes,
+    exact-cosine re-rank the top ``k*refine``. The two prune levers
+    stack — the probe cuts candidates to O(N·n_probe/n_centroids)
+    rows, PQ cuts bytes-per-candidate to m codes — which is what a
+    100 TB vector scan actually needs; recall knobs are n_probe and
+    refine. Pass a prebuilt ``index``/``codebooks``/``codes`` to
+    amortize the corpus-sized steps across queries."""
+    if index is None:
+        index = ivf_build(
+            vectors, dim, n_centroids, seed=seed, id_col=id_col,
+            vec_col=vec_col,
+        )
+    if codebooks is None:
+        codebooks = pq_train_codebooks(
+            vectors, dim, m, n_codes, seed=pq_seed, vec_col=vec_col
+        )
+    if codes is None:
+        codes = pq_encode(vectors, codebooks, id_col, vec_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe = np.argsort(-(index.centroids @ qn))[:n_probe].tolist()
+    members = index.cells.filter(F.col("centroid").isin(probe)).select(
+        id_col
+    )
+    cand_codes = codes.join(members, id_col, "left_semi")
+    cand = pq_adc_topk(cand_codes, codebooks, query_vec, k * refine, id_col)
+    pool = vectors.join(cand.select(id_col), id_col, "left_semi")
+    return brute_force_cosine_topk(pool, query_vec, k, id_col, vec_col)

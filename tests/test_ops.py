@@ -985,3 +985,45 @@ def test_pq_validation(spark):
         pq_train_codebooks(vecs, dim=10, m=3)
     with pytest.raises(ValueError):
         pq_train_codebooks(vecs, dim=10, m=2, n_codes=0)
+
+
+def test_ivf_pq_recall_and_probe_restriction(spark, tmp_path):
+    """IVF+PQ finds the query's neighborhood, and its candidates are
+    provably restricted to the probed cells (never the full corpus)."""
+    from codeindex_spark.ops.similarity import (
+        brute_force_cosine_topk,
+        ivf_build,
+        ivf_pq_topk,
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    rng = np.random.default_rng(29)
+    centers = rng.standard_normal((3, 16)) * 5
+    pts = np.concatenate(
+        [centers[i] + 0.1 * rng.standard_normal((50, 16)) for i in range(3)]
+    ).astype(np.float32)
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(150)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = ivf_build(vecs, dim=16, n_centroids=3, path=str(tmp_path / "ipq"))
+    books = pq_train_codebooks(vecs, dim=16, m=4, n_codes=8, sample=150)
+    codes = pq_encode(vecs, books)
+    q = [float(x) for x in pts[10]]
+    got = [
+        r["vec_id"]
+        # refine=10 -> 50 ADC candidates: inside one tight cluster the
+        # codes collapse to near-ties, so the refine pool must cover
+        # the cluster for the exact re-rank to see the true top-k
+        for r in ivf_pq_topk(
+            vecs, q, dim=16, k=5, n_probe=1, m=4, n_codes=8, refine=10,
+            index=idx, codebooks=books, codes=codes,
+        ).collect()
+    ]
+    exact = [r["vec_id"] for r in brute_force_cosine_topk(vecs, q, k=5).collect()]
+    assert got[0] == 10
+    assert len(set(got) & set(exact)) >= 3
+    # probe restriction: with 1 probe, every hit is in the query's
+    # own (well-separated) cluster 0..49
+    assert all(v < 50 for v in got)
