@@ -1572,7 +1572,16 @@ class SearchEngine:
             if len(chosen) == 1
             else ast.Or(tuple(ast.Term(t, field) for t in chosen))
         )
-        top = self.search(node, k=k + 1, filters=filters)
+        # a 25-term OR is exactly the block-max WAND case: prune
+        # posting blocks by upper bound before decoding. Fall back to
+        # the plain path when tombstones or metadata filters apply
+        # (they drop rows AFTER scoring, which would starve a
+        # pre-limited WAND result).
+        live = getattr(self.reader, "live_doc_ids", lambda: None)()
+        if filters is None and live is None:
+            top = self.search_wand(node, k=k + 1)
+        else:
+            top = self.search(node, k=k + 1, filters=filters)
         return (
             top.filter(F.col("doc_id") != src_id)
             .orderBy(F.desc("score"), F.asc("doc_id"))
