@@ -1435,6 +1435,7 @@ class SearchEngine:
         by: tuple[str, ...] = ("repo", "lang"),
         filters: "Filters | None" = None,
         case_sensitive: bool = False,
+        top_values: int | None = None,
     ) -> DataFrame:
         """Facet counts over the matching doc set — the code-search
         sidebar (GitHub / Zoekt-style result breakdown): one (facet,
@@ -1458,11 +1459,23 @@ class SearchEngine:
             .join(matched, "doc_id", "left_semi")
             .unpivot("doc_id", list(by), "facet", "value")
         )
-        return (
-            j.groupBy("facet", "value")
-            .agg(F.count("*").alias("n_docs"))
-            .orderBy("facet", "value")
+        counts = j.groupBy("facet", "value").agg(
+            F.count("*").alias("n_docs")
         )
+        if top_values is not None:
+            # high-cardinality facet columns (e.g. file_ext over a web
+            # crawl) return only the top-N values per facet, the
+            # Lucene faceting contract — rank over the already-small
+            # aggregate, not the match set
+            w = Window.partitionBy("facet").orderBy(
+                F.desc("n_docs"), F.asc("value")
+            )
+            counts = (
+                counts.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") <= top_values)
+                .drop("_rk")
+            )
+        return counts.orderBy("facet", "value")
 
     def suggest(
         self,
@@ -1508,6 +1521,7 @@ class SearchEngine:
         max_query_terms: int = 25,
         min_term_freq: int = 2,
         min_doc_freq: int = 5,
+        max_num_tokens_parsed: int = 5000,
         filters: "Filters | None" = None,
     ) -> DataFrame:
         """Find documents similar to a stored one — Lucene
@@ -1539,6 +1553,10 @@ class SearchEngine:
             if field == "content_cs"
             else tokenize_lower(src[0]["content"] or "")
         )
+        # Lucene MLT maxNumTokensParsed: bound the driver-side term
+        # table by the doc PREFIX, so a pathological multi-MB source
+        # doc can't explode the tf map or the dictionary slice
+        toks = toks[:max_num_tokens_parsed]
         tf: dict[str, int] = {}
         for t in toks:
             tf[t] = tf.get(t, 0) + 1

@@ -164,3 +164,40 @@ def test_suggest_matches_python(engine):
 
 def test_suggest_no_candidates(engine):
     assert engine.suggest("zzzzzzzzzzzz", k=5).collect() == []
+
+
+def test_mlt_token_parse_cap(engine):
+    corpus = generate_documents(SPEC)
+    row, doc_key, _ = _src(engine, corpus)
+    # capped parse = term selection over the doc PREFIX only: a cap of
+    # 1 leaves a single token with tf=1, below min_term_freq=2 ->
+    # provably empty regardless of corpus content
+    assert (
+        engine.more_like_this(doc_key, k=5, max_num_tokens_parsed=1).collect()
+        == []
+    )
+    # a generous cap changes nothing for this short doc
+    full = [
+        r["doc_id"] for r in engine.more_like_this(doc_key, k=5).collect()
+    ]
+    wide = [
+        r["doc_id"]
+        for r in engine.more_like_this(
+            doc_key, k=5, max_num_tokens_parsed=10**6
+        ).collect()
+    ]
+    assert full == wide
+
+
+def test_facet_top_values(engine):
+    full = engine.facet_counts("get").collect()
+    top1 = engine.facet_counts("get", top_values=1).collect()
+    by_facet = {}
+    for r in top1:
+        by_facet.setdefault(r["facet"], []).append(r)
+    assert all(len(v) == 1 for v in by_facet.values())
+    # the survivor is the max-count value (ties: value asc)
+    for facet, rows in by_facet.items():
+        cand = [r for r in full if r["facet"] == facet]
+        best = sorted(cand, key=lambda r: (-r["n_docs"], r["value"]))[0]
+        assert rows[0]["value"] == best["value"]
