@@ -5,6 +5,8 @@ complementing the build-job evidence in bench_scaling*.py.
                   (collapse_exact + hot_bucket_cap) — shuffle-heavy.
 --op repetition : repetition_stats — the zero-shuffle CPU-bound
                   contrast.
+--op dsir       : DSIR weights + Gumbel-top-k — two bounded-key
+                  groupBys plus a broadcast-joined scoring pass.
 
 Same protocol as bench_scaling_pooled.py: N independent runs per
 parallelism level, one JVM each, levels interleaved, pooled
@@ -37,6 +39,7 @@ sys.path.insert(0, {repo!r})
 from codeindex_spark.session import get_spark
 from codeindex_spark.ops.dedup import minhash_lsh_pairs
 from codeindex_spark.ops.analysis import repetition_stats
+from codeindex_spark.ops.dsir import dsir_log_weights, dsir_resample
 from pyspark.sql import functions as F
 
 cpus = {cpus}
@@ -57,6 +60,12 @@ OPS = {{
     "minhash": lambda d: minhash_lsh_pairs(d, collapse_exact=True,
                                            hot_bucket_cap=50),
     "repetition": lambda d: repetition_stats(d),
+    # target = a deterministic 10% id slice; resample bounded to 1000
+    "dsir": lambda d: dsir_resample(
+        dsir_log_weights(d, d.filter(F.pmod("doc_id", F.lit(10)) == 0),
+                         num_buckets=4096),
+        1000,
+    ),
 }}
 OP = OPS[{op!r}]
 # untimed warmup: compile the plan shapes on a small slice
@@ -93,7 +102,7 @@ def main() -> None:
     ap.add_argument("--levels", default="2,8")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--op", default="minhash",
-                    choices=["minhash", "repetition"])
+                    choices=["minhash", "repetition", "dsir"])
     args = ap.parse_args()
     levels = [int(x) for x in args.levels.split(",")]
     if len(levels) != 2 or levels[0] == levels[1]:
@@ -139,8 +148,9 @@ def main() -> None:
         for cpus, rs in runs.items()
     }
     payload = {
-        "op": "minhash_lsh_pairs" if args.op == "minhash"
-        else "repetition_stats",
+        "op": {"minhash": "minhash_lsh_pairs",
+               "repetition": "repetition_stats",
+               "dsir": "dsir_log_weights+resample"}[args.op],
         "n_docs": args.docs,
         "protocol": (
             f"{args.runs} independent runs per level on the same "
