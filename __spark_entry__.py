@@ -1722,10 +1722,16 @@ def oracle_sql() -> dict[str, str]:
             FROM contrib WHERE term IN ('fast', 'sort')
             GROUP BY doc_id""",
         # term range [query TO sort}: lexicographic dictionary slice,
-        # lo inclusive / hi exclusive, per-term contributions summed
-        "q25_term_range": f"""WITH {_CONTRIB}
+        # lo inclusive / hi exclusive, per-term contributions summed.
+        # The slice is capped at the engine's MAX_EXPANSIONS=1024
+        # dictionary terms (planner.py Range expansion orders by term
+        # and limits) so the oracle stays exact at any scale factor
+        "q25_term_range": f"""WITH {_CONTRIB},
+            rng AS (SELECT DISTINCT term FROM contrib
+                    WHERE term >= 'query' AND term < 'sort'
+                    ORDER BY term LIMIT 1024)
             SELECT doc_id, round(sum(c), 6) AS score FROM contrib
-            WHERE term >= 'query' AND term < 'sort' GROUP BY doc_id""",
+            WHERE term IN (SELECT term FROM rng) GROUP BY doc_id""",
         # +merge batch -spark: MUST merge (defines the doc set),
         # SHOULD batch (adds its contribution only where present),
         # MUST_NOT spark (filters). coalesce(+0.0) is exact in

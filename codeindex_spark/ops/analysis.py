@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from codeindex_spark.ops._text import ws_tokens
 from codeindex_spark.util import ensure_parallelism
 
 # compact stopword tables (public common-word lists, truncated)
@@ -254,9 +255,7 @@ def corpus_profile(
     distinct (group, token) count: keyed on the token, so skew is
     bounded by vocabulary, not corpus size.
     """
-    toks = F.filter(
-        F.split(F.trim(F.col(text_col)), " +"), lambda w: w != ""
-    )
+    toks = ws_tokens(text_col, lower=False)
     counts = df.select(
         F.col(group_col).alias("grp"),
         F.size(toks).alias("n_tokens"),

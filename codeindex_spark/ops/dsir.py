@@ -29,13 +29,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from codeindex_spark.ops._text import ws_tokens
+
 __all__ = ["dsir_log_weights", "dsir_resample"]
 
-
-def _tokens(text_col: str):
-    return F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), " +"), lambda w: w != ""
-    )
+_tokens = ws_tokens
 
 
 def _bucket_rows(

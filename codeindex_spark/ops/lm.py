@@ -35,15 +35,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from codeindex_spark.ops._text import ws_tokens
+
 __all__ = ["lm_train", "lm_score"]
 
 _OOV_ORDER = 0  # model row holding the unigram floor probability
 
-
-def _tokens(text_col: str):
-    return F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), " +"), lambda w: w != ""
-    )
+_tokens = ws_tokens
 
 
 def _order_gram_structs(tok_col: str, i_col: str, n: int):
@@ -157,7 +155,7 @@ def lm_score(
     model: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n: int = 3,
+    n: int | None = None,
     alpha: float = 0.4,
     broadcast_model: bool = False,
 ) -> DataFrame:
@@ -165,7 +163,20 @@ def lm_score(
     position carries its order-1..n gram keys; n left joins against
     the model resolve the highest order present; backoff multiplies
     alpha per order skipped. ``avg_log10_p`` is the mean log10
-    stupid-backoff score per token (higher = more corpus-like)."""
+    stupid-backoff score per token (higher = more corpus-like).
+
+    ``n`` defaults to the model's max surviving ``order`` (one tiny
+    aggregate job): scoring a bigram model at n=3 would charge every
+    full-context position a spurious alpha backoff (no order-3 rows
+    can ever match). An EXPLICIT ``n`` above that is still honored —
+    a min_count-pruned model may legitimately have lost its entire
+    top order while the caller scores at the trained order so pruned
+    grams back off one level deeper."""
+    if n is None:
+        trained = model.agg(F.max("order")).first()[0]
+        if trained is None or trained < 1:
+            raise ValueError("model has no gram rows (order >= 1)")
+        n = int(trained)
     if n < 1:
         raise ValueError("n must be >= 1")
     m = F.broadcast(model) if broadcast_model else model

@@ -35,8 +35,12 @@ engine for oracle checks:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from codeindex_spark.ops._text import ws_tokens
 
 # ordered: URLs first (an email-shaped string inside a URL must count
 # as the URL), then emails, then bare IPv4
@@ -79,7 +83,7 @@ def chunk_documents(
     chunk_tokens - stride. Empty docs produce no chunks."""
     if stride <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
-    toks = F.filter(F.split(F.trim(F.col(text_col)), " +"), lambda w: w != "")
+    toks = ws_tokens(text_col, lower=False)
     n = F.size(toks)
     starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
     out = df.select(
@@ -270,9 +274,13 @@ def paragraph_dedup(
     exploded = df.select(
         F.col(id_col),
         *keys,
-        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias(
-            "_idx", "_para"
-        ),
+        # split's pattern arg is a Java regex; the separator is a
+        # LITERAL (the docstring contract, and array_join below uses
+        # it literally) — escape it so '|', '.', '+' seps don't
+        # explode every character boundary
+        F.posexplode(
+            F.split(F.col(text_col), F.lit(re.escape(sep)))
+        ).alias("_idx", "_para"),
     ).withColumn("_h", F.md5(norm))
     # empty/whitespace-only paragraphs are separators, not content:
     # dropped up front so they neither dedup against each other nor

@@ -577,8 +577,13 @@ def pq_train_codebooks(
     if n_codes < 1:
         raise ValueError("n_codes must be >= 1")
     pdf = vectors.orderBy(vectors.columns[0]).limit(sample).toPandas()
+    if len(pdf) == 0:
+        raise ValueError("cannot train PQ codebooks on an empty corpus")
     mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    # a corpus smaller than the codebook still trains: every vector
+    # becomes (at most) its own centroid
+    n_codes = min(n_codes, len(mat))
     d = dim // m
     rng = np.random.default_rng(seed)
     books = np.empty((m, n_codes, d), dtype=np.float64)

@@ -440,11 +440,7 @@ class _Parser:
             if t is not None and t.upper() in ("AND", "&&"):
                 self.next()
                 nxt = self.peek()
-                if (
-                    nxt is not None
-                    and nxt.upper() == "NOT"
-                    and self.i + 1 < len(self.toks)
-                ):
+                if nxt is not None and nxt.upper() == "NOT":
                     # 'a AND NOT b' — classic-parser compound: the
                     # clause after NOT is prohibited
                     self.next()
@@ -539,7 +535,16 @@ class _Parser:
     _RANGE_RE = re.compile(
         r"^([\[{])(.+?) TO (.+?)([\]}])(?:\^(\S+))?$"
     )
-    _RANGE_END_RE = re.compile(r"[\]}](\^\S*)?$")
+    _RANGE_END_RE = re.compile(r"(\\*)([\]}])(\^\S*)?$")
+
+    @classmethod
+    def _closes_range(cls, tok: str) -> bool:
+        """True when the token ends with an UNESCAPED ``]``/``}``
+        (modulo an optional ``^boost`` suffix). An even run of
+        backslashes before the bracket means the bracket itself is
+        literal syntax; an odd run escapes it into the endpoint."""
+        m = cls._RANGE_END_RE.search(tok)
+        return m is not None and len(m.group(1)) % 2 == 0
 
     def _range_tail(self, first: str, fld: str) -> Node:
         """``[a TO b]`` / ``{a TO b}`` term range. The lexer splits on
@@ -551,7 +556,7 @@ class _Parser:
         they lowercase with the field's analyzer like every other
         leaf."""
         parts = [first]
-        while not self._RANGE_END_RE.search(parts[-1]):
+        while not self._closes_range(parts[-1]):
             nxt = self.peek()
             if nxt is None or nxt in ("(", ")") or nxt.startswith('"'):
                 raise QueryParseError(

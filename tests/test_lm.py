@@ -149,8 +149,30 @@ def test_broadcast_model_same_scores(spark, tiny_docs, model):
 
 def test_bigram_only_model(spark, tiny_docs):
     m = lm_train(tiny_docs, n=2)
-    r = _score_one(spark, m, "the cat")
+    # default n derives the trained order (2) from the model
+    docs = spark.createDataFrame(
+        [(0, "the cat")], "doc_id long, text string"
+    )
+    r = lm_score(docs, m).collect()[0]
     want = (math.log10(4 / 14) + math.log10(2 / 3)) / 2
     assert r["avg_log10_p"] == pytest.approx(want, abs=1e-12)
     with pytest.raises(ValueError):
         lm_train(tiny_docs, n=0)
+
+
+def test_score_order_derives_from_model(spark, tiny_docs):
+    """The default n derives the model's max order: scoring a bigram
+    model at n=3 charges every full-context position a spurious
+    alpha backoff (p3 is always null), so the default must be 2."""
+    m = lm_train(tiny_docs, n=2)
+    docs = spark.createDataFrame(
+        [(0, "the cat sat")], "doc_id long, text string"
+    )
+    derived = lm_score(docs, m).collect()[0]["avg_log10_p"]
+    explicit = lm_score(docs, m, n=2).collect()[0]["avg_log10_p"]
+    assert derived == pytest.approx(explicit, abs=1e-12)
+    # position 3 is a seen bigram ('cat sat'): no backoff penalty
+    want = (
+        math.log10(4 / 14) + math.log10(2 / 3) + math.log10(1 / 2)
+    ) / 3
+    assert derived == pytest.approx(want, abs=1e-12)

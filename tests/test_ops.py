@@ -987,6 +987,26 @@ def test_pq_validation(spark):
         pq_train_codebooks(vecs, dim=10, m=2, n_codes=0)
 
 
+def test_pq_corpus_smaller_than_codebook(spark):
+    """n_codes clamps to the corpus size instead of crashing in
+    rng.choice; the tiny codebook still round-trips a search."""
+    from codeindex_spark.ops.similarity import pq_ann_topk, pq_train_codebooks
+
+    rows = [(i, [float(i == j) for j in range(8)]) for i in range(5)]
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    books = pq_train_codebooks(vecs, dim=8, m=2, n_codes=16, sample=64)
+    assert books.shape == (2, 5, 4)
+    got = pq_ann_topk(
+        vecs, [1.0] + [0.0] * 7, dim=8, k=3, m=2, n_codes=16
+    ).collect()
+    assert len(got) == 3 and got[0]["vec_id"] == 0
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        pq_train_codebooks(empty, dim=8, m=2)
+
+
 def test_ivf_pq_recall_and_probe_restriction(spark, tmp_path):
     """IVF+PQ finds the query's neighborhood, and its candidates are
     provably restricted to the probed cells (never the full corpus)."""

@@ -224,6 +224,28 @@ def test_paragraph_dedup_first_wins(spark):
     assert 3 not in got
 
 
+def test_paragraph_dedup_metachar_separator(spark):
+    """sep is a LITERAL: a regex metacharacter separator ('|') must
+    split on the pipe, not on the empty-alternation regex (which
+    splits every character boundary)."""
+    from codeindex_spark.ops.pipeline import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "alpha|beta|alpha"), (2, "beta|gamma")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r for r in paragraph_dedup(docs, sep="|").collect()
+    }
+    # first occurrence wins corpus-wide (doc 1 idx 0), so doc 1's
+    # repeated 'alpha' at idx 2 dedups away too — and the pipes
+    # survive reassembly because split treated them as literals
+    assert got[1]["text"] == "alpha|beta"
+    assert (got[1]["n_paras"], got[1]["n_kept"]) == (3, 2)
+    assert got[2]["text"] == "gamma"
+    assert (got[2]["n_paras"], got[2]["n_kept"]) == (2, 1)
+
+
 def test_paragraph_dedup_normalization_and_empties(spark):
     from codeindex_spark.ops.pipeline import paragraph_dedup
 

@@ -212,6 +212,18 @@ def test_range_queries():
     assert parse_query(r"[foo\:a TO foo\:b]") == Range(
         "foo:a", "foo:b", True, True, "content"
     )
+    # an ESCAPED closing bracket is endpoint content, not the range
+    # terminator (only an even backslash run before ]/} closes)
+    assert parse_query(r"[a\] TO b]") == Range(
+        "a]", "b", True, True, "content"
+    )
+    assert parse_query(r"[a TO b\}]") == Range(
+        "a", "b}", True, True, "content"
+    )
+    # an even backslash run (escaped backslash) does NOT escape the
+    # bracket: '[a\\]' closes immediately and has no TO -> loud error
+    with pytest.raises(QueryParseError):
+        parse_query(r"[a\\] TO c]")
 
 
 def test_range_query_errors():
@@ -310,6 +322,11 @@ def test_and_not_compound():
     )
     with pytest.raises(QueryParseError):
         parse_query("a AND NOT +b")
+    # truncated at the operator: loud error, NOT must not silently
+    # degrade into the literal term 'not'
+    for bad in ("foo AND NOT", "foo AND", "foo NOT", "foo OR"):
+        with pytest.raises(QueryParseError):
+            parse_query(bad)
 
 
 def test_field_scoped_group():
