@@ -960,6 +960,26 @@ def _q_para_dedup(spark, sf_dir):
     )
 
 
+def _q_span_stats(spark, sf_dir):
+    """Exact substring dedup accounting (beyond-reference, Lee et
+    al. 2022 ExactSubstr semantics over 8-token windows): per doc,
+    how many windows are duplicated elsewhere in the corpus (minus
+    the canonical first occurrence) and what fraction of its tokens
+    those duplicated spans cover."""
+    from codeindex_spark.ops.spans import duplicate_span_stats
+
+    return duplicate_span_stats(_load(spark, sf_dir, "documents"), window=8)
+
+
+def _q_span_scrub(spark, sf_dir):
+    """Span-scrubbed corpus: every token inside a non-canonical
+    duplicated 8-token window removed, survivors rejoined in order;
+    fully-boilerplate docs come back empty rather than vanish."""
+    from codeindex_spark.ops.spans import remove_duplicate_spans
+
+    return remove_duplicate_spans(_load(spark, sf_dir, "documents"), window=8)
+
+
 def _q_lm_score(spark, sf_dir):
     """Stupid-backoff trigram LM quality score (beyond-reference,
     CCNet-style perplexity filter): train on the documents table,
@@ -1322,6 +1342,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_scrub": _q_scrub,
         "tx_lm_score": _q_lm_score,
         "px_para_dedup": _q_para_dedup,
+        "dd_span_stats": _q_span_stats,
+        "dd_span_scrub": _q_span_scrub,
         "px_dsir": _q_dsir,
         "q27_more_like_this": _q_mlt,
         "q28_facets": _q_facets,
@@ -2173,6 +2195,77 @@ def oracle_sql() -> dict[str, str]:
               FROM kept GROUP BY doc_id)
             SELECT doc_id, k.text, n.n_paras, k.n_kept
             FROM n JOIN k USING (doc_id)""",
+        # exact substring span dedup (8-token windows): a window is
+        # duplicated when its gram occurs anywhere else corpus-wide;
+        # the min-(doc,start) occurrence is canonical, the rest are
+        # counted/covered
+        "dd_span_stats": """WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), ' +'),
+                                 w -> w <> '') AS t
+              FROM documents),
+            base AS (SELECT doc_id, t, len(t) AS n FROM toks),
+            w AS (
+              SELECT doc_id, u.s,
+                     array_to_string(list_slice(t, u.s, u.s + 7), ' ') AS g
+              FROM base, UNNEST(range(1, n - 8 + 2)) u(s)
+              WHERE n >= 8),
+            r AS (SELECT doc_id, s,
+                         row_number()
+                           OVER (PARTITION BY g ORDER BY doc_id, s) AS rn,
+                         count(*) OVER (PARTITION BY g) AS c
+                  FROM w),
+            nc AS (SELECT doc_id, s FROM r WHERE c > 1 AND rn > 1),
+            cov AS (SELECT DISTINCT doc_id, u.p
+                    FROM nc, UNNEST(range(s, s + 8)) u(p)),
+            ndup AS (SELECT doc_id, count(*)::BIGINT AS nd
+                     FROM nc GROUP BY doc_id),
+            ncov AS (SELECT doc_id, count(*)::BIGINT AS covered
+                     FROM cov GROUP BY doc_id)
+            SELECT b.doc_id, b.n::BIGINT AS n_tokens,
+                   greatest(b.n - 8 + 1, 0)::BIGINT AS n_windows,
+                   coalesce(ndup.nd, 0)::BIGINT AS n_dup_windows,
+                   CASE WHEN b.n > 0 THEN
+                     round(coalesce(ncov.covered, 0)::DOUBLE
+                           / b.n::DOUBLE, 6)
+                   ELSE 0.0::DOUBLE END AS dup_token_fraction
+            FROM base b LEFT JOIN ndup USING (doc_id)
+                 LEFT JOIN ncov USING (doc_id)""",
+        # span scrub: tokens covered by any non-canonical duplicated
+        # window drop; survivors rejoin in original order
+        "dd_span_scrub": """WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), ' +'),
+                                 w -> w <> '') AS t
+              FROM documents),
+            base AS (SELECT doc_id, t, len(t) AS n FROM toks),
+            w AS (
+              SELECT doc_id, u.s,
+                     array_to_string(list_slice(t, u.s, u.s + 7), ' ') AS g
+              FROM base, UNNEST(range(1, n - 8 + 2)) u(s)
+              WHERE n >= 8),
+            r AS (SELECT doc_id, s,
+                         row_number()
+                           OVER (PARTITION BY g ORDER BY doc_id, s) AS rn,
+                         count(*) OVER (PARTITION BY g) AS c
+                  FROM w),
+            nc AS (SELECT doc_id, s FROM r WHERE c > 1 AND rn > 1),
+            cov AS (SELECT DISTINCT doc_id, u.p
+                    FROM nc, UNNEST(range(s, s + 8)) u(p)),
+            pos AS (SELECT doc_id, u.p, t[u.p] AS tok
+                    FROM base, UNNEST(range(1, n + 1)) u(p)),
+            kept AS (SELECT doc_id, p, tok FROM pos
+                     WHERE NOT EXISTS (
+                       SELECT 1 FROM cov
+                       WHERE cov.doc_id = pos.doc_id AND cov.p = pos.p)),
+            k AS (SELECT doc_id,
+                         string_agg(tok, ' ' ORDER BY p) AS text,
+                         count(*)::BIGINT AS nk
+                  FROM kept GROUP BY doc_id)
+            SELECT b.doc_id, coalesce(k.text, '') AS text,
+                   b.n::BIGINT AS n_tokens,
+                   coalesce(k.nk, 0)::BIGINT AS n_kept_tokens
+            FROM base b LEFT JOIN k USING (doc_id)""",
         # mixture export: scarcest group binds the feasible total,
         # floor(total*prop) takes, lowest-md5 membership per group
         "px_mixture": """WITH n AS (

@@ -329,6 +329,7 @@ def main() -> None:
     qvec = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
     from codeindex_spark.ops.analysis import corpus_profile, repetition_stats
     from codeindex_spark.ops.dsir import dsir_log_weights, dsir_resample
+    from codeindex_spark.ops.spans import remove_duplicate_spans
     from codeindex_spark.ops.dedup import (
         contamination_overlaps,
         duplicate_components,
@@ -351,6 +352,9 @@ def main() -> None:
             minhash_lsh_pairs(docs_df)
         ).count(),
         "op_profile": lambda: corpus_profile(docs_df).collect(),
+        "op_span_scrub": lambda: remove_duplicate_spans(
+            docs_df, window=8
+        ).count(),
         "op_dsir": lambda: dsir_resample(
             dsir_log_weights(
                 docs_df,
@@ -383,6 +387,7 @@ def main() -> None:
         "op_components",
         "op_profile",
         "op_dsir",
+        "op_span_scrub",
         "q_mlt",
         "q_facets",
         "q_suggest",

@@ -284,6 +284,69 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_spans(args) -> int:
+    """Exact substring span dedup (Lee et al. 2022 semantics):
+    either report per-doc duplicated-span stats, or scrub the
+    non-canonical duplicated windows out of the text (--scrub)."""
+    from pyspark.sql import functions as F
+
+    from codeindex_spark.ops.spans import (
+        duplicate_span_stats,
+        remove_duplicate_spans,
+    )
+
+    spark = _get_spark(args)
+    docs = spark.read.parquet(args.input)
+    kw = dict(
+        id_col=args.id_col, text_col=args.text_col, window=args.window
+    )
+    if args.scrub:
+        out = remove_duplicate_spans(docs, **kw)
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+            out = spark.read.parquet(args.out)
+        row = out.agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("toks_in"),
+            F.sum("n_kept_tokens").alias("toks_out"),
+            F.sum((F.col("n_kept_tokens") == 0).cast("long")).alias(
+                "n_emptied"
+            ),
+        ).collect()[0]
+        print(
+            json.dumps(
+                {
+                    "n_docs": row["n_docs"],
+                    "tokens_in": int(row["toks_in"] or 0),
+                    "tokens_kept": int(row["toks_out"] or 0),
+                    "docs_emptied": int(row["n_emptied"] or 0),
+                    "out": args.out,
+                }
+            )
+        )
+    else:
+        out = duplicate_span_stats(docs, **kw)
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+            out = spark.read.parquet(args.out)
+        row = out.agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_dup_windows").alias("nd"),
+            F.round(F.avg("dup_token_fraction"), 6).alias("avg_frac"),
+        ).collect()[0]
+        print(
+            json.dumps(
+                {
+                    "n_docs": row["n_docs"],
+                    "n_dup_windows": int(row["nd"] or 0),
+                    "avg_dup_token_fraction": float(row["avg_frac"] or 0),
+                    "out": args.out,
+                }
+            )
+        )
+    return 0
+
+
 def cmd_mlt(args) -> int:
     """More-like-this: rank documents similar to one stored doc
     (Lucene MoreLikeThis analog). Source picked by --doc-key, or by
@@ -509,6 +572,27 @@ def main(argv=None) -> int:
         "flood backstop)",
     )
     d.set_defaults(fn=cmd_dedup)
+
+    sp = sub.add_parser(
+        "spans",
+        help="exact substring span dedup: stats or --scrub removal",
+    )
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--out", help="write result parquet")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument(
+        "--window",
+        type=int,
+        default=50,
+        help="token threshold: repeats >= this many tokens dedup",
+    )
+    sp.add_argument(
+        "--scrub",
+        action="store_true",
+        help="emit scrubbed text instead of per-doc stats",
+    )
+    sp.set_defaults(fn=cmd_spans)
 
     m = sub.add_parser(
         "mlt", help="more-like-this: docs similar to a stored doc"

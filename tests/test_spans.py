@@ -1,0 +1,93 @@
+"""Exact substring span dedup (Lee et al. 2022 semantics over
+fixed-width windows): hand-computed coverage on tiny corpora,
+within-doc repetition, threshold behavior, and the invariant that an
+exact duplicate doc scrubs to empty."""
+
+from __future__ import annotations
+
+import pytest
+
+from codeindex_spark.ops.spans import (
+    duplicate_span_stats,
+    remove_duplicate_spans,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_cross_doc_span_found_and_scrubbed(spark):
+    docs = _docs(
+        spark,
+        [(1, "a b c d e f"), (2, "x a b c d y")],
+    )
+    stats = {r["doc_id"]: r for r in duplicate_span_stats(docs, window=4).collect()}
+    # 'a b c d' occurs in both; canonical is (doc 1, start 1)
+    assert (stats[1]["n_windows"], stats[1]["n_dup_windows"]) == (3, 0)
+    assert stats[1]["dup_token_fraction"] == 0.0
+    assert (stats[2]["n_windows"], stats[2]["n_dup_windows"]) == (3, 1)
+    assert stats[2]["dup_token_fraction"] == pytest.approx(4 / 6, abs=1e-6)
+    cleaned = {
+        r["doc_id"]: r for r in remove_duplicate_spans(docs, window=4).collect()
+    }
+    assert cleaned[1]["text"] == "a b c d e f"
+    assert cleaned[2]["text"] == "x y"
+    assert (cleaned[2]["n_tokens"], cleaned[2]["n_kept_tokens"]) == (6, 2)
+
+
+def test_within_doc_repetition_collapses(spark):
+    docs = _docs(spark, [(1, "a b a b a b a b")])
+    cleaned = remove_duplicate_spans(docs, window=2).collect()[0]
+    # every repeat of the alternating bigram beyond the canonical
+    # first occurrences is covered; only the leading 'a b' survives
+    assert cleaned["text"] == "a b"
+    assert cleaned["n_kept_tokens"] == 2
+    stats = duplicate_span_stats(docs, window=2).collect()[0]
+    assert stats["n_windows"] == 7
+    assert stats["n_dup_windows"] == 5
+    assert stats["dup_token_fraction"] == pytest.approx(6 / 8, abs=1e-6)
+
+
+def test_exact_duplicate_doc_scrubs_to_empty(spark):
+    text = "one two three four five six seven eight"
+    docs = _docs(spark, [(5, text), (9, text)])
+    cleaned = {
+        r["doc_id"]: r for r in remove_duplicate_spans(docs, window=4).collect()
+    }
+    # doc 5 (min id) is canonical everywhere; doc 9 scrubs to empty
+    # but is still RETURNED — dropping is the caller's policy
+    assert cleaned[5]["text"] == text
+    assert cleaned[9]["text"] == ""
+    assert cleaned[9]["n_kept_tokens"] == 0
+
+
+def test_short_docs_and_threshold(spark):
+    docs = _docs(spark, [(1, "a b c"), (2, "a b c")])
+    # both docs are shorter than the window: no windows, untouched
+    stats = {r["doc_id"]: r for r in duplicate_span_stats(docs, window=4).collect()}
+    assert all(
+        (s["n_windows"], s["n_dup_windows"], s["dup_token_fraction"])
+        == (0, 0, 0.0)
+        for s in stats.values()
+    )
+    cleaned = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicate_spans(docs, window=4).collect()
+    }
+    assert cleaned == {1: "a b c", 2: "a b c"}
+    with pytest.raises(ValueError):
+        duplicate_span_stats(docs, window=1)
+
+
+def test_repeat_longer_than_window_fully_covered(spark):
+    # a 6-token repeat with window=3: union of its duplicated
+    # 3-windows covers the whole repeat in the non-canonical doc
+    rep = "r1 r2 r3 r4 r5 r6"
+    docs = _docs(spark, [(1, f"{rep} tail1"), (2, f"head1 {rep}")])
+    cleaned = {
+        r["doc_id"]: r for r in remove_duplicate_spans(docs, window=3).collect()
+    }
+    assert cleaned[1]["text"] == f"{rep} tail1"
+    assert cleaned[2]["text"] == "head1"
+    assert cleaned[2]["n_kept_tokens"] == 1
