@@ -960,6 +960,21 @@ def _q_para_dedup(spark, sf_dir):
     )
 
 
+def _q_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity split (beyond-reference,
+    Wenzek et al. 2020 §4.4): train the stupid-backoff LM on the
+    documents table, score it, bucket by exact score terciles
+    (rounded to 6 dp on both sides so the boundary comparison is
+    engine-reproducible)."""
+    from codeindex_spark.ops.lm import lm_train, perplexity_buckets
+
+    docs = _load(spark, sf_dir, "documents")
+    model = lm_train(docs, n=3, min_count=2)
+    return perplexity_buckets(
+        docs, model, n=3, exact=True, broadcast_model=True
+    )
+
+
 def _q_span_stats(spark, sf_dir):
     """Exact substring dedup accounting (beyond-reference, Lee et
     al. 2022 ExactSubstr semantics over 8-token windows): per doc,
@@ -1343,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_lm_score": _q_lm_score,
         "px_para_dedup": _q_para_dedup,
         "dd_span_stats": _q_span_stats,
+        "tx_ppl_buckets": _q_ppl_buckets,
         "dd_span_scrub": _q_span_scrub,
         "px_dsir": _q_dsir,
         "q27_more_like_this": _q_mlt,
@@ -1693,6 +1709,71 @@ _MINHASH_PAIR_CTES = f"""sh AS (
               FROM bands a JOIN bands b
                 ON a.band = b.band AND a.band_key = b.band_key
                AND a.doc_id < b.doc_id)"""
+
+
+# stupid-backoff LM scoring CTE chain (train + per-position
+# backoff replayed in SQL), shared by tx_lm_score and
+# tx_ppl_buckets; ends at sc = (doc_id, lp) per token position
+_LM_SC = """toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(trim(text)), ' +'),
+                                 w -> w <> '') AS t
+              FROM documents),
+            toks2 AS (
+              SELECT doc_id, t, len(t) AS nt FROM toks WHERE len(t) > 0),
+            pos AS (
+              SELECT doc_id, t, nt, u.i
+              FROM toks2, UNNEST(range(1, nt + 1)) u(i)),
+            g AS (
+              SELECT k.ord AS ord,
+                     array_to_string(list_slice(t, i, i + k.ord - 1), ' ') AS gram
+              FROM pos, (VALUES (1), (2), (3)) k(ord)
+              WHERE i + k.ord - 1 <= nt),
+            counts AS (
+              SELECT ord, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+            scal AS (
+              SELECT sum(cnt)::DOUBLE AS total, count(*)::DOUBLE AS v
+              FROM counts WHERE ord = 1),
+            model AS (
+              SELECT 0 AS ord, '' AS gram, 1.0::DOUBLE / (total + v) AS p
+              FROM scal
+              UNION ALL
+              SELECT 1, gram, (cnt + 1.0::DOUBLE) / (total + v)
+              FROM counts, scal WHERE ord = 1
+              UNION ALL
+              SELECT c.ord, c.gram, c.cnt::DOUBLE / x.cnt::DOUBLE
+              FROM counts c JOIN counts x
+                ON x.ord = c.ord - 1
+               AND x.gram = array_to_string(
+                     list_slice(string_split(c.gram, ' '), 1, c.ord - 1), ' ')
+              WHERE c.ord >= 2 AND c.cnt >= 2),
+            keyed AS (
+              SELECT doc_id, i,
+                     t[i] AS g1,
+                     CASE WHEN i >= 2
+                          THEN array_to_string(list_slice(t, i - 1, i), ' ')
+                     END AS g2,
+                     CASE WHEN i >= 3
+                          THEN array_to_string(list_slice(t, i - 2, i), ' ')
+                     END AS g3
+              FROM pos),
+            jo AS (
+              SELECT k.doc_id,
+                     1 + (k.g2 IS NOT NULL)::INT + (k.g3 IS NOT NULL)::INT AS avail,
+                     m1.p AS p1, m2.p AS p2, m3.p AS p3, o.p AS poov
+              FROM keyed k
+              LEFT JOIN model m1 ON m1.ord = 1 AND m1.gram = k.g1
+              LEFT JOIN model m2 ON m2.ord = 2 AND m2.gram = k.g2
+              LEFT JOIN model m3 ON m3.ord = 3 AND m3.gram = k.g3
+              CROSS JOIN (SELECT p FROM model WHERE ord = 0) o),
+            sc AS (
+              SELECT doc_id,
+                     log10(COALESCE(
+                       p3 * power(0.4::DOUBLE, (avail - 3)::DOUBLE),
+                       p2 * power(0.4::DOUBLE, (avail - 2)::DOUBLE),
+                       p1 * power(0.4::DOUBLE, (avail - 1)::DOUBLE),
+                       poov * power(0.4::DOUBLE, (avail - 1)::DOUBLE))) AS lp
+              FROM jo)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2413,69 +2494,27 @@ def oracle_sql() -> dict[str, str]:
               ORDER BY gkey DESC, doc_id ASC LIMIT 40)
             SELECT doc_id, n_grams, round(log_weight, 6) AS log_weight
             FROM picked ORDER BY doc_id""",
-        "tx_lm_score": """WITH toks AS (
-              SELECT doc_id,
-                     list_filter(regexp_split_to_array(lower(trim(text)), ' +'),
-                                 w -> w <> '') AS t
-              FROM documents),
-            toks2 AS (
-              SELECT doc_id, t, len(t) AS nt FROM toks WHERE len(t) > 0),
-            pos AS (
-              SELECT doc_id, t, nt, u.i
-              FROM toks2, UNNEST(range(1, nt + 1)) u(i)),
-            g AS (
-              SELECT k.ord AS ord,
-                     array_to_string(list_slice(t, i, i + k.ord - 1), ' ') AS gram
-              FROM pos, (VALUES (1), (2), (3)) k(ord)
-              WHERE i + k.ord - 1 <= nt),
-            counts AS (
-              SELECT ord, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
-            scal AS (
-              SELECT sum(cnt)::DOUBLE AS total, count(*)::DOUBLE AS v
-              FROM counts WHERE ord = 1),
-            model AS (
-              SELECT 0 AS ord, '' AS gram, 1.0::DOUBLE / (total + v) AS p
-              FROM scal
-              UNION ALL
-              SELECT 1, gram, (cnt + 1.0::DOUBLE) / (total + v)
-              FROM counts, scal WHERE ord = 1
-              UNION ALL
-              SELECT c.ord, c.gram, c.cnt::DOUBLE / x.cnt::DOUBLE
-              FROM counts c JOIN counts x
-                ON x.ord = c.ord - 1
-               AND x.gram = array_to_string(
-                     list_slice(string_split(c.gram, ' '), 1, c.ord - 1), ' ')
-              WHERE c.ord >= 2 AND c.cnt >= 2),
-            keyed AS (
-              SELECT doc_id, i,
-                     t[i] AS g1,
-                     CASE WHEN i >= 2
-                          THEN array_to_string(list_slice(t, i - 1, i), ' ')
-                     END AS g2,
-                     CASE WHEN i >= 3
-                          THEN array_to_string(list_slice(t, i - 2, i), ' ')
-                     END AS g3
-              FROM pos),
-            jo AS (
-              SELECT k.doc_id,
-                     1 + (k.g2 IS NOT NULL)::INT + (k.g3 IS NOT NULL)::INT AS avail,
-                     m1.p AS p1, m2.p AS p2, m3.p AS p3, o.p AS poov
-              FROM keyed k
-              LEFT JOIN model m1 ON m1.ord = 1 AND m1.gram = k.g1
-              LEFT JOIN model m2 ON m2.ord = 2 AND m2.gram = k.g2
-              LEFT JOIN model m3 ON m3.ord = 3 AND m3.gram = k.g3
-              CROSS JOIN (SELECT p FROM model WHERE ord = 0) o),
-            sc AS (
-              SELECT doc_id,
-                     log10(COALESCE(
-                       p3 * power(0.4::DOUBLE, (avail - 3)::DOUBLE),
-                       p2 * power(0.4::DOUBLE, (avail - 2)::DOUBLE),
-                       p1 * power(0.4::DOUBLE, (avail - 1)::DOUBLE),
-                       poov * power(0.4::DOUBLE, (avail - 1)::DOUBLE))) AS lp
-              FROM jo)
+        "tx_lm_score": f"""WITH {_LM_SC}
             SELECT doc_id, count(*)::BIGINT AS n_tokens,
                    round(avg(lp), 6) AS lm_logp
             FROM sc GROUP BY doc_id""",
+        # CCNet terciles over the rounded LM score: quantile_cont ==
+        # Spark percentile (type-7); thresholds rounded to 6 dp on
+        # both sides before the boundary comparison
+        "tx_ppl_buckets": f"""WITH {_LM_SC},
+            scored AS (
+              SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                     round(avg(lp), 6) AS avg_log10_p
+              FROM sc GROUP BY doc_id),
+            q AS (
+              SELECT round(quantile_cont(avg_log10_p, 1.0/3.0), 6) AS qlo,
+                     round(quantile_cont(avg_log10_p, 2.0/3.0), 6) AS qhi
+              FROM scored)
+            SELECT s.doc_id, s.n_tokens, s.avg_log10_p,
+                   CASE WHEN s.avg_log10_p < q.qlo THEN 'tail'
+                        WHEN s.avg_log10_p < q.qhi THEN 'middle'
+                        ELSE 'head' END AS bucket
+            FROM scored s, q""",
         "tx_scrub": """WITH aug AS (
               SELECT doc_id,
                      text || ' visit http://ex.com/' || CAST(doc_id AS VARCHAR)

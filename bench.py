@@ -352,9 +352,11 @@ def main() -> None:
             minhash_lsh_pairs(docs_df)
         ).count(),
         "op_profile": lambda: corpus_profile(docs_df).collect(),
-        "op_span_scrub": lambda: remove_duplicate_spans(
-            docs_df, window=8
-        ).count(),
+        # the filter touches n_kept_tokens so count() cannot
+        # short-circuit the scrub join
+        "op_span_scrub": lambda: remove_duplicate_spans(docs_df, window=8)
+        .filter(F.col("n_kept_tokens") >= 0)
+        .count(),
         "op_dsir": lambda: dsir_resample(
             dsir_log_weights(
                 docs_df,

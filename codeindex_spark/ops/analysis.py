@@ -298,3 +298,59 @@ def corpus_profile(
         *[f"q{int(round(q * 100))}" for q in quantiles],
         F.coalesce("vocab_size", F.lit(0)).alias("vocab_size"),
     )
+
+
+def score_buckets(
+    scored: DataFrame,
+    value_col: str,
+    cuts: tuple[float, ...] = (1 / 3, 2 / 3),
+    labels: tuple[str, ...] = ("tail", "middle", "head"),
+    partition_col: str | None = None,
+    exact: bool = False,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Quantile-bucket a per-doc score column: every input row comes
+    back with a ``bucket`` label — ``labels[i]`` for rows below the
+    ``cuts[i]`` quantile of ``value_col``, the last label above all
+    cuts. ``labels`` ascends with the score (CCNet's convention:
+    tail / middle / head, head = most target-like).
+
+    ``partition_col`` computes thresholds per group (CCNet buckets
+    per language shard). ``exact=True`` uses ``percentile()`` —
+    type-7 interpolation matching DuckDB ``quantile_cont`` (the
+    validation mode); ``exact=False`` uses ``approx_percentile``
+    (t-digest, fixed memory) — the corpus-scale path. ``round_to``
+    rounds the THRESHOLDS (callers that pre-round scores pass the
+    same precision so boundary comparisons are reproducible across
+    engines).
+
+    Scale shape: one bounded agg (one row per group) broadcast back
+    over the corpus — no sort, no windowing over the full data."""
+    if len(labels) != len(cuts) + 1:
+        raise ValueError("need exactly one more label than cuts")
+    if not all(0.0 < c < 1.0 for c in cuts) or list(cuts) != sorted(set(cuts)):
+        raise ValueError("cuts must be strictly increasing in (0, 1)")
+    keys = [partition_col] if partition_col else []
+    qarr = F.array(*[F.lit(float(c)) for c in cuts])
+    agg = (
+        F.percentile(value_col, qarr)
+        if exact
+        else F.approx_percentile(value_col, qarr, F.lit(10_000))
+    ).alias("_q")
+    th = scored.groupBy(*keys).agg(agg)
+    joined = (
+        scored.join(F.broadcast(th), keys)
+        if keys
+        else scored.crossJoin(F.broadcast(th))
+    )
+    v = F.col(value_col)
+
+    def thr(i: int):
+        t = F.element_at("_q", i + 1).cast("double")
+        return F.round(t, round_to) if round_to is not None else t
+
+    bucket = F.when(v < thr(0), labels[0])
+    for i in range(1, len(cuts)):
+        bucket = bucket.when(v < thr(i), labels[i])
+    bucket = bucket.otherwise(labels[-1])
+    return joined.select(*scored.columns, bucket.alias("bucket"))

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from codeindex_spark.ops._text import ws_tokens
 
-__all__ = ["lm_train", "lm_score"]
+__all__ = ["lm_train", "lm_score", "perplexity_buckets"]
 
 _OOV_ORDER = 0  # model row holding the unigram floor probability
 
@@ -236,4 +236,60 @@ def lm_score(
             F.count("*").alias("n_tokens"),
             F.avg("lp").alias("avg_log10_p"),
         )
+    )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partition_col: str | None = None,
+    cuts: tuple[float, ...] = (1 / 3, 2 / 3),
+    labels: tuple[str, ...] = ("tail", "middle", "head"),
+    exact: bool = False,
+    n: int | None = None,
+    alpha: float = 0.4,
+    broadcast_model: bool = False,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """CCNet head/middle/tail split (Wenzek et al. 2020 §4.4): score
+    every doc against a target-domain LM, then bucket by corpus
+    score terciles — ``head`` = most target-like (lowest
+    perplexity / highest avg_log10_p), the slice CCNet keeps for
+    training. Returns (id_col, n_tokens, avg_log10_p, bucket) with
+    avg_log10_p rounded to ``round_to`` BEFORE thresholding so the
+    boundary comparison is engine-reproducible.
+
+    ``partition_col`` computes thresholds per group (CCNet buckets
+    per language); thresholding is done by ``score_buckets`` — a
+    bounded per-group agg broadcast back, never a corpus sort. Docs
+    with no tokens are dropped (lm_score's contract)."""
+    from codeindex_spark.ops.analysis import score_buckets
+
+    scored = lm_score(
+        docs,
+        model,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        alpha=alpha,
+        broadcast_model=broadcast_model,
+    )
+    if partition_col:
+        scored = scored.join(
+            docs.select(F.col(id_col), F.col(partition_col)), id_col
+        )
+    if round_to is not None:
+        scored = scored.withColumn(
+            "avg_log10_p", F.round("avg_log10_p", round_to)
+        )
+    return score_buckets(
+        scored,
+        "avg_log10_p",
+        cuts=cuts,
+        labels=labels,
+        partition_col=partition_col,
+        exact=exact,
+        round_to=round_to,
     )

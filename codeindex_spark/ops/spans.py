@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as SparkWindow
 from pyspark.storagelevel import StorageLevel
 
 from codeindex_spark.ops._text import ws_tokens
@@ -82,14 +83,29 @@ def _noncanonical(wins: DataFrame) -> DataFrame:
 
 
 def _covered(nc: DataFrame, window: int) -> DataFrame:
-    """Distinct (doc_id, _p) token positions lying inside any
-    non-canonical duplicated window. Explodes window positions only
-    for DUPLICATED windows (usually a small corpus fraction), then
-    dedups overlaps with one distinct."""
+    """Unique (doc_id, _p) token positions lying inside any
+    non-canonical duplicated window. A heavily duplicated region has
+    overlapping windows at nearly every start, so the naive
+    explode-then-distinct shape shuffles O(nc x window) rows (x50 at
+    the paper's threshold) just to throw the overlaps away. Instead,
+    a per-doc lag over sorted starts gives each window only its NEW
+    positions — [max(s, prev_s + window), s + window) — so the
+    explode emits every covered position exactly once and no distinct
+    pass is needed. The lag shuffle partitions by doc, bounded by
+    windows-per-doc <= doc length. Starts are unique per (doc, s), so
+    the sequence is never empty (prev < s always)."""
+    wspec = SparkWindow.partitionBy("doc_id").orderBy("_s")
+    prev_end = F.lag("_s").over(wspec) + window
     return nc.select(
         "doc_id",
-        F.explode(F.sequence(F.col("_s"), F.col("_s") + window - 1)).alias("_p"),
-    ).distinct()
+        "_s",
+        F.greatest(F.col("_s"), F.coalesce(prev_end, F.col("_s"))).alias("_lo"),
+    ).select(
+        "doc_id",
+        F.explode(F.sequence(F.col("_lo"), F.col("_s") + window - 1)).alias(
+            "_p"
+        ),
+    )
 
 
 def duplicate_span_stats(

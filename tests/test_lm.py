@@ -176,3 +176,69 @@ def test_score_order_derives_from_model(spark, tiny_docs):
         math.log10(4 / 14) + math.log10(2 / 3) + math.log10(1 / 2)
     ) / 3
     assert derived == pytest.approx(want, abs=1e-12)
+
+
+def test_score_buckets_exact_terciles(spark):
+    from codeindex_spark.ops.analysis import score_buckets
+
+    scored = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 7)], "doc_id long, v double"
+    )
+    got = {
+        r["doc_id"]: r["bucket"]
+        for r in score_buckets(scored, "v", exact=True).collect()
+    }
+    # type-7 terciles of 1..6: q(1/3)=2.667, q(2/3)=4.333
+    assert got == {1: "tail", 2: "tail", 3: "middle", 4: "middle",
+                   5: "head", 6: "head"}
+    # approx path: thresholds are order statistics (no type-7
+    # interpolation) so exact boundaries can differ at tiny n, but
+    # the labeling must stay monotone in the score
+    rows = sorted(
+        score_buckets(scored, "v", exact=False).collect(),
+        key=lambda r: r["v"],
+    )
+    rank = {"tail": 0, "middle": 1, "head": 2}
+    seq = [rank[r["bucket"]] for r in rows]
+    assert seq == sorted(seq) and seq[0] == 0 and seq[-1] == 2
+
+
+def test_score_buckets_partitioned_and_validation(spark):
+    from codeindex_spark.ops.analysis import score_buckets
+
+    scored = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "a", 3.0),
+         (4, "b", 100.0), (5, "b", 200.0), (6, "b", 300.0)],
+        "doc_id long, grp string, v double",
+    )
+    got = {
+        r["doc_id"]: r["bucket"]
+        for r in score_buckets(
+            scored, "v", partition_col="grp", exact=True
+        ).collect()
+    }
+    # thresholds are PER GROUP: 100.0 is group b's tail even though
+    # it dwarfs every group-a value
+    assert got[1] == got[4] == "tail"
+    assert got[2] == got[5] == "middle"
+    assert got[3] == got[6] == "head"
+    with pytest.raises(ValueError):
+        score_buckets(scored, "v", cuts=(0.5,), labels=("a", "b", "c"))
+    with pytest.raises(ValueError):
+        score_buckets(scored, "v", cuts=(0.7, 0.3))
+
+
+def test_perplexity_buckets_ranking(spark, tiny_docs):
+    from codeindex_spark.ops.lm import perplexity_buckets
+
+    m = lm_train(tiny_docs, n=3)
+    docs = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "sat the ran dog cat"), (2, "qq zz xx")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["bucket"]
+        for r in perplexity_buckets(docs, m, exact=True).collect()
+    }
+    # most corpus-like -> head, gibberish -> tail (CCNet orientation)
+    assert got == {0: "head", 1: "middle", 2: "tail"}

@@ -40,6 +40,7 @@ from codeindex_spark.session import get_spark
 from codeindex_spark.ops.dedup import minhash_lsh_pairs
 from codeindex_spark.ops.analysis import repetition_stats
 from codeindex_spark.ops.dsir import dsir_log_weights, dsir_resample
+from codeindex_spark.ops.spans import remove_duplicate_spans
 from pyspark.sql import functions as F
 
 cpus = {cpus}
@@ -65,6 +66,16 @@ OPS = {{
         dsir_log_weights(d, d.filter(F.pmod("doc_id", F.lit(10)) == 0),
                          num_buckets=4096),
         1000,
+    ),
+    # spans: exact-substring scrub at a 20-token threshold — the
+    # window pass + canonical agg + lag-coverage + anti-join chain;
+    # the corpus's 8.7k-doc exact-dup cluster exercises the
+    # heavy-overlap coverage path (every window duplicated).
+    # The filter references n_kept_tokens so the harness's count()
+    # cannot short-circuit the scrub (a bare count of the left join
+    # returns the row total without computing the right side)
+    "spans": lambda d: remove_duplicate_spans(d, window=20).filter(
+        F.col("n_kept_tokens") >= 0
     ),
 }}
 OP = OPS[{op!r}]
@@ -102,7 +113,7 @@ def main() -> None:
     ap.add_argument("--levels", default="2,8")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--op", default="minhash",
-                    choices=["minhash", "repetition", "dsir"])
+                    choices=["minhash", "repetition", "dsir", "spans"])
     args = ap.parse_args()
     levels = [int(x) for x in args.levels.split(",")]
     if len(levels) != 2 or levels[0] == levels[1]:
@@ -150,7 +161,8 @@ def main() -> None:
     payload = {
         "op": {"minhash": "minhash_lsh_pairs",
                "repetition": "repetition_stats",
-               "dsir": "dsir_log_weights+resample"}[args.op],
+               "dsir": "dsir_log_weights+resample",
+               "spans": "remove_duplicate_spans"}[args.op],
         "n_docs": args.docs,
         "protocol": (
             f"{args.runs} independent runs per level on the same "
