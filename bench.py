@@ -340,9 +340,23 @@ def main() -> None:
         "op_ann_cosine": lambda: brute_force_cosine_topk(
             emb, qvec, k=10, exclude_id=0
         ).collect(),
-        "op_quality": lambda: quality_score(docs_df).count(),
-        "op_scrub": lambda: scrub_text(docs_df).count(),
-        "op_chunk": lambda: chunk_documents(docs_df).count(),
+        # aggregates reference every computed column: a bare count()
+        # of a pure projection is answered from the scan row count
+        # with the expressions pruned away (measured nothing)
+        "op_quality": lambda: quality_score(docs_df)
+        .agg(F.sum("quality"))
+        .collect(),
+        "op_scrub": lambda: scrub_text(docs_df)
+        .agg(
+            F.sum(F.length("text_clean")),
+            F.sum("n_urls"),
+            F.sum("n_emails"),
+            F.sum("n_ips"),
+        )
+        .collect(),
+        "op_chunk": lambda: chunk_documents(docs_df)
+        .agg(F.sum(F.length("chunk_text")), F.sum("n_chunk_tokens"))
+        .collect(),
         "op_sample": lambda: sample_by_hash(docs_df, 0.25, seed="42").count(),
         "op_repetition": lambda: repetition_stats(docs_df).count(),
         "op_contamination": lambda: contamination_overlaps(

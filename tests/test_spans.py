@@ -91,3 +91,41 @@ def test_repeat_longer_than_window_fully_covered(spark):
     assert cleaned[1]["text"] == f"{rep} tail1"
     assert cleaned[2]["text"] == "head1"
     assert cleaned[2]["n_kept_tokens"] == 1
+
+
+def test_lag_coverage_matches_naive_explode(spark):
+    """The lag-based successor-gap coverage (each covered position
+    emitted once) must equal the naive explode-every-window-position
+    + distinct set on randomized repetitive corpora."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from codeindex_spark.ops.spans import _covered, _noncanonical, _windows
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for d in range(40):
+        n = rng.randint(3, 30)
+        rows.append((d, " ".join(rng.choice(vocab) for _ in range(n))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for window in (2, 3, 5):
+        _, wins = _windows(docs, "doc_id", "text", window)
+        nc = _noncanonical(wins)
+        fast = {
+            (r["doc_id"], r["_p"])
+            for r in _covered(nc, window).collect()
+        }
+        naive = {
+            (r["doc_id"], r["_p"])
+            for r in nc.select(
+                "doc_id",
+                F.explode(
+                    F.sequence(F.col("_s"), F.col("_s") + window - 1)
+                ).alias("_p"),
+            )
+            .distinct()
+            .collect()
+        }
+        assert fast == naive, f"window={window}"
