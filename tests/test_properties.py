@@ -176,3 +176,28 @@ def test_block_roundtrip_property(entries, block_id):
     offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
     for i, pl in enumerate(plists):
         assert flat[offs[i] : offs[i] + counts[i]].tolist() == pl.tolist()
+
+
+@given(
+    st.text(
+        alphabet=st.sampled_from(
+            list("abcdef AND OR NOT()[]{}\"*?~^:\\+-.0123456789")
+        ),
+        min_size=0,
+        max_size=60,
+    )
+)
+@settings(max_examples=400, deadline=None)
+def test_parser_total_no_crash(q):
+    """The parser is TOTAL over arbitrary input: every string either
+    parses to a Node or raises QueryParseError — never an IndexError/
+    AttributeError/recursion blowup. (Users type anything; the engine
+    must answer with a clear syntax error, like Lucene's classic
+    parser's ParseException contract.)"""
+    from codeindex_spark.query.ast import QueryParseError, parse_query
+
+    try:
+        node = parse_query(q)
+    except QueryParseError:
+        return
+    assert node is not None
