@@ -713,6 +713,29 @@ def _q_ann_ivfpq(spark, sf_dir):
     ).select("vec_id")
 
 
+def _q_ann_ivfpq_res(spark, sf_dir):
+    """Residual IVF+PQ (FAISS IndexIVFPQ by_residual default): PQ
+    trains on and encodes x − c_cell; scoring = ⟨q,c_cell⟩ offset +
+    one global ADC table. Oracle replays coarse k-means, residual
+    codebooks, codes, and offset scoring in numpy."""
+    from codeindex_spark.ops.similarity import ivf_pq_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    return ivf_pq_topk(
+        emb.filter(F.col("vec_id") != 0),
+        list(qvec),
+        dim=64,
+        k=5,
+        n_centroids=8,
+        n_probe=3,
+        m=8,
+        n_codes=16,
+        refine=4,
+        by_residual=True,
+    ).select("vec_id")
+
+
 def _q_preview_highlight(spark, sf_dir):
     """V1 HTML highlight (CodeIndexSearcher.cs:50-103): top-10 BM25
     docs with matched tokens span-wrapped in the (cased) content."""
@@ -1344,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,
         "ann_pq_topk": _q_ann_pq,
         "ann_ivfpq_topk": _q_ann_ivfpq,
+        "ann_ivfpq_res_topk": _q_ann_ivfpq_res,
         "pv_highlight": _q_preview_highlight,
         "pv_matched_lines": _q_matched_lines,
         "pv_grep_lines": _q_grep_lines,
@@ -1709,6 +1733,80 @@ _MINHASH_PAIR_CTES = f"""sh AS (
               FROM bands a JOIN bands b
                 ON a.band = b.band AND a.band_key = b.band_key
                AND a.doc_id < b.doc_id)"""
+
+
+def _ivfpq_res_candidate_ids(
+    n_centroids: int = 8,
+    n_probe: int = 3,
+    m: int = 8,
+    n_codes: int = 16,
+    k: int = 5,
+    refine: int = 4,
+    ivf_seed: int = 42,
+    pq_seed: int = 43,
+    sample: int = 2048,
+    iters: int = 10,
+) -> str:
+    """ann_ivfpq_res_topk candidates: the _ivfpq_candidate_ids coarse
+    replay, then PQ trained on RESIDUALS x − c_cell (no
+    renormalization), codes over residuals, and ADC scoring with the
+    per-cell ⟨q,c⟩ offset — ivf_pq_topk(by_residual=True) verbatim."""
+    import numpy as np
+
+    ids, mat = _oracle_embedding_matrix()
+    q = mat[ids == 0][0].astype(np.float64)
+    keep = ids != 0
+    ids, mat = ids[keep], mat[keep]
+    matn = mat.astype(np.float64)
+    matn = matn / np.maximum(
+        np.linalg.norm(matn, axis=1, keepdims=True), 1e-12
+    )
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    # coarse quantizer replay (identical to _ivfpq_candidate_ids)
+    train = matn[:sample]
+    rng = np.random.default_rng(ivf_seed)
+    cents = train[rng.choice(len(train), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        assign = (train @ cents.T).argmax(axis=1)
+        for c in range(n_centroids):
+            members = train[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-12)
+    cell = (matn @ cents.T).argmax(axis=1)
+    res = matn - cents[cell]
+    # residual PQ replay: trained on the id-sorted residual sample,
+    # NOT renormalized
+    d = matn.shape[1] // m
+    rng = np.random.default_rng(pq_seed)
+    rtrain = res[:sample]
+    books = np.empty((m, n_codes, d))
+    for j in range(m):
+        sub = rtrain[:, j * d : (j + 1) * d]
+        cb = sub[rng.choice(len(sub), size=n_codes, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(n_codes):
+                ms = sub[a == c]
+                if len(ms):
+                    cb[c] = ms.mean(axis=0)
+        books[j] = cb
+    sq = (books**2).sum(axis=2)
+    probe = set(np.argsort(-(cents @ qn))[:n_probe].tolist())
+    member = np.isin(cell, list(probe))
+    sub_ids, sub_res, sub_cell = ids[member], res[member], cell[member]
+    codes = np.empty((len(sub_res), m), dtype=np.int64)
+    for j in range(m):
+        s = sub_res[:, j * d : (j + 1) * d]
+        codes[:, j] = (-2.0 * (s @ books[j].T) + sq[j][None, :]).argmin(
+            axis=1
+        )
+    table = np.stack([books[j] @ qn[j * d : (j + 1) * d] for j in range(m)])
+    qc = cents @ qn
+    scores = qc[sub_cell] + table[np.arange(m)[None, :], codes].sum(axis=1)
+    order = np.lexsort((sub_ids, -scores))[: k * refine]
+    return ",".join(str(int(i)) for i in sub_ids[order])
 
 
 # stupid-backoff LM scoring CTE chain (train + per-position
@@ -2131,6 +2229,15 @@ def oracle_sql() -> dict[str, str]:
                        WHERE vec_id = 0)
             SELECT vec_id FROM embeddings
             WHERE vec_id IN ({_ivfpq_candidate_ids()})
+            ORDER BY list_cosine_similarity(embedding::DOUBLE[],
+                                            (SELECT e FROM q)) DESC,
+                     vec_id
+            LIMIT 5""",
+        "ann_ivfpq_res_topk": f"""
+            WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings
+                       WHERE vec_id = 0)
+            SELECT vec_id FROM embeddings
+            WHERE vec_id IN ({_ivfpq_res_candidate_ids()})
             ORDER BY list_cosine_similarity(embedding::DOUBLE[],
                                             (SELECT e FROM q)) DESC,
                      vec_id

@@ -564,6 +564,7 @@ def pq_train_codebooks(
     iters: int = 10,
     seed: int = 43,
     vec_col: str = "embedding",
+    normalize: bool = True,
 ) -> np.ndarray:
     """Product-quantization codebooks (Jégou et al. 2011, "Product
     quantization for nearest neighbor search", TPAMI): seeded
@@ -571,7 +572,10 @@ def pq_train_codebooks(
     sample discipline as the IVF coarse quantizer (sort by id, first
     ``sample`` — training is O(sample), never O(N)). Vectors are
     L2-normalized first so asymmetric-distance inner-product scores
-    rank like cosine. Returns (m, n_codes, dim//m) float64."""
+    rank like cosine (``normalize=False`` for inputs that are
+    already residuals of normalized vectors — FAISS-style IVF-PQ
+    residual encoding must NOT renormalize them). Returns
+    (m, n_codes, dim//m) float64."""
     if dim % m:
         raise ValueError(f"dim={dim} must divide into m={m} subspaces")
     if n_codes < 1:
@@ -580,7 +584,10 @@ def pq_train_codebooks(
     if len(pdf) == 0:
         raise ValueError("cannot train PQ codebooks on an empty corpus")
     mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    if normalize:
+        mat = mat / np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+        )
     # a corpus smaller than the codebook still trains: every vector
     # becomes (at most) its own centroid
     n_codes = min(n_codes, len(mat))
@@ -606,6 +613,7 @@ def pq_encode(
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    normalize: bool = True,
 ) -> DataFrame:
     """(id, codes array<int>): nearest sub-centroid per subspace.
     m small ints per vector instead of dim floats — 64-dim float32 →
@@ -629,9 +637,10 @@ def pq_encode(
             mat = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
-            mat = mat / np.maximum(
-                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
-            )
+            if normalize:
+                mat = mat / np.maximum(
+                    np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+                )
             codes = np.empty((len(mat), m), dtype=np.int32)
             for j in range(m):
                 sub = mat[:, j * d : (j + 1) * d]
@@ -652,12 +661,15 @@ def pq_adc_topk(
     query_vec: list[float],
     k: int = 10,
     id_col: str = "vec_id",
+    offset_col: str | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes: ONE (m × n_codes)
     inner-product lookup table from the normalized query, then
     score(x) = Σ_j table[j, code_j] — a table-lookup scan over the
     compressed codes, TakeOrdered top-k, no full sort and no float
-    vectors read."""
+    vectors read. ``offset_col`` names a per-row double added to the
+    score — the residual-IVF-PQ decomposition ⟨q,x⟩ ≈ ⟨q,c_cell⟩ +
+    ⟨q,r̂⟩ supplies ⟨q,c_cell⟩ there."""
     m, n_codes, d = codebooks.shape
     q = np.asarray(query_vec, dtype=np.float64)
     q = q / max(np.linalg.norm(q), 1e-12)
@@ -678,12 +690,57 @@ def pq_adc_topk(
                 continue
             cm = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
             scores = table[rows[None, :], cm].sum(axis=1)
+            if offset_col is not None:
+                scores = pdf[offset_col].to_numpy(dtype=np.float64) + scores
             yield pd.DataFrame(
                 {id_col: pdf[id_col].to_numpy(), "adc_score": scores}
             )
 
-    scored = codes.mapInPandas(kernel, schema=schema)
+    cols = [id_col, "codes"] + ([offset_col] if offset_col else [])
+    scored = codes.select(*cols).mapInPandas(kernel, schema=schema)
     return scored.orderBy(F.desc("adc_score"), F.asc(id_col)).limit(k)
+
+
+def ivf_pq_residuals(index: IvfIndex) -> DataFrame:
+    """(id, centroid, residual): every cell member's L2-normalized
+    vector minus its assigned coarse centroid — the quantity residual
+    PQ encodes. Reads the materialized cell table (assignments are
+    authoritative there, including ``ivf_add``-ed vectors), centroids
+    ride into the Arrow kernel as a closure (n_centroids × dim — tiny
+    against any real corpus)."""
+    cents = index.centroids
+    id_col, vec_col = index.id_col, index.vec_col
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("centroid", T.IntegerType(), False),
+            T.StructField("residual", T.ArrayType(T.DoubleType()), False),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            mat = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )
+            cell = pdf["centroid"].to_numpy(dtype=np.int64)
+            res = mat - cents[cell]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "centroid": cell.astype(np.int32),
+                    "residual": list(res),
+                }
+            )
+
+    return ensure_parallelism(
+        index.cells.select(id_col, vec_col, "centroid")
+    ).mapInPandas(kernel, schema=schema)
 
 
 def pq_ann_topk(
@@ -733,6 +790,7 @@ def ivf_pq_topk(
     index: IvfIndex | None = None,
     codebooks: np.ndarray | None = None,
     codes: DataFrame | None = None,
+    by_residual: bool = False,
 ) -> DataFrame:
     """IVF+PQ (the FAISS IndexIVFPQ composition): coarse-probe the
     ``n_probe`` nearest cells, ADC-rank ONLY their members' codes,
@@ -741,25 +799,67 @@ def ivf_pq_topk(
     rows, PQ cuts bytes-per-candidate to m codes — which is what a
     100 TB vector scan actually needs; recall knobs are n_probe and
     refine. Pass a prebuilt ``index``/``codebooks``/``codes`` to
-    amortize the corpus-sized steps across queries."""
+    amortize the corpus-sized steps across queries.
+
+    ``by_residual=True`` is FAISS's default IndexIVFPQ refinement: PQ
+    trains on and encodes residuals x − c_cell, which are far smaller
+    in norm than the vectors (the coarse quantizer already explains
+    the cluster structure), so the same m × n_codes budget spends its
+    precision on the part the probe didn't resolve. The inner product
+    decomposes exactly — ⟨q,x⟩ = ⟨q,c_cell⟩ + ⟨q,r⟩ — so scoring
+    stays one global ADC table plus a per-cell constant carried as
+    the ``offset_col``. With ``by_residual``, precomputed
+    ``codebooks``/``codes`` must come from ``ivf_pq_residuals`` of
+    the SAME index (codes rows carry the centroid column)."""
     if index is None:
         index = ivf_build(
             vectors, dim, n_centroids, seed=seed, id_col=id_col,
             vec_col=vec_col,
         )
-    if codebooks is None:
-        codebooks = pq_train_codebooks(
-            vectors, dim, m, n_codes, seed=pq_seed, vec_col=vec_col
-        )
-    if codes is None:
-        codes = pq_encode(vectors, codebooks, id_col, vec_col)
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / max(np.linalg.norm(q), 1e-12)
     probe = np.argsort(-(index.centroids @ qn))[:n_probe].tolist()
-    members = index.cells.filter(F.col("centroid").isin(probe)).select(
-        id_col
-    )
-    cand_codes = codes.join(members, id_col, "left_semi")
-    cand = pq_adc_topk(cand_codes, codebooks, query_vec, k * refine, id_col)
+    if by_residual:
+        if codebooks is None or codes is None:
+            res = ivf_pq_residuals(index)
+            if codebooks is None:
+                codebooks = pq_train_codebooks(
+                    res, dim, m, n_codes, seed=pq_seed,
+                    vec_col="residual", normalize=False,
+                )
+            if codes is None:
+                codes = pq_encode(
+                    res.select(id_col, "centroid", "residual"),
+                    codebooks,
+                    id_col,
+                    "residual",
+                    normalize=False,
+                ).join(index.cells.select(id_col, "centroid"), id_col)
+        qc = (index.centroids @ qn).tolist()
+        cand_codes = codes.filter(F.col("centroid").isin(probe)).withColumn(
+            "_qc",
+            F.element_at(
+                F.array(*[F.lit(float(x)) for x in qc]),
+                F.col("centroid") + 1,
+            ),
+        )
+        cand = pq_adc_topk(
+            cand_codes, codebooks, query_vec, k * refine, id_col,
+            offset_col="_qc",
+        )
+    else:
+        if codebooks is None:
+            codebooks = pq_train_codebooks(
+                vectors, dim, m, n_codes, seed=pq_seed, vec_col=vec_col
+            )
+        if codes is None:
+            codes = pq_encode(vectors, codebooks, id_col, vec_col)
+        members = index.cells.filter(F.col("centroid").isin(probe)).select(
+            id_col
+        )
+        cand_codes = codes.join(members, id_col, "left_semi")
+        cand = pq_adc_topk(
+            cand_codes, codebooks, query_vec, k * refine, id_col
+        )
     pool = vectors.join(cand.select(id_col), id_col, "left_semi")
     return brute_force_cosine_topk(pool, query_vec, k, id_col, vec_col)

@@ -1047,3 +1047,103 @@ def test_ivf_pq_recall_and_probe_restriction(spark, tmp_path):
     # probe restriction: with 1 probe, every hit is in the query's
     # own (well-separated) cluster 0..49
     assert all(v < 50 for v in got)
+
+
+def test_ivf_pq_residual_encoding(spark, tmp_path):
+    """FAISS-style residual IVF-PQ: residual ADC must approximate the
+    true cosine strictly better than plain PQ when the coarse
+    quantizer explains the cluster structure, and the by_residual
+    search must return the query's true neighborhood."""
+    from codeindex_spark.ops.similarity import (
+        brute_force_cosine_topk,
+        ivf_build,
+        ivf_pq_residuals,
+        ivf_pq_topk,
+        pq_adc_topk,
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    # 16 clusters but only 4 codes per subspace: plain PQ cannot
+    # memorize the cluster positions in its codebook, while the
+    # coarse quantizer explains them exactly — the regime residual
+    # encoding exists for
+    rng = np.random.default_rng(31)
+    n_clusters, per = 16, 12
+    centers = rng.standard_normal((n_clusters, 16)) * 5
+    pts = np.concatenate(
+        [
+            centers[i] + 0.1 * rng.standard_normal((per, 16))
+            for i in range(n_clusters)
+        ]
+    ).astype(np.float32)
+    n = n_clusters * per
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = ivf_build(
+        vecs, dim=16, n_centroids=n_clusters, path=str(tmp_path / "rpq")
+    )
+    q = [float(x) for x in pts[3]]
+
+    # search path: residual IVF-PQ finds the neighborhood
+    got = [
+        r["vec_id"]
+        for r in ivf_pq_topk(
+            vecs, q, dim=16, k=5, n_probe=2, m=4, n_codes=4, refine=10,
+            index=idx, by_residual=True,
+        ).collect()
+    ]
+    exact = [
+        r["vec_id"] for r in brute_force_cosine_topk(vecs, q, k=5).collect()
+    ]
+    assert got[0] == 3
+    assert len(set(got) & set(exact)) >= 3
+
+    # approximation quality: mean |ADC - true cosine| over the
+    # query's cluster is strictly smaller with residual codes
+    matn = pts.astype(np.float64)
+    matn = matn / np.linalg.norm(matn, axis=1, keepdims=True)
+    qn = np.asarray(q) / np.linalg.norm(q)
+    true = {i: float(matn[i] @ qn) for i in range(per)}
+
+    plain_books = pq_train_codebooks(vecs, dim=16, m=4, n_codes=4, sample=n)
+    plain = {
+        r["vec_id"]: r["adc_score"]
+        for r in pq_adc_topk(
+            pq_encode(vecs, plain_books), plain_books, q, k=n
+        ).collect()
+        if r["vec_id"] < per
+    }
+    res = ivf_pq_residuals(idx)
+    res_books = pq_train_codebooks(
+        res, dim=16, m=4, n_codes=4, sample=n,
+        vec_col="residual", normalize=False,
+    )
+    res_codes = pq_encode(
+        res, res_books, vec_col="residual", normalize=False
+    ).join(idx.cells.select("vec_id", "centroid"), "vec_id")
+    qc = (idx.centroids @ qn).tolist()
+    from pyspark.sql import functions as F
+
+    res_scored = {
+        r["vec_id"]: r["adc_score"]
+        for r in pq_adc_topk(
+            res_codes.withColumn(
+                "_qc",
+                F.element_at(
+                    F.array(*[F.lit(float(x)) for x in qc]),
+                    F.col("centroid") + 1,
+                ),
+            ),
+            res_books,
+            q,
+            k=n,
+            offset_col="_qc",
+        ).collect()
+        if r["vec_id"] < per
+    }
+    err_plain = np.mean([abs(plain[i] - true[i]) for i in plain])
+    err_res = np.mean([abs(res_scored[i] - true[i]) for i in res_scored])
+    assert err_res < err_plain
