@@ -1496,32 +1496,15 @@ def _ivfpq_candidate_ids(
     sample: int = 2048,
     iters: int = 10,
 ) -> str:
-    """ann_ivfpq_topk candidates: probed-cell membership (the
-    _ivf_candidate_ids k-means) intersected with the ADC top-k·refine
+    """ann_ivfpq_topk candidates: probed-cell membership (the shared
+    _coarse_replay k-means) intersected with the ADC top-k·refine
     (the _pq_candidate_ids pipeline restricted to those members)."""
     import numpy as np
 
-    ids, mat = _oracle_embedding_matrix()
-    q = mat[ids == 0][0].astype(np.float64)
-    keep = ids != 0
-    ids, mat = ids[keep], mat[keep]
-    matn = mat.astype(np.float64)
-    matn = matn / np.maximum(
-        np.linalg.norm(matn, axis=1, keepdims=True), 1e-12
+    ids, matn, qn, cents, cell = _coarse_replay(
+        n_centroids, ivf_seed, sample, iters
     )
-    qn = q / max(np.linalg.norm(q), 1e-12)
-    # IVF replay
     train = matn[:sample]
-    rng = np.random.default_rng(ivf_seed)
-    cents = train[rng.choice(len(train), size=n_centroids, replace=False)]
-    for _ in range(iters):
-        assign = (train @ cents.T).argmax(axis=1)
-        for c in range(n_centroids):
-            members = train[assign == c]
-            if len(members):
-                v = members.mean(axis=0)
-                cents[c] = v / max(np.linalg.norm(v), 1e-12)
-    cell = (matn @ cents.T).argmax(axis=1)
     probe = set(np.argsort(-(cents @ qn))[:n_probe].tolist())
     member = np.isin(cell, list(probe))
     # PQ replay (codebooks trained on the full sample, like the op)
@@ -1574,6 +1557,42 @@ def _lsh_candidate_ids(n_bits: int = 6, seed: int = 42) -> str:
     return ",".join(map(str, cand))
 
 
+def _coarse_replay(
+    n_centroids: int = 8, seed: int = 42, sample: int = 2048,
+    iters: int = 10,
+):
+    """The engine's ivf_build coarse k-means rerun in plain numpy —
+    the ONE replay every IVF-family oracle shares (ann_ivf_topk,
+    ann_ivfpq_topk, ann_ivfpq_res_topk), so an ivf_build change can
+    never leave one oracle silently diverged while another passes.
+    Returns (ids, matn, qn, cents, cell): query-excluded ids, the
+    L2-normalized matrix, the normalized query, centroids, and the
+    per-vector cell assignment."""
+    import numpy as np
+
+    ids, mat = _oracle_embedding_matrix()
+    q = mat[ids == 0][0].astype(np.float64)
+    keep = ids != 0
+    ids, mat = ids[keep], mat[keep]
+    matn = mat.astype(np.float64)
+    matn = matn / np.maximum(
+        np.linalg.norm(matn, axis=1, keepdims=True), 1e-12
+    )
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    train = matn[:sample]
+    rng = np.random.default_rng(seed)
+    cents = train[rng.choice(len(train), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        assign = (train @ cents.T).argmax(axis=1)
+        for c in range(n_centroids):
+            members = train[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-12)
+    cell = (matn @ cents.T).argmax(axis=1)
+    return ids, matn, qn, cents, cell
+
+
 def _ivf_candidate_ids(
     n_centroids: int = 8,
     n_probe: int = 3,
@@ -1581,33 +1600,14 @@ def _ivf_candidate_ids(
     sample: int = 2048,
     iters: int = 10,
 ) -> str:
-    """Probed-cell membership for ann_ivf_topk: the same seeded
-    k-means (deterministic sample = first ``sample`` ids ascending,
-    excluding the query vector) rerun in plain numpy from parquet."""
+    """Probed-cell membership for ann_ivf_topk: the shared coarse
+    replay, then every member of the ``n_probe`` nearest cells."""
     import numpy as np
 
-    ids, mat = _oracle_embedding_matrix()
-    keep = ids != 0
-    ids, mat = ids[keep], mat[keep]
-
-    def norm(m):
-        return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-
-    train = norm(mat[:sample].copy())
-    rng = np.random.default_rng(seed)
-    centroids = train[rng.choice(len(train), size=n_centroids, replace=False)]
-    for _ in range(iters):
-        assign = (train @ centroids.T).argmax(axis=1)
-        for c in range(n_centroids):
-            members = train[assign == c]
-            if len(members):
-                m = members.mean(axis=0)
-                centroids[c] = m / max(np.linalg.norm(m), 1e-12)
-    cell = (norm(mat) @ centroids.T).argmax(axis=1)
-    all_ids, all_mat = _oracle_embedding_matrix()
-    q = all_mat[all_ids == 0][0]
-    qn = q / max(np.linalg.norm(q), 1e-12)
-    probe = set(np.argsort(-(centroids @ qn))[:n_probe].tolist())
+    ids, _matn, qn, cents, cell = _coarse_replay(
+        n_centroids, seed, sample, iters
+    )
+    probe = set(np.argsort(-(cents @ qn))[:n_probe].tolist())
     cand = sorted(int(i) for i, c in zip(ids, cell) if int(c) in probe)
     return ",".join(map(str, cand))
 
@@ -1747,33 +1747,15 @@ def _ivfpq_res_candidate_ids(
     sample: int = 2048,
     iters: int = 10,
 ) -> str:
-    """ann_ivfpq_res_topk candidates: the _ivfpq_candidate_ids coarse
-    replay, then PQ trained on RESIDUALS x − c_cell (no
-    renormalization), codes over residuals, and ADC scoring with the
-    per-cell ⟨q,c⟩ offset — ivf_pq_topk(by_residual=True) verbatim."""
+    """ann_ivfpq_res_topk candidates: the shared _coarse_replay, then
+    PQ trained on RESIDUALS x − c_cell (no renormalization), codes
+    over residuals, and ADC scoring with the per-cell ⟨q,c⟩ offset —
+    ivf_pq_topk(by_residual=True) verbatim."""
     import numpy as np
 
-    ids, mat = _oracle_embedding_matrix()
-    q = mat[ids == 0][0].astype(np.float64)
-    keep = ids != 0
-    ids, mat = ids[keep], mat[keep]
-    matn = mat.astype(np.float64)
-    matn = matn / np.maximum(
-        np.linalg.norm(matn, axis=1, keepdims=True), 1e-12
+    ids, matn, qn, cents, cell = _coarse_replay(
+        n_centroids, ivf_seed, sample, iters
     )
-    qn = q / max(np.linalg.norm(q), 1e-12)
-    # coarse quantizer replay (identical to _ivfpq_candidate_ids)
-    train = matn[:sample]
-    rng = np.random.default_rng(ivf_seed)
-    cents = train[rng.choice(len(train), size=n_centroids, replace=False)]
-    for _ in range(iters):
-        assign = (train @ cents.T).argmax(axis=1)
-        for c in range(n_centroids):
-            members = train[assign == c]
-            if len(members):
-                v = members.mean(axis=0)
-                cents[c] = v / max(np.linalg.norm(v), 1e-12)
-    cell = (matn @ cents.T).argmax(axis=1)
     res = matn - cents[cell]
     # residual PQ replay: trained on the id-sorted residual sample,
     # NOT renormalized

@@ -309,9 +309,13 @@ def cmd_spans(args) -> int:
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("toks_in"),
             F.sum("n_kept_tokens").alias("toks_out"),
-            F.sum((F.col("n_kept_tokens") == 0).cast("long")).alias(
-                "n_emptied"
-            ),
+            # emptied BY the scrub: docs that had tokens and lost all
+            # of them (not docs that arrived empty)
+            F.sum(
+                (
+                    (F.col("n_kept_tokens") == 0) & (F.col("n_tokens") > 0)
+                ).cast("long")
+            ).alias("n_emptied"),
         ).collect()[0]
         print(
             json.dumps(

@@ -338,18 +338,29 @@ def score_buckets(
         else F.approx_percentile(value_col, qarr, F.lit(10_000))
     ).alias("_q")
     th = scored.groupBy(*keys).agg(agg)
-    joined = (
-        scored.join(F.broadcast(th), keys)
-        if keys
-        else scored.crossJoin(F.broadcast(th))
-    )
+    if keys:
+        # null-safe equality: groupBy emits a threshold row for the
+        # NULL group, and rows with a NULL partition key must join to
+        # it — a plain equi-join would silently drop them
+        k = keys[0]
+        th = th.withColumnRenamed(k, "_grp")
+        joined = scored.join(
+            F.broadcast(th), scored[k].eqNullSafe(th["_grp"])
+        ).drop("_grp")
+    else:
+        joined = scored.crossJoin(F.broadcast(th))
     v = F.col(value_col)
 
     def thr(i: int):
         t = F.element_at("_q", i + 1).cast("double")
         return F.round(t, round_to) if round_to is not None else t
 
-    bucket = F.when(v < thr(0), labels[0])
+    # a NULL score gets a NULL bucket (percentile ignored it when
+    # computing thresholds): every when() is NULL-false, so without
+    # the guard otherwise() would label unscored rows as the TOP
+    # bucket — the one slice a quality filter keeps
+    bucket = F.when(v.isNull(), F.lit(None).cast("string"))
+    bucket = bucket.when(v < thr(0), labels[0])
     for i in range(1, len(cuts)):
         bucket = bucket.when(v < thr(i), labels[i])
     bucket = bucket.otherwise(labels[-1])

@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
 
 from codeindex_spark.util import ensure_parallelism
 
@@ -614,6 +615,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     normalize: bool = True,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, codes array<int>): nearest sub-centroid per subspace.
     m small ints per vector instead of dim floats — 64-dim float32 →
@@ -627,6 +629,10 @@ def pq_encode(
         [
             T.StructField(id_col, T.LongType(), False),
             T.StructField("codes", T.ArrayType(T.IntegerType()), False),
+            # passthrough columns (e.g. the residual path's centroid)
+            # keep their input types — carrying them through the
+            # kernel avoids a corpus-wide re-join downstream
+            *[vectors.schema[c] for c in passthrough],
         ]
     )
 
@@ -646,13 +652,14 @@ def pq_encode(
                 sub = mat[:, j * d : (j + 1) * d]
                 dist = -2.0 * (sub @ codebooks[j].T) + sq[j][None, :]
                 codes[:, j] = dist.argmin(axis=1)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
-            )
+            out = {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
+            for c in passthrough:
+                out[c] = pdf[c].to_numpy()
+            yield pd.DataFrame(out)
 
-    return ensure_parallelism(vectors.select(id_col, vec_col)).mapInPandas(
-        kernel, schema=schema
-    )
+    return ensure_parallelism(
+        vectors.select(id_col, vec_col, *passthrough)
+    ).mapInPandas(kernel, schema=schema)
 
 
 def pq_adc_topk(
@@ -821,20 +828,27 @@ def ivf_pq_topk(
     probe = np.argsort(-(index.centroids @ qn))[:n_probe].tolist()
     if by_residual:
         if codebooks is None or codes is None:
-            res = ivf_pq_residuals(index)
+            # the residual kernel feeds both the training sample scan
+            # and the encode pass — persist so the full-corpus
+            # normalize-and-subtract runs once (DISK_ONLY: residuals
+            # are corpus-sized)
+            res = ivf_pq_residuals(index).persist(StorageLevel.DISK_ONLY)
             if codebooks is None:
                 codebooks = pq_train_codebooks(
                     res, dim, m, n_codes, seed=pq_seed,
                     vec_col="residual", normalize=False,
                 )
             if codes is None:
+                # centroid rides through the encode kernel — no
+                # corpus-wide re-join against the cell table
                 codes = pq_encode(
-                    res.select(id_col, "centroid", "residual"),
+                    res,
                     codebooks,
                     id_col,
                     "residual",
                     normalize=False,
-                ).join(index.cells.select(id_col, "centroid"), id_col)
+                    passthrough=("centroid",),
+                )
         qc = (index.centroids @ qn).tolist()
         cand_codes = codes.filter(F.col("centroid").isin(probe)).withColumn(
             "_qc",

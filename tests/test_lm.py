@@ -228,6 +228,36 @@ def test_score_buckets_partitioned_and_validation(spark):
         score_buckets(scored, "v", cuts=(0.7, 0.3))
 
 
+def test_score_buckets_null_handling(spark):
+    """NULL partition keys keep their rows (null-safe threshold
+    join); NULL scores get a NULL bucket, never the top label."""
+    from codeindex_spark.ops.analysis import score_buckets
+
+    scored = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "a", 3.0),
+         (4, None, 1.0), (5, None, 2.0), (6, None, 3.0)],
+        "doc_id long, grp string, v double",
+    )
+    got = {
+        r["doc_id"]: r["bucket"]
+        for r in score_buckets(
+            scored, "v", partition_col="grp", exact=True
+        ).collect()
+    }
+    # all six rows survive, NULL group bucketed against its own terciles
+    assert len(got) == 6
+    assert got[4] == "tail" and got[5] == "middle" and got[6] == "head"
+    nulls = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0), (4, None)],
+        "doc_id long, v double",
+    )
+    got2 = {
+        r["doc_id"]: r["bucket"]
+        for r in score_buckets(nulls, "v", exact=True).collect()
+    }
+    assert got2[4] is None and got2[3] == "head"
+
+
 def test_perplexity_buckets_ranking(spark, tiny_docs):
     from codeindex_spark.ops.lm import perplexity_buckets
 
