@@ -983,6 +983,22 @@ def _q_para_dedup(spark, sf_dir):
     )
 
 
+def _q_keywords(spark, sf_dir):
+    """TF-IDF keyword extraction (beyond-reference, the corpus-side
+    sibling of more-like-this term selection): top-5 smooth-tf-idf
+    terms per doc, deterministic term tie-break."""
+    from codeindex_spark.ops.analysis import top_terms_per_doc
+
+    out = top_terms_per_doc(_load(spark, sf_dir, "documents"), k=5)
+    return out.select(
+        "doc_id",
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def _q_ppl_buckets(spark, sf_dir):
     """CCNet head/middle/tail perplexity split (beyond-reference,
     Wenzek et al. 2020 §4.4): train the stupid-backoff LM on the
@@ -1383,6 +1399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "px_para_dedup": _q_para_dedup,
         "dd_span_stats": _q_span_stats,
         "tx_ppl_buckets": _q_ppl_buckets,
+        "tx_keywords": _q_keywords,
         "dd_span_scrub": _q_span_scrub,
         "px_dsir": _q_dsir,
         "q27_more_like_this": _q_mlt,
@@ -2587,6 +2604,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*)::BIGINT AS n_tokens,
                    round(avg(lp), 6) AS lm_logp
             FROM sc GROUP BY doc_id""",
+        # smooth tf-idf keywords: idf = ln((N+1)/(df+1)) + 1, score =
+        # tf * idf rounded to 6, per-doc top-5 with term tie-break
+        "tx_keywords": """WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       regexp_split_to_array(lower(trim(text)), ' +'),
+                       w -> w <> '')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                   FROM toks GROUP BY 1, 2),
+            dfq AS (SELECT term, count(*)::DOUBLE AS dfc
+                    FROM tf GROUP BY 1),
+            n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS nd
+                  FROM documents),
+            s AS (
+              SELECT tf.doc_id, tf.term, tf.tf,
+                     round(tf.tf * (ln((n.nd + 1.0::DOUBLE)
+                                       / (dfq.dfc + 1.0::DOUBLE))
+                                    + 1.0::DOUBLE), 6) AS score
+              FROM tf JOIN dfq USING (term), n),
+            r AS (
+              SELECT doc_id, term, tf, score,
+                     row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY score DESC, term) AS rnk
+              FROM s)
+            SELECT doc_id, term, tf, score, rnk AS "rank"
+            FROM r WHERE rnk <= 5""",
         # CCNet terciles over the rounded LM score: quantile_cont ==
         # Spark percentile (type-7); thresholds rounded to 6 dp on
         # both sides before the boundary comparison

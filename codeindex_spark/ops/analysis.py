@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window as SparkWindow
 
 from codeindex_spark.ops._text import ws_tokens
 from codeindex_spark.util import ensure_parallelism
@@ -365,3 +366,62 @@ def score_buckets(
         bucket = bucket.when(v < thr(i), labels[i])
     bucket = bucket.otherwise(labels[-1])
     return joined.select(*scored.columns, bucket.alias("bucket"))
+
+
+def top_terms_per_doc(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    min_df: int = 1,
+) -> DataFrame:
+    """TF-IDF keyword extraction: the ``k`` most characteristic terms
+    of every doc — (doc_id, term, tf, score, rank). Smooth idf
+    (sklearn convention): idf = ln((N + 1) / (df + 1)) + 1, score =
+    tf · idf rounded to 6 dp, ties broken by term so the ranking is
+    engine-reproducible. ``min_df`` prunes hapax noise before
+    ranking. The corpus-side sibling of the index's more-like-this
+    term selection (that one reads posting stats; this one needs no
+    index).
+
+    Scale shape: tf is a map-side-combinable groupBy(doc, term); df
+    is keyed on the term (skew bounded by vocabulary, not corpus);
+    the single-row N aggregate broadcasts; top-k is a per-doc window
+    bounded by distinct-terms-per-doc."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(ws_tokens(text_col)).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
+    if min_df > 1:
+        dfreq = dfreq.filter(F.col("_df") >= min_df)
+    n_docs = df.select(F.col(id_col)).distinct().agg(
+        F.count("*").alias("_n")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("_n").cast("double") + 1.0)
+                        / (F.col("_df").cast("double") + 1.0)
+                    )
+                    + 1.0
+                ),
+                6,
+            ),
+        )
+    )
+    w = SparkWindow.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "score", "rank")
+    )

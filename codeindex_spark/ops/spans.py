@@ -44,14 +44,25 @@ from codeindex_spark.ops._text import ws_tokens
 __all__ = ["duplicate_span_stats", "remove_duplicate_spans"]
 
 
-def _windows(df: DataFrame, id_col: str, text_col: str, window: int):
+def _windows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int,
+    partition_col: str | None = None,
+):
     """(base, wins): base = (doc_id, _t tokens, _n) for every doc;
     wins = (doc_id, _s 1-based window start, _h gram md5) for every
-    doc with >= window tokens."""
+    doc with >= window tokens. With ``partition_col`` both carry the
+    scope column ``_g`` and the dedup key becomes (_g, _h)."""
     if window < 2:
         raise ValueError("window must be >= 2 tokens")
+    keys = [F.col(partition_col).alias("_g")] if partition_col else []
+    knames = ["_g"] if partition_col else []
     base = df.select(
-        F.col(id_col).alias("doc_id"), ws_tokens(text_col, lower=False).alias("_t")
+        F.col(id_col).alias("doc_id"),
+        *keys,
+        ws_tokens(text_col, lower=False).alias("_t"),
     ).withColumn("_n", F.size("_t"))
     grams = F.transform(
         F.sequence(F.lit(1), F.col("_n") - window + 1),
@@ -59,24 +70,26 @@ def _windows(df: DataFrame, id_col: str, text_col: str, window: int):
     )
     wins = (
         base.filter(F.col("_n") >= window)
-        .select("doc_id", F.posexplode(grams).alias("_i", "_h"))
-        .select("doc_id", (F.col("_i") + 1).alias("_s"), "_h")
+        .select("doc_id", *knames, F.posexplode(grams).alias("_i", "_h"))
+        .select("doc_id", *knames, (F.col("_i") + 1).alias("_s"), "_h")
     )
     return base, wins
 
 
-def _noncanonical(wins: DataFrame) -> DataFrame:
+def _noncanonical(wins: DataFrame, scoped: bool = False) -> DataFrame:
     """Duplicated windows MINUS the canonical first occurrence:
     (doc_id, _s). Canonical = corpus-wide min (doc_id, start) per
-    gram, so the survivor is deterministic under any partitioning."""
-    canon = wins.groupBy("_h").agg(
+    gram — per (scope, gram) when ``scoped`` — so the survivor is
+    deterministic under any partitioning."""
+    gk = ["_g", "_h"] if scoped else ["_h"]
+    canon = wins.groupBy(*gk).agg(
         F.count("*").alias("_c"),
         F.min(F.struct(F.col("doc_id").alias("d"), F.col("_s").alias("s"))).alias(
             "_w"
         ),
     ).filter(F.col("_c") > 1)
     return (
-        wins.join(canon, "_h")
+        wins.join(canon, gk)
         .where(~((F.col("_w.d") == F.col("doc_id")) & (F.col("_w.s") == F.col("_s"))))
         .select("doc_id", "_s")
     )
@@ -113,6 +126,7 @@ def duplicate_span_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     window: int = 50,
+    partition_col: str | None = None,
 ) -> DataFrame:
     """Per-doc duplicated-span accounting: (doc_id, n_tokens,
     n_windows, n_dup_windows, dup_token_fraction). ``n_dup_windows``
@@ -120,13 +134,17 @@ def duplicate_span_stats(
     the corpus-wide canonical occurrence); ``dup_token_fraction`` is
     the fraction of the doc's tokens covered by at least one such
     window — the quantity you threshold to drop boilerplate-heavy
-    docs outright instead of scrubbing them."""
-    base, wins = _windows(df, id_col, text_col, window)
+    docs outright instead of scrubbing them. ``partition_col`` scopes
+    the dedup (CCNet-style per-language shards): identical spans in
+    different partitions both survive."""
+    base, wins = _windows(df, id_col, text_col, window, partition_col)
     # nc feeds two aggregations (window counts + coverage); persist
     # so the corpus-wide window pass runs once, DISK_ONLY because at
     # corpus scale even the duplicated-window subset dwarfs memory
     # (same discipline as the jaccard shingle cache, dedup.py)
-    nc = _noncanonical(wins).persist(StorageLevel.DISK_ONLY)
+    nc = _noncanonical(wins, scoped=partition_col is not None).persist(
+        StorageLevel.DISK_ONLY
+    )
     ndup = nc.groupBy("doc_id").agg(F.count("*").alias("_ndup"))
     ncov = _covered(nc, window).groupBy("doc_id").agg(
         F.count("*").alias("_covered")
@@ -156,6 +174,7 @@ def remove_duplicate_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     window: int = 50,
+    partition_col: str | None = None,
 ) -> DataFrame:
     """Scrubbed corpus: every token covered by a non-canonical
     duplicated window is dropped; survivors rejoin in original order.
@@ -166,9 +185,12 @@ def remove_duplicate_spans(
     The removal join is per-(doc, position) — exploded token rows
     left-anti joined against the covered set — which stays linear in
     corpus size (no per-doc array_contains scan that would go
-    quadratic on long heavily-covered docs)."""
-    base, wins = _windows(df, id_col, text_col, window)
-    cov = _covered(_noncanonical(wins), window)
+    quadratic on long heavily-covered docs). ``partition_col`` scopes
+    the dedup like duplicate_span_stats."""
+    base, wins = _windows(df, id_col, text_col, window, partition_col)
+    cov = _covered(
+        _noncanonical(wins, scoped=partition_col is not None), window
+    )
     pos = base.select(
         "doc_id", F.posexplode("_t").alias("_i", "_tok")
     ).select("doc_id", (F.col("_i") + 1).alias("_p"), "_tok")

@@ -1147,3 +1147,32 @@ def test_ivf_pq_residual_encoding(spark, tmp_path):
     err_plain = np.mean([abs(plain[i] - true[i]) for i in plain])
     err_res = np.mean([abs(res_scored[i] - true[i]) for i in res_scored])
     assert err_res < err_plain
+
+
+def test_top_terms_per_doc(spark):
+    """Hand-computed smooth tf-idf (sklearn convention) with
+    deterministic term tie-breaks."""
+    import math
+
+    from codeindex_spark.ops.analysis import top_terms_per_doc
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"),
+         (3, "cherry cherry cherry")],
+        "doc_id long, text string",
+    )
+    rows = top_terms_per_doc(docs, k=2).collect()
+    got = {(r["doc_id"], r["rank"]): (r["term"], r["tf"], r["score"]) for r in rows}
+    idf_apple = math.log(4 / 2) + 1    # df=1
+    idf_shared = math.log(4 / 3) + 1   # df=2
+    assert got[(1, 1)] == ("apple", 2, round(2 * idf_apple, 6))
+    assert got[(1, 2)] == ("banana", 1, round(idf_shared, 6))
+    # doc 2: banana and cherry tie on score -> term ascending
+    assert got[(2, 1)][0] == "banana" and got[(2, 2)][0] == "cherry"
+    assert got[(3, 1)] == ("cherry", 3, round(3 * idf_shared, 6))
+    # min_df prunes the df=1 term entirely
+    pruned = {
+        r["term"]
+        for r in top_terms_per_doc(docs, k=2, min_df=2).collect()
+    }
+    assert "apple" not in pruned

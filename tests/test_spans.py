@@ -129,3 +129,34 @@ def test_lag_coverage_matches_naive_explode(spark):
             .collect()
         }
         assert fast == naive, f"window={window}"
+
+
+def test_partition_scoped_span_dedup(spark):
+    """partition_col scopes the dedup: the same span in two different
+    partitions both survive; within one partition the non-canonical
+    copy still scrubs."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, lang="en", text="a b c d x1"),
+            Row(doc_id=2, lang="en", text="a b c d y1"),
+            Row(doc_id=3, lang="de", text="a b c d z1"),
+        ]
+    )
+    cleaned = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicate_spans(
+            docs, window=4, partition_col="lang"
+        ).collect()
+    }
+    assert cleaned[1] == "a b c d x1"   # canonical in en
+    assert cleaned[2] == "y1"           # scrubbed within en
+    assert cleaned[3] == "a b c d z1"   # de scope: survives intact
+    stats = {
+        r["doc_id"]: r["n_dup_windows"]
+        for r in duplicate_span_stats(
+            docs, window=4, partition_col="lang"
+        ).collect()
+    }
+    assert stats == {1: 0, 2: 1, 3: 0}
