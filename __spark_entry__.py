@@ -983,6 +983,28 @@ def _q_para_dedup(spark, sf_dir):
     )
 
 
+def _q_sessions(spark, sf_dir):
+    """Gap-based sessionization rollup (beyond-reference, batch
+    analog of the streaming debounce window): 8-hour gap sessions per
+    user over the events table, with per-session event counts, span,
+    type cardinality, and value sum."""
+    from codeindex_spark.ops.sessions import session_stats
+
+    out = session_stats(
+        _load(spark, sf_dir, "events"), gap_seconds=28800
+    )
+    return out.select(
+        "user_id",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "start_us",
+        "end_us",
+        F.col("n_types").cast("long").alias("n_types"),
+        "sum_value",
+        "duration_secs",
+    )
+
+
 def _q_keywords(spark, sf_dir):
     """TF-IDF keyword extraction (beyond-reference, the corpus-side
     sibling of more-like-this term selection): top-5 smooth-tf-idf
@@ -1400,6 +1422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_span_stats": _q_span_stats,
         "tx_ppl_buckets": _q_ppl_buckets,
         "tx_keywords": _q_keywords,
+        "rel_sessions": _q_sessions,
         "dd_span_scrub": _q_span_scrub,
         "px_dsir": _q_dsir,
         "q27_more_like_this": _q_mlt,
@@ -2604,6 +2627,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*)::BIGINT AS n_tokens,
                    round(avg(lp), 6) AS lm_logp
             FROM sc GROUP BY doc_id""",
+        # 8h-gap sessionization: lag/running-sum session index
+        # (ties break on event_id), micros-integer timestamps, value
+        # sum rounded to 4 (the rel_* double-agg convention)
+        "rel_sessions": """WITH e AS (
+              SELECT user_id, event_id, epoch_us(ts) AS us,
+                     event_type, value
+              FROM events),
+            s AS (
+              SELECT *,
+                     CASE WHEN lag(us) OVER w IS NULL
+                            OR us - lag(us) OVER w > 28800000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+            x AS (
+              SELECT *,
+                     sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_idx
+              FROM s)
+            SELECT user_id, session_idx::BIGINT AS session_idx,
+                   count(*)::BIGINT AS n_events,
+                   min(us)::BIGINT AS start_us,
+                   max(us)::BIGINT AS end_us,
+                   count(DISTINCT event_type)::BIGINT AS n_types,
+                   round(sum(value), 4) AS sum_value,
+                   round((max(us) - min(us))::DOUBLE
+                         / 1000000.0::DOUBLE, 6) AS duration_secs
+            FROM x GROUP BY user_id, session_idx""",
         # smooth tf-idf keywords: idf = ln((N+1)/(df+1)) + 1, score =
         # tf * idf rounded to 6, per-doc top-5 with term tie-break
         "tx_keywords": """WITH toks AS (
