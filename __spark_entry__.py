@@ -316,6 +316,14 @@ def _q_wildcard(spark, sf_dir):
     return _orig_ids(eng, eng.score("sc*"), extra=_SCORE())
 
 
+def _q_term_regexp(spark, sf_dir):
+    # '/(qu|s).*t/': classic-parser forward-slash regexp — anchored
+    # full match expanded against the dictionary (Lucene RegexpQuery
+    # semantics), per-term BM25 contributions summed
+    eng = _engine(spark, sf_dir)
+    return _orig_ids(eng, eng.score("/(qu|s).*t/"), extra=_SCORE())
+
+
 def _q_term_range(spark, sf_dir):
     # '[query TO sort}': classic-parser term range, mixed inclusivity
     # (includes 'query', excludes 'sort') — expands against the
@@ -1371,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_phrase_slop": _q_phrase_slop,
         "q24_boosted_or": _q_boosted_or,
         "q25_term_range": _q_term_range,
+        "q27_term_regexp": _q_term_regexp,
         "q26_bool_clauses": _q_bool_clauses,
         "q06_wildcard": _q_wildcard,
         "q07_fuzzy": _q_fuzzy,
@@ -1980,6 +1989,16 @@ def oracle_sql() -> dict[str, str]:
         "q06_wildcard": f"""WITH {_CONTRIB}
             SELECT doc_id, round(sum(c), 6) AS score FROM contrib
             WHERE term LIKE 'sc%' GROUP BY doc_id""",
+        # forward-slash term regexp: anchored full match over the
+        # dictionary, capped at the engine's 1024-term expansion
+        # (mirrors the range-slice cap; the pattern keeps to the
+        # Java-regex/RE2 common subset so both engines agree)
+        "q27_term_regexp": f"""WITH {_CONTRIB},
+            rx AS (SELECT DISTINCT term FROM contrib
+                   WHERE regexp_full_match(term, '(qu|s).*t')
+                   ORDER BY term LIMIT 1024)
+            SELECT doc_id, round(sum(c), 6) AS score FROM contrib
+            WHERE term IN (SELECT term FROM rx) GROUP BY doc_id""",
         # damerau: Lucene FuzzyQuery counts transpositions as 1 edit
         "q07_fuzzy": f"""WITH {_CONTRIB}
             SELECT doc_id, round(sum(c), 6) AS score FROM contrib

@@ -34,7 +34,7 @@ from dataclasses import dataclass, field
 from typing import Union
 
 Node = Union[
-    "Term", "Wildcard", "Fuzzy", "Range", "Phrase", "And", "Or", "Not",
+    "Term", "Wildcard", "Regexp", "Fuzzy", "Range", "Phrase", "And", "Or", "Not",
     "Bool",
 ]
 
@@ -63,6 +63,22 @@ class Term:
 @dataclass(frozen=True)
 class Wildcard:
     pattern: str  # contains * or ?
+    field: str = DEFAULT_FIELD
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Regexp:
+    """Classic-parser term regexp ``/pattern/`` (QueryParserBase
+    handles forward-slash regexps since Lucene 4.0; the reference
+    hands users the full classic parser, QueryGenerator.cs:217-222).
+    Matches DICTIONARY TERMS as a full anchored match — like
+    Lucene's RegexpQuery, never a content substring scan (that is
+    search_content_regex's job). The pattern is Java-regex syntax,
+    kept as written: lowercased fields store lowercase terms, so
+    uppercase literals simply match nothing there."""
+
+    pattern: str
     field: str = DEFAULT_FIELD
     boost: float = 1.0
 
@@ -159,7 +175,7 @@ def apply_boost(node: Node, factor: float) -> Node:
     bound is computed from per-leaf idf, which carries the boost."""
     from dataclasses import replace
 
-    if isinstance(node, (Term, Wildcard, Fuzzy, Range, Phrase)):
+    if isinstance(node, (Term, Wildcard, Regexp, Fuzzy, Range, Phrase)):
         return replace(node, boost=node.boost * factor)
     if isinstance(node, And):
         return And(tuple(apply_boost(c, factor) for c in node.children))
@@ -237,7 +253,52 @@ def _fuzzy_edits(suffix: str, term: str, word: str) -> int:
     return min(int((1.0 - s) * len(term)), _MAX_FUZZY_EDITS)
 
 
+def _regexp_leaf(word: str, fld: str) -> Node:
+    """``/pattern/`` (optional ``^boost``): forward-slash term regexp
+    from the classic parser grammar. The body keeps backslash escapes
+    verbatim for the regex engine, except ``\\/`` which decodes to a
+    literal slash (the one escape the DELIMITER needs). The pattern
+    must compile (checked with Python re — a conservative subset of
+    Java regex; exotic Java-only constructs are rejected loudly
+    rather than silently diverging between planner and oracle)."""
+    i, n = 1, len(word)
+    body_end = None
+    while i < n:
+        if word[i] == "\\":
+            i += 2
+            continue
+        if word[i] == "/":
+            body_end = i
+            break
+        i += 1
+    if body_end is None:
+        raise QueryParseError(f"unterminated regexp {word!r}")
+    if body_end == 1:
+        raise QueryParseError(f"empty regexp {word!r}")
+    pat = word[1:body_end].replace("\\/", "/")
+    suffix = word[body_end + 1 :]
+    boost = 1.0
+    if suffix:
+        if not suffix.startswith("^"):
+            raise QueryParseError(
+                f"trailing characters after regexp: {word!r}"
+            )
+        try:
+            boost = float(suffix[1:])
+        except ValueError as e:
+            raise QueryParseError(f"bad boost suffix in {word!r}") from e
+        if not (0 < boost < float("inf")):
+            raise QueryParseError(f"bad boost in {word!r}")
+    try:
+        re.compile(pat)
+    except re.error as e:
+        raise QueryParseError(f"bad regexp {pat!r}: {e}") from e
+    return Regexp(pat, fld, boost)
+
+
 def _leaf(word: str, fld: str, lowercase: bool) -> Node:
+    if word.startswith("/"):
+        return _regexp_leaf(word, fld)
     chars = _split_unescaped(word)
 
     def find_op(op: str, from_right: bool = False):
@@ -361,7 +422,28 @@ class _Parser:
         self.lowercase = lowercase
 
     @staticmethod
-    def _lex(text: str) -> list[str]:
+    def _regex_end(text: str, j: int, n: int) -> int:
+        """``text[j]`` is the opening ``/`` of a regexp token: return
+        the index just past the token. The body runs to the closing
+        unescaped ``/`` — parens, quotes, and spaces inside are
+        pattern content, not query syntax (same as Lucene's grammar,
+        where the slashes delimit) — then the ``^boost`` suffix runs
+        to the next delimiter. An unclosed regexp swallows the rest
+        of the input and _regexp_leaf raises 'unterminated'."""
+        j += 1
+        while j < n:
+            if text[j] == "\\" and j + 1 < n:
+                j += 2
+                continue
+            if text[j] == "/":
+                j += 1
+                break
+            j += 1
+        while j < n and not text[j].isspace() and text[j] not in '()"':
+            j += 1
+        return j
+
+    def _lex(self, text: str) -> list[str]:
         toks, i, n = [], 0, len(text)
         while i < n:
             c = text[i]
@@ -376,12 +458,25 @@ class _Parser:
                     raise QueryParseError("unterminated quote")
                 toks.append(text[i : j + 1])
                 i = j + 1
+            elif c == "/":
+                j = self._regex_end(text, i, n)
+                toks.append(text[i:j])
+                i = j
             else:
                 j = i
                 while j < n and not text[j].isspace() and text[j] not in '()"':
                     if text[j] == "\\" and j + 1 < n:
                         j += 2  # escaped char stays inside the token
                         continue
+                    if (
+                        text[j] == "/"
+                        and j > i
+                        and text[j - 1] == ":"
+                    ):
+                        # field-qualified regexp Content:/re/ — the
+                        # slash after the colon opens a regex body
+                        j = self._regex_end(text, j, n)
+                        break
                     j += 1
                 toks.append(text[i:j])
                 i = j
@@ -680,7 +775,7 @@ def parse_phrase_query(
 
 
 def collect_leaves(node: Node) -> list[Node]:
-    if isinstance(node, (Term, Wildcard, Fuzzy, Range, Phrase)):
+    if isinstance(node, (Term, Wildcard, Regexp, Fuzzy, Range, Phrase)):
         return [node]
     if isinstance(node, (And, Or)):
         out = []

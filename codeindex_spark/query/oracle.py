@@ -149,6 +149,11 @@ class OracleIndex:
             return [leaf.term] if leaf.term in terms else []
         if isinstance(leaf, ast.Wildcard):
             return self._expand_pattern(fld, leaf.pattern)
+        if isinstance(leaf, ast.Regexp):
+            rx = re.compile(leaf.pattern)
+            return sorted(t for t in terms if rx.fullmatch(t))[
+                :MAX_EXPANSIONS
+            ]
         if isinstance(leaf, ast.Range):
             def ok(t: str) -> bool:
                 if leaf.lo is not None:
@@ -183,7 +188,9 @@ class OracleIndex:
     # ---------- evaluation ----------
 
     def eval(self, node: ast.Node) -> dict[int, float]:
-        if isinstance(node, (ast.Term, ast.Wildcard, ast.Fuzzy, ast.Range)):
+        if isinstance(
+            node, (ast.Term, ast.Wildcard, ast.Regexp, ast.Fuzzy, ast.Range)
+        ):
             out: dict[int, float] = {}
             boost = float(getattr(node, "boost", 1.0))
             for t in self._expand(node.field, node):

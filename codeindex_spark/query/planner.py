@@ -115,6 +115,25 @@ def literal_prefix(pattern: str) -> str:
     return pattern
 
 
+def regex_literal_prefix(pattern: str) -> str:
+    """Leading run of literal chars in a regex, for pruning the
+    sorted-dictionary scan before the anchored rlike verifies.
+    Conservative: stops at the first metacharacter or backslash
+    (escapes can be multi-char — \\x41 etc., the required_literals
+    lesson); a quantifier right after the run makes the last literal
+    optional/repeated, so it drops out. Never affects correctness —
+    only how much of the dictionary the rlike has to look at."""
+    meta = set(".^$*+?{}[]|()\\")
+    out: list[str] = []
+    for ch in pattern:
+        if ch in meta:
+            if ch in "*+?{" and out:
+                out.pop()
+            break
+        out.append(ch)
+    return "".join(out)
+
+
 def idf_bm25(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
@@ -404,6 +423,8 @@ class SearchEngine:
         ck = None
         if isinstance(leaf, ast.Wildcard):
             ck = (field, "w", leaf.pattern)
+        elif isinstance(leaf, ast.Regexp):
+            ck = (field, "x", leaf.pattern)
         elif isinstance(leaf, ast.Fuzzy):
             ck = (field, "f", leaf.term, leaf.max_edits)
         elif isinstance(leaf, ast.Range):
@@ -415,6 +436,22 @@ class SearchEngine:
             rows = td.filter(F.col("term") == leaf.term).select("term", "df").collect()
         elif isinstance(leaf, ast.Wildcard):
             rows = self._expand_pattern(td, leaf.pattern)
+        elif isinstance(leaf, ast.Regexp):
+            # anchored full match over the dictionary (Lucene
+            # RegexpQuery semantics); a leading literal run prunes
+            # the sorted dictionary scan via startswith before the
+            # rlike verifies
+            cond = F.col("term").rlike("^(?:" + leaf.pattern + ")$")
+            pfx = regex_literal_prefix(leaf.pattern)
+            if pfx:
+                cond = F.col("term").startswith(pfx) & cond
+            rows = (
+                td.filter(cond)
+                .select("term", "df")
+                .orderBy("term")
+                .limit(MAX_EXPANSIONS)
+                .collect()
+            )
         elif isinstance(leaf, ast.Range):
             # pure range predicate on the sorted dictionary — parquet
             # min/max row-group pruning applies, same as a wildcard's
@@ -1627,7 +1664,9 @@ def _is_pure_disjunction(node) -> bool:
     """True when the tree is only Or / Term / Wildcard / Fuzzy — the
     semantics reduce to 'sum every matched leaf contribution per doc',
     which vectorizes across ALL posting rows with no per-block logic."""
-    if isinstance(node, (ast.Term, ast.Wildcard, ast.Fuzzy, ast.Range)):
+    if isinstance(
+        node, (ast.Term, ast.Wildcard, ast.Regexp, ast.Fuzzy, ast.Range)
+    ):
         return True
     if isinstance(node, ast.Or):
         return all(_is_pure_disjunction(c) for c in node.children)
@@ -1731,7 +1770,9 @@ def _make_tree_batch_kernel(root, leaf_ids, avgdl, k1, b, block_size):
 
     def eval_node(node, leaf_data):
         if isinstance(
-            node, (ast.Term, ast.Wildcard, ast.Fuzzy, ast.Range, ast.Phrase)
+            node,
+            (ast.Term, ast.Wildcard, ast.Regexp, ast.Fuzzy, ast.Range,
+             ast.Phrase),
         ):
             return leaf_data.get(id_of[node], (_EMPTY_D, _EMPTY_S))
         if isinstance(node, ast.And):

@@ -181,7 +181,7 @@ def test_block_roundtrip_property(entries, block_id):
 @given(
     st.text(
         alphabet=st.sampled_from(
-            list("abcdef AND OR NOT()[]{}\"*?~^:\\+-.0123456789")
+            list("abcdef AND OR NOT()[]{}\"*?~^:\\+-./|0123456789")
         ),
         min_size=0,
         max_size=60,

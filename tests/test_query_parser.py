@@ -353,3 +353,33 @@ def test_field_scoped_group():
     assert q == Or((Term("a", "file_name"), Term("b", "content_cs")))
     with pytest.raises(QueryParseError):
         parse_query("filename:(a b")
+
+
+def test_term_regexp_queries():
+    from codeindex_spark.query.ast import Regexp
+
+    assert parse_query("/st.*ng/") == Regexp("st.*ng", "content")
+    assert parse_query("FileName:/[a-z]+_\\d+/") == Regexp(
+        "[a-z]+_\\d+", "file_name"
+    )
+    assert parse_query("/ab+c/^2") == Regexp("ab+c", "content", 2.0)
+    # escaped slash decodes into the pattern body
+    assert parse_query(r"/a\/b/") == Regexp("a/b", "content")
+    # composes with booleans
+    got = parse_query("foo AND /ba[rz]/")
+    assert got == And((Term("foo"), Regexp("ba[rz]", "content")))
+    for bad in ("/abc", "//", "/a(b/", "/a/x", "/a/^0", "/a/^nan"):
+        with pytest.raises(QueryParseError):
+            parse_query(bad)
+
+
+def test_regex_literal_prefix():
+    from codeindex_spark.query.planner import regex_literal_prefix
+
+    assert regex_literal_prefix("string") == "string"
+    assert regex_literal_prefix("str.*") == "str"
+    assert regex_literal_prefix("str*x") == "st"   # '*' repeats the 'r'
+    assert regex_literal_prefix("ab+c") == "a"
+    assert regex_literal_prefix("[ab]c") == ""
+    assert regex_literal_prefix("a\\d+") == "a"
+    assert regex_literal_prefix("(?:ab)") == ""

@@ -60,6 +60,12 @@ QUERIES = {
     # transposed adjacent chars = ONE edit (Damerau, the Lucene
     # FuzzyQuery default) — plain levenshtein would need two
     "q08b_fuzzy_transposition": "stirng~1",
+    # forward-slash term regexp (classic-parser RegexpQuery):
+    # anchored full match over the dictionary, scored like any
+    # multi-term expansion
+    "q_term_regexp": "/st.*/",
+    "q_term_regexp_alt": "/(get|s[te]t?ring)/",
+    "q_term_regexp_bool": "index AND /writ.*/",
 }
 
 
