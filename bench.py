@@ -149,6 +149,7 @@ def main() -> None:
         "q06_phrase_wildcard": run_q(ast.parse_phrase_query("fast s*")),
         "q07_wildcard": run_q("sc*"),
         "q08_fuzzy": run_q("spak~1"),
+        "q09_term_regexp": run_q("/(qu|s).*t/"),
         "q10_field_filtered": run_q("spark", filters=Filters(lang="en")),
         "q13_hints": lambda: eng.hints("sc").collect(),
     }
@@ -388,6 +389,7 @@ def main() -> None:
     # ops) are informational extras so the r01 total stays apples-to-
     # apples across rounds
     EXTRA_KEYS = {
+        "q09_term_regexp",
         "q_batch8",
         "build_sf_trigram",
         "q14_substring",

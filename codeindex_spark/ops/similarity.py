@@ -827,18 +827,25 @@ def ivf_pq_topk(
     qn = q / max(np.linalg.norm(q), 1e-12)
     probe = np.argsort(-(index.centroids @ qn))[:n_probe].tolist()
     if by_residual:
-        if codebooks is None or codes is None:
-            # the residual kernel feeds both the training sample scan
-            # and the encode pass — persist so the full-corpus
-            # normalize-and-subtract runs once (DISK_ONLY: residuals
-            # are corpus-sized)
-            res = ivf_pq_residuals(index).persist(StorageLevel.DISK_ONLY)
-            if codebooks is None:
+        need_books, need_codes = codebooks is None, codes is None
+        if need_books or need_codes:
+            res = ivf_pq_residuals(index)
+            both = need_books and need_codes
+            if both:
+                # the residual kernel feeds both the training sample
+                # scan and the encode pass — persist so the
+                # full-corpus normalize-and-subtract runs once
+                # (DISK_ONLY: residuals are corpus-sized); released
+                # below, after codes materialize, so per-query calls
+                # do not leak one disk cache each (ivf_build's own
+                # unpersist convention)
+                res = res.persist(StorageLevel.DISK_ONLY)
+            if need_books:
                 codebooks = pq_train_codebooks(
                     res, dim, m, n_codes, seed=pq_seed,
                     vec_col="residual", normalize=False,
                 )
-            if codes is None:
+            if need_codes:
                 # centroid rides through the encode kernel — no
                 # corpus-wide re-join against the cell table
                 codes = pq_encode(
@@ -849,6 +856,11 @@ def ivf_pq_topk(
                     normalize=False,
                     passthrough=("centroid",),
                 )
+            if both:
+                # materialize the (compact: m ints/vector) codes so
+                # the residual cache can be dropped eagerly
+                codes = codes.localCheckpoint(eager=True)
+                res.unpersist()
         qc = (index.centroids @ qn).tolist()
         cand_codes = codes.filter(F.col("centroid").isin(probe)).withColumn(
             "_qc",

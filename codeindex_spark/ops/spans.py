@@ -88,8 +88,23 @@ def _noncanonical(wins: DataFrame, scoped: bool = False) -> DataFrame:
             "_w"
         ),
     ).filter(F.col("_c") > 1)
+    if scoped:
+        # null-safe on the scope key: a NULL partition (unknown-lang
+        # shard) is a real dedup scope whose canon row a plain
+        # equi-join would never match — its duplicates would silently
+        # survive the scrub
+        canon = canon.withColumnRenamed("_g", "_cg").withColumnRenamed(
+            "_h", "_ch"
+        )
+        joined = wins.join(
+            canon,
+            wins["_g"].eqNullSafe(canon["_cg"])
+            & (wins["_h"] == canon["_ch"]),
+        )
+    else:
+        joined = wins.join(canon, "_h")
     return (
-        wins.join(canon, gk)
+        joined
         .where(~((F.col("_w.d") == F.col("doc_id")) & (F.col("_w.s") == F.col("_s"))))
         .select("doc_id", "_s")
     )

@@ -253,6 +253,22 @@ def _fuzzy_edits(suffix: str, term: str, word: str) -> int:
     return min(int((1.0 - s) * len(term)), _MAX_FUZZY_EDITS)
 
 
+def _find_unescaped_slash(text: str, start: int) -> int | None:
+    """Index of the first unescaped ``/`` at or after ``start`` —
+    THE definition of where a regexp body ends, shared by the lexer
+    (token boundary) and _regexp_leaf (body extraction) so the two
+    can never disagree."""
+    j, n = start, len(text)
+    while j < n:
+        if text[j] == "\\" and j + 1 < n:
+            j += 2
+            continue
+        if text[j] == "/":
+            return j
+        j += 1
+    return None
+
+
 def _regexp_leaf(word: str, fld: str) -> Node:
     """``/pattern/`` (optional ``^boost``): forward-slash term regexp
     from the classic parser grammar. The body keeps backslash escapes
@@ -261,16 +277,7 @@ def _regexp_leaf(word: str, fld: str) -> Node:
     must compile (checked with Python re — a conservative subset of
     Java regex; exotic Java-only constructs are rejected loudly
     rather than silently diverging between planner and oracle)."""
-    i, n = 1, len(word)
-    body_end = None
-    while i < n:
-        if word[i] == "\\":
-            i += 2
-            continue
-        if word[i] == "/":
-            body_end = i
-            break
-        i += 1
+    body_end = _find_unescaped_slash(word, 1)
     if body_end is None:
         raise QueryParseError(f"unterminated regexp {word!r}")
     if body_end == 1:
@@ -430,15 +437,8 @@ class _Parser:
         where the slashes delimit) — then the ``^boost`` suffix runs
         to the next delimiter. An unclosed regexp swallows the rest
         of the input and _regexp_leaf raises 'unterminated'."""
-        j += 1
-        while j < n:
-            if text[j] == "\\" and j + 1 < n:
-                j += 2
-                continue
-            if text[j] == "/":
-                j += 1
-                break
-            j += 1
+        close = _find_unescaped_slash(text, j + 1)
+        j = n if close is None else close + 1
         while j < n and not text[j].isspace() and text[j] not in '()"':
             j += 1
         return j
@@ -464,19 +464,20 @@ class _Parser:
                 i = j
             else:
                 j = i
+                after_colon = False  # previous char was an UNESCAPED ':'
                 while j < n and not text[j].isspace() and text[j] not in '()"':
                     if text[j] == "\\" and j + 1 < n:
                         j += 2  # escaped char stays inside the token
+                        after_colon = False
                         continue
-                    if (
-                        text[j] == "/"
-                        and j > i
-                        and text[j - 1] == ":"
-                    ):
+                    if text[j] == "/" and after_colon:
                         # field-qualified regexp Content:/re/ — the
-                        # slash after the colon opens a regex body
+                        # slash after an unescaped colon opens a
+                        # regex body (an ESCAPED colon is term
+                        # content, so foo\:/bar stays a plain term)
                         j = self._regex_end(text, j, n)
                         break
+                    after_colon = text[j] == ":"
                     j += 1
                 toks.append(text[i:j])
                 i = j

@@ -150,7 +150,9 @@ class OracleIndex:
         if isinstance(leaf, ast.Wildcard):
             return self._expand_pattern(fld, leaf.pattern)
         if isinstance(leaf, ast.Regexp):
-            rx = re.compile(leaf.pattern)
+            # re.ASCII: Java regex classes (\d \w \s) are ASCII by
+            # default — the oracle must match the engine's rlike
+            rx = re.compile(leaf.pattern, re.ASCII)
             return sorted(t for t in terms if rx.fullmatch(t))[
                 :MAX_EXPANSIONS
             ]

@@ -123,7 +123,13 @@ def regex_literal_prefix(pattern: str) -> str:
     lesson); a quantifier right after the run makes the last literal
     optional/repeated, so it drops out. Never affects correctness —
     only how much of the dictionary the rlike has to look at."""
-    meta = set(".^$*+?{}[]|()\\")
+    if "|" in pattern:
+        # a top-level alternation's other branch need not share the
+        # literal run ('abc|x' matches 'x'); telling top-level from
+        # grouped '|' needs a real parse, so any '|' disables the
+        # prune — the anchored rlike alone stays correct
+        return ""
+    meta = set(".^$*+?{}[]()\\")
     out: list[str] = []
     for ch in pattern:
         if ch in meta:
@@ -440,7 +446,20 @@ class SearchEngine:
             # anchored full match over the dictionary (Lucene
             # RegexpQuery semantics); a leading literal run prunes
             # the sorted dictionary scan via startswith before the
-            # rlike verifies
+            # rlike verifies. The parser validated with Python re,
+            # which accepts some Java-invalid syntax ('a{,3}',
+            # '(?P<x>..)') — compile with the JVM here so those fail
+            # as a clear driver-side error, not an executor crash
+            try:
+                self.reader.spark._jvm.java.util.regex.Pattern.compile(
+                    leaf.pattern
+                )
+            except Exception as e:
+                raise ValueError(
+                    f"regexp {leaf.pattern!r} is not valid Java regex "
+                    "(Spark rlike executes java.util.regex): "
+                    f"{getattr(e, 'java_exception', e)}"
+                ) from e
             cond = F.col("term").rlike("^(?:" + leaf.pattern + ")$")
             pfx = regex_literal_prefix(leaf.pattern)
             if pfx:

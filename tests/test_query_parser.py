@@ -383,3 +383,19 @@ def test_regex_literal_prefix():
     assert regex_literal_prefix("[ab]c") == ""
     assert regex_literal_prefix("a\\d+") == "a"
     assert regex_literal_prefix("(?:ab)") == ""
+
+
+def test_regexp_lexer_edges():
+    from codeindex_spark.query.ast import Regexp
+
+    # an ESCAPED colon is term content: the '/' after it must not
+    # open a regex body and swallow the next token
+    assert parse_query(r"foo\:/bar baz") == Or(
+        (Term("foo:/bar", "content"), Term("baz", "content"))
+    )
+    # parens and spaces inside slashes are pattern content
+    assert parse_query("(/a b/)") == Regexp("a b", "content")
+    # Python-valid but Java-invalid patterns parse, then fail loudly
+    # at expansion time (planner compiles with java.util.regex) —
+    # here just assert the parse accepts them
+    assert parse_query("/a{,3}/") == Regexp("a{,3}", "content")

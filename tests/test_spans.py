@@ -160,3 +160,27 @@ def test_partition_scoped_span_dedup(spark):
         ).collect()
     }
     assert stats == {1: 0, 2: 1, 3: 0}
+
+
+def test_partition_scope_null_group_still_dedups(spark):
+    """A NULL partition key is a real scope: duplicates inside it must
+    still collapse (null-safe canon join), and they must not dedup
+    against a named scope."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, lang=None, text="a b c d x1"),
+            Row(doc_id=2, lang=None, text="a b c d y1"),
+            Row(doc_id=3, lang="en", text="a b c d z1"),
+        ]
+    )
+    cleaned = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicate_spans(
+            docs, window=4, partition_col="lang"
+        ).collect()
+    }
+    assert cleaned[1] == "a b c d x1"   # canonical inside NULL scope
+    assert cleaned[2] == "y1"           # scrubbed inside NULL scope
+    assert cleaned[3] == "a b c d z1"   # en scope untouched
