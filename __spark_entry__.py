@@ -991,6 +991,18 @@ def _q_para_dedup(spark, sf_dir):
     )
 
 
+def _q_value_hist(spark, sf_dir):
+    """Fixed-width histogram of events.value (beyond-reference
+    analytics): 20 bins over [0, 500], closed top edge, only
+    non-empty bins — one bounded groupBy, at most 20 rows cross the
+    exchange."""
+    from codeindex_spark.ops.analysis import histogram
+
+    return histogram(
+        _load(spark, sf_dir, "events"), "value", bins=20, lo=0.0, hi=500.0
+    )
+
+
 def _q_sessions(spark, sf_dir):
     """Gap-based sessionization rollup (beyond-reference, batch
     analog of the streaming debounce window): 8-hour gap sessions per
@@ -1432,6 +1444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_ppl_buckets": _q_ppl_buckets,
         "tx_keywords": _q_keywords,
         "rel_sessions": _q_sessions,
+        "rel_value_hist": _q_value_hist,
         "dd_span_scrub": _q_span_scrub,
         "px_dsir": _q_dsir,
         "q27_more_like_this": _q_mlt,
@@ -2646,6 +2659,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*)::BIGINT AS n_tokens,
                    round(avg(lp), 6) AS lm_logp
             FROM sc GROUP BY doc_id""",
+        # fixed-width value histogram: floor((v-lo)/width) clamped so
+        # v == hi lands in the last bin; identical double arithmetic
+        "rel_value_hist": """WITH b AS (
+              SELECT least(floor((value - 0.0::DOUBLE)
+                                 / (500.0::DOUBLE / 20)), 19)::BIGINT
+                       AS bin
+              FROM events
+              WHERE value IS NOT NULL
+                AND value >= 0.0 AND value <= 500.0)
+            SELECT bin,
+                   round(0.0::DOUBLE + bin * (500.0::DOUBLE / 20), 6)
+                     AS lo_edge,
+                   round(0.0::DOUBLE + (bin + 1) * (500.0::DOUBLE / 20), 6)
+                     AS hi_edge,
+                   count(*)::BIGINT AS n
+            FROM b GROUP BY bin""",
         # 8h-gap sessionization: lag/running-sum session index
         # (ties break on event_id), micros-integer timestamps, value
         # sum rounded to 4 (the rel_* double-agg convention)

@@ -425,3 +425,50 @@ def top_terms_per_doc(
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "score", "rank")
     )
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    bins: int = 20,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column: (bin, lo_edge,
+    hi_edge, n) for every NON-EMPTY bin, bin = floor((v - lo)/width)
+    clamped so v == hi lands in the last bin (the standard closed
+    top edge). ``lo``/``hi`` default to the column min/max (one tiny
+    aggregate job); rows outside [lo, hi] and NULLs are dropped.
+    Edges round to 6 dp for engine-reproducible output.
+
+    Scale shape: one map-side-combinable groupBy on the bin id — at
+    most ``bins`` rows ever cross the exchange."""
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    v = F.col(col).cast("double")
+    if lo is None or hi is None:
+        row = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).first()
+        lo = float(row["lo"]) if lo is None else lo
+        hi = float(row["hi"]) if hi is None else hi
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    width = (hi - lo) / bins
+    b = F.least(
+        F.floor((v - F.lit(float(lo))) / F.lit(float(width))),
+        F.lit(bins - 1),
+    ).cast("long")
+    return (
+        df.filter(v.isNotNull() & (v >= lo) & (v <= hi))
+        .groupBy(b.alias("bin"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bin",
+            F.round(F.lit(float(lo)) + F.col("bin") * F.lit(float(width)), 6)
+            .alias("lo_edge"),
+            F.round(
+                F.lit(float(lo)) + (F.col("bin") + 1) * F.lit(float(width)),
+                6,
+            ).alias("hi_edge"),
+            "n",
+        )
+    )

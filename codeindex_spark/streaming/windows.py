@@ -76,3 +76,61 @@ def stream_windowed_counts(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def session_event_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based session aggregation per user via the native
+    ``session_window`` (merging windows: a session closes when no
+    event arrives within ``gap`` — the streaming analog of
+    ops/sessions.py's batch lag+running-sum index, and of the
+    reference watcher's quiet-period debounce). Works on streaming
+    and batch frames alike; on batch the watermark is a no-op and
+    the sessions equal the batch sessionizer's (same strict-gap
+    boundary) — the cross-check the test pins."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(
+            F.session_window("ts", gap).alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("user_id"),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_session_counts(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    query_name: str = "session_events",
+):
+    """File-source stream -> watermark -> session windows ->
+    availableNow memory sink (drain-and-stop micro-batches)."""
+    stream = spark.readStream.schema(EVENT_ROW_SCHEMA).json(events_dir)
+    out = session_event_counts(stream, gap, watermark)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

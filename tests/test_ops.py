@@ -1176,3 +1176,24 @@ def test_top_terms_per_doc(spark):
         for r in top_terms_per_doc(docs, k=2, min_df=2).collect()
     }
     assert "apple" not in pruned
+
+
+def test_histogram(spark):
+    from codeindex_spark.ops.analysis import histogram
+
+    df = spark.createDataFrame(
+        [(x,) for x in [0.0, 1.0, 2.5, 5.0, 9.9, 10.0, None]],
+        "v double",
+    )
+    got = {r["bin"]: r for r in histogram(df, "v", bins=4, lo=0.0, hi=10.0).collect()}
+    # width 2.5: [0,2.5)->{0,1}, [2.5,5)->{2.5}, [5,7.5)->{5}, [7.5,10]->{9.9,10}
+    assert {b: got[b]["n"] for b in got} == {0: 2, 1: 1, 2: 1, 3: 2}
+    assert got[0]["lo_edge"] == 0.0 and got[0]["hi_edge"] == 2.5
+    assert got[3]["hi_edge"] == 10.0
+    # default range derives from data; out-of-range rows drop
+    clipped = histogram(df, "v", bins=2, lo=1.0, hi=9.0).collect()
+    assert sum(r["n"] for r in clipped) == 3  # 1.0, 2.5, 5.0
+    with pytest.raises(ValueError):
+        histogram(df, "v", bins=0)
+    with pytest.raises(ValueError):
+        histogram(df, "v", lo=5.0, hi=5.0)

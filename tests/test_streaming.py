@@ -747,3 +747,78 @@ def test_compact_events_rename_edge_cases(spark):
         for r in compact_events(ev4).collect()
     ]
     assert out4 == [("Changed", "/a", None, _ts(1))]
+
+
+def test_session_window_stream_matches_batch_sessionizer(spark, tmp_path):
+    """Native session_window over a file-source stream produces the
+    same (user, n_events, sum_value) sessions as the batch lag-based
+    sessionizer (ops/sessions.py) on the same events — the two
+    implementations of one semantic. Gap boundaries in the data stay
+    strictly inside/outside the gap so the half-open-window edge
+    cannot differ."""
+    import time as _time
+
+    from codeindex_spark.ops.sessions import session_stats
+    from codeindex_spark.streaming.windows import stream_session_counts
+
+    events_dir = tmp_path / "sess_events"
+    events_dir.mkdir()
+
+    def ev(eid, hour, minute, uid, value):
+        return {
+            "event_id": eid,
+            "ts": f"2024-01-01T{hour:02d}:{minute:02d}:00.000Z",
+            "user_id": uid,
+            "event_type": "click",
+            "value": value,
+        }
+
+    rows = [
+        # user 1: two sessions (45-min gap > 30-min session gap)
+        ev(1, 0, 0, 1, 1.0),
+        ev(2, 0, 10, 1, 2.0),
+        ev(3, 0, 55, 1, 4.0),
+        ev(4, 1, 5, 1, 8.0),
+        # user 2: one session
+        ev(5, 0, 7, 2, 16.0),
+        ev(6, 0, 20, 2, 32.0),
+    ]
+    # append mode emits a session only after the watermark passes
+    # its end: a far-future advancer event (user 99, excluded from
+    # the batch comparison) closes all real sessions
+    advancer = ev(99, 6, 0, 99, 0.0)
+    batches = [rows[:4], rows[4:], [advancer]]
+    for i, rs in enumerate(batches):
+        with open(events_dir / f"b{i}.json", "w") as f:
+            for e in rs:
+                f.write(json.dumps(e) + "\n")
+        _time.sleep(1.1)
+
+    got = {
+        (r["user_id"], r["n_events"], r["sum_value"])
+        for r in stream_session_counts(
+            spark,
+            str(events_dir),
+            str(tmp_path / "sess_ckpt"),
+            gap="30 minutes",
+            watermark="1 minute",
+            query_name="sess_test",
+        ).collect()
+        if r["user_id"] != 99
+    }
+    batch_events = spark.createDataFrame(
+        [
+            (e["event_id"], e["ts"].replace("Z", ""), e["user_id"],
+             e["event_type"], e["value"])
+            for e in rows
+        ],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    exp = {
+        (r["user_id"], r["n_events"], r["sum_value"])
+        for r in session_stats(
+            batch_events, gap_seconds=1800, type_col=None
+        ).collect()
+    }
+    assert got == exp and len(got) == 3
