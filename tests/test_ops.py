@@ -1197,3 +1197,33 @@ def test_histogram(spark):
         histogram(df, "v", bins=0)
     with pytest.raises(ValueError):
         histogram(df, "v", lo=5.0, hi=5.0)
+
+
+def test_histogram_invariants_random(spark):
+    """Seeded random values: bin counts partition the in-range rows,
+    every edge pair is consistent with bin*width, and no bin index
+    escapes [0, bins)."""
+    import random
+
+    rng = random.Random(13)
+    vals = [rng.uniform(-5, 15) for _ in range(500)]
+    from codeindex_spark.ops.analysis import histogram
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    bins, lo, hi = 7, 0.0, 10.0
+    rows = histogram(df, "v", bins=bins, lo=lo, hi=hi).collect()
+    width = (hi - lo) / bins
+    assert sum(r["n"] for r in rows) == sum(1 for v in vals if lo <= v <= hi)
+    for r in rows:
+        assert 0 <= r["bin"] < bins
+        assert r["lo_edge"] == round(lo + r["bin"] * width, 6)
+        assert r["hi_edge"] == round(lo + (r["bin"] + 1) * width, 6)
+    # python recount per bin
+    import collections
+
+    exp = collections.Counter(
+        min(int((v - lo) // width), bins - 1)
+        for v in vals
+        if lo <= v <= hi
+    )
+    assert {r["bin"]: r["n"] for r in rows} == dict(exp)

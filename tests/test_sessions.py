@@ -77,3 +77,36 @@ def test_session_stats_rollup(spark):
     assert s1["n_types"] == 2
     s2 = got[(1, 2)]
     assert (s2["n_events"], s2["duration_secs"]) == (1, 0.0)
+
+
+def test_sessionize_invariants_random(spark):
+    """Independent re-check on seeded random events: every event
+    appears exactly once; per user the session index starts at 1 and
+    increments exactly when the inter-event gap exceeds the
+    threshold."""
+    import random
+    from datetime import timedelta
+
+    rng = random.Random(11)
+    base = datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            base + timedelta(seconds=rng.randint(0, 86_400)),
+            rng.randint(1, 5),
+            "t",
+            1.0,
+        )
+        for i in range(300)
+    ]
+    out = sessionize(_events(spark, rows), gap_seconds=600).collect()
+    assert sorted(r["event_id"] for r in out) == list(range(300))
+    by_user: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        by_user.setdefault(r["user_id"], []).append(r)
+    for rs in by_user.values():
+        assert rs[0]["session_idx"] == 1
+        for a, b in zip(rs, rs[1:]):
+            gap = (b["ts"] - a["ts"]).total_seconds()
+            want = a["session_idx"] + (1 if gap > 600 else 0)
+            assert b["session_idx"] == want, (a, b)
