@@ -991,6 +991,28 @@ def _q_para_dedup(spark, sf_dir):
     )
 
 
+def _q_normalize(spark, sf_dir):
+    """Unicode normalization + invisible-char scrub (beyond-reference
+    cleaning step): the sf text is plain ASCII, so both sides append
+    a deterministic combining sequence (e + U+0301 -> composes to \u00e9
+    under NFC) plus three strip-list invisibles (zero-width space,
+    soft hyphen, CR) and the op must compose the accent and remove
+    exactly the three invisibles."""
+    from codeindex_spark.ops.pipeline import normalize_text
+
+    docs = _load(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            # ' cafe' + combining acute + ZWSP + soft hyphen + CR,
+            # spelled as escapes so no editor can mangle invisibles
+            F.lit(" cafe\u0301\u200b\u00ad\r"),
+        ).alias("text"),
+    )
+    return normalize_text(aug)
+
+
 def _q_value_hist(spark, sf_dir):
     """Fixed-width histogram of events.value (beyond-reference
     analytics): 20 bins over [0, 500], closed top edge, only
@@ -1445,6 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_keywords": _q_keywords,
         "rel_sessions": _q_sessions,
         "rel_value_hist": _q_value_hist,
+        "tx_normalize": _q_normalize,
         "dd_span_scrub": _q_span_scrub,
         "px_dsir": _q_dsir,
         "q27_more_like_this": _q_mlt,
@@ -2659,6 +2682,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*)::BIGINT AS n_tokens,
                    round(avg(lp), 6) AS lm_logp
             FROM sc GROUP BY doc_id""",
+        # NFC composes e+U+0301 -> é; the three appended invisibles
+        # (U+200B, U+00AD, CR) are on the explicit strip list
+        "tx_normalize": """WITH aug AS (
+              SELECT doc_id,
+                     text || ' cafe' || chr(769) || chr(8203)
+                          || chr(173) || chr(13) AS t
+              FROM documents)
+            SELECT doc_id,
+                   replace(replace(replace(nfc_normalize(t),
+                     chr(8203), ''), chr(173), ''), chr(13), '')
+                     AS text_norm,
+                   3::BIGINT AS n_stripped
+            FROM aug""",
         # fixed-width value histogram: floor((v-lo)/width) clamped so
         # v == hi lands in the last bin; identical double arithmetic
         "rel_value_hist": """WITH b AS (

@@ -321,3 +321,71 @@ def paragraph_dedup(
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         )
     )
+
+
+# invisible / control codepoints stripped by normalize_text — an
+# EXPLICIT list (not Unicode category tables) so any engine can
+# reproduce it with a plain character-class regex: C0 controls minus
+# \t \n, DEL, C1 block, soft hyphen, zero-widths + joiners, BOM
+STRIP_CODEPOINTS = frozenset(
+    [*range(0x00, 0x09), 0x0B, 0x0C, 0x0D, *range(0x0E, 0x20), 0x7F]
+    + [*range(0x80, 0xA0)]
+    + [0xAD, 0x200B, 0x200C, 0x200D, 0xFEFF]
+)
+_STRIP_TABLE = {cp: None for cp in STRIP_CODEPOINTS}
+
+
+def normalize_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    form: str = "NFC",
+) -> DataFrame:
+    """(doc_id, text_norm, n_stripped): Unicode-normalize (NFC by
+    default — combining sequences compose, so 'e'+U+0301 and 'é'
+    dedup/tokenize identically) and strip the STRIP_CODEPOINTS
+    invisibles (zero-widths, soft hyphens, C0/C1 controls except tab
+    and newline) that break exact dedup and token counting.
+    ``n_stripped`` counts removed codepoints — the audit column.
+
+    Arrow-batched kernel (stdlib unicodedata; normalization is not
+    expressible in Spark SQL built-ins); zero shuffles."""
+    import unicodedata
+
+    from pyspark.sql import types as T
+
+    from codeindex_spark.util import ensure_parallelism
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("text_norm", T.StringType(), False),
+            T.StructField("n_stripped", T.LongType(), False),
+        ]
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            outs, counts = [], []
+            for s in pdf[text_col].fillna(""):
+                norm = unicodedata.normalize(form, s)
+                stripped = norm.translate(_STRIP_TABLE)
+                outs.append(stripped)
+                counts.append(len(norm) - len(stripped))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].to_numpy(),
+                    "text_norm": outs,
+                    "n_stripped": counts,
+                }
+            )
+
+    return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
+        kernel, schema=schema
+    )

@@ -307,3 +307,39 @@ def test_paragraph_dedup_partition_scoped(spark):
     # scoped: the en copy and the fr copy both survive; the second
     # en copy does not
     assert set(got) == {1, 2}
+
+
+def test_normalize_text(spark):
+    """NFC composes combining sequences; the explicit strip list
+    removes zero-widths / soft hyphens / controls (except tab and
+    newline); n_stripped audits removals post-normalization."""
+    from codeindex_spark.ops.pipeline import normalize_text
+
+    rows = [
+        (1, "café x"),              # e + combining acute -> é
+        (2, "a​b­c"),           # zero-width space + soft hyphen
+        (3, "keep\tthis\nline\rnot\x07"),  # \t \n kept, \r \a stripped
+        (4, "café"),                 # already composed
+        (5, ""),
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in normalize_text(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert got[1]["text_norm"] == "café x"
+    assert got[1]["n_stripped"] == 0
+    assert got[2]["text_norm"] == "abc" and got[2]["n_stripped"] == 2
+    assert got[3]["text_norm"] == "keep\tthis\nlinenot"
+    assert got[3]["n_stripped"] == 2
+    # NFC idempotence: composed input unchanged
+    assert got[4]["text_norm"] == "café"
+    assert got[5]["text_norm"] == "" and got[5]["n_stripped"] == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        normalize_text(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            form="NFX",
+        )
