@@ -439,7 +439,10 @@ def histogram(
     clamped so v == hi lands in the last bin (the standard closed
     top edge). ``lo``/``hi`` default to the column min/max (one tiny
     aggregate job); rows outside [lo, hi] and NULLs are dropped.
-    Edges round to 6 dp for engine-reproducible output.
+    Edges round to 6 dp for engine-reproducible output. A degenerate
+    range (hi == lo — e.g. a constant column under derived bounds)
+    yields the well-defined single bin [lo, lo]; an empty /
+    all-NULL column under derived bounds raises a clear error.
 
     Scale shape: one map-side-combinable groupBy on the bin id — at
     most ``bins`` rows ever cross the exchange."""
@@ -448,10 +451,28 @@ def histogram(
     v = F.col(col).cast("double")
     if lo is None or hi is None:
         row = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).first()
+        if row["lo"] is None or row["hi"] is None:
+            raise ValueError(
+                f"cannot derive a histogram range: column {col!r} has "
+                "no non-NULL values (pass lo/hi explicitly)"
+            )
         lo = float(row["lo"]) if lo is None else lo
         hi = float(row["hi"]) if hi is None else hi
-    if not hi > lo:
-        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    if hi < lo:
+        raise ValueError(f"need hi >= lo, got [{lo}, {hi}]")
+    if hi == lo:
+        # constant column: one bin holding every in-range row
+        return (
+            df.filter(v.isNotNull() & (v == lo))
+            .groupBy(F.lit(0).cast("long").alias("bin"))
+            .agg(F.count("*").alias("n"))
+            .select(
+                "bin",
+                F.round(F.lit(float(lo)), 6).alias("lo_edge"),
+                F.round(F.lit(float(hi)), 6).alias("hi_edge"),
+                "n",
+            )
+        )
     width = (hi - lo) / bins
     b = F.least(
         F.floor((v - F.lit(float(lo))) / F.lit(float(width))),

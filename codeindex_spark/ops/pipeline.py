@@ -358,9 +358,12 @@ def normalize_text(
 
     if form not in ("NFC", "NFD", "NFKC", "NFKD"):
         raise ValueError(f"unknown normalization form {form!r}")
+    # the id column keeps ITS OWN name and type (a string para_id is
+    # as valid an id as a long doc_id; renaming it would break the
+    # caller's downstream joins)
     schema = T.StructType(
         [
-            T.StructField("doc_id", T.LongType(), False),
+            df.schema[id_col],
             T.StructField("text_norm", T.StringType(), False),
             T.StructField("n_stripped", T.LongType(), False),
         ]
@@ -380,7 +383,7 @@ def normalize_text(
                 counts.append(len(norm) - len(stripped))
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col].to_numpy(),
+                    id_col: pdf[id_col].to_numpy(),
                     "text_norm": outs,
                     "n_stripped": counts,
                 }

@@ -53,6 +53,28 @@ def windowed_event_counts(
     )
 
 
+def _run_stream_to_memory(
+    spark: SparkSession,
+    out: DataFrame,
+    checkpoint_dir: str,
+    query_name: str,
+):
+    """Shared stream runner: append-mode memory sink, availableNow
+    trigger (drain-and-stop micro-batches), await, return the table.
+    ONE definition so the two windowed runners cannot drift on
+    output mode / trigger / checkpoint handling."""
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
 def stream_windowed_counts(
     spark: SparkSession,
     events_dir: str,
@@ -66,16 +88,7 @@ def stream_windowed_counts(
     the testable stand-in for a continuous cluster stream)."""
     stream = spark.readStream.schema(EVENT_ROW_SCHEMA).json(events_dir)
     out = windowed_event_counts(stream, window, watermark)
-    q = (
-        out.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(query_name)
+    return _run_stream_to_memory(spark, out, checkpoint_dir, query_name)
 
 
 def session_event_counts(
@@ -124,13 +137,4 @@ def stream_session_counts(
     availableNow memory sink (drain-and-stop micro-batches)."""
     stream = spark.readStream.schema(EVENT_ROW_SCHEMA).json(events_dir)
     out = session_event_counts(stream, gap, watermark)
-    q = (
-        out.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(query_name)
+    return _run_stream_to_memory(spark, out, checkpoint_dir, query_name)

@@ -1190,13 +1190,28 @@ def test_histogram(spark):
     assert {b: got[b]["n"] for b in got} == {0: 2, 1: 1, 2: 1, 3: 2}
     assert got[0]["lo_edge"] == 0.0 and got[0]["hi_edge"] == 2.5
     assert got[3]["hi_edge"] == 10.0
-    # default range derives from data; out-of-range rows drop
+    # explicit sub-range: out-of-range rows drop
     clipped = histogram(df, "v", bins=2, lo=1.0, hi=9.0).collect()
     assert sum(r["n"] for r in clipped) == 3  # 1.0, 2.5, 5.0
+    # DERIVED range: min/max of the data, every non-NULL row binned
+    derived = histogram(df, "v", bins=2).collect()
+    assert sum(r["n"] for r in derived) == 6
+    assert min(r["lo_edge"] for r in derived) == 0.0
+    assert max(r["hi_edge"] for r in derived) == 10.0
+    # degenerate range (constant column / explicit hi == lo): one bin
+    const = spark.createDataFrame([(7.0,), (7.0,), (None,)], "v double")
+    one = histogram(const, "v", bins=5).collect()
+    assert len(one) == 1 and one[0]["n"] == 2
+    assert one[0]["lo_edge"] == one[0]["hi_edge"] == 7.0
+    # empty / all-NULL under derived bounds: clear error
+    with pytest.raises(ValueError, match="no non-NULL"):
+        histogram(
+            spark.createDataFrame([(None,)], "v double"), "v"
+        ).collect()
     with pytest.raises(ValueError):
         histogram(df, "v", bins=0)
     with pytest.raises(ValueError):
-        histogram(df, "v", lo=5.0, hi=5.0)
+        histogram(df, "v", lo=9.0, hi=5.0)
 
 
 def test_histogram_invariants_random(spark):

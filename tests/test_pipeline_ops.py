@@ -343,3 +343,18 @@ def test_normalize_text(spark):
             spark.createDataFrame(rows, "doc_id long, text string"),
             form="NFX",
         )
+
+
+def test_normalize_text_custom_id(spark):
+    """id_col keeps its own name AND type (string para_id)."""
+    from codeindex_spark.ops.pipeline import normalize_text
+
+    df = spark.createDataFrame(
+        [("p1", "café"), ("p2", "x​y")],
+        "para_id string, body string",
+    )
+    got = {
+        r["para_id"]: (r["text_norm"], r["n_stripped"])
+        for r in normalize_text(df, id_col="para_id", text_col="body").collect()
+    }
+    assert got == {"p1": ("café", 0), "p2": ("xy", 1)}
