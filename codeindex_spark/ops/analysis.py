@@ -433,6 +433,7 @@ def histogram(
     bins: int = 20,
     lo: float | None = None,
     hi: float | None = None,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Fixed-width histogram of a numeric column: (bin, lo_edge,
     hi_edge, n) for every NON-EMPTY bin, bin = floor((v - lo)/width)
@@ -444,10 +445,20 @@ def histogram(
     yields the well-defined single bin [lo, lo]; an empty /
     all-NULL column under derived bounds raises a clear error.
 
+    ``group_col`` computes one histogram per group over the SAME
+    explicit [lo, hi] range (required with grouping — per-group
+    derived ranges would make bins incomparable across groups, which
+    defeats the point of a faceted histogram).
+
     Scale shape: one map-side-combinable groupBy on the bin id — at
-    most ``bins`` rows ever cross the exchange."""
+    most ``bins`` rows per group ever cross the exchange."""
     if bins < 1:
         raise ValueError("bins must be >= 1")
+    if group_col is not None and (lo is None or hi is None):
+        raise ValueError(
+            "group_col requires explicit lo/hi (shared bins across "
+            "groups)"
+        )
     v = F.col(col).cast("double")
     if lo is None or hi is None:
         row = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).first()
@@ -460,13 +471,15 @@ def histogram(
         hi = float(row["hi"]) if hi is None else hi
     if hi < lo:
         raise ValueError(f"need hi >= lo, got [{lo}, {hi}]")
+    keys = [group_col] if group_col else []
     if hi == lo:
         # constant column: one bin holding every in-range row
         return (
             df.filter(v.isNotNull() & (v == lo))
-            .groupBy(F.lit(0).cast("long").alias("bin"))
+            .groupBy(*keys, F.lit(0).cast("long").alias("bin"))
             .agg(F.count("*").alias("n"))
             .select(
+                *keys,
                 "bin",
                 F.round(F.lit(float(lo)), 6).alias("lo_edge"),
                 F.round(F.lit(float(hi)), 6).alias("hi_edge"),
@@ -480,9 +493,10 @@ def histogram(
     ).cast("long")
     return (
         df.filter(v.isNotNull() & (v >= lo) & (v <= hi))
-        .groupBy(b.alias("bin"))
+        .groupBy(*keys, b.alias("bin"))
         .agg(F.count("*").alias("n"))
         .select(
+            *keys,
             "bin",
             F.round(F.lit(float(lo)) + F.col("bin") * F.lit(float(width)), 6)
             .alias("lo_edge"),

@@ -1242,3 +1242,21 @@ def test_histogram_invariants_random(spark):
         if lo <= v <= hi
     )
     assert {r["bin"]: r["n"] for r in rows} == dict(exp)
+
+
+def test_histogram_grouped(spark):
+    from codeindex_spark.ops.analysis import histogram
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 6.0), ("b", 6.0), ("b", 9.0)],
+        "g string, v double",
+    )
+    rows = histogram(
+        df, "v", bins=2, lo=0.0, hi=10.0, group_col="g"
+    ).collect()
+    got = {(r["g"], r["bin"]): r["n"] for r in rows}
+    assert got == {("a", 0): 1, ("a", 1): 1, ("b", 1): 2}
+    # shared edges across groups
+    assert {r["hi_edge"] for r in rows if r["bin"] == 1} == {10.0}
+    with pytest.raises(ValueError, match="explicit lo/hi"):
+        histogram(df, "v", group_col="g")
