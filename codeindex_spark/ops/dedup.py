@@ -127,7 +127,7 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count("*").alias("inter"))
     )
-    return (
+    out = (
         pairs.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
         .withColumn(
@@ -137,6 +137,13 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    # the result (pairs >= threshold) is tiny against the shingle
+    # set; eager-localCheckpoint it so the corpus-sized disk cache is
+    # released NOW instead of leaking for the session lifetime (same
+    # discipline as spans.duplicate_span_stats)
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
+    return out
 
 
 # Universal-hash family for MinHash permutations: h_i(x) = (A_i*x + B_i)

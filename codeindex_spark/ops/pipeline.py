@@ -290,7 +290,22 @@ def paragraph_dedup(
         F.min(F.struct(F.col(id_col).alias("d"), F.col("_idx").alias("i"))
               ).alias("_w")
     )
-    kept = exploded.join(first, [*keys, "_h"]).where(
+    if keys:
+        # NULL partition keys must still match their own group — a
+        # null-unsafe equi-join would orphan every paragraph in the
+        # NULL shard (docs come back empty / silently dropped). Same
+        # eqNullSafe handling as spans._noncanonical.
+        k = keys[0]
+        fw = first.select(
+            F.col(k).alias("_g"), F.col("_h").alias("_ch"), "_w"
+        )
+        kept = exploded.join(
+            fw,
+            exploded[k].eqNullSafe(fw["_g"]) & (F.col("_h") == F.col("_ch")),
+        ).drop("_g", "_ch")
+    else:
+        kept = exploded.join(first, "_h")
+    kept = kept.where(
         (F.col("_w.d") == F.col(id_col)) & (F.col("_w.i") == F.col("_idx"))
     )
     per_doc_n = exploded.groupBy(id_col).agg(

@@ -215,6 +215,19 @@ def embedding_near_dup_pairs(
     )
 
 
+def _train_sample(vectors: DataFrame, id_col: str, sample: int):
+    """Deterministic driver-side training sample: first ``sample``
+    rows ordered by the EXPLICIT id column. Sorting by
+    ``columns[0]`` (the old behavior) silently keyed the sample on
+    whatever column happened to be first — an embedding-first caller
+    got codebooks ordered by the array column."""
+    if id_col not in vectors.columns:
+        raise ValueError(
+            f"id_col {id_col!r} not in vector columns {vectors.columns}"
+        )
+    return vectors.orderBy(id_col).limit(sample).toPandas()
+
+
 def ivf_train_centroids(
     vectors: DataFrame,
     dim: int,
@@ -223,14 +236,16 @@ def ivf_train_centroids(
     iters: int = 10,
     seed: int = 42,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """Seeded k-means on a driver-side sample (IVF coarse quantizer).
 
-    The sample is deterministic (sort by id, take first ``sample``)
-    and tiny relative to the corpus; at 100 TB the same training runs
-    on a 0.001% sample — IVF training cost is O(sample), not O(N).
+    The sample is deterministic (sort by ``id_col``, take first
+    ``sample``) and tiny relative to the corpus; at 100 TB the same
+    training runs on a 0.001% sample — IVF training cost is
+    O(sample), not O(N).
     """
-    pdf = vectors.orderBy(vectors.columns[0]).limit(sample).toPandas()
+    pdf = _train_sample(vectors, id_col, sample)
     mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -331,7 +346,7 @@ def ivf_build(
     Re-assigning the corpus per query — the round-1 shape — was an
     O(N) scan per query, defeating the inverted file."""
     centroids = ivf_train_centroids(
-        vectors, dim, n_centroids, seed=seed, vec_col=vec_col
+        vectors, dim, n_centroids, seed=seed, vec_col=vec_col, id_col=id_col
     )
     assigned = ivf_assign(vectors, centroids, id_col, vec_col, keep_vec=True)
     if path is not None:
@@ -566,12 +581,14 @@ def pq_train_codebooks(
     seed: int = 43,
     vec_col: str = "embedding",
     normalize: bool = True,
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """Product-quantization codebooks (Jégou et al. 2011, "Product
     quantization for nearest neighbor search", TPAMI): seeded
     per-subspace k-means over the same deterministic driver-side
-    sample discipline as the IVF coarse quantizer (sort by id, first
-    ``sample`` — training is O(sample), never O(N)). Vectors are
+    sample discipline as the IVF coarse quantizer (sort by
+    ``id_col``, first ``sample`` — training is O(sample), never
+    O(N)). Vectors are
     L2-normalized first so asymmetric-distance inner-product scores
     rank like cosine (``normalize=False`` for inputs that are
     already residuals of normalized vectors — FAISS-style IVF-PQ
@@ -581,7 +598,7 @@ def pq_train_codebooks(
         raise ValueError(f"dim={dim} must divide into m={m} subspaces")
     if n_codes < 1:
         raise ValueError("n_codes must be >= 1")
-    pdf = vectors.orderBy(vectors.columns[0]).limit(sample).toPandas()
+    pdf = _train_sample(vectors, id_col, sample)
     if len(pdf) == 0:
         raise ValueError("cannot train PQ codebooks on an empty corpus")
     mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
@@ -771,7 +788,8 @@ def pq_ann_topk(
     the materialized IVF cells."""
     if codebooks is None:
         codebooks = pq_train_codebooks(
-            vectors, dim, m, n_codes, seed=seed, vec_col=vec_col
+            vectors, dim, m, n_codes, seed=seed, vec_col=vec_col,
+            id_col=id_col,
         )
     if codes is None:
         codes = pq_encode(vectors, codebooks, id_col, vec_col)
@@ -844,6 +862,7 @@ def ivf_pq_topk(
                 codebooks = pq_train_codebooks(
                     res, dim, m, n_codes, seed=pq_seed,
                     vec_col="residual", normalize=False,
+                    id_col=index.id_col,
                 )
             if need_codes:
                 # centroid rides through the encode kernel — no
@@ -876,7 +895,8 @@ def ivf_pq_topk(
     else:
         if codebooks is None:
             codebooks = pq_train_codebooks(
-                vectors, dim, m, n_codes, seed=pq_seed, vec_col=vec_col
+                vectors, dim, m, n_codes, seed=pq_seed, vec_col=vec_col,
+                id_col=id_col,
             )
         if codes is None:
             codes = pq_encode(vectors, codebooks, id_col, vec_col)

@@ -160,10 +160,17 @@ def duplicate_span_stats(
     nc = _noncanonical(wins, scoped=partition_col is not None).persist(
         StorageLevel.DISK_ONLY
     )
-    ndup = nc.groupBy("doc_id").agg(F.count("*").alias("_ndup"))
+    # the two per-doc aggregates are small (one row per doc with any
+    # dup); eager-localCheckpoint them so nc can be released NOW —
+    # otherwise every call leaks one disk cache for the session
+    # lifetime (the returned plan would keep the reference alive)
+    ndup = nc.groupBy("doc_id").agg(
+        F.count("*").alias("_ndup")
+    ).localCheckpoint(eager=True)
     ncov = _covered(nc, window).groupBy("doc_id").agg(
         F.count("*").alias("_covered")
-    )
+    ).localCheckpoint(eager=True)
+    nc.unpersist()
     zero = F.lit(0).cast("long")
     return (
         base.join(ndup, "doc_id", "left")

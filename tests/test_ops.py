@@ -1260,3 +1260,64 @@ def test_histogram_grouped(spark):
     assert {r["hi_edge"] for r in rows if r["bin"] == 1} == {10.0}
     with pytest.raises(ValueError, match="explicit lo/hi"):
         histogram(df, "v", group_col="g")
+
+
+def test_train_sample_uses_explicit_id_col(spark):
+    """Training samplers key the deterministic sample on id_col, not
+    columns[0]: an embedding-first frame must yield the same
+    codebooks/centroids as the id-first frame, and a missing id_col
+    must raise instead of silently sampling by the array column."""
+    import numpy as np
+    import pytest
+
+    from codeindex_spark.ops.similarity import (
+        ivf_train_centroids,
+        pq_train_codebooks,
+    )
+
+    rng = np.random.default_rng(11)
+    pts = rng.standard_normal((60, 8))
+    rows = [(i, [float(x) for x in pts[i]]) for i in range(60)]
+    id_first = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    vec_first = spark.createDataFrame(
+        [(v, i) for i, v in rows], "embedding array<float>, vec_id long"
+    )
+    b1 = pq_train_codebooks(id_first, dim=8, m=2, n_codes=4, sample=30)
+    b2 = pq_train_codebooks(vec_first, dim=8, m=2, n_codes=4, sample=30)
+    assert np.allclose(b1, b2)
+    c1 = ivf_train_centroids(id_first, dim=8, n_centroids=3, sample=30)
+    c2 = ivf_train_centroids(vec_first, dim=8, n_centroids=3, sample=30)
+    assert np.allclose(c1, c2)
+    with pytest.raises(ValueError, match="id_col"):
+        pq_train_codebooks(
+            id_first.withColumnRenamed("vec_id", "other"), dim=8, m=2
+        )
+    with pytest.raises(ValueError, match="id_col"):
+        ivf_train_centroids(
+            id_first.withColumnRenamed("vec_id", "other"), dim=8
+        )
+
+
+def test_jaccard_releases_disk_cache(spark):
+    """ngram_jaccard_pairs persists the shingle set DISK_ONLY
+    internally; the cache must be released before return, not leak
+    per call (same class as the spans leak)."""
+    from codeindex_spark.ops.dedup import ngram_jaccard_pairs
+
+    def disk_only_ids():
+        ids = set()
+        for rid, jrdd in spark.sparkContext._jsc.getPersistentRDDs().items():
+            sl = jrdd.rdd().getStorageLevel()
+            if sl.useDisk() and not sl.useMemory():
+                ids.add(rid)
+        return ids
+
+    before = disk_only_ids()
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f h"), (3, "x y z w v u t")],
+        "doc_id long, text string",
+    )
+    ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()
+    assert disk_only_ids() - before == set()

@@ -309,6 +309,43 @@ def test_paragraph_dedup_partition_scoped(spark):
     assert set(got) == {1, 2}
 
 
+def test_paragraph_dedup_null_partition_key(spark):
+    """Docs whose partition key is NULL are a real shard (missing
+    lang-id is common at corpus scale): they must dedup against each
+    other and SURVIVE — a null-unsafe winner join silently dropped
+    the whole NULL shard."""
+    from codeindex_spark.ops.pipeline import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, None, "same para\nonly in one"),
+            (2, None, "same para"),
+            (3, "en", "same para"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(docs, partition_col="lang").collect()
+    }
+    # NULL shard: doc 1 wins 'same para', doc 2 fully dedups away;
+    # the en copy survives independently
+    assert set(got) == {1, 3}
+    assert got[1]["text"] == "same para\nonly in one"
+    assert (got[1]["n_paras"], got[1]["n_kept"]) == (2, 2)
+    assert got[3]["text"] == "same para"
+    # drop_empty=False: the deduped NULL-shard doc comes back empty,
+    # not missing
+    kept_all = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(
+            docs, partition_col="lang", drop_empty=False
+        ).collect()
+    }
+    assert kept_all[2]["text"] == ""
+    assert (kept_all[2]["n_paras"], kept_all[2]["n_kept"]) == (1, 0)
+
+
 def test_normalize_text(spark):
     """NFC composes combining sequences; the explicit strip list
     removes zero-widths / soft hyphens / controls (except tab and

@@ -184,3 +184,25 @@ def test_partition_scope_null_group_still_dedups(spark):
     assert cleaned[1] == "a b c d x1"   # canonical inside NULL scope
     assert cleaned[2] == "y1"           # scrubbed inside NULL scope
     assert cleaned[3] == "a b c d z1"   # en scope untouched
+
+
+def test_span_stats_releases_disk_cache(spark):
+    """duplicate_span_stats persists its non-canonical window set
+    DISK_ONLY internally; repeated calls must not accumulate session-
+    lifetime disk caches (the r3 leak: the returned plan held the
+    persisted reference forever). The small per-doc aggregates are
+    localCheckpointed (MEMORY_AND_DISK, cleaner-managed) — the pin is
+    that no DISK_ONLY (useDisk & !useMemory) cache survives."""
+    def disk_only_ids():
+        ids = set()
+        for rid, jrdd in spark.sparkContext._jsc.getPersistentRDDs().items():
+            sl = jrdd.rdd().getStorageLevel()
+            if sl.useDisk() and not sl.useMemory():
+                ids.add(rid)
+        return ids
+
+    before = disk_only_ids()
+    docs = _docs(spark, [(1, "a b c d e f"), (2, "x a b c d y")])
+    for _ in range(2):
+        duplicate_span_stats(docs, window=4).collect()
+    assert disk_only_ids() - before == set()
