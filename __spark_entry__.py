@@ -1404,62 +1404,13 @@ def _mm_hist_values(n: int = 16) -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Declaration order matters: the driver's CORRECTNESS artifact
+    # caps at the FIRST 50 entries, so the window rotates each round
+    # to put never-yet-driver-checked entries first, then the least-
+    # recently-checked, then ~17 core regression sentinels; entries
+    # verified by the most recent round's artifact go after the cap
+    # (tools/check_entry.py still covers all of them locally).
     return {
-        "q01_bm25_topk": _q_bm25_topk,
-        "q02_bool_and": _q_bool_and,
-        "q03_bool_or_not": _q_bool_or_not,
-        "q04_phrase": _q_phrase,
-        "q05_phrase_wildcard": _q_phrase_wildcard,
-        "q23_phrase_slop": _q_phrase_slop,
-        "q24_boosted_or": _q_boosted_or,
-        "q25_term_range": _q_term_range,
-        "q27_term_regexp": _q_term_regexp,
-        "q26_bool_clauses": _q_bool_clauses,
-        "q06_wildcard": _q_wildcard,
-        "q07_fuzzy": _q_fuzzy,
-        "q08_term_dict": _q_term_dict,
-        "q09_hints": _q_hints,
-        "q10_field_filtered": _q_field_filtered,
-        "q11_path_term": _q_path_term,
-        "q12_pk_lookup": _q_pk_lookup,
-        "q13_scan_filter_project": _q_scan_filter_project,
-        "q14_case_sensitive": _q_case_sensitive,
-        "q15_cs_negative": _q_cs_negative,
-        "q16_batch_search": _q_batch_search,
-        "q17_path_substring": _q_path_substring,
-        "q18_filename_term": _q_filename_term,
-        "q19_content_substring": _q_content_substring,
-        "q20_content_regex": _q_content_regex,
-        "q21_substring_batch": _q_substring_batch,
-        "q22_regex_batch": _q_regex_batch,
-        "a1_doc_len": _q_doc_len,
-        "dd_exact": _q_dedup_exact,
-        "dd_jaccard": _q_dedup_jaccard,
-        "dd_minhash_lsh": _q_dedup_minhash,
-        "dd_components": _q_dedup_components,
-        "dd_contamination": _q_contamination,
-        "dd_keep": _q_near_dedup_keep,
-        "dd_simhash": _q_dedup_simhash,
-        "dd_embed_neardup": _q_embed_neardup,
-        "tx_langid": _q_langid,
-        "ann_cosine_topk": _q_ann_cosine,
-        "hy_rrf": _q_hybrid_rrf,
-        "ann_lsh_topk": _q_ann_lsh,
-        "ann_ivf_topk": _q_ann_ivf,
-        "ann_pq_topk": _q_ann_pq,
-        "ann_ivfpq_topk": _q_ann_ivfpq,
-        "ann_ivfpq_res_topk": _q_ann_ivfpq_res,
-        "pv_highlight": _q_preview_highlight,
-        "pv_matched_lines": _q_matched_lines,
-        "pv_grep_lines": _q_grep_lines,
-        "tx_quality": _q_quality,
-        "tx_repetition": _q_repetition,
-        "px_pipeline": _q_pipeline,
-        "px_pack": _q_pack,
-        "px_sample_strat": _q_sample_stratified,
-        "tx_fingerprint": _q_fingerprint,
-        "tx_bpe_count": _q_bpe_count,
-        "tx_scrub": _q_scrub,
         "tx_lm_score": _q_lm_score,
         "px_para_dedup": _q_para_dedup,
         "dd_span_stats": _q_span_stats,
@@ -1470,24 +1421,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_normalize": _q_normalize,
         "dd_span_scrub": _q_span_scrub,
         "px_dsir": _q_dsir,
-        "q27_more_like_this": _q_mlt,
+        "q30_more_like_this": _q_mlt,
         "q28_facets": _q_facets,
         "q29_suggest": _q_suggest,
         "tx_profile": _q_profile,
         "px_mixture": _q_mixture,
         "px_shards": _q_shards,
-        "px_chunk": _q_chunk,
-        "px_chunk_dedup": _q_chunk_dedup,
-        "px_sample": _q_sample,
         "mm_resize_plan": _q_mm_resize_plan,
         "mm_frame_sample": _q_mm_frame_sample,
         "mm_feature_hist": _q_mm_feature_hist,
         "mm_audio_windows": _q_mm_audio_windows,
+        "px_pack": _q_pack,
+        "px_sample_strat": _q_sample_stratified,
+        "tx_fingerprint": _q_fingerprint,
+        "tx_bpe_count": _q_bpe_count,
+        "tx_scrub": _q_scrub,
+        "px_chunk": _q_chunk,
+        "px_chunk_dedup": _q_chunk_dedup,
+        "px_sample": _q_sample,
         "st_event_compaction": _q_event_compaction,
         "st_event_window": _q_event_window,
         "rel_pricing_summary": _q_pricing_summary,
         "rel_order_join": _q_order_join,
         "rel_window_rank": _q_window_rank,
+        "q01_bm25_topk": _q_bm25_topk,
+        "q02_bool_and": _q_bool_and,
+        "q04_phrase": _q_phrase,
+        "q07_fuzzy": _q_fuzzy,
+        "q09_hints": _q_hints,
+        "q14_case_sensitive": _q_case_sensitive,
+        "q16_batch_search": _q_batch_search,
+        "q19_content_substring": _q_content_substring,
+        "q20_content_regex": _q_content_regex,
+        "q23_phrase_slop": _q_phrase_slop,
+        "dd_minhash_lsh": _q_dedup_minhash,
+        "dd_keep": _q_near_dedup_keep,
+        "hy_rrf": _q_hybrid_rrf,
+        "ann_ivfpq_res_topk": _q_ann_ivfpq_res,
+        "pv_highlight": _q_preview_highlight,
+        "tx_langid": _q_langid,
+        "px_pipeline": _q_pipeline,
+        "q03_bool_or_not": _q_bool_or_not,
+        "q05_phrase_wildcard": _q_phrase_wildcard,
+        "q24_boosted_or": _q_boosted_or,
+        "q25_term_range": _q_term_range,
+        "q27_term_regexp": _q_term_regexp,
+        "q26_bool_clauses": _q_bool_clauses,
+        "q06_wildcard": _q_wildcard,
+        "q08_term_dict": _q_term_dict,
+        "q10_field_filtered": _q_field_filtered,
+        "q11_path_term": _q_path_term,
+        "q12_pk_lookup": _q_pk_lookup,
+        "q13_scan_filter_project": _q_scan_filter_project,
+        "q15_cs_negative": _q_cs_negative,
+        "q17_path_substring": _q_path_substring,
+        "q18_filename_term": _q_filename_term,
+        "q21_substring_batch": _q_substring_batch,
+        "q22_regex_batch": _q_regex_batch,
+        "a1_doc_len": _q_doc_len,
+        "dd_exact": _q_dedup_exact,
+        "dd_jaccard": _q_dedup_jaccard,
+        "dd_components": _q_dedup_components,
+        "dd_contamination": _q_contamination,
+        "dd_simhash": _q_dedup_simhash,
+        "dd_embed_neardup": _q_embed_neardup,
+        "ann_cosine_topk": _q_ann_cosine,
+        "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
+        "ann_pq_topk": _q_ann_pq,
+        "ann_ivfpq_topk": _q_ann_ivfpq,
+        "pv_matched_lines": _q_matched_lines,
+        "pv_grep_lines": _q_grep_lines,
+        "tx_quality": _q_quality,
+        "tx_repetition": _q_repetition,
     }
 
 
@@ -2611,7 +2617,7 @@ def oracle_sql() -> dict[str, str]:
         # MoreLikeThis: tf·idf term selection over source doc 3
         # (tf>=2, df>=5, top 25 by score desc / term asc), summed
         # BM25 contributions over the chosen terms, source excluded
-        "q27_more_like_this": f"""WITH {_CONTRIB},
+        "q30_more_like_this": f"""WITH {_CONTRIB},
             srctf AS (
               SELECT term, tf FROM tfa
               WHERE doc_id = 3 AND tf >= 2.0::DOUBLE),
