@@ -288,10 +288,34 @@ def _q_phrase_wildcard(spark, sf_dir):
 
 
 def _q_phrase_slop(spark, sf_dir):
-    # '"fast sort"~2': in-order with at most 2 skipped positions —
-    # the classic-QueryParser proximity surface (QueryGenerator.cs:217)
+    # '"fast sort"~2': Lucene SloppyPhraseScorer semantics (the
+    # classic-QueryParser proximity surface, QueryGenerator.cs:217) —
+    # normalized span |(p_sort - 1) - p_fast| <= 2, so out-of-order
+    # occurrences match once slop covers the reorder cost
     eng = _engine(spark, sf_dir)
     return _orig_ids(eng, eng.score('"fast sort"~2'), extra=_SCORE())
+
+
+def _q_phrase_slop_reordered(spark, sf_dir):
+    # '"sort fast"~2': the REVERSED phrase — matches adjacent
+    # "fast sort" text because a swap of two terms costs 2 slop
+    # (PhraseQuery.setSlop's documented edit distance). Pins the r4
+    # out-of-order semantics through the driver.
+    eng = _engine(spark, sf_dir)
+    return _orig_ids(eng, eng.score('"sort fast"~2'), extra=_SCORE())
+
+
+def _q_phrase_slop_inorder(spark, sf_dir):
+    # Phrase(in_order=True): the SpanNear(inOrder=true) variant kept
+    # available on the AST (not reachable from parser syntax)
+    from codeindex_spark.query import ast
+
+    eng = _engine(spark, sf_dir)
+    return _orig_ids(
+        eng,
+        eng.score(ast.Phrase(("fast", "sort"), slop=2, in_order=True)),
+        extra=_SCORE(),
+    )
 
 
 def _q_boosted_or(spark, sf_dir):
@@ -1411,6 +1435,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verified by the most recent round's artifact go after the cap
     # (tools/check_entry.py still covers all of them locally).
     return {
+        "q31_phrase_slop_reordered": _q_phrase_slop_reordered,
+        "q32_phrase_slop_inorder": _q_phrase_slop_inorder,
         "tx_lm_score": _q_lm_score,
         "px_para_dedup": _q_para_dedup,
         "dd_span_stats": _q_span_stats,
@@ -1458,9 +1484,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_keep": _q_near_dedup_keep,
         "hy_rrf": _q_hybrid_rrf,
         "ann_ivfpq_res_topk": _q_ann_ivfpq_res,
+        "px_pipeline": _q_pipeline,
         "pv_highlight": _q_preview_highlight,
         "tx_langid": _q_langid,
-        "px_pipeline": _q_pipeline,
         "q03_bool_or_not": _q_bool_or_not,
         "q05_phrase_wildcard": _q_phrase_wildcard,
         "q24_boosted_or": _q_boosted_or,
@@ -1977,7 +2003,34 @@ def oracle_sql() -> dict[str, str]:
         # sloppy phrase: in-order, gap = b.pos - a.pos - 1 <= 2; score
         # = sum of both terms' contributions in matched docs (same
         # convention as the exact phrase — no Lucene 1/(1+d) weight)
+        # sloppy phrase, Lucene semantics: slots fast=0 / sort=1, a
+        # match is |(p_sort - 1) - p_fast| <= 2, i.e. p_sort within
+        # [p_fast - 1, p_fast + 3] (out-of-order allowed: a swap
+        # costs 2 of the slop budget)
         "q23_phrase_slop": f"""WITH {_CONTRIB},
+            pm AS (
+              SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
+                ON a.doc_id = b.doc_id
+               AND b.pos >= a.pos - 1 AND b.pos <= a.pos + 3
+              WHERE a.term = 'fast' AND b.term = 'sort')
+            SELECT doc_id, round(sum(c), 6) AS score
+            FROM contrib JOIN pm USING (doc_id)
+            WHERE term IN ('fast', 'sort') GROUP BY doc_id""",
+        # the reversed phrase: slots sort=0 / fast=1, band
+        # p_fast within [p_sort - 1, p_sort + 3] — adjacent
+        # "fast sort" text (p_fast = p_sort - 1) is inside it
+        "q31_phrase_slop_reordered": f"""WITH {_CONTRIB},
+            pm AS (
+              SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
+                ON a.doc_id = b.doc_id
+               AND b.pos >= a.pos - 1 AND b.pos <= a.pos + 3
+              WHERE a.term = 'sort' AND b.term = 'fast')
+            SELECT doc_id, round(sum(c), 6) AS score
+            FROM contrib JOIN pm USING (doc_id)
+            WHERE term IN ('fast', 'sort') GROUP BY doc_id""",
+        # in_order=True variant: strictly increasing positions with
+        # at most 2 skipped between first and last
+        "q32_phrase_slop_inorder": f"""WITH {_CONTRIB},
             pm AS (
               SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
                 ON a.doc_id = b.doc_id

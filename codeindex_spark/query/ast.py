@@ -115,12 +115,19 @@ class Phrase:
     slots: tuple[str, ...]
     field: str = DEFAULT_FIELD
     boost: float = 1.0
-    # proximity slop ("a b"~N): slots may match in order with up to
-    # N total skipped positions between first and last (exact
-    # adjacency when 0). Unlike Lucene's sloppy phrase, out-of-order
-    # matches are NOT accepted — in-order-with-gaps is the documented
-    # semantic here (and what a positional join expresses naturally).
+    # proximity slop ("a b"~N), Lucene SloppyPhraseScorer semantics
+    # (the classic-parser surface QueryGenerator.cs:217-222 exposes):
+    # a match is an assignment of slots to DISTINCT positions whose
+    # normalized span max(pos-slot) - min(pos-slot) <= slop, so
+    # out-of-order occurrences match once slop covers the reorder
+    # cost (a swap of two adjacent terms costs 2). slop=0 is exact
+    # in-order adjacency.
     slop: int = 0
+    # in_order=True restores the SpanNearQuery(inOrder=true) variant:
+    # slots must match in order with at most `slop` total skipped
+    # positions. Not reachable from the classic parser syntax —
+    # construct the node directly.
+    in_order: bool = False
 
 
 @dataclass(frozen=True)

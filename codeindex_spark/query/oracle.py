@@ -256,10 +256,13 @@ class OracleIndex:
             slot_docs.append(docs)
         cand = set.intersection(*slot_docs)
         slop = int(getattr(node, "slop", 0))
+        in_order = bool(getattr(node, "in_order", False))
         boost = float(getattr(node, "boost", 1.0))
         out: dict[int, float] = {}
         for d in cand:
-            if slop <= 0:
+            if slop > 0 and not in_order:
+                ok = self._sloppy_unordered(fld, slot_terms, d, slop)
+            elif slop <= 0:
                 valid = set()
                 for t in slot_terms[0]:
                     valid |= set(self.postings[fld].get(t, {}).get(d, []))
@@ -311,6 +314,48 @@ class OracleIndex:
                         score += self._term_scores(fld, t).get(d, 0.0)
                 out[d] = score * boost
         return out
+
+    def _sloppy_unordered(self, fld, slot_terms, d, slop) -> bool:
+        """Lucene SloppyPhraseScorer semantics: does doc ``d`` admit
+        an assignment of slots to DISTINCT positions with normalized
+        span max(pos - slot) - min(pos - slot) <= slop? Brute
+        reference: try every window start (shifted q2 = pos - slot +
+        n - 1 keeps keys nonnegative) and check a system of distinct
+        representatives by augmenting paths."""
+        n = len(slot_terms)
+        avail_q2: list[list[int]] = []
+        for i, ts in enumerate(slot_terms):
+            ps: set[int] = set()
+            for t in ts:
+                ps |= set(self.postings[fld].get(t, {}).get(d, []))
+            if not ps:
+                return False
+            avail_q2.append(sorted(p - i + (n - 1) for p in ps))
+
+        def sdr(avails: list[list[int]]) -> bool:
+            match: dict[int, int] = {}
+
+            def try_assign(s: int, seen: set[int]) -> bool:
+                for p in avails[s]:
+                    if p in seen:
+                        continue
+                    seen.add(p)
+                    if p not in match or try_assign(match[p], seen):
+                        match[p] = s
+                        return True
+                return False
+
+            return all(try_assign(s, set()) for s in range(len(avails)))
+
+        for lo in sorted(set().union(*(set(a) for a in avail_q2))):
+            hi = lo + slop
+            wins = [
+                [q2 + i - (n - 1) for q2 in avail_q2[i] if lo <= q2 <= hi]
+                for i in range(n)
+            ]
+            if all(wins) and sdr(wins):
+                return True
+        return False
 
     def _expand_slot(self, fld: str, slot: str) -> list[str]:
         if "*" in slot or "?" in slot:

@@ -1785,6 +1785,23 @@ def _make_tree_batch_kernel(root, leaf_ids, avgdl, k1, b, block_size):
         for node, lid in leaf_ids.items()
         if isinstance(node, ast.Phrase)
     }
+    phrase_inorder = {
+        lid: bool(getattr(node, "in_order", False))
+        for node, lid in leaf_ids.items()
+        if isinstance(node, ast.Phrase)
+    }
+    # sloppy matches need a distinct-positions check only when two
+    # slots could claim the same position: a repeated literal term,
+    # or any wildcard slot (whose expansions may overlap another
+    # slot's term) — conservative, and cheap to decide once here
+    phrase_distinct = {
+        lid: (
+            len(set(node.slots)) < len(node.slots)
+            or any("*" in s or "?" in s for s in node.slots)
+        )
+        for node, lid in leaf_ids.items()
+        if isinstance(node, ast.Phrase)
+    }
     need_pos = bool(phrase_nslots)
 
     def eval_node(node, leaf_data):
@@ -1889,7 +1906,11 @@ def _make_tree_batch_kernel(root, leaf_ids, avgdl, k1, b, block_size):
                     leaf_data[lid] = (docs, np.bincount(inv, weights=cat_s))
             for lid, parts in phrase.items():
                 leaf_data[lid] = _eval_phrase(
-                    parts, phrase_nslots[lid], phrase_slops[lid]
+                    parts,
+                    phrase_nslots[lid],
+                    phrase_slops[lid],
+                    in_order=phrase_inorder[lid],
+                    needs_distinct=phrase_distinct[lid],
                 )
             d, sc = eval_node(root, leaf_data)
             if d.size:
@@ -1909,11 +1930,38 @@ def _make_tree_batch_kernel(root, leaf_ids, avgdl, k1, b, block_size):
     return kernel
 
 
-def _eval_phrase(parts, n_slots, slop=0):
+def _sdr(avails: list) -> bool:
+    """System of distinct representatives over tiny slot→positions
+    availability lists (augmenting-path bipartite matching). Used by
+    the sloppy-phrase safe path when slots can share positions
+    (repeated literal terms, wildcard slots whose expansions may
+    overlap) — n_slots and window sizes are both small."""
+    match: dict = {}
+
+    def try_assign(s, seen):
+        for p in avails[s]:
+            if p in seen:
+                continue
+            seen.add(p)
+            if p not in match or try_assign(match[p], seen):
+                match[p] = s
+                return True
+        return False
+
+    return all(try_assign(s, set()) for s in range(len(avails)))
+
+
+def _eval_phrase(parts, n_slots, slop=0, in_order=False,
+                 needs_distinct=False):
     """Positional phrase match within one block: exact-order adjacency
     when slop=0 (SpanNear distance 0, in-order —
-    QueryGenerator.cs:177-192 semantics), or in-order with at most
-    ``slop`` total skipped positions ("a b"~N).
+    QueryGenerator.cs:177-192 semantics); Lucene SloppyPhraseScorer
+    semantics for "a b"~N (an assignment of slots to DISTINCT
+    positions with normalized span max(pos-slot) - min(pos-slot)
+    <= slop, so out-of-order matches once slop covers the reorder
+    cost — a swap costs 2); or, with ``in_order``, the
+    SpanNear(inOrder=true) variant (nondecreasing chain, at most
+    ``slop`` total skipped positions).
 
     parts: [(slot, docs, contrib, pcounts_per_entry, pos_flat)] —
     possibly several expansions per slot, positions pre-decoded.
@@ -1921,19 +1969,26 @@ def _eval_phrase(parts, n_slots, slop=0):
     (docs, scores); score = Σ_slot (per-doc slot contribution).
 
     Positions are normalized to q = pos - slot, so an exact match is
-    "all slots share one q" (straight k-way intersection) and a
-    sloppy match is "a nondecreasing q-chain with span <= slop"
-    (q_{i+1} >= q_i ⟺ p_{i+1} > p_i, and Σ gaps = q_last - q_first).
-    The slop pass is a vectorized best-chain-start DP over the packed
-    sorted arrays — prefix max + binary search per slot, no per-doc
-    Python loop. Out-of-order matches are NOT accepted (documented
-    deviation from Lucene's sloppy phrase).
+    "all slots share one q" (straight k-way intersection), an
+    in-order sloppy match is "a nondecreasing q-chain with span <=
+    slop" (vectorized best-chain-start DP: prefix max + binary search
+    per slot), and a Lucene sloppy match is "a q-window of width <=
+    slop covering every slot" (vectorized: per candidate window
+    start, one searchsorted per slot for its next occurrence). When
+    slots can share positions (``needs_distinct``: repeated terms or
+    wildcard slots) each candidate window is verified by a distinct-
+    representatives matching, with early exit per doc.
     """
     slot_pairs: list = [None] * n_slots
     slot_scores: list = [None] * n_slots
     SHIFT_BITS = np.int64(32)
     SHIFT = np.int64(1) << SHIFT_BITS
     MASK = SHIFT - np.int64(1)
+    unordered = slop > 0 and not in_order
+    # unordered q is shifted by n-1 so early positions of late slots
+    # (the out-of-order case the in-order paths prune) stay >= 0 and
+    # pack cleanly into the low 32 bits
+    qoff = np.int64(n_slots - 1) if unordered else np.int64(0)
 
     by_slot: dict[int, list] = {}
     for slot, docs, contrib, pc, flat in parts:
@@ -1957,9 +2012,12 @@ def _eval_phrase(parts, n_slots, slop=0):
         pair_chunks, d_chunks, s_chunks = [], [], []
         for docs, contrib, pc, flat in by_slot[s]:
             doc_rep = np.repeat(docs - base, pc)
-            q = flat - np.int64(s)
-            keep = q >= 0  # pos < slot can never complete a chain
-            pair_chunks.append(doc_rep[keep] * SHIFT + q[keep])
+            q = flat - np.int64(s) + qoff
+            if unordered:
+                pair_chunks.append(doc_rep * SHIFT + q)
+            else:
+                keep = q >= 0  # pos < slot can never complete a chain
+                pair_chunks.append(doc_rep[keep] * SHIFT + q[keep])
             d_chunks.append(docs)
             s_chunks.append(contrib)
         slot_pairs[s] = np.unique(np.concatenate(pair_chunks))
@@ -1968,7 +2026,61 @@ def _eval_phrase(parts, n_slots, slop=0):
         ud, inv = np.unique(cat_d, return_inverse=True)
         slot_scores[s] = (ud, np.bincount(inv, weights=cat_s))
 
-    if slop <= 0:
+    if unordered:
+        # candidate window starts: every occurrence key (the minimal
+        # chosen q of a valid window is itself an occurrence). For
+        # each, the window is valid iff every slot's NEXT occurrence
+        # >= lo is within lo+slop — one searchsorted per slot; a
+        # different doc in the high bits overshoots slop for free.
+        all_keys = np.unique(np.concatenate(slot_pairs))
+        if all_keys.size == 0:
+            return _EMPTY_D, _EMPTY_S
+        far = np.int64(1) << np.int64(62)
+        maxreq = np.full(all_keys.size, -far)
+        for s in range(n_slots):
+            sk = slot_pairs[s]
+            idx = np.searchsorted(sk, all_keys, side="left")
+            has = idx < sk.size
+            nxt = np.where(has, sk[np.minimum(idx, sk.size - 1)], far)
+            maxreq = np.maximum(maxreq, nxt)
+        pass_keys = all_keys[maxreq - all_keys <= slop]
+        if pass_keys.size == 0:
+            return _EMPTY_D, _EMPTY_S
+        if not needs_distinct:
+            # distinct slots carry distinct terms, and one position
+            # holds one term — coverage IS a valid assignment
+            matched = np.unique(pass_keys >> SHIFT_BITS) + base
+        else:
+            docs_rel = pass_keys >> SHIFT_BITS
+            starts = np.flatnonzero(
+                np.concatenate(([True], docs_rel[1:] != docs_rel[:-1]))
+            )
+            ends = np.concatenate((starts[1:], [pass_keys.size]))
+            hit = []
+            for a, b in zip(starts, ends):
+                drel = np.int64(docs_rel[a])
+                for key in pass_keys[a:b]:
+                    lo = np.int64(key) & MASK
+                    avails, feasible = [], True
+                    for s in range(n_slots):
+                        sk = slot_pairs[s]
+                        lft = np.searchsorted(sk, drel * SHIFT + lo)
+                        rgt = np.searchsorted(
+                            sk, drel * SHIFT + lo + np.int64(slop),
+                            side="right",
+                        )
+                        pos = (sk[lft:rgt] & MASK) + np.int64(s) - qoff
+                        if pos.size == 0:
+                            feasible = False
+                            break
+                        avails.append([int(p) for p in pos])
+                    if feasible and _sdr(avails):
+                        hit.append(int(drel))
+                        break
+            if not hit:
+                return _EMPTY_D, _EMPTY_S
+            matched = np.array(sorted(hit), dtype=np.int64) + base
+    elif slop <= 0:
         valid = slot_pairs[0]
         for s in range(1, n_slots):
             valid = np.intersect1d(valid, slot_pairs[s], assume_unique=True)
