@@ -529,27 +529,85 @@ class IncrementalIndex:
         k1, b_ = self.params.k1, self.params.b
 
         live = self.live_docs()
-        sums_row = (
-            _tok_count_cols(live)
-            .agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                *[
-                    F.sum(F.col(f"_tc_{c}")).alias(f"sum_{c}")
-                    for c in _SUM_COLS
-                ],
+        dead_docs = self.all_docs().join(
+            live.select("doc_key"), "doc_key", "left_anti"
+        )
+
+        def _dead_sums() -> dict:
+            return (
+                _tok_count_cols(dead_docs)
+                .agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    *[
+                        F.sum(F.col(f"_tc_{c}")).alias(f"sum_{c}")
+                        for c in _SUM_COLS
+                    ],
+                )
+                .collect()[0]
+                .asDict()
             )
-            .collect()[0]
-        )
-        stats = _stats_from_sums(
-            sums_row.asDict(), tuple(self.params.fields)
-        )
+
+        # Exact live stats WITHOUT re-tokenizing the live corpus:
+        # every segment's stats parquet stores INTEGER total_dl per
+        # field, so live sums = Σ segment totals − token counts of
+        # the dead docs (a scan over churn, not corpus). Integer
+        # arithmetic then the same total/n division a fresh build
+        # does → bit-identical avgdl → identical scores. Falls back
+        # to the full live token-count pass on any stats-shape
+        # surprise (e.g. a pre-total_dl segment).
+        stats = None
+        try:
+            seg_stats = pd.concat(
+                [
+                    pd.read_parquet(IndexPaths(s["dir"]).stats)
+                    for s in segs
+                ],
+                ignore_index=True,
+            )
+            if "total_dl" in seg_stats.columns:
+                totals = seg_stats.groupby("field").agg(
+                    n_docs=("n_docs", "sum"), total_dl=("total_dl", "sum")
+                )
+                dead_row = _dead_sums()
+                n_all = int(totals["n_docs"].iloc[0])
+                sums = {"n_docs": n_all - int(dead_row["n_docs"] or 0)}
+                for c in _SUM_COLS:
+                    fname = "content" if c == "content" else c
+                    tot = (
+                        int(totals.loc[fname, "total_dl"])
+                        if fname in totals.index
+                        else 0
+                    )
+                    sums[f"sum_{c}"] = tot - int(
+                        dead_row.get(f"sum_{c}") or 0
+                    )
+                if sums["n_docs"] >= 0 and all(
+                    v >= 0 for v in sums.values()
+                ):
+                    stats = _stats_from_sums(
+                        sums, tuple(self.params.fields)
+                    )
+        except Exception:
+            stats = None
+        if stats is None:
+            sums_row = (
+                _tok_count_cols(live)
+                .agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    *[
+                        F.sum(F.col(f"_tc_{c}")).alias(f"sum_{c}")
+                        for c in _SUM_COLS
+                    ],
+                )
+                .collect()[0]
+            )
+            stats = _stats_from_sums(
+                sums_row.asDict(), tuple(self.params.fields)
+            )
         avgdl_map = {r.field: float(r.avgdl) for r in stats.itertuples()}
 
-        dead = (
-            self.all_docs()
-            .join(live.select("doc_key"), "doc_key", "left_anti")
-            .select("doc_id")
-            .withColumn("block_id", (F.col("doc_id") / bsz).cast("long"))
+        dead = dead_docs.select("doc_id").withColumn(
+            "block_id", (F.col("doc_id") / bsz).cast("long")
         )
         dead_by_block = dead.groupBy("block_id").agg(
             F.collect_list("doc_id").alias("deadids")
@@ -559,18 +617,52 @@ class IncrementalIndex:
         )
         joined = posts.join(dead_by_block, "block_id", "left")
 
+        post_cols = [f.name for f in POSTING_SCHEMA.fields]
+
         def rewrite(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            """Vectorized decode-filter-reencode: ONE batched varint
-            decode per stream across all rows, one dead-id mask, and
-            one encode_blocks_batch call per Arrow batch. Each posting
-            row is a complete (field, term, block) group, so groups
-            never span batches — no carry needed (the same lesson as
-            the builder: per-group Python calls were 35x slower)."""
+            """Two-path vectorized rewrite. The posting byte streams
+            (docs/tfs/dls/positions) are avgdl-INDEPENDENT; only the
+            one block_max_tfnorm double per row depends on the new
+            stats. So rows whose posting list holds no dead doc — the
+            overwhelming majority at low churn, since a dead doc
+            touches only rows of terms it contains — pass their bytes
+            straight through and get a metadata-only refresh (decode
+            of the two small tf/dl streams; positions, the byte bulk,
+            are never decoded or re-encoded). Only rows that actually
+            lose an entry take the full decode-filter-reencode path.
+            All decoding stays batched per Arrow chunk (the builder's
+            lesson: per-group Python calls were 35x slower)."""
             import numpy as np
 
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
+            def refresh(pdf: pd.DataFrame) -> pd.DataFrame:
+                n_arr = pdf["n"].to_numpy(dtype=np.int64)
+                tfs = encoding.decode_rows_values(
+                    [bytes(x) for x in pdf["tfs"]], n_arr
+                )
+                dls = encoding.decode_rows_values(
+                    [bytes(x) for x in pdf["dls"]], n_arr
+                )
+                # same expression (op order included) as
+                # encoding.bm25_tfnorm, with per-entry avgdl
+                avg = np.repeat(
+                    np.array(
+                        [avgdl_map[f] for f in pdf["field"]],
+                        dtype=np.float64,
+                    ),
+                    n_arr,
+                )
+                tf = tfs.astype(np.float64)
+                dl = dls.astype(np.float64)
+                tfn = tf * (k1 + 1.0) / (
+                    tf + k1 * (1.0 - b_ + b_ * dl / avg)
+                )
+                starts = np.zeros(n_arr.size, dtype=np.int64)
+                np.cumsum(n_arr[:-1], out=starts[1:])
+                return pdf.assign(
+                    block_max_tfnorm=np.maximum.reduceat(tfn, starts)
+                )[post_cols]
+
+            def reencode(pdf: pd.DataFrame) -> pd.DataFrame:
                 # encode_blocks_batch requires (field, term, block_id)
                 # grouped order; rows are unique per group
                 pdf = pdf.sort_values(
@@ -599,20 +691,17 @@ class IncrementalIndex:
                 field_rep = np.repeat(pdf["field"].to_numpy(), n_arr)
                 term_rep = np.repeat(pdf["term"].to_numpy(), n_arr)
                 block_rep = np.repeat(block_ids, n_arr)
-                dead_all = [
-                    d for d in pdf["deadids"] if d is not None and len(d)
-                ]
-                if dead_all:
-                    dead_arr = np.unique(
-                        np.concatenate(
-                            [np.asarray(d, dtype=np.int64) for d in dead_all]
-                        )
+                dead_arr = np.unique(
+                    np.concatenate(
+                        [
+                            np.asarray(d, dtype=np.int64)
+                            for d in pdf["deadids"]
+                        ]
                     )
-                    keep = ~np.isin(docs, dead_arr)
-                else:
-                    keep = np.ones(total, dtype=bool)
+                )
+                keep = ~np.isin(docs, dead_arr)
                 if not keep.any():
-                    continue
+                    return pd.DataFrame(columns=post_cols)
                 pos_slices = np.split(flat_pos, np.cumsum(pcounts)[:-1])
                 kept_idx = np.flatnonzero(keep)
                 positions = [pos_slices[i] for i in kept_idx]
@@ -629,7 +718,49 @@ class IncrementalIndex:
                     b_,
                     bsz,
                 )
-                yield pd.DataFrame(cols)
+                return pd.DataFrame(cols)
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                has_dead = pdf["deadids"].notna().to_numpy()
+                out: list[pd.DataFrame] = []
+                clean = pdf.loc[~has_dead]
+                cand = pdf.loc[has_dead]
+                touched = None
+                if len(cand):
+                    # doc_ids are globally unique and block-disjoint,
+                    # so one batch-wide membership test is exact
+                    n_arr = cand["n"].to_numpy(dtype=np.int64)
+                    block_ids = cand["block_id"].to_numpy(dtype=np.int64)
+                    docs = encoding.decode_rows_docs(
+                        [bytes(x) for x in cand["docs_delta"]],
+                        n_arr,
+                        block_ids,
+                        bsz,
+                    )
+                    dead_arr = np.unique(
+                        np.concatenate(
+                            [
+                                np.asarray(d, dtype=np.int64)
+                                for d in cand["deadids"]
+                            ]
+                        )
+                    )
+                    kill = np.isin(docs, dead_arr)
+                    row_rep = np.repeat(
+                        np.arange(len(cand), dtype=np.int64), n_arr
+                    )
+                    row_kill = np.zeros(len(cand), dtype=bool)
+                    row_kill[row_rep[kill]] = True
+                    touched = cand.loc[row_kill]
+                    clean = pd.concat([clean, cand.loc[~row_kill]])
+                if len(clean):
+                    out.append(refresh(clean))
+                if touched is not None and len(touched):
+                    out.append(reencode(touched))
+                if out:
+                    yield pd.concat(out, ignore_index=True)
 
         merged_dir = os.path.join(self.root, "base_merged")
         shutil.rmtree(merged_dir, ignore_errors=True)
