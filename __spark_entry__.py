@@ -1173,9 +1173,15 @@ def _q_facets(spark, sf_dir):
 
 
 def _q_suggest(spark, sf_dir):
-    """Did-you-mean for the typo 'hast' — Lucene SpellChecker analog
-    (plain Levenshtein ranking distance asc, df desc, term asc)."""
-    return _engine(spark, sf_dir).suggest("hast", k=5)
+    """Did-you-mean for the typo 'custmer' — Lucene SpellChecker analog
+    (plain Levenshtein ranking distance asc, df desc, term asc),
+    through the character-bigram candidate index (r4): 'custmer' has 6
+    distinct bigrams, so the >= |S_t| - 2*max_edits = 2 shared-gram
+    bound prunes and candidates are looked up by the typo's grams,
+    never a dictionary sweep."""
+    eng = _engine(spark, sf_dir)
+    eng.build_suggest_index()
+    return eng.suggest("custmer", k=5)
 
 
 def _q_profile(spark, sf_dir):
@@ -2639,8 +2645,8 @@ def oracle_sql() -> dict[str, str]:
             dfa AS (SELECT term, count(*)::BIGINT AS df FROM tfa
                     GROUP BY term)
             SELECT term, df,
-                   levenshtein(term, 'hast')::BIGINT AS distance
-            FROM dfa WHERE levenshtein(term, 'hast') <= 2
+                   levenshtein(term, 'custmer')::BIGINT AS distance
+            FROM dfa WHERE levenshtein(term, 'custmer') <= 2
             ORDER BY distance, df DESC, term LIMIT 5""",
         # corpus profile: exact type-7 quantiles == quantile_cont
         "tx_profile": """WITH toks AS (

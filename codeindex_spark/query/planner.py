@@ -35,6 +35,7 @@ doc_id asc) — deterministic because docIDs are (see index/docids.py).
 from __future__ import annotations
 
 import math
+import os
 import re
 from dataclasses import dataclass
 
@@ -1533,6 +1534,54 @@ class SearchEngine:
             )
         return counts.orderBy("facet", "value")
 
+    # character-bigram candidate index for suggest(): q=2 because the
+    # lossless pruning bound |S_t \ S_u| <= q*d needs q small to bite
+    # on real identifier lengths (q=3, d=2 destroys up to 6 grams —
+    # useless under len 9; q=2 prunes from len 6)
+    SUGGEST_GRAM = 2
+
+    def build_suggest_index(self, path: str | None = None) -> None:
+        """Materialize the SpellChecker-style character-bigram sidecar
+        (gram, term, df) per field — Lucene's suggest module looks
+        spelling candidates up in an n-gram index instead of sweeping
+        the dictionary (lucene/suggest SpellChecker.java, public
+        design). Written once next to the index (or at ``path``),
+        range-partitioned and sorted by (field, gram) so each
+        suggest() probe prunes to the row groups holding its few
+        query grams. Idempotent: an existing sidecar is reused."""
+        spark = self.reader.spark
+        if path is None:
+            paths = getattr(self.reader, "paths", None)
+            if paths is None:
+                raise ValueError(
+                    "reader has no index dir; pass an explicit path"
+                )
+            path = os.path.join(paths.root, "suggest_ngrams")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            q = self.SUGGEST_GRAM
+            grams = self.reader.term_dict.select(
+                "field",
+                "term",
+                "df",
+                F.explode(
+                    F.array_distinct(
+                        F.expr(
+                            f"transform(sequence(1, greatest(length(term)"
+                            f" - {q - 1}, 1)), i -> substring(term, i, {q}))"
+                        )
+                    )
+                ).alias("gram"),
+            )
+            par = max(spark.sparkContext.defaultParallelism, 4)
+            (
+                grams.repartitionByRange(par, "field", "gram")
+                .sortWithinPartitions("field", "gram")
+                .write.mode("overwrite")
+                .partitionBy("field")
+                .parquet(path)
+            )
+        self._suggest_idx = spark.read.parquet(path)
+
     def suggest(
         self,
         term: str,
@@ -1546,14 +1595,37 @@ class SearchEngine:
         dictionary terms within ``max_edits`` edits of ``term``,
         ranked (distance asc, df desc, term asc).
 
-        Scale shape: a length-windowed slice of the sorted dictionary
-        (parquet min/max pruned via the length predicate's companion
-        term-range when prefixed) with the whole distance + rank in
-        JVM expressions — no Python loop, no collect."""
+        Scale shape: with the bigram sidecar built
+        (``build_suggest_index``), candidates come from the grams of
+        ``term`` alone — a term within d edits must share at least
+        |S_t| - 2d of t's distinct bigrams (each edit destroys at
+        most q=2 gram positions, and shifts never change a gram's
+        content), so the semi-join on ≥-threshold shared grams is
+        LOSSLESS and the scan touches only the probe grams' row
+        groups, never the vocabulary. Falls back to the
+        length-windowed dictionary slice when the sidecar is absent
+        or the bound can't prune (very short terms) — distance + rank
+        stay JVM expressions either way; results are identical."""
         t = term if field == "content_cs" else term.lower()
-        td = self.reader.term_dict.filter(F.col("field") == field)
+        qg = self.SUGGEST_GRAM
+        tg = sorted(
+            {t[i : i + qg] for i in range(max(len(t) - qg + 1, 1))}
+        ) if t else []
+        thresh = len(tg) - qg * max_edits
+        idx = getattr(self, "_suggest_idx", None)
+        if idx is not None and thresh >= 1:
+            cand = (
+                idx.filter(
+                    (F.col("field") == field) & F.col("gram").isin(tg)
+                )
+                .groupBy("term")
+                .agg(F.first("df").alias("df"), F.count("*").alias("_sh"))
+                .filter(F.col("_sh") >= thresh)
+            )
+        else:
+            cand = self.reader.term_dict.filter(F.col("field") == field)
         return (
-            td.filter(
+            cand.filter(
                 (F.length("term") >= len(t) - max_edits)
                 & (F.length("term") <= len(t) + max_edits)
             )

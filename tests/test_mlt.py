@@ -201,3 +201,24 @@ def test_facet_top_values(engine):
         cand = [r for r in full if r["facet"] == facet]
         best = sorted(cand, key=lambda r: (-r["n_docs"], r["value"]))[0]
         assert rows[0]["value"] == best["value"]
+
+
+def test_suggest_ngram_index_identical(engine):
+    """The bigram candidate index is a LOSSLESS prefilter (a term
+    within d edits shares >= |S_t| - 2d of the typo's distinct
+    bigrams): output identical to the dictionary sweep for typos,
+    short terms (threshold can't prune -> fallback), and absent
+    terms."""
+    queries = ["stirng", "strng", "ab", "zzzzzzzzzzzz", "getx"]
+    base = {
+        q: [tuple(r) for r in engine.suggest(q, k=5).collect()]
+        for q in queries
+    }
+    engine.build_suggest_index()
+    try:
+        for q in queries:
+            got = [tuple(r) for r in engine.suggest(q, k=5).collect()]
+            assert got == base[q], q
+    finally:
+        # keep other tests on the fallback path regardless of order
+        engine._suggest_idx = None

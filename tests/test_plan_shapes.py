@@ -120,3 +120,18 @@ def test_assign_shards_is_map_side(spark):
         [(i, "t") for i in range(10)], "doc_id long, text string"
     )
     assert "Exchange" not in _plan(assign_shards(docs, 8))
+
+
+def test_suggest_ngram_index_prunes_dictionary(engine):
+    """With the bigram sidecar built, suggest() candidates come from
+    the typo's grams (In-filter pushed to the sidecar scan); the
+    vocabulary-wide term_dict never appears in the plan."""
+    engine.build_suggest_index()
+    try:
+        plan = _plan(engine.suggest("stirng", k=5))
+        assert "suggest_ngrams" in plan
+        assert "gram" in plan.split("PushedFilters", 1)[1][:300]
+        assert "term_dict" not in plan
+        assert "TakeOrderedAndProject" in plan
+    finally:
+        engine._suggest_idx = None
