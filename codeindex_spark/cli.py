@@ -494,7 +494,12 @@ def main(argv=None) -> int:
         default=None,
         help="pin an Iceberg snapshot (needs iceberg-spark-runtime)",
     )
-    b.add_argument("--num-buckets", type=int, default=64)
+    b.add_argument(
+        "--num-buckets",
+        type=int,
+        default=None,
+        help="docID buckets; default scales with cluster parallelism",
+    )
     b.add_argument("--block-size", type=int, default=128)
     b.add_argument("--groups", type=int, default=4)
     b.add_argument("--no-resume", action="store_true")

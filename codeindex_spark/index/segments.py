@@ -33,6 +33,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import dataclasses
 from dataclasses import dataclass
 
 import pandas as pd
@@ -44,6 +45,7 @@ from codeindex_spark.index.build import (
     IndexParams,
     build_postings,
     compute_plan,
+    default_num_buckets,
     hints_from_term_dict,
     prepare_docs,
     term_dict_from_postings,
@@ -129,6 +131,16 @@ class IndexBuilder:
         params: IndexParams = IndexParams(),
         n_groups: int = 4,
     ):
+        if params.num_buckets is None:
+            # resolve the scale-adaptive default ONCE, preferring the
+            # value pinned in an existing index (docIDs depend on it —
+            # a resume on a differently-sized cluster must not drift)
+            stored = os.path.join(index_dir, "params.json")
+            if os.path.exists(stored):
+                nb = json.load(open(stored))["num_buckets"]
+            else:
+                nb = default_num_buckets(spark, n_groups)
+            params = dataclasses.replace(params, num_buckets=nb)
         if params.num_buckets % n_groups != 0:
             raise ValueError("num_buckets must be divisible by n_groups")
         self.spark = spark

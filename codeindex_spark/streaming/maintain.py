@@ -32,6 +32,7 @@ ST-operator mapping:
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 from typing import Iterator
@@ -41,7 +42,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from codeindex_spark.index.build import IndexParams, prepare_docs
+from codeindex_spark.index.build import (
+    IndexParams,
+    default_num_buckets,
+    prepare_docs,
+)
 from codeindex_spark.index.segments import (
     IndexBuilder,
     IndexPaths,
@@ -254,6 +259,17 @@ class IncrementalIndex:
         params: IndexParams = IndexParams(),
         n_groups: int = 1,
     ):
+        if params.num_buckets is None:
+            # same resolution rule as IndexBuilder: adopt the bucket
+            # count pinned by an existing base segment (docIDs depend
+            # on it), else the scale-adaptive default — resolved HERE
+            # so every delta segment inherits one consistent value
+            stored = os.path.join(root, "base", "params.json")
+            if os.path.exists(stored):
+                nb = json.load(open(stored))["num_buckets"]
+            else:
+                nb = default_num_buckets(spark, n_groups)
+            params = dataclasses.replace(params, num_buckets=nb)
         self.spark = spark
         self.root = root
         self.params = params

@@ -297,3 +297,49 @@ def test_hot_term_skew_structurally_bounded(spark, tmp_path):
     # decoded docs per block stay within the block's doc range
     total = sum(r["n"] for r in rows)
     assert total == n_docs
+
+
+def test_num_buckets_scale_adaptive(spark, tmp_path):
+    """IndexParams() defers num_buckets to build time: the builder
+    resolves it from cluster parallelism (4x, floor 64, multiple of
+    n_groups), an EXISTING index pins it (resume on a differently
+    sized cluster must not re-derive — docIDs depend on it), and
+    unresolved params refuse to serialize."""
+    from codeindex_spark.index.build import default_num_buckets
+
+    par = spark.sparkContext.defaultParallelism
+    b = IndexBuilder(spark, str(tmp_path / "i"), IndexParams(), n_groups=4)
+    want = max(64, 4 * par)
+    want += (-want) % 4
+    assert b.params.num_buckets == want == default_num_buckets(spark, 4)
+    assert b.params.num_buckets % 4 == 0
+
+    # adoption: a pinned params.json wins over the adaptive default
+    d2 = tmp_path / "i2"
+    os.makedirs(d2)
+    pinned = IndexParams(num_buckets=24, block_size=32).to_dict()
+    json.dump(pinned, open(d2 / "params.json", "w"))
+    b2 = IndexBuilder(spark, str(d2), IndexParams(), n_groups=4)
+    assert b2.params.num_buckets == 24
+
+    with pytest.raises(ValueError, match="unresolved"):
+        IndexParams().to_dict()
+
+
+def test_incremental_num_buckets_adopts_base(spark, tmp_path):
+    """IncrementalIndex resolves the adaptive default once, preferring
+    the base segment's pinned value so every delta segment inherits a
+    consistent bucket count."""
+    from codeindex_spark.index.build import default_num_buckets
+    from codeindex_spark.streaming.maintain import IncrementalIndex
+
+    root = tmp_path / "inc"
+    inc = IncrementalIndex(spark, str(root), n_groups=1)
+    assert inc.params.num_buckets == default_num_buckets(spark, 1)
+
+    root2 = tmp_path / "inc2"
+    os.makedirs(root2 / "base")
+    pinned = IndexParams(num_buckets=8, block_size=32).to_dict()
+    json.dump(pinned, open(root2 / "base" / "params.json", "w"))
+    inc2 = IncrementalIndex(spark, str(root2), n_groups=1)
+    assert inc2.params.num_buckets == 8
