@@ -1071,6 +1071,66 @@ def _q_sessions(spark, sf_dir):
     )
 
 
+def _q_sessions_stream(spark, sf_dir):
+    """Native Structured Streaming session windows (ST2's gap-session
+    twin, r4): the events table replayed through a file-source
+    readStream -> session_window(8h) -> availableNow memory sink in
+    complete mode, normalized to the exact columns the batch
+    lag-sessionizer oracle computes — the driver-pinned proof that
+    the STREAMING implementation of sessionization agrees with the
+    batch one (VERDICT r3 #8). session_window merges events exactly
+    gap apart (probed: [start, end] overlap on the boundary), the
+    same strict-gap rule as ops/sessions.py, so one oracle serves
+    both."""
+    import hashlib
+    import uuid
+
+    from codeindex_spark.streaming.windows import stream_session_counts
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    base = f"/tmp/codeindex_entry/stream_sessions_{tag}"
+    events_dir = os.path.join(base, "events")
+    if not os.path.exists(os.path.join(events_dir, "_SUCCESS")):
+        (
+            _load(spark, sf_dir, "events")
+            # parquet ts is TIMESTAMP_NTZ; cast to TZ timestamp so the
+            # writer applies timestampFormat (UTC session = identity),
+            # and write 6 fractional digits — the default JSON format
+            # truncates to milliseconds and the replayed sessions
+            # would drift from the parquet-fed oracle by sub-ms
+            .select(
+                "event_id",
+                F.col("ts").cast("timestamp").alias("ts"),
+                "user_id",
+                "event_type",
+                "value",
+            )
+            .write.mode("overwrite")
+            .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+            .json(events_dir)
+        )
+    out = stream_session_counts(
+        spark,
+        events_dir,
+        os.path.join(base, f"ckpt_{uuid.uuid4().hex}"),
+        gap="8 hours",
+        watermark="1 minute",
+        query_name=f"sessions_{tag}",
+        output_mode="complete",
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias(
+            "start_us"
+        ),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias(
+            "end_us"
+        ),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
 def _q_keywords(spark, sf_dir):
     """TF-IDF keyword extraction (beyond-reference, the corpus-side
     sibling of more-like-this term selection): top-5 smooth-tf-idf
@@ -1449,6 +1509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_ppl_buckets": _q_ppl_buckets,
         "tx_keywords": _q_keywords,
         "rel_sessions": _q_sessions,
+        "rel_sessions_stream": _q_sessions_stream,
         "rel_value_hist": _q_value_hist,
         "tx_normalize": _q_normalize,
         "dd_span_scrub": _q_span_scrub,
@@ -2804,6 +2865,30 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value,
                    round((max(us) - min(us))::DOUBLE
                          / 1000000.0::DOUBLE, 6) AS duration_secs
+            FROM x GROUP BY user_id, session_idx""",
+        # streaming session_window twin: same strict-gap sessions as
+        # rel_sessions; session_window reports end = last event + gap
+        "rel_sessions_stream": """WITH e AS (
+              SELECT user_id, event_id, epoch_us(ts) AS us, value
+              FROM events),
+            s AS (
+              SELECT *,
+                     CASE WHEN lag(us) OVER w IS NULL
+                            OR us - lag(us) OVER w > 28800000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+            x AS (
+              SELECT *,
+                     sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_idx
+              FROM s)
+            SELECT user_id,
+                   min(us)::BIGINT AS start_us,
+                   (max(us) + 28800000000)::BIGINT AS end_us,
+                   count(*)::BIGINT AS n_events,
+                   round(sum(value), 4) AS sum_value
             FROM x GROUP BY user_id, session_idx""",
         # smooth tf-idf keywords: idf = ln((N+1)/(df+1)) + 1, score =
         # tf * idf rounded to 6, per-doc top-5 with term tie-break

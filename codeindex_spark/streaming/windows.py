@@ -58,13 +58,18 @@ def _run_stream_to_memory(
     out: DataFrame,
     checkpoint_dir: str,
     query_name: str,
+    output_mode: str = "append",
 ):
-    """Shared stream runner: append-mode memory sink, availableNow
-    trigger (drain-and-stop micro-batches), await, return the table.
-    ONE definition so the two windowed runners cannot drift on
-    output mode / trigger / checkpoint handling."""
+    """Shared stream runner: memory sink, availableNow trigger
+    (drain-and-stop micro-batches), await, return the table. ONE
+    definition so the windowed runners cannot drift on trigger /
+    checkpoint handling. ``output_mode``: append emits only windows
+    the watermark has closed (continuous-pipeline semantics — late
+    rows can still merge an open session); complete emits every
+    window each drain (the right mode for a bounded drain-and-stop
+    pass whose LAST sessions must appear without an advancer event)."""
     q = (
-        out.writeStream.outputMode("append")
+        out.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(query_name)
         .option("checkpointLocation", checkpoint_dir)
@@ -132,9 +137,12 @@ def stream_session_counts(
     gap: str = "30 minutes",
     watermark: str = "2 hours",
     query_name: str = "session_events",
+    output_mode: str = "append",
 ):
     """File-source stream -> watermark -> session windows ->
     availableNow memory sink (drain-and-stop micro-batches)."""
     stream = spark.readStream.schema(EVENT_ROW_SCHEMA).json(events_dir)
     out = session_event_counts(stream, gap, watermark)
-    return _run_stream_to_memory(spark, out, checkpoint_dir, query_name)
+    return _run_stream_to_memory(
+        spark, out, checkpoint_dir, query_name, output_mode
+    )
