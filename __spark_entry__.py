@@ -678,6 +678,43 @@ def _q_ann_cosine(spark, sf_dir):
     ).select("vec_id")
 
 
+def _dd_semdedup_input(spark, sf_dir):
+    """Embeddings plus deterministic exact-copy twins (every vec_id %
+    10 == 0 duplicated at id + 1,000,000): the synthetic embeddings
+    have no natural near-duplicates (max pairwise cosine 0.60), so
+    the twins give the dedup a real removal set while staying exactly
+    derivable by the numpy-replay oracle."""
+    emb = _load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twins = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    return emb.unionByName(twins)
+
+
+def _q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means clusters + within-cluster
+    cosine >= 0.95 dedup, keeper = lowest centroid-similarity (id asc
+    tie-break — exact twins tie on cent_sim, so the original id wins).
+    Returns the full per-vector verdict (cluster, kept, dup_of);
+    oracle is an independent numpy replay of the documented
+    semantics inlined as VALUES."""
+    from codeindex_spark.ops.similarity import semdedup
+
+    out = semdedup(
+        _dd_semdedup_input(spark, sf_dir),
+        dim=64,
+        threshold=0.95,
+        n_centroids=8,
+        sample=256,
+    )
+    return out.select(
+        "vec_id",
+        F.col("cluster").cast("long").alias("cluster"),
+        "kept",
+        "dup_of",
+    )
+
+
 def _q_ann_lsh(spark, sf_dir):
     from codeindex_spark.ops.similarity import lsh_ann_topk
 
@@ -1510,6 +1547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_keywords": _q_keywords,
         "rel_sessions": _q_sessions,
         "rel_sessions_stream": _q_sessions_stream,
+        "dd_semdedup": _q_semdedup,
         "rel_value_hist": _q_value_hist,
         "tx_normalize": _q_normalize,
         "dd_span_scrub": _q_span_scrub,
@@ -1613,6 +1651,70 @@ def _oracle_embedding_matrix():
         [np.asarray(v, dtype=np.float64) for v in emb["embedding"]]
     )
     return ids, mat
+
+
+def _semdedup_values_sql(
+    threshold: float = 0.95,
+    n_centroids: int = 8,
+    sample: int = 256,
+    iters: int = 10,
+    seed: int = 42,
+) -> str:
+    """dd_semdedup oracle: independent numpy replay of the documented
+    SemDeDup semantics (seeded-sample spherical k-means -> nearest
+    centroid -> per cluster, cent-sim-asc/id-asc order, duplicate when
+    an earlier member has cosine >= threshold, dup_of = the most
+    similar earlier member) over the parquet embeddings plus the same
+    exact-copy twins the entry injects, inlined as a VALUES table."""
+    import numpy as np
+
+    ids, mat = _oracle_embedding_matrix()
+    twin = ids % 10 == 0
+    ids = np.concatenate([ids, ids[twin] + 1_000_000])
+    mat = np.vstack([mat, mat[twin]])
+    matn = mat / np.maximum(
+        np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+    )
+    train = matn[np.argsort(ids)][:sample]
+    rng = np.random.default_rng(seed)
+    cents = train[rng.choice(len(train), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        a = (train @ cents.T).argmax(axis=1)
+        for c in range(n_centroids):
+            ms = train[a == c]
+            if len(ms):
+                v = ms.mean(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-12)
+    cell = (matn @ cents.T).argmax(axis=1)
+    rows = []
+    for c in range(n_centroids):
+        mask = cell == c
+        cids, cmat = ids[mask], matn[mask]
+        # per-row reduction, same as the op kernel (gemv rounds
+        # position-dependently and would flip exact-copy tie-breaks)
+        cs = (cmat * cents[c]).sum(axis=1)
+        o = np.lexsort((cids, cs))
+        cids, cmat = cids[o], cmat[o]
+        for i in range(len(cids)):
+            sims = cmat[:i] @ cmat[i]
+            j = int(sims.argmax()) if i else -1
+            dup = i > 0 and float(sims[j]) >= threshold
+            rows.append(
+                (
+                    int(cids[i]),
+                    c,
+                    "FALSE" if dup else "TRUE",
+                    str(int(cids[j])) if dup else "NULL",
+                )
+            )
+    vals = ",".join(
+        f"({v},{c},{k},{d})" for v, c, k, d in sorted(rows)
+    )
+    return (
+        f"SELECT vec_id::BIGINT AS vec_id, cluster::BIGINT AS cluster, "
+        f"kept::BOOLEAN AS kept, dup_of::BIGINT AS dup_of "
+        f"FROM (VALUES {vals}) AS t(vec_id, cluster, kept, dup_of)"
+    )
 
 
 def _pq_candidate_ids(
@@ -2384,6 +2486,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_sources
             FROM unioned GROUP BY doc_id
             ORDER BY rrf_score DESC, doc_id LIMIT 10""",
+        "dd_semdedup": _semdedup_values_sql(),
         "dd_embed_neardup": f"""
             WITH bk(vec_id, bucket) AS (VALUES {_lsh_bucket_values()}),
             p AS (

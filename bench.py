@@ -189,6 +189,12 @@ def main() -> None:
     queries["q_suggest"] = round(
         p50(lambda: eng.suggest("hast", k=5).collect()), 3
     )
+    # r4: same op through the bigram candidate sidecar (build cost
+    # excluded — it is a one-time index artifact)
+    eng.build_suggest_index()
+    queries["q_suggest_idx"] = round(
+        p50(lambda: eng.suggest("custmer", k=5).collect()), 3
+    )
 
     # ---- phase 3b: trigram substring/regex search (r2) ----
     # separate index: content_trigram is opt-in and must not perturb
@@ -485,6 +491,17 @@ def main() -> None:
         "op_span_scrub": lambda: remove_duplicate_spans(docs_df, window=8)
         .filter(F.col("n_kept_tokens") >= 0)
         .count(),
+        # kept/cluster referenced so count() cannot prune the kernel
+        "op_semdedup": lambda: __import__(
+            "codeindex_spark.ops.similarity", fromlist=["semdedup"]
+        )
+        .semdedup(emb, dim=64, threshold=0.95, n_centroids=8, sample=256)
+        .agg(
+            F.sum(F.col("kept").cast("long")),
+            F.sum("cluster"),
+            F.count("*"),
+        )
+        .collect(),
         "op_dsir": lambda: dsir_resample(
             dsir_log_weights(
                 docs_df,
@@ -518,6 +535,7 @@ def main() -> None:
         "op_components",
         "op_profile",
         "op_dsir",
+        "op_semdedup",
         "op_lmz",
         "op_dsirz",
         "tx_keywordsz",
@@ -525,6 +543,7 @@ def main() -> None:
         "q_mlt",
         "q_facets",
         "q_suggest",
+        "q_suggest_idx",
     }
     total = sum(v for k, v in queries.items() if k not in EXTRA_KEYS)
     result.update(

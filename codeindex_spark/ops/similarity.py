@@ -215,6 +215,110 @@ def embedding_near_dup_pairs(
     )
 
 
+def semdedup(
+    vectors: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    sample: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int = 8192,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540, public): semantic
+    deduplication by k-means clustering + within-cluster cosine
+    threshold. Returns one row per vector:
+    (id_col, cluster, cent_sim, kept, dup_of).
+
+    Semantics (the paper's released procedure, made deterministic):
+    cluster every vector to its nearest coarse centroid (the IVF
+    quantizer trained on a seeded sample); within a cluster, order
+    items by cosine similarity to the centroid ASCENDING (id asc
+    tie-break) — the paper keeps the LOWEST-centroid-similarity member
+    of a duplicate group to preserve diversity; an item is a duplicate
+    (kept = false) when some EARLIER item in that order has pairwise
+    cosine >= ``threshold`` with it, and ``dup_of`` is the earlier
+    item with the highest similarity (smallest position on ties).
+
+    Scale shape: training is O(sample) on the driver; assignment is
+    one Arrow map pass (the cluster id is the natural partition
+    column, same as the IVF cell table); dedup is applyInPandas per
+    cluster — per-task cost is bounded by the cluster, NOT the
+    corpus, and the pairwise pass runs in column blocks so memory is
+    O(cluster x block), never O(cluster^2) at once. Clusters larger
+    than ``max_cluster`` dedup their first ``max_cluster`` members
+    (in keeper order) and pass the overflow through kept=true — the
+    same bounded-reducer rule as the LSH hot_cap / simhash
+    hot_bucket_cap; at 100 TB you raise n_centroids (the paper uses
+    50k clusters for LAION) so clusters stay small, and the cap is
+    the backstop against a degenerate embedding space."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    cents = ivf_train_centroids(
+        vectors, dim, n_centroids, sample, iters, seed, vec_col, id_col
+    )
+    assigned = ivf_assign(vectors, cents, id_col, vec_col, keep_vec=True)
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("cluster", T.IntegerType(), False),
+            T.StructField("cent_sim", T.DoubleType(), False),
+            T.StructField("kept", T.BooleanType(), False),
+            T.StructField("dup_of", T.LongType(), True),
+        ]
+    )
+
+    def dedup_cluster(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        c = int(key[0])
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        mat = mat / np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+        )
+        # elementwise-multiply + row-sum, NOT mat @ cents[c]: BLAS
+        # gemv rounds position-dependently (bit-identical rows at
+        # different row indices can differ by 1 ulp), which would make
+        # the cent_sim tie-break depend on partition order; the
+        # per-row reduction is content-deterministic
+        cent_sim = (mat * cents[c]).sum(axis=1)
+        order = np.lexsort((ids, cent_sim))  # cent_sim asc, id asc
+        ids_o, mat_o, cs_o = ids[order], mat[order], cent_sim[order]
+        n = len(ids_o)
+        m = min(n, max_cluster)
+        dup_of = np.full(n, -1, dtype=np.int64)
+        blk = 1024
+        for lo in range(1, m, blk):
+            hi = min(lo + blk, m)
+            # sims[j, i-lo]: earlier item j (< i) vs block item i
+            sims = mat_o[:hi] @ mat_o[lo:hi].T
+            cols = np.arange(lo, hi)
+            sims[cols[None, :] <= np.arange(hi)[:, None]] = -np.inf
+            amx = sims.argmax(axis=0)
+            mx = sims[amx, np.arange(hi - lo)]
+            hit = mx >= threshold
+            dup_of[lo:hi][hit] = ids_o[amx[hit]]
+        return pd.DataFrame(
+            {
+                id_col: ids_o,
+                "cluster": np.full(n, c, dtype=np.int32),
+                "cent_sim": cs_o,
+                "kept": dup_of < 0,
+                "dup_of": pd.array(
+                    np.where(dup_of < 0, None, dup_of), dtype="Int64"
+                ),
+            }
+        )
+
+    return assigned.groupBy("centroid").applyInPandas(
+        dedup_cluster, schema=schema
+    )
+
+
 def _train_sample(vectors: DataFrame, id_col: str, sample: int):
     """Deterministic driver-side training sample: first ``sample``
     rows ordered by the EXPLICIT id column. Sorting by

@@ -1321,3 +1321,127 @@ def test_jaccard_releases_disk_cache(spark):
     )
     ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()
     assert disk_only_ids() - before == set()
+
+
+# ---------------------------------------------------------------- semdedup
+
+
+def _semdedup_fixture(n=150, dim=16, seed=7):
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n, dim))
+    # rows [n-20, n) are tiny perturbations of rows [0, 20)
+    base[n - 20 :] = base[:20] + 0.001 * rng.standard_normal((20, dim))
+    return base
+
+
+def _semdedup_replay(mat, ids, threshold, n_centroids, sample, iters, seed):
+    """Independent numpy reimplementation of the documented semantics:
+    seeded-sample k-means -> nearest-centroid assignment -> per
+    cluster, centroid-sim-asc/id-asc order, dup when an earlier item
+    is >= threshold, dup_of = the most-similar earlier item."""
+    matn = mat / np.maximum(
+        np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+    )
+    order = np.argsort(ids)
+    train = matn[order][:sample]
+    rng = np.random.default_rng(seed)
+    cents = train[rng.choice(len(train), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        a = (train @ cents.T).argmax(axis=1)
+        for c in range(n_centroids):
+            ms = train[a == c]
+            if len(ms):
+                v = ms.mean(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-12)
+    cell = (matn @ cents.T).argmax(axis=1)
+    out = {}
+    for c in range(n_centroids):
+        mask = cell == c
+        cids, cmat = ids[mask], matn[mask]
+        cs = (cmat * cents[c]).sum(axis=1)
+        o = np.lexsort((cids, cs))
+        cids, cmat, cs = cids[o], cmat[o], cs[o]
+        for i in range(len(cids)):
+            sims = cmat[:i] @ cmat[i]
+            j = int(sims.argmax()) if i else -1
+            dup = i > 0 and sims[j] >= threshold
+            out[int(cids[i])] = (
+                c,
+                float(cs[i]),
+                not dup,
+                int(cids[j]) if dup else None,
+            )
+    return out
+
+
+def test_semdedup_matches_replay(spark):
+    """Full-output equality with an independent numpy replay on data
+    containing injected near-duplicates."""
+    from codeindex_spark.ops.similarity import semdedup
+
+    base = _semdedup_fixture()
+    ids = np.arange(len(base), dtype=np.int64)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in base[i]]) for i in ids],
+        "vec_id long, embedding array<double>",
+    ).repartition(5)
+    got = semdedup(
+        df, dim=16, threshold=0.95, n_centroids=4, sample=150
+    ).toPandas()
+    exp = _semdedup_replay(base, ids, 0.95, 4, 150, 10, 42)
+    assert len(got) == len(base)
+    for r in got.itertuples():
+        c, cs, kept, dup_of = exp[int(r.vec_id)]
+        assert int(r.cluster) == c, r
+        assert abs(float(r.cent_sim) - cs) < 1e-12, r
+        assert bool(r.kept) == kept, r
+        assert (None if pd.isna(r.dup_of) else int(r.dup_of)) == dup_of, r
+    # the 20 injected pairs each lost exactly one member
+    g = got.set_index("vec_id")
+    for i in range(20):
+        assert bool(g.loc[i, "kept"]) != bool(g.loc[130 + i, "kept"]), i
+
+
+def test_semdedup_identical_vectors_id_tiebreak(spark):
+    """Byte-identical vectors have equal cent_sim: the keeper is the
+    SMALLEST id (lexsort tie-break), every other copy points at it."""
+    from codeindex_spark.ops.similarity import semdedup
+
+    v = [1.0] + [0.0] * 7
+    w = [0.0, 1.0] + [0.0] * 6
+    rows = [(10, v), (3, v), (7, v), (1, w)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = (
+        semdedup(df, dim=8, threshold=0.99, n_centroids=2, sample=4)
+        .toPandas()
+        .set_index("vec_id")
+    )
+    assert bool(out.loc[3, "kept"]) and bool(out.loc[1, "kept"])
+    assert not out.loc[7, "kept"] and int(out.loc[7, "dup_of"]) == 3
+    assert not out.loc[10, "kept"] and int(out.loc[10, "dup_of"]) == 3
+
+
+def test_semdedup_max_cluster_cap(spark):
+    """Members past the cap (in keeper order) pass through kept=true —
+    bounded work, conservative keep."""
+    from codeindex_spark.ops.similarity import semdedup
+
+    v = [1.0] + [0.0] * 7
+    rows = [(i, v) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semdedup(
+        df, dim=8, threshold=0.99, n_centroids=1, sample=6, max_cluster=4
+    ).toPandas()
+    kept = set(out[out.kept]["vec_id"])
+    # ids 0..3 dedup to {0}; ids 4,5 are overflow, kept unexamined
+    assert kept == {0, 4, 5}
+
+
+def test_semdedup_threshold_validation(spark):
+    from codeindex_spark.ops.similarity import semdedup
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="threshold"):
+        semdedup(df, dim=2, threshold=0.0)
