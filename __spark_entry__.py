@@ -548,6 +548,20 @@ def _q_filename_term(spark, sf_dir):
     return _orig_ids(eng, eng.score(ast.Term("txt", "file_name")), extra=_SCORE())
 
 
+def _q_term_interval(spark, sf_dir):
+    """Lucene RegexpQuery numeric interval (RegExp.java INTERVAL
+    syntax, r4): /<10-25>/ on the file_name field. Engine file names
+    are '<doc_id>.txt', so the interval's dictionary expansion hits
+    exactly the digit tokens 10..25 (df=1 each, dl == avgdl, so score
+    == idf — same closed form as q18)."""
+    from codeindex_spark.query import ast as qast
+
+    eng = _engine(spark, sf_dir)
+    return _orig_ids(
+        eng, eng.score(qast.Regexp("<10-25>", "file_name")), extra=_SCORE()
+    )
+
+
 def _q_pk_lookup(spark, sf_dir):
     eng = _engine(spark, sf_dir)
     row = _load(spark, sf_dir, "documents").filter(F.col("doc_id") == 42).first()
@@ -1548,6 +1562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_sessions": _q_sessions,
         "rel_sessions_stream": _q_sessions_stream,
         "dd_semdedup": _q_semdedup,
+        "q33_term_interval": _q_term_interval,
         "rel_value_hist": _q_value_hist,
         "tx_normalize": _q_normalize,
         "dd_span_scrub": _q_span_scrub,
@@ -2332,6 +2347,13 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'c', doc_id FROM documents
             WHERE regexp_matches(text, 'batch [a-z]+ [a-z]+ index')""",
+        "q33_term_interval": """
+            WITH nn AS (SELECT count(*)::DOUBLE AS n FROM documents)
+            SELECT doc_id,
+                   round(ln(1.0::DOUBLE +
+                     ((SELECT n FROM nn) - 1.0::DOUBLE + 0.5::DOUBLE)
+                     / (1.0::DOUBLE + 0.5::DOUBLE)), 6) AS score
+            FROM documents WHERE doc_id BETWEEN 10 AND 25""",
         "q18_filename_term": """
             WITH st AS (SELECT count(*)::DOUBLE AS df FROM documents),
             nn AS (SELECT count(*)::DOUBLE AS n FROM documents)

@@ -798,3 +798,107 @@ def collect_leaves(node: Node) -> list[Node]:
             out.extend(collect_leaves(c))
         return out
     raise TypeError(f"unknown node {node!r}")
+
+
+# ------------------------------------------------- Lucene regexp intervals
+
+_INTERVAL_RE = re.compile(r"<(\d+)-(\d+)>")
+
+
+def _digit_span(a: str, b: str) -> str:
+    if a == b:
+        return a
+    return f"[{a}-{b}]"
+
+
+def _num_ge(t: str) -> list[str]:
+    """Alternatives for fixed-length digit strings >= t."""
+    if not t:
+        return [""]
+    d, rest = t[0], len(t) - 1
+    out = [d + tail for tail in _num_ge(t[1:])]
+    if d < "9":
+        out.append(_digit_span(chr(ord(d) + 1), "9") + "[0-9]" * rest)
+    return out
+
+
+def _num_le(t: str) -> list[str]:
+    """Alternatives for fixed-length digit strings <= t."""
+    if not t:
+        return [""]
+    d, rest = t[0], len(t) - 1
+    out = [d + tail for tail in _num_le(t[1:])]
+    if d > "0":
+        out.append(_digit_span("0", chr(ord(d) - 1)) + "[0-9]" * rest)
+    return out
+
+
+def _num_between(lo: str, hi: str) -> list[str]:
+    """Alternatives for fixed-length digit strings in [lo, hi]
+    (lo and hi have the same length, lo <= hi)."""
+    if not lo:
+        return [""]
+    a, b = lo[0], hi[0]
+    if a == b:
+        return [a + tail for tail in _num_between(lo[1:], hi[1:])]
+    rest = len(lo) - 1
+    out = [a + tail for tail in _num_ge(lo[1:])]
+    if ord(b) - ord(a) >= 2:
+        out.append(
+            _digit_span(chr(ord(a) + 1), chr(ord(b) - 1)) + "[0-9]" * rest
+        )
+    out.extend(b + tail for tail in _num_le(hi[1:]))
+    return out
+
+
+def interval_regex(smin: str, smax: str) -> str:
+    """Plain-regex equivalent of Lucene's ``<min-max>`` numeric
+    interval operator (RegExp.java INTERVAL syntax; the automaton is
+    Automata.makeDecimalInterval). Semantics reproduced exactly:
+
+    - min > max raises (as Lucene's parser does);
+    - when the two bound strings have the SAME length, that length is
+      fixed: candidates are exactly that many digits, zero-padded
+      (``<01-10>`` matches "01".."10" and nothing else);
+    - otherwise the digit count is free and any number of leading
+      zeros is accepted (``<1-100>`` matches "007").
+    """
+    lo, hi = int(smin), int(smax)
+    if lo > hi:
+        raise ValueError(f"invalid interval <{smin}-{smax}>: min > max")
+    if len(smin) == len(smax):
+        alts = _num_between(smin, smax)
+        return "(?:" + "|".join(alts) + ")"
+    parts: list[str] = []
+    for ln in range(len(str(lo)), len(str(hi)) + 1):
+        blo = max(lo, 10 ** (ln - 1) if ln > 1 else 0)
+        bhi = min(hi, 10**ln - 1)
+        if blo > bhi:
+            continue
+        parts.extend(_num_between(str(blo).zfill(ln), str(bhi).zfill(ln)))
+    return "0*(?:" + "|".join(parts) + ")"
+
+
+def expand_lucene_intervals(pattern: str) -> str:
+    """Rewrite Lucene RegexpQuery ``<m-n>`` numeric-interval operators
+    inside ``pattern`` to plain-regex groups; everything else passes
+    through untouched. A ``\\<`` stays literal (and dictionary terms
+    never contain '<', so a literal interval-looking run could only
+    ever match nothing anyway)."""
+    out = []
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\" and i + 1 < len(pattern):
+            out.append(pattern[i : i + 2])
+            i += 2
+            continue
+        if c == "<":
+            m = _INTERVAL_RE.match(pattern, i)
+            if m:
+                out.append(interval_regex(m.group(1), m.group(2)))
+                i = m.end()
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out)

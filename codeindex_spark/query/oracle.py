@@ -151,8 +151,11 @@ class OracleIndex:
             return self._expand_pattern(fld, leaf.pattern)
         if isinstance(leaf, ast.Regexp):
             # re.ASCII: Java regex classes (\d \w \s) are ASCII by
-            # default — the oracle must match the engine's rlike
-            rx = re.compile(leaf.pattern, re.ASCII)
+            # default — the oracle must match the engine's rlike;
+            # Lucene <m-n> intervals rewritten the same as the engine
+            rx = re.compile(
+                ast.expand_lucene_intervals(leaf.pattern), re.ASCII
+            )
             return sorted(t for t in terms if rx.fullmatch(t))[
                 :MAX_EXPANSIONS
             ]

@@ -447,13 +447,17 @@ class SearchEngine:
             # anchored full match over the dictionary (Lucene
             # RegexpQuery semantics); a leading literal run prunes
             # the sorted dictionary scan via startswith before the
-            # rlike verifies. The parser validated with Python re,
-            # which accepts some Java-invalid syntax ('a{,3}',
+            # rlike verifies. Lucene's <m-n> numeric-interval operator
+            # (RegExp.java INTERVAL) is rewritten to a plain-regex
+            # group first — the one RegexpQuery extra that composes
+            # with Java-regex syntax. The parser validated with Python
+            # re, which accepts some Java-invalid syntax ('a{,3}',
             # '(?P<x>..)') — compile with the JVM here so those fail
             # as a clear driver-side error, not an executor crash
+            pattern = ast.expand_lucene_intervals(leaf.pattern)
             try:
                 self.reader.spark._jvm.java.util.regex.Pattern.compile(
-                    leaf.pattern
+                    pattern
                 )
             except Exception as e:
                 raise ValueError(
@@ -461,8 +465,8 @@ class SearchEngine:
                     "(Spark rlike executes java.util.regex): "
                     f"{getattr(e, 'java_exception', e)}"
                 ) from e
-            cond = F.col("term").rlike("^(?:" + leaf.pattern + ")$")
-            pfx = regex_literal_prefix(leaf.pattern)
+            cond = F.col("term").rlike("^(?:" + pattern + ")$")
+            pfx = regex_literal_prefix(pattern)
             if pfx:
                 cond = F.col("term").startswith(pfx) & cond
             rows = (

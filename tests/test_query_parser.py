@@ -399,3 +399,34 @@ def test_regexp_lexer_edges():
     # at expansion time (planner compiles with java.util.regex) —
     # here just assert the parse accepts them
     assert parse_query("/a{,3}/") == Regexp("a{,3}", "content")
+
+
+def test_interval_regex_semantics():
+    """interval_regex reproduces Automata.makeDecimalInterval: fixed
+    digit count when the bound strings share a length, otherwise free
+    digits with any number of leading zeros."""
+    import re
+
+    from codeindex_spark.query.ast import (
+        expand_lucene_intervals,
+        interval_regex,
+    )
+
+    for smin, smax in [("1", "100"), ("01", "10"), ("0", "5"), ("7", "7"),
+                       ("090", "120"), ("5", "23"), ("000", "999")]:
+        rx = re.compile("^(?:" + interval_regex(smin, smax) + ")$")
+        lo, hi, fixed = int(smin), int(smax), len(smin) == len(smax)
+        for n in range(0, max(hi * 2, 200)):
+            for s in {str(n), str(n).zfill(len(smin)), "0" + str(n)}:
+                want = lo <= int(s) <= hi and (
+                    len(s) == len(smin) if fixed else True
+                )
+                assert bool(rx.fullmatch(s)) == want, (smin, smax, s)
+
+    with pytest.raises(ValueError, match="min > max"):
+        interval_regex("9", "3")
+    # rewrite leaves escapes and non-interval angle brackets alone
+    assert expand_lucene_intervals(r"\<1-2>") == r"\<1-2>"
+    assert expand_lucene_intervals("<a-b>") == "<a-b>"
+    out = expand_lucene_intervals(r"v<1-12>\.txt")
+    assert out.startswith("v0*(?:") and out.endswith(r")\.txt")

@@ -546,3 +546,24 @@ def test_random_signed_clause_lists_rank_identical(engine, oracle):
             signs[0] = "+"
         q = " ".join(f"{s}{leaf()}" for s in signs)
         assert_rank_identical(engine.search(q, k=K), oracle.search(q, k=K))
+
+
+def test_q_regexp_interval(engine, oracle):
+    """Lucene RegexpQuery <m-n> numeric interval (RegExp.java INTERVAL
+    syntax, rewritten to plain regex identically in engine and
+    oracle). File names end _N.ext, so file_name holds each doc's
+    index as a digit token."""
+    q = ast.Regexp("<5-25>", "file_name")
+    assert_rank_identical(engine.search(q, k=K), oracle.search(q, k=K))
+    assert engine.search(q, k=K).count() == 21
+    # same-length bounds pin the digit count (Lucene fixed-digits
+    # rule): <05-25> matches only the 2-digit tokens 10..25
+    q2 = ast.Regexp("<05-25>", "file_name")
+    assert_rank_identical(engine.search(q2, k=K), oracle.search(q2, k=K))
+    assert engine.search(q2, k=K).count() == 16
+    # composes with surrounding Java-regex syntax, and parses from
+    # the classic-parser string form
+    q3 = ast.Regexp("(?:<5-9>|checkpoint.*)", "file_name")
+    assert_rank_identical(engine.search(q3, k=K), oracle.search(q3, k=K))
+    parsed = ast.parse_query("/<5-25>/")
+    assert isinstance(parsed, ast.Regexp) and parsed.pattern == "<5-25>"
