@@ -1182,6 +1182,33 @@ def _q_sessions_stream(spark, sf_dir):
     )
 
 
+def _q_gopher(spark, sf_dir):
+    """Gopher quality-filter rules (Rae et al. 2021 Table A1, r4):
+    per-doc metrics + per-rule booleans + the conjunction, default
+    thresholds — single-pass JVM expressions."""
+    from codeindex_spark.ops.analysis import gopher_quality_flags
+
+    out = gopher_quality_flags(_load(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "mean_word_len",
+        "symbol_ratio",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
+        "alpha_word_frac",
+        F.col("stopword_hits").cast("long").alias("stopword_hits"),
+        "ok_word_count",
+        "ok_mean_word_len",
+        "ok_symbol_ratio",
+        "ok_bullets",
+        "ok_ellipses",
+        "ok_alpha_words",
+        "ok_stopwords",
+        "gopher_pass",
+    )
+
+
 def _q_keywords(spark, sf_dir):
     """TF-IDF keyword extraction (beyond-reference, the corpus-side
     sibling of more-like-this term selection): top-5 smooth-tf-idf
@@ -1563,6 +1590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_sessions_stream": _q_sessions_stream,
         "dd_semdedup": _q_semdedup,
         "q33_term_interval": _q_term_interval,
+        "tx_gopher": _q_gopher,
         "rel_value_hist": _q_value_hist,
         "tx_normalize": _q_normalize,
         "dd_span_scrub": _q_span_scrub,
@@ -3015,6 +3043,53 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events,
                    round(sum(value), 4) AS sum_value
             FROM x GROUP BY user_id, session_idx""",
+        # Gopher rules (Rae 2021): same rounded metrics and thresholds
+        "tx_gopher": """WITH base AS (
+              SELECT doc_id,
+                list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            w -> w <> '') AS w,
+                list_filter(string_split(text, chr(10)),
+                            l -> trim(l) <> '') AS l,
+                len(regexp_extract_all(text, '#')) +
+                len(regexp_extract_all(text, '\\.\\.\\.')) +
+                len(regexp_extract_all(text, chr(8230))) AS n_sym
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                len(w)::BIGINT AS n_words,
+                round(list_sum(list_transform(w, x -> length(x)))
+                      / greatest(len(w), 1), 6) AS mean_word_len,
+                round(n_sym::DOUBLE / greatest(len(w), 1), 6)
+                  AS symbol_ratio,
+                round(len(list_filter(l, x -> regexp_matches(trim(x),
+                        '^[\u2022\u2023\u25b6\\-\\*]')))::DOUBLE
+                      / greatest(len(l), 1), 6) AS bullet_line_frac,
+                round(len(list_filter(l, x -> regexp_matches(trim(x),
+                        '(\\.\\.\\.|' || chr(8230) || ')$')))::DOUBLE
+                      / greatest(len(l), 1), 6) AS ellipsis_line_frac,
+                round(len(list_filter(w, x -> regexp_matches(x,
+                        '[a-zA-Z]')))::DOUBLE
+                      / greatest(len(w), 1), 6) AS alpha_word_frac,
+                len(list_intersect(
+                      list_distinct(list_transform(w, x -> lower(x))),
+                      ['the','be','to','of','and','that','have','with']
+                    ))::BIGINT AS stopword_hits
+              FROM base)
+            SELECT *,
+              (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+              (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                AS ok_mean_word_len,
+              (symbol_ratio <= 0.1) AS ok_symbol_ratio,
+              (bullet_line_frac <= 0.1) AS ok_bullets,
+              (ellipsis_line_frac <= 0.3) AS ok_ellipses,
+              (alpha_word_frac >= 0.8) AS ok_alpha_words,
+              (stopword_hits >= 2) AS ok_stopwords,
+              ((n_words >= 50 AND n_words <= 100000)
+               AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+               AND symbol_ratio <= 0.1 AND bullet_line_frac <= 0.1
+               AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+               AND stopword_hits >= 2) AS gopher_pass
+            FROM m""",
         # smooth tf-idf keywords: idf = ln((N+1)/(df+1)) + 1, score =
         # tf * idf rounded to 6, per-doc top-5 with term tie-break
         "tx_keywords": """WITH toks AS (

@@ -78,6 +78,125 @@ def quality_score(
     )
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_nonbullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher quality-filter rules (Rae et al. 2021, arXiv:2112.11446
+    Table A1 — the standard LLM-pretraining heuristics) as one
+    per-doc row of booleans plus the conjunction:
+
+    (doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_frac,
+     ellipsis_line_frac, alpha_word_frac, stopword_hits,
+     ok_word_count, ok_mean_word_len, ok_symbol_ratio, ok_bullets,
+     ok_ellipses, ok_alpha_words, ok_stopwords, gopher_pass)
+
+    Rules: word count in [min,max]; mean word length in [3,10];
+    '#'/'...' symbol-to-word ratio <= 0.1; <= 10% of lines start with
+    a bullet; <= 30% of lines end with an ellipsis; >= 80% of words
+    contain an alphabetic character; >= 2 of the 8 stop words present.
+    All single-pass JVM expressions — no shuffle, no Python."""
+    words = F.filter(
+        F.split(F.trim(F.col(text_col)), "\\s+"), lambda w: w != ""
+    )
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda l: F.trim(l) != ""
+    )
+    nw = F.greatest(F.size(words), F.lit(1))
+    nl = F.greatest(F.size(lines), F.lit(1))
+    n_sym = (
+        F.regexp_count(F.col(text_col), F.lit("#"))
+        + F.regexp_count(F.col(text_col), F.lit("\\.\\.\\."))
+        + F.regexp_count(F.col(text_col), F.lit("…"))
+    )
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: F.trim(l).rlike("^[•‣▶\\-\\*]"),
+        )
+    )
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike("(\\.\\.\\.|…)$"))
+    )
+    alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("[a-zA-Z]"))
+    )
+    lowered = F.transform(words, lambda w: F.lower(w))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(lowered),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    m = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(words).alias("n_words"),
+        F.round(
+            F.aggregate(
+                words, F.lit(0), lambda acc, w: acc + F.length(w)
+            )
+            / nw,
+            6,
+        ).alias("mean_word_len"),
+        F.round(n_sym / nw, 6).alias("symbol_ratio"),
+        F.round(bullet_lines / nl, 6).alias("bullet_line_frac"),
+        F.round(ellipsis_lines / nl, 6).alias("ellipsis_line_frac"),
+        F.round(alpha_words / nw, 6).alias("alpha_word_frac"),
+        stop_hits.cast("int").alias("stopword_hits"),
+    )
+    flags = m.select(
+        "*",
+        (
+            (F.col("n_words") >= min_words)
+            & (F.col("n_words") <= max_words)
+        ).alias("ok_word_count"),
+        (
+            (F.col("mean_word_len") >= min_mean_word_len)
+            & (F.col("mean_word_len") <= max_mean_word_len)
+        ).alias("ok_mean_word_len"),
+        (F.col("symbol_ratio") <= max_symbol_ratio).alias(
+            "ok_symbol_ratio"
+        ),
+        (
+            F.col("bullet_line_frac") <= 1.0 - min_nonbullet_line_frac
+        ).alias("ok_bullets"),
+        (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac).alias(
+            "ok_ellipses"
+        ),
+        (F.col("alpha_word_frac") >= min_alpha_word_frac).alias(
+            "ok_alpha_words"
+        ),
+        (F.col("stopword_hits") >= min_stopword_hits).alias(
+            "ok_stopwords"
+        ),
+    )
+    return flags.select(
+        "*",
+        (
+            F.col("ok_word_count")
+            & F.col("ok_mean_word_len")
+            & F.col("ok_symbol_ratio")
+            & F.col("ok_bullets")
+            & F.col("ok_ellipses")
+            & F.col("ok_alpha_words")
+            & F.col("ok_stopwords")
+        ).alias("gopher_pass"),
+    )
+
+
 def fingerprint(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -1445,3 +1445,43 @@ def test_semdedup_threshold_validation(spark):
     )
     with pytest.raises(ValueError, match="threshold"):
         semdedup(df, dim=2, threshold=0.0)
+
+
+def test_gopher_quality_flags(spark):
+    """Each Gopher rule (Rae 2021 Table A1) trips on a purpose-built
+    doc; a long clean doc passes all."""
+    from codeindex_spark.ops.analysis import gopher_quality_flags
+
+    clean = " ".join(
+        ["the quick brown fox jumps over the lazy dog with grace"] * 6
+    )  # 66 words, mean len ~4, stopwords the/with
+    rows = [
+        (0, clean),
+        (1, "too short to pass"),                       # word count
+        (2, " ".join(["a"] * 60)),                      # mean word len < 3
+        (3, " ".join(["###"] * 30 + ["the with stop words fine"] * 9)),  # symbols
+        (4, "\n".join(["• bullet line the with"] * 10 + ["plain line"] * 2)
+            + " " + " ".join(["pad"] * 50)),            # bullets
+        (5, "\n".join(["ends in dots the with..."] * 10 + ["plain"] * 10)
+            + " " + " ".join(["pad"] * 40)),            # ellipses
+        (6, " ".join(["1234"] * 55 + ["the with"] * 3)),  # alpha frac
+        (7, " ".join(["alpha words only here fine"] * 12)),  # stopwords < 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = (
+        gopher_quality_flags(df).toPandas().set_index("doc_id").sort_index()
+    )
+    assert bool(out.loc[0, "gopher_pass"]), out.loc[0].to_dict()
+    assert not out.loc[1, "ok_word_count"]
+    assert not out.loc[2, "ok_mean_word_len"]
+    assert not out.loc[3, "ok_symbol_ratio"]
+    assert not out.loc[4, "ok_bullets"]
+    assert not out.loc[5, "ok_ellipses"]
+    assert not out.loc[6, "ok_alpha_words"]
+    assert not out.loc[7, "ok_stopwords"]
+    for d in range(1, 8):
+        assert not out.loc[d, "gopher_pass"], d
+    # metrics sanity on the clean doc
+    assert out.loc[0, "n_words"] == 66
+    assert abs(out.loc[0, "alpha_word_frac"] - 1.0) < 1e-9
+    assert out.loc[0, "stopword_hits"] >= 2
