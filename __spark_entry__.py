@@ -3057,7 +3057,8 @@ def oracle_sql() -> dict[str, str]:
             m AS (
               SELECT doc_id,
                 len(w)::BIGINT AS n_words,
-                round(list_sum(list_transform(w, x -> length(x)))
+                round(coalesce(list_sum(list_transform(w, x -> length(x))),
+                               0)
                       / greatest(len(w), 1), 6) AS mean_word_len,
                 round(n_sym::DOUBLE / greatest(len(w), 1), 6)
                   AS symbol_ratio,

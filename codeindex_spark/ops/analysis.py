@@ -90,7 +90,7 @@ def gopher_quality_flags(
     min_mean_word_len: float = 3.0,
     max_mean_word_len: float = 10.0,
     max_symbol_ratio: float = 0.1,
-    min_nonbullet_line_frac: float = 0.9,
+    max_bullet_line_frac: float = 0.1,
     max_ellipsis_line_frac: float = 0.3,
     min_alpha_word_frac: float = 0.8,
     min_stopword_hits: int = 2,
@@ -108,19 +108,21 @@ def gopher_quality_flags(
     '#'/'...' symbol-to-word ratio <= 0.1; <= 10% of lines start with
     a bullet; <= 30% of lines end with an ellipsis; >= 80% of words
     contain an alphabetic character; >= 2 of the 8 stop words present.
-    All single-pass JVM expressions — no shuffle, no Python."""
+    All single-pass JVM expressions — no shuffle, no Python. NULL
+    text is treated as empty (metrics 0, every rule flag concrete)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
     words = F.filter(
-        F.split(F.trim(F.col(text_col)), "\\s+"), lambda w: w != ""
+        F.split(F.trim(text), "\\s+"), lambda w: w != ""
     )
     lines = F.filter(
-        F.split(F.col(text_col), "\n"), lambda l: F.trim(l) != ""
+        F.split(text, "\n"), lambda l: F.trim(l) != ""
     )
     nw = F.greatest(F.size(words), F.lit(1))
     nl = F.greatest(F.size(lines), F.lit(1))
     n_sym = (
-        F.regexp_count(F.col(text_col), F.lit("#"))
-        + F.regexp_count(F.col(text_col), F.lit("\\.\\.\\."))
-        + F.regexp_count(F.col(text_col), F.lit("…"))
+        F.regexp_count(text, F.lit("#"))
+        + F.regexp_count(text, F.lit("\\.\\.\\."))
+        + F.regexp_count(text, F.lit("…"))
     )
     bullet_lines = F.size(
         F.filter(
@@ -170,9 +172,12 @@ def gopher_quality_flags(
         (F.col("symbol_ratio") <= max_symbol_ratio).alias(
             "ok_symbol_ratio"
         ),
-        (
-            F.col("bullet_line_frac") <= 1.0 - min_nonbullet_line_frac
-        ).alias("ok_bullets"),
+        # the threshold is used directly — deriving it as
+        # 1.0 - 0.9 = 0.09999999999999998 would reject the exact-10%
+        # boundary the rule admits
+        (F.col("bullet_line_frac") <= max_bullet_line_frac).alias(
+            "ok_bullets"
+        ),
         (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac).alias(
             "ok_ellipses"
         ),

@@ -882,18 +882,26 @@ def interval_regex(smin: str, smax: str) -> str:
 def expand_lucene_intervals(pattern: str) -> str:
     """Rewrite Lucene RegexpQuery ``<m-n>`` numeric-interval operators
     inside ``pattern`` to plain-regex groups; everything else passes
-    through untouched. A ``\\<`` stays literal (and dictionary terms
-    never contain '<', so a literal interval-looking run could only
-    ever match nothing anyway)."""
+    through untouched. A ``\\<`` stays literal, and ``<`` inside a
+    character class ``[...]`` stays literal too (Lucene's parser does
+    not recognize the interval operator there, and injecting a group
+    would change the class's membership). Dictionary terms never
+    contain '<', so a literal interval-looking run could only ever
+    match nothing anyway."""
     out = []
     i = 0
+    in_class = False
     while i < len(pattern):
         c = pattern[i]
         if c == "\\" and i + 1 < len(pattern):
             out.append(pattern[i : i + 2])
             i += 2
             continue
-        if c == "<":
+        if c == "[" and not in_class:
+            in_class = True
+        elif c == "]" and in_class:
+            in_class = False
+        elif c == "<" and not in_class:
             m = _INTERVAL_RE.match(pattern, i)
             if m:
                 out.append(interval_regex(m.group(1), m.group(2)))

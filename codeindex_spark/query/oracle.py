@@ -75,7 +75,12 @@ def _damerau(a: str, b: str, cap: int) -> int:
 
 @dataclass
 class OracleIndex:
-    num_buckets: int = 64
+    # REQUIRED, no default: the engine's IndexParams default is now
+    # scale-adaptive (max(64, 4x parallelism)), and docIDs depend on
+    # the bucket count — a fixed pandas-side default would silently
+    # assign different docIDs than a default-built engine index.
+    # Always pass the engine's resolved params.num_buckets.
+    num_buckets: int
     block_size: int = 128
     k1: float = 1.2
     b: float = 0.75
@@ -87,7 +92,7 @@ class OracleIndex:
     @staticmethod
     def build(
         documents: pd.DataFrame,
-        num_buckets: int = 64,
+        num_buckets: int,
         block_size: int = 128,
         k1: float = 1.2,
         b: float = 0.75,

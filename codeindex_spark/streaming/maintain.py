@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from codeindex_spark.index.build import (
+    CONTENT_FIELDS,
     IndexParams,
     default_num_buckets,
     prepare_docs,
@@ -240,6 +241,28 @@ def reconcile(indexed: DataFrame, snapshot: DataFrame) -> DataFrame:
 
 
 # ------------------------------------------------------ delta segments
+
+
+def _exact_live_sums(seg_stats, dead_row: dict, needed: tuple) -> dict | None:
+    """merge_compact's exact-stats reconstruction: live token sums =
+    Σ per-segment stats totals − the dead docs' token counts, for the
+    ``needed`` source columns only. Returns None when the stats shape
+    predates total_dl or any reconstructed value is negative (the
+    caller then falls back to re-tokenizing the live corpus)."""
+    if "total_dl" not in seg_stats.columns:
+        return None
+    totals = seg_stats.groupby("field").agg(
+        n_docs=("n_docs", "sum"), total_dl=("total_dl", "sum")
+    )
+    n_all = int(totals["n_docs"].iloc[0])
+    sums = {"n_docs": n_all - int(dead_row["n_docs"] or 0)}
+    for c in needed:
+        tot = int(totals.loc[c, "total_dl"]) if c in totals.index else 0
+        sums[f"sum_{c}"] = tot - int(dead_row.get(f"sum_{c}") or 0)
+    if any(v < 0 for v in sums.values()):
+        return None
+    return sums
+
 
 class IncrementalIndex:
     """Segment-stacked incremental index with tombstones.
@@ -529,7 +552,6 @@ class IncrementalIndex:
 
         from codeindex_spark.index import encoding
         from codeindex_spark.index.build import (
-            _SUM_COLS,
             POSTING_SCHEMA,
             _stats_from_sums,
             _tok_count_cols,
@@ -549,14 +571,26 @@ class IncrementalIndex:
             live.select("doc_key"), "doc_key", "left_anti"
         )
 
-        def _dead_sums() -> dict:
+        # only the token-count columns this index's fields actually
+        # consume: reconstructing every _SUM_COLS entry would put a
+        # phantom negative in sum_content_trigram for default-field
+        # indexes (dead docs have trigram counts, segment stats have
+        # no trigram row) and permanently disable the fast path
+        needed = tuple(
+            dict.fromkeys(
+                "content" if f in CONTENT_FIELDS else f
+                for f in self.params.fields
+            )
+        )
+
+        def _sum_agg(docs_df) -> dict:
             return (
-                _tok_count_cols(dead_docs)
+                _tok_count_cols(docs_df)
                 .agg(
                     F.count(F.lit(1)).alias("n_docs"),
                     *[
                         F.sum(F.col(f"_tc_{c}")).alias(f"sum_{c}")
-                        for c in _SUM_COLS
+                        for c in needed
                     ],
                 )
                 .collect()[0]
@@ -580,45 +614,14 @@ class IncrementalIndex:
                 ],
                 ignore_index=True,
             )
-            if "total_dl" in seg_stats.columns:
-                totals = seg_stats.groupby("field").agg(
-                    n_docs=("n_docs", "sum"), total_dl=("total_dl", "sum")
-                )
-                dead_row = _dead_sums()
-                n_all = int(totals["n_docs"].iloc[0])
-                sums = {"n_docs": n_all - int(dead_row["n_docs"] or 0)}
-                for c in _SUM_COLS:
-                    fname = "content" if c == "content" else c
-                    tot = (
-                        int(totals.loc[fname, "total_dl"])
-                        if fname in totals.index
-                        else 0
-                    )
-                    sums[f"sum_{c}"] = tot - int(
-                        dead_row.get(f"sum_{c}") or 0
-                    )
-                if sums["n_docs"] >= 0 and all(
-                    v >= 0 for v in sums.values()
-                ):
-                    stats = _stats_from_sums(
-                        sums, tuple(self.params.fields)
-                    )
+            sums = _exact_live_sums(seg_stats, _sum_agg(dead_docs), needed)
+            if sums is not None:
+                stats = _stats_from_sums(sums, tuple(self.params.fields))
         except Exception:
             stats = None
         if stats is None:
-            sums_row = (
-                _tok_count_cols(live)
-                .agg(
-                    F.count(F.lit(1)).alias("n_docs"),
-                    *[
-                        F.sum(F.col(f"_tc_{c}")).alias(f"sum_{c}")
-                        for c in _SUM_COLS
-                    ],
-                )
-                .collect()[0]
-            )
             stats = _stats_from_sums(
-                sums_row.asDict(), tuple(self.params.fields)
+                _sum_agg(live), tuple(self.params.fields)
             )
         avgdl_map = {r.field: float(r.avgdl) for r in stats.itertuples()}
 

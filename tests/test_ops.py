@@ -1485,3 +1485,23 @@ def test_gopher_quality_flags(spark):
     assert out.loc[0, "n_words"] == 66
     assert abs(out.loc[0, "alpha_word_frac"] - 1.0) < 1e-9
     assert out.loc[0, "stopword_hits"] >= 2
+
+
+def test_gopher_boundaries_and_null_text(spark):
+    """Exactly 10% bullet lines PASSES (the rule admits the boundary;
+    deriving the threshold as 1.0 - 0.9 would reject it by 1 ulp),
+    and NULL text gets concrete zero metrics, never NULL flags."""
+    from codeindex_spark.ops.analysis import gopher_quality_flags
+
+    clean = " ".join(["the fine words with grace here"] * 10)
+    ten_lines = "\n".join(["- bullet " + clean] + [clean] * 9)
+    df = spark.createDataFrame(
+        [(0, ten_lines), (1, None)], "doc_id long, text string"
+    )
+    out = gopher_quality_flags(df).toPandas().set_index("doc_id")
+    assert abs(out.loc[0, "bullet_line_frac"] - 0.1) < 1e-12
+    assert bool(out.loc[0, "ok_bullets"])
+    assert out.loc[1, "n_words"] == 0
+    assert out.loc[1, "mean_word_len"] == 0.0
+    assert not out.loc[1, "gopher_pass"]
+    assert out.loc[1].notna().all()

@@ -428,5 +428,9 @@ def test_interval_regex_semantics():
     # rewrite leaves escapes and non-interval angle brackets alone
     assert expand_lucene_intervals(r"\<1-2>") == r"\<1-2>"
     assert expand_lucene_intervals("<a-b>") == "<a-b>"
+    # '<' inside a character class stays literal (injecting a group
+    # there would change the class's membership)
+    assert expand_lucene_intervals("[x<1-2>y]") == "[x<1-2>y]"
+    assert expand_lucene_intervals("[ab]<1-2>") == "[ab](?:1|2)"
     out = expand_lucene_intervals(r"v<1-12>\.txt")
     assert out.startswith("v0*(?:") and out.endswith(r")\.txt")

@@ -822,3 +822,72 @@ def test_session_window_stream_matches_batch_sessionizer(spark, tmp_path):
         ).collect()
     }
     assert got == exp and len(got) == 3
+
+
+def test_exact_live_sums_engages_for_default_fields():
+    """The merge_compact stats fast path must engage for
+    default-field indexes: reconstruction is restricted to the sum
+    columns the fields consume, so the absent content_trigram row
+    can no longer produce a phantom negative that forces the
+    re-tokenize fallback."""
+    import pandas as pd
+
+    from codeindex_spark.index.build import ALL_FIELDS, CONTENT_FIELDS
+    from codeindex_spark.streaming.maintain import _exact_live_sums
+
+    needed = tuple(
+        dict.fromkeys(
+            "content" if f in CONTENT_FIELDS else f for f in ALL_FIELDS
+        )
+    )
+    assert "content_trigram" not in needed
+    seg_stats = pd.DataFrame(
+        {
+            "field": ["content", "content_cs", "file_name", "file_path",
+                       "content_camel", "path_trigram"],
+            "n_docs": [10] * 6,
+            "avgdl": [5.0] * 6,
+            "total_dl": [50, 50, 20, 30, 12, 40],
+        }
+    )
+    dead = {"n_docs": 2, "sum_content": 9, "sum_file_name": 4,
+            "sum_file_path": 6, "sum_content_camel": 2,
+            "sum_path_trigram": 8}
+    sums = _exact_live_sums(seg_stats, dead, needed)
+    assert sums == {
+        "n_docs": 8, "sum_content": 41, "sum_file_name": 16,
+        "sum_file_path": 24, "sum_content_camel": 10,
+        "sum_path_trigram": 32,
+    }
+    # negative reconstruction -> None (fallback)
+    assert _exact_live_sums(seg_stats, {**dead, "sum_content": 51},
+                            needed) is None
+    # pre-total_dl stats shape -> None
+    assert _exact_live_sums(seg_stats.drop(columns=["total_dl"]),
+                            dead, needed) is None
+
+
+def test_merge_compact_fast_path_tokenizes_only_dead_docs(
+    spark, tmp_path, versions, monkeypatch
+):
+    """Engagement proof: with the fast path live, merge_compact calls
+    the token-count scan exactly once (dead docs), never over the
+    live corpus."""
+    from codeindex_spark.index import build as build_mod
+
+    v1, v2, _ = versions
+    root = str(tmp_path / "mcfast")
+    inc = IncrementalIndex(spark, root, PARAMS, n_groups=1)
+    inc.build_base(spark.createDataFrame(v1))
+    inc.apply_snapshot(spark.createDataFrame(v2))
+
+    calls = []
+    orig = build_mod._tok_count_cols
+
+    def spy(docs):
+        calls.append(docs)
+        return orig(docs)
+
+    monkeypatch.setattr(build_mod, "_tok_count_cols", spy)
+    inc.merge_compact()
+    assert len(calls) == 1, f"expected 1 token-count scan, got {len(calls)}"
