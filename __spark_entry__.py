@@ -1209,6 +1209,44 @@ def _q_gopher(spark, sf_dir):
     )
 
 
+def _q_c4(spark, sf_dir):
+    """C4 cleaning rules (Raffel 2020 §2.2, r4) over a deterministic
+    multi-line derivation of the documents table (sf text has no
+    punctuation, so lines/sentences are synthesized: doc_id%8+1
+    copies of the first 40 chars as '.'-terminated lines, plus a
+    javascript line every 11th doc, lorem ipsum every 13th, a brace
+    line every 17th — all replicated exactly in the SQL oracle)."""
+    from codeindex_spark.ops.analysis import c4_clean
+
+    d = _load(spark, sf_dir, "documents")
+    base = F.concat(F.substring("text", 1, 40), F.lit("."))
+    n = (F.col("doc_id") % 8 + 1).cast("int")
+    txt = F.array_join(F.array_repeat(base, n), "\n")
+    txt = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(txt, F.lit("\nplease enable javascript to view this.")),
+    ).otherwise(txt)
+    txt = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(txt, F.lit("\nLorem Ipsum dolor sit amet.")),
+    ).otherwise(txt)
+    txt = F.when(
+        F.col("doc_id") % 17 == 0,
+        F.concat(txt, F.lit("\nsome code with a { brace inside.")),
+    ).otherwise(txt)
+    out = c4_clean(d.select("doc_id", txt.alias("text")))
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_kept_lines").cast("long").alias("n_kept_lines"),
+        F.col("n_sentences").cast("long").alias("n_sentences"),
+        "has_lorem_ipsum",
+        "has_brace",
+        "text_clean",
+        "c4_keep",
+    )
+
+
 def _q_keywords(spark, sf_dir):
     """TF-IDF keyword extraction (beyond-reference, the corpus-side
     sibling of more-like-this term selection): top-5 smooth-tf-idf
@@ -1591,6 +1629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_semdedup": _q_semdedup,
         "q33_term_interval": _q_term_interval,
         "tx_gopher": _q_gopher,
+        "tx_c4": _q_c4,
         "rel_value_hist": _q_value_hist,
         "tx_normalize": _q_normalize,
         "dd_span_scrub": _q_span_scrub,
@@ -3090,6 +3129,53 @@ def oracle_sql() -> dict[str, str]:
                AND symbol_ratio <= 0.1 AND bullet_line_frac <= 0.1
                AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
                AND stopword_hits >= 2) AS gopher_pass
+            FROM m""",
+        # C4 rules over the same deterministic multi-line derivation
+        "tx_c4": """WITH t AS (
+              SELECT doc_id,
+                rtrim(repeat(substr(text, 1, 40) || '.' || chr(10),
+                             (doc_id % 8 + 1)::INT), chr(10))
+                || CASE WHEN doc_id % 11 = 0 THEN chr(10) ||
+                     'please enable javascript to view this.'
+                   ELSE '' END
+                || CASE WHEN doc_id % 13 = 0 THEN chr(10) ||
+                     'Lorem Ipsum dolor sit amet.' ELSE '' END
+                || CASE WHEN doc_id % 17 = 0 THEN chr(10) ||
+                     'some code with a { brace inside.' ELSE '' END
+                AS text
+              FROM documents),
+            base AS (
+              SELECT doc_id, text,
+                list_filter(string_split(text, chr(10)),
+                            l -> trim(l) <> '') AS lines
+              FROM t),
+            k AS (
+              SELECT doc_id, text, lines,
+                list_filter(lines, l ->
+                  regexp_matches(trim(l),
+                    '(\\.|!|\\?|[.!?]["\u201d''\u2019])\\s*$')
+                  AND len(list_filter(
+                        regexp_split_to_array(trim(l), '\\s+'),
+                        w -> w <> '')) >= 3
+                  AND NOT regexp_matches(lower(l),
+                        '\\bjavascript\\b')) AS kept
+              FROM base),
+            m AS (
+              SELECT doc_id,
+                len(lines)::BIGINT AS n_lines,
+                len(kept)::BIGINT AS n_kept_lines,
+                list_aggregate(list_prepend('',
+                  list_transform(kept, x -> trim(x))), 'string_agg',
+                  chr(10))[2:] AS text_clean,
+                contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+                contains(text, '{') AS has_brace
+              FROM k)
+            SELECT doc_id, n_lines, n_kept_lines,
+              len(regexp_extract_all(text_clean, '[.!?]'))::BIGINT
+                AS n_sentences,
+              has_lorem_ipsum, has_brace, text_clean,
+              (len(regexp_extract_all(text_clean, '[.!?]')) >= 5
+               AND NOT has_lorem_ipsum AND NOT has_brace) AS c4_keep
             FROM m""",
         # smooth tf-idf keywords: idf = ln((N+1)/(df+1)) + 1, score =
         # tf * idf rounded to 6, per-doc top-5 with term tie-break

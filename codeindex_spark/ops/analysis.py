@@ -202,6 +202,65 @@ def gopher_quality_flags(
     )
 
 
+def c4_clean(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020, arXiv:1910.10683 §2.2 —
+    the other canonical pretraining filter next to Gopher and CCNet
+    perplexity): per-LINE retention plus per-DOC discard flags:
+
+    (doc_id, n_lines, n_kept_lines, n_sentences, has_lorem_ipsum,
+     has_brace, text_clean, c4_keep)
+
+    - a line is KEPT when it ends in terminal punctuation (. ! ? or
+      closing quote after one) AND has >= ``min_words_per_line``
+      words AND does not contain the word "javascript" (case-
+      insensitive);
+    - the DOC is kept (c4_keep) when its cleaned text has >=
+      ``min_sentences`` sentences (terminal-punctuation count — the
+      paper's sentence proxy), does not contain "lorem ipsum"
+      (case-insensitive), and does not contain '{' (code marker).
+
+    ``text_clean`` is the kept lines joined by newlines. Single-pass
+    JVM expressions; NULL text is treated as empty."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(F.split(text, "\n"), lambda l: F.trim(l) != "")
+    term_end = "(\\.|!|\\?|[.!?][\"”'’])\\s*$"
+    kept = F.filter(
+        lines,
+        lambda l: F.trim(l).rlike(term_end)
+        & (
+            F.size(
+                F.filter(
+                    F.split(F.trim(l), "\\s+"), lambda w: w != ""
+                )
+            )
+            >= min_words_per_line
+        )
+        & ~F.lower(l).rlike("\\bjavascript\\b"),
+    )
+    clean = F.array_join(F.transform(kept, F.trim), "\n")
+    n_sentences = F.regexp_count(clean, F.lit("[.!?]"))
+    has_lorem = F.lower(text).contains("lorem ipsum")
+    has_brace = text.contains("{")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        n_sentences.alias("n_sentences"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_brace.alias("has_brace"),
+        clean.alias("text_clean"),
+        (
+            (n_sentences >= min_sentences) & ~has_lorem & ~has_brace
+        ).alias("c4_keep"),
+    )
+
+
 def fingerprint(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

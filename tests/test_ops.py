@@ -1505,3 +1505,38 @@ def test_gopher_boundaries_and_null_text(spark):
     assert out.loc[1, "mean_word_len"] == 0.0
     assert not out.loc[1, "gopher_pass"]
     assert out.loc[1].notna().all()
+
+
+def test_c4_clean(spark):
+    """C4 line/doc rules (Raffel 2020 §2.2): line retention by
+    terminal punctuation / word count / javascript; doc discard by
+    sentence count, lorem ipsum, and braces."""
+    from codeindex_spark.ops.analysis import c4_clean
+
+    good = "\n".join(
+        ["This is a fine sentence."] * 3
+        + ["Is this a question? Yes it is!"]
+        + ["Quoted ending works fine.”"]
+    )
+    rows = [
+        (0, good),                                    # keeps everything
+        (1, "no terminal punctuation here\nshort."),  # lines dropped
+        (2, good + "\nEnable javascript to view."),   # js line dropped
+        (3, good + "\nlorem ipsum dolor sit amet."),  # doc discarded
+        (4, good + "\nvar x = { a: 1 };"),            # brace discard
+        (5, "One sentence only."),                    # < 5 sentences
+        (6, None),                                    # NULL text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = c4_clean(df).toPandas().set_index("doc_id").sort_index()
+    assert bool(out.loc[0, "c4_keep"]) and out.loc[0, "n_kept_lines"] == 5
+    assert out.loc[0, "n_sentences"] == 6
+    assert out.loc[1, "n_kept_lines"] == 0 and not out.loc[1, "c4_keep"]
+    # the javascript LINE drops but the doc survives
+    assert bool(out.loc[2, "c4_keep"])
+    assert "javascript" not in out.loc[2, "text_clean"]
+    assert not out.loc[3, "c4_keep"] and bool(out.loc[3, "has_lorem_ipsum"])
+    assert not out.loc[4, "c4_keep"] and bool(out.loc[4, "has_brace"])
+    assert not out.loc[5, "c4_keep"] and out.loc[5, "n_sentences"] == 1
+    assert out.loc[6, "n_lines"] == 0 and not out.loc[6, "c4_keep"]
+    assert out.loc[6].notna().all()
