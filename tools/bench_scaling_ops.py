@@ -7,6 +7,9 @@ complementing the build-job evidence in bench_scaling*.py.
                   contrast.
 --op dsir       : DSIR weights + Gumbel-top-k — two bounded-key
                   groupBys plus a broadcast-joined scoring pass.
+--op semdedup   : SemDeDup over a deterministic 64-dim vector corpus
+                  (10% exact-copy twins) — one Arrow assignment pass
+                  + one centroid-keyed shuffle + per-cluster kernels.
 
 Same protocol as bench_scaling_pooled.py: N independent runs per
 parallelism level, one JVM each, levels interleaved, pooled
@@ -41,15 +44,26 @@ from codeindex_spark.ops.dedup import minhash_lsh_pairs
 from codeindex_spark.ops.analysis import repetition_stats
 from codeindex_spark.ops.dsir import dsir_log_weights, dsir_resample
 from codeindex_spark.ops.spans import remove_duplicate_spans
+from codeindex_spark.ops.similarity import semdedup
 from pyspark.sql import functions as F
 
 cpus = {cpus}
 os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+# pin BLAS to one thread per worker: the semdedup kernel's numpy GEMM
+# would otherwise fan out over every HOST core regardless of the
+# Spark level, silently inflating the low-parallelism level and
+# corrupting the scaling ratio (observed: eff 0.635 unpinned)
+for v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
+          "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+    os.environ[v] = "1"
 spark = get_spark(app_name=f"opscaling{{cpus}}", cores=cpus,
                   shuffle_partitions=max(cpus * 4, 16))
-docs = spark.read.parquet({corpus!r}).select(
-    F.xxhash64("path").alias("doc_id"), F.col("content").alias("text")
-)
+if {op!r} == "semdedup":
+    docs = spark.read.parquet({corpus!r})
+else:
+    docs = spark.read.parquet({corpus!r}).select(
+        F.xxhash64("path").alias("doc_id"), F.col("content").alias("text")
+    )
 # minhash: recommended pipeline shape on duplicate-heavy data —
 # exact texts collapse to one representative AND hot band buckets
 # are capped; the synthetic corpus is pathological (an ~8.7k-doc
@@ -77,6 +91,13 @@ OPS = {{
     "spans": lambda d: remove_duplicate_spans(d, window=20).filter(
         F.col("n_kept_tokens") >= 0
     ),
+    # semdedup: filter references the computed kept column so the
+    # count cannot skip the per-cluster kernel
+    # n_centroids sized so clusters stay under max_cluster (the
+    # paper's knob: more clusters at more data) — 3.2M/1024 ~ 3.1k
+    "semdedup": lambda d: semdedup(
+        d, dim=64, threshold=0.95, n_centroids=1024, sample=8192
+    ).filter(F.col("kept")),
 }}
 OP = OPS[{op!r}]
 # untimed warmup: compile the plan shapes on a small slice
@@ -113,7 +134,8 @@ def main() -> None:
     ap.add_argument("--levels", default="2,8")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--op", default="minhash",
-                    choices=["minhash", "repetition", "dsir", "spans"])
+                    choices=["minhash", "repetition", "dsir", "spans",
+                             "semdedup"])
     args = ap.parse_args()
     levels = [int(x) for x in args.levels.split(",")]
     if len(levels) != 2 or levels[0] == levels[1]:
@@ -121,7 +143,32 @@ def main() -> None:
     n, n4 = levels
 
     corpus = f"/tmp/scaling_corpus_{args.docs}"
-    if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+    if args.op == "semdedup":
+        corpus = f"/tmp/scaling_vecs_{args.docs}"
+        if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+            gen = (
+                "import sys; sys.path.insert(0, {repo!r});\n"
+                "import numpy as np, pandas as pd\n"
+                "from codeindex_spark.session import get_spark\n"
+                "spark = get_spark(app_name='genvec', cores=32,"
+                " shuffle_partitions=32)\n"
+                "def k(batches):\n"
+                "    for pdf in batches:\n"
+                "        vecs = [np.random.default_rng(3_000_000 +"
+                " int(i) % {base}).standard_normal(64).tolist()"
+                " for i in pdf['id']]\n"
+                "        yield pd.DataFrame({{'vec_id': pdf['id'],"
+                " 'embedding': vecs}})\n"
+                "(spark.range({n}).repartition(64)"
+                ".mapInPandas(k, 'vec_id long, embedding array<double>')"
+                ".write.mode('overwrite').parquet({corpus!r}))\n"
+                "spark.stop()"
+            ).format(repo=REPO, n=args.docs, corpus=corpus,
+                     base=int(args.docs * 0.9))
+            subprocess.run(
+                [sys.executable, "-c", gen], check=True, timeout=1800
+            )
+    elif not os.path.exists(os.path.join(corpus, "_SUCCESS")):
         gen = (
             "import sys; sys.path.insert(0, {repo!r});\n"
             "from codeindex_spark.session import get_spark\n"
@@ -162,7 +209,8 @@ def main() -> None:
         "op": {"minhash": "minhash_lsh_pairs",
                "repetition": "repetition_stats",
                "dsir": "dsir_log_weights+resample",
-               "spans": "remove_duplicate_spans"}[args.op],
+               "spans": "remove_duplicate_spans",
+               "semdedup": "semdedup"}[args.op],
         "n_docs": args.docs,
         "protocol": (
             f"{args.runs} independent runs per level on the same "
