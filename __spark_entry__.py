@@ -1247,6 +1247,79 @@ def _q_c4(spark, sf_dir):
     )
 
 
+# Deterministic URL derivation for the web ops entries (the sf
+# documents table has no URL column). This exact SQL string runs on
+# BOTH sides — F.expr here, inlined in the DuckDB oracle — so the
+# inputs are identical by construction and only the normalization
+# logic is independently implemented. Residue classes are chosen so
+# distinct doc_ids collide after normalization: the %3 www / %6
+# fragment / %2 trailing-slash / %8==0 default-port variants all
+# normalize away, and the %7==0 tracking query normalizes onto the
+# %7==1 clean query.
+_URL_DERIVE_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END"
+    " || CASE WHEN doc_id % 9 = 0 THEN 'ads.' ELSE '' END"
+    " || 'site' || CAST(doc_id % 4 AS STRING) || '.example.org'"
+    " || CASE WHEN doc_id % 8 = 0 THEN ':443'"
+    "        WHEN doc_id % 8 = 1 THEN ':8080' ELSE '' END"
+    " || '/docs/page' || CAST(doc_id % 5 AS STRING)"
+    " || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN"
+    "          '?utm_source=feed&id=' || CAST(doc_id % 3 AS STRING)"
+    "          || '&utm_campaign=x'"
+    "        WHEN doc_id % 7 = 1 THEN '?id=' || CAST(doc_id % 3 AS STRING)"
+    "        ELSE '' END"
+    " || CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END"
+)
+
+
+def _url_corpus(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    return d.select("doc_id", "n_chars", F.expr(_URL_DERIVE_SQL).alias("url"))
+
+
+def _q_url_dedup(spark, sf_dir):
+    """URL canonicalization + first-occurrence URL dedup (RefinedWeb
+    arXiv:2306.01116 §3.1; beyond-reference web surface): the full
+    documented rule set (fragment/case/www/default-port/tracking-
+    param/trailing-slash) then min-doc_id-wins per canonical URL.
+    Oracle replays every rule independently in DuckDB SQL."""
+    from codeindex_spark.ops.web import normalize_urls, url_dedup_keep
+
+    out = url_dedup_keep(normalize_urls(_url_corpus(spark, sf_dir)))
+    return out.select("doc_id", "url", "url_norm", "domain", "url_kept")
+
+
+def _q_domain_filter(spark, sf_dir):
+    """Domain-blocklist filter with subdomain semantics (blocking
+    site1.example.org also blocks ads.site1.example.org, but NOT
+    site1.example.org.evil.net): bounded suffix explode + broadcast
+    semi-join + anti-join. Oracle is an EXISTS over equals-or-
+    dot-suffix predicates."""
+    from codeindex_spark.ops.web import domain_blocklist_filter, normalize_urls
+
+    d = normalize_urls(_url_corpus(spark, sf_dir))
+    bl = spark.createDataFrame(
+        [("site1.example.org",), ("ads.site2.example.org",)],
+        ["blocked_domain"],
+    )
+    return domain_blocklist_filter(d, bl).select("doc_id", "domain")
+
+
+def _q_domain_stats(spark, sf_dir):
+    """Per-domain corpus volume (docs + chars) over canonicalized
+    hosts — the dashboard aggregate behind blocklist curation."""
+    from codeindex_spark.ops.web import domain_stats, normalize_urls
+
+    d = normalize_urls(_url_corpus(spark, sf_dir))
+    out = domain_stats(d, chars_col="n_chars")
+    return out.select(
+        "domain",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
 def _q_keywords(spark, sf_dir):
     """TF-IDF keyword extraction (beyond-reference, the corpus-side
     sibling of more-like-this term selection): top-5 smooth-tf-idf
@@ -1617,6 +1690,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verified by the most recent round's artifact go after the cap
     # (tools/check_entry.py still covers all of them locally).
     return {
+        "px_url_dedup": _q_url_dedup,
+        "px_domain_filter": _q_domain_filter,
+        "tx_domain_stats": _q_domain_stats,
         "q31_phrase_slop_reordered": _q_phrase_slop_reordered,
         "q32_phrase_slop_inorder": _q_phrase_slop_inorder,
         "tx_lm_score": _q_lm_score,
@@ -1658,10 +1734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_order_join": _q_order_join,
         "rel_window_rank": _q_window_rank,
         "q01_bm25_topk": _q_bm25_topk,
-        "q02_bool_and": _q_bool_and,
         "q04_phrase": _q_phrase,
-        "q07_fuzzy": _q_fuzzy,
-        "q09_hints": _q_hints,
         "q14_case_sensitive": _q_case_sensitive,
         "q16_batch_search": _q_batch_search,
         "q19_content_substring": _q_content_substring,
@@ -1674,6 +1747,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "px_pipeline": _q_pipeline,
         "pv_highlight": _q_preview_highlight,
         "tx_langid": _q_langid,
+        "q02_bool_and": _q_bool_and,
+        "q07_fuzzy": _q_fuzzy,
+        "q09_hints": _q_hints,
         "q03_bool_or_not": _q_bool_or_not,
         "q05_phrase_wildcard": _q_phrase_wildcard,
         "q24_boosted_or": _q_boosted_or,
@@ -2224,11 +2300,72 @@ _LM_SC = """toks AS (
               FROM jo)"""
 
 
+# Independent DuckDB replay of ops/web.py's documented normalization
+# rules over the shared _URL_DERIVE_SQL input. Ends in relation
+# `urls(doc_id, url, url_norm, domain)`.
+_URL_ORACLE_CTE = f"""
+    d AS (SELECT doc_id, n_chars, {_URL_DERIVE_SQL} AS url FROM documents),
+    nf AS (SELECT *, regexp_replace(url, '#.*$', '') AS no_frag FROM d),
+    pp AS (SELECT *,
+      lower(regexp_extract(no_frag,
+        '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      regexp_extract(no_frag,
+        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) AS authority,
+      regexp_extract(no_frag,
+        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1) AS pathq
+      FROM nf),
+    hh AS (SELECT *,
+      regexp_replace(lower(regexp_replace(authority, ':[0-9]+$', '')),
+        '^www\\.', '') AS host,
+      regexp_extract(authority, ':([0-9]+)$', 1) AS port
+      FROM pp),
+    qq AS (SELECT *,
+      regexp_extract(pathq, '^([^?]*)', 1) AS path,
+      regexp_extract(pathq, '\\?(.*)$', 1) AS query
+      FROM hh),
+    nn AS (SELECT *,
+      CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                OR (scheme = 'https' AND port = '443')
+           THEN '' ELSE ':' || port END AS port_norm,
+      CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+           ELSE regexp_replace(path, '/+$', '') END AS path_norm,
+      -- DuckDB array_to_string([]) is NULL where Spark array_join
+      -- yields '' — coalesce to keep the empty-query branch aligned
+      coalesce(array_to_string(list_sort(list_filter(string_split(query, '&'),
+        x -> x <> '' AND NOT regexp_matches(x,
+          '^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|mc_eid|igshid|ref|ref_src)(=|$)'
+        ))), '&'), '') AS qs
+      FROM qq),
+    urls AS (SELECT doc_id, n_chars, url,
+      CASE WHEN scheme IN ('http', 'https') AND host <> ''
+           THEN scheme || '://' || host || port_norm || path_norm
+                || CASE WHEN qs = '' THEN '' ELSE '?' || qs END
+      END AS url_norm,
+      CASE WHEN scheme IN ('http', 'https') AND host <> ''
+           THEN host END AS domain
+      FROM nn)"""
+
+
 def oracle_sql() -> dict[str, str]:
     qdocs = lambda term: (
         f"SELECT DISTINCT doc_id FROM tok WHERE term = '{term}'"
     )
     return {
+        "px_url_dedup": f"""WITH {_URL_ORACLE_CTE}
+            SELECT doc_id, url, url_norm, domain,
+              (url_norm IS NULL OR doc_id = min(doc_id)
+                 OVER (PARTITION BY url_norm)) AS url_kept
+            FROM urls""",
+        "px_domain_filter": f"""WITH {_URL_ORACLE_CTE}
+            SELECT doc_id, domain FROM urls u
+            WHERE domain IS NULL OR NOT EXISTS (
+              SELECT 1 FROM (VALUES ('site1.example.org'),
+                                    ('ads.site2.example.org')) b(bd)
+              WHERE u.domain = b.bd OR u.domain LIKE '%.' || b.bd)""",
+        "tx_domain_stats": f"""WITH {_URL_ORACLE_CTE}
+            SELECT domain, count(doc_id) AS n_docs,
+                   sum(n_chars) AS n_chars
+            FROM urls WHERE domain IS NOT NULL GROUP BY domain""",
         "q01_bm25_topk": "WITH " + _BM25.format(term="spark", k=10),
         "q02_bool_and": f"""WITH {_CONTRIB}
             SELECT doc_id, round(sum(c), 6) AS score FROM contrib

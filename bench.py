@@ -454,6 +454,7 @@ def main() -> None:
         contamination_overlaps,
         duplicate_components,
     )
+    from codeindex_spark.ops.web import normalize_urls, url_dedup_keep
 
     opset = {
         "op_minhash_lsh": lambda: minhash_lsh_pairs(docs_df).count(),
@@ -502,6 +503,16 @@ def main() -> None:
             F.count("*"),
         )
         .collect(),
+        # aggregate references url_norm + url_kept so the projection
+        # and the dedup groupBy both run
+        "op_url_dedup": lambda: url_dedup_keep(
+            normalize_urls(entrymod._url_corpus(spark, sf_dir))
+        )
+        .agg(
+            F.sum(F.length("url_norm")),
+            F.sum(F.col("url_kept").cast("long")),
+        )
+        .collect(),
         "op_dsir": lambda: dsir_resample(
             dsir_log_weights(
                 docs_df,
@@ -536,6 +547,7 @@ def main() -> None:
         "op_profile",
         "op_dsir",
         "op_semdedup",
+        "op_url_dedup",
         "op_lmz",
         "op_dsirz",
         "tx_keywordsz",

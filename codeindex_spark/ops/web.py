@@ -1,0 +1,198 @@
+"""Web-corpus URL operators: canonicalization, URL-level dedup,
+domain blocklists, per-domain stats.
+
+Public designs: RefinedWeb (Penedo et al. 2023, arXiv:2306.01116)
+deduplicates by URL before content dedup (§3.1) and discards
+documents whose domain hits a blocklist; CCNet (Wenzek et al. 2020)
+and C4 (Raffel et al. 2020) likewise key web documents by their
+(normalized) URL. The reference engine indexes filesystem paths, not
+URLs (CodeIndex.MaintainIndex walks directories), so this module is
+part of the repo's beyond-reference training-data surface.
+
+Normalization rules (documented so any engine can replay them):
+
+1. strip the fragment (first ``#`` to end);
+2. scheme must be http/https (else url_norm and domain are NULL);
+3. lowercase scheme and host; path and query keep their case;
+4. drop a leading ``www.`` label from the host;
+5. drop the default port (``:80`` for http, ``:443`` for https);
+   non-default ports are kept;
+6. drop tracking query parameters (``utm_*``, gclid, fbclid,
+   msclkid, mc_eid, igshid, ref, ref_src — the public
+   ad/analytics-click set), sort the survivors lexicographically as
+   whole ``k=v`` strings and rejoin with ``&``; an emptied query
+   drops its ``?``;
+7. collapse trailing ``/`` runs on the path; an empty path becomes
+   ``/``.
+
+Everything is pure JVM column algebra (regexp + array lambdas) —
+zero Python UDFs. Shuffles: exactly one map-side-combinable groupBy
+in url_dedup_keep / domain_stats; domain_blocklist_filter is a
+broadcast semi-join over a bounded (≤ max_labels per row) suffix
+explode, then an anti-join of the (small) blocked id set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# whole-parameter match: name (optionally valueless) at the start of
+# a `k=v` atom. RE2-safe (no lookaround) so DuckDB oracles can replay
+# the same pattern with regexp_matches.
+TRACKING_PARAM_RE = (
+    "^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|mc_eid|igshid|ref|ref_src)(=|$)"
+)
+
+_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+_AUTHORITY_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+_PATHQ_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)"
+
+
+def normalize_urls(
+    df: DataFrame,
+    url_col: str = "url",
+    norm_col: str = "url_norm",
+    domain_col: str = "domain",
+    tracking_param_re: str = TRACKING_PARAM_RE,
+) -> DataFrame:
+    """Add ``norm_col`` (canonical URL) and ``domain_col`` (host after
+    lowercasing and www-stripping) per the module-level rules.
+
+    Pure projection: zero shuffles, zero UDFs — at 100 TB this fuses
+    into the scan stage and costs one pass of string kernels.
+    NULL / non-http(s) / host-less URLs yield NULL in both outputs.
+    """
+    url = F.col(url_col)
+    no_frag = F.regexp_replace(url, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(no_frag, _SCHEME_RE, 1))
+    authority = F.regexp_extract(no_frag, _AUTHORITY_RE, 1)
+    host = F.regexp_replace(
+        F.lower(F.regexp_replace(authority, ":[0-9]+$", "")), "^www\\.", ""
+    )
+    port = F.regexp_extract(authority, ":([0-9]+)$", 1)
+    port_norm = F.when(
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+    pathq = F.regexp_extract(no_frag, _PATHQ_RE, 1)
+    path = F.regexp_extract(pathq, "^([^?]*)", 1)
+    path_trim = F.regexp_replace(path, "/+$", "")
+    path_norm = F.when(path_trim == "", F.lit("/")).otherwise(path_trim)
+    query = F.regexp_extract(pathq, "\\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda x: (x != "") & ~x.rlike(tracking_param_re),
+    )
+    qs = F.array_join(F.array_sort(params), "&")
+    q_norm = F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs))
+
+    valid = scheme.isin("http", "https") & (host != "")
+    return df.withColumn(
+        norm_col,
+        F.when(
+            valid, F.concat(scheme, F.lit("://"), host, port_norm, path_norm, q_norm)
+        ),
+    ).withColumn(domain_col, F.when(valid, host))
+
+
+def url_dedup_keep(
+    df: DataFrame,
+    norm_col: str = "url_norm",
+    id_col: str = "doc_id",
+    kept_col: str = "url_kept",
+) -> DataFrame:
+    """First-occurrence-wins URL dedup (RefinedWeb §3.1): per
+    normalized URL the row with the smallest ``id_col`` is kept.
+    Rows with a NULL normalized URL cannot be grouped and are kept.
+
+    One shuffle keyed on the normalized URL; ``min`` is map-side
+    combinable, so a URL crawled a million times collapses to one
+    row per map task before the exchange — duplicate floods never
+    concentrate on a reducer.
+    """
+    winners = (
+        df.filter(F.col(norm_col).isNotNull())
+        .groupBy(norm_col)
+        .agg(F.min(id_col).alias("_url_keep_id"))
+    )
+    return (
+        df.join(winners, norm_col, "left")
+        .withColumn(
+            kept_col,
+            F.col(norm_col).isNull()
+            | (F.col(id_col) == F.col("_url_keep_id")),
+        )
+        .drop("_url_keep_id")
+    )
+
+
+def domain_suffixes(domain_col: str = "domain", max_labels: int = 10):
+    """Column of the dot-suffix chain of a host, most-specific first:
+    ``a.b.example.com`` → [a.b.example.com, b.example.com,
+    example.com, com], capped at ``max_labels`` labels so the explode
+    in domain_blocklist_filter is structurally bounded."""
+    parts = F.slice(F.split(F.col(domain_col), "\\."), 1, max_labels)
+    return F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.array_join(
+            F.slice(parts, i, F.size(parts) - i + 1), "."
+        ),
+    )
+
+
+def domain_blocklist_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    domain_col: str = "domain",
+    id_col: str = "doc_id",
+    blocked_col: str = "blocked_domain",
+    max_labels: int = 10,
+) -> DataFrame:
+    """Drop rows whose domain equals a blocklist entry OR is a
+    subdomain of one (RefinedWeb-style URL filtering: blocking
+    ``example.com`` also blocks ``ads.example.com``). NULL domains
+    are kept — filtering unparsed rows is the caller's decision.
+
+    Scale shape: the suffix explode is ≤ max_labels rows per input
+    row and feeds straight into a broadcast semi-join (blocklists
+    are small — NSFW/adult lists run 1-5 M rows, well under the
+    broadcast ceiling), so blocked ids are found without a shuffle;
+    the final anti-join shuffles only on ``id_col``, and AQE turns
+    it into a broadcast anti-join when the blocked set is small.
+    """
+    blocked_ids = (
+        df.filter(F.col(domain_col).isNotNull())
+        .select(
+            id_col,
+            F.explode(domain_suffixes(domain_col, max_labels)).alias("_sfx"),
+        )
+        .join(
+            F.broadcast(blocklist.select(F.col(blocked_col).alias("_sfx"))),
+            "_sfx",
+            "left_semi",
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(blocked_ids, id_col, "left_anti")
+
+
+def domain_stats(
+    df: DataFrame,
+    domain_col: str = "domain",
+    id_col: str = "doc_id",
+    chars_col: str | None = None,
+) -> DataFrame:
+    """(domain, n_docs[, n_chars]) — per-domain corpus volume, the
+    curation dashboard behind blocklist decisions. One map-side-
+    combinable groupBy; hot domains (a crawl is zipfian over hosts)
+    partial-aggregate before the exchange."""
+    aggs = [F.count(id_col).alias("n_docs")]
+    if chars_col is not None:
+        aggs.append(F.sum(chars_col).alias("n_chars"))
+    return df.filter(F.col(domain_col).isNotNull()).groupBy(
+        F.col(domain_col).alias("domain")
+    ).agg(*aggs)

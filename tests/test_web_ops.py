@@ -1,0 +1,149 @@
+"""URL canonicalization / URL dedup / domain blocklist ops — every
+normalization rule pinned against hand-written expectations (the
+rules are a documented contract; any engine must be able to replay
+them, so they must be exactly what the docstring says)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from codeindex_spark.ops.web import (
+    domain_blocklist_filter,
+    domain_stats,
+    domain_suffixes,
+    normalize_urls,
+    url_dedup_keep,
+)
+
+
+@pytest.fixture(scope="module")
+def url_df(spark):
+    rows = [
+        # rule 3+4: case + www
+        (1, "HTTPS://WWW.Example.COM/Path/One"),
+        # rule 5: default port dropped, non-default kept
+        (2, "https://example.com:443/a"),
+        (3, "http://example.com:80/a"),
+        (4, "http://example.com:8080/a"),
+        # rule 6: tracking params dropped, survivors sorted
+        (5, "https://example.com/a?utm_source=x&id=2&b=1&utm_medium=y"),
+        (6, "https://example.com/a?b=1&id=2&gclid=abc"),
+        # rule 6 edge: valueless tracking param, empty query dropped
+        (7, "https://example.com/a?fbclid"),
+        (8, "https://example.com/a?"),
+        # rule 7: trailing slashes, empty path
+        (9, "https://example.com/a/b///"),
+        (10, "https://example.com"),
+        (11, "https://example.com/"),
+        # rule 1: fragment stripped
+        (12, "https://example.com/a#frag?not=query"),
+        # rule 2: non-http(s) and garbage -> NULL
+        (13, "ftp://example.com/a"),
+        (14, "not a url"),
+        (15, None),
+        # path/query case preserved; utm prefix must match whole name
+        (16, "https://example.com/CaseKept?Butm_x=1"),
+        # subdomain host (www only stripped as the FIRST label)
+        (17, "https://a.www.example.com/x"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "url"])
+
+
+def test_normalize_rules(url_df):
+    out = {
+        r["doc_id"]: (r["url_norm"], r["domain"])
+        for r in normalize_urls(url_df).collect()
+    }
+    assert out[1] == ("https://example.com/Path/One", "example.com")
+    assert out[2] == ("https://example.com/a", "example.com")
+    assert out[3] == ("http://example.com/a", "example.com")
+    assert out[4] == ("http://example.com:8080/a", "example.com")
+    assert out[5] == ("https://example.com/a?b=1&id=2", "example.com")
+    assert out[6] == ("https://example.com/a?b=1&id=2", "example.com")
+    assert out[7] == ("https://example.com/a", "example.com")
+    assert out[8] == ("https://example.com/a", "example.com")
+    assert out[9] == ("https://example.com/a/b", "example.com")
+    assert out[10] == ("https://example.com/", "example.com")
+    assert out[11] == ("https://example.com/", "example.com")
+    assert out[12] == ("https://example.com/a", "example.com")
+    assert out[13] == (None, None)
+    assert out[14] == (None, None)
+    assert out[15] == (None, None)
+    assert out[16] == (
+        "https://example.com/CaseKept?Butm_x=1",
+        "example.com",
+    )
+    assert out[17] == ("https://a.www.example.com/x", "a.www.example.com")
+
+
+def test_url_dedup_first_occurrence_wins(url_df):
+    out = {
+        r["doc_id"]: r["url_kept"]
+        for r in url_dedup_keep(normalize_urls(url_df)).collect()
+    }
+    # 5 and 6 normalize identically -> min id 5 kept; 2, 7, 8 and 12
+    # all collapse onto "https://example.com/a" -> min id 2 kept
+    assert out[5] and not out[6]
+    assert out[2] and not out[7] and not out[8] and not out[12]
+    # 10 and 11 collapse -> 10 kept
+    assert out[10] and not out[11]
+    # NULL url_norm rows are always kept
+    assert out[13] and out[14] and out[15]
+    # uniques kept
+    assert out[1] and out[4] and out[9]
+
+
+def test_domain_suffixes(spark):
+    df = spark.createDataFrame(
+        [("a.b.example.com",), ("com",)], ["domain"]
+    ).select(domain_suffixes().alias("s"))
+    got = [r["s"] for r in df.collect()]
+    assert got[0] == ["a.b.example.com", "b.example.com", "example.com", "com"]
+    assert got[1] == ["com"]
+
+
+def test_domain_blocklist_subdomain_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "example.com"),
+            (2, "ads.example.com"),
+            (3, "example.com.evil.org"),  # NOT a subdomain of example.com
+            (4, "fine.net"),
+            (5, None),
+        ],
+        ["doc_id", "domain"],
+    )
+    bl = spark.createDataFrame([("example.com",)], ["blocked_domain"])
+    kept = sorted(
+        r["doc_id"] for r in domain_blocklist_filter(df, bl).collect()
+    )
+    assert kept == [3, 4, 5]
+
+
+def test_domain_stats(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a.com", 10),
+            (2, "a.com", 5),
+            (3, "b.com", 7),
+            (4, None, 3),
+        ],
+        ["doc_id", "domain", "n_chars"],
+    )
+    out = {
+        r["domain"]: (r["n_docs"], r["n_chars"])
+        for r in domain_stats(df, chars_col="n_chars").collect()
+    }
+    assert out == {"a.com": (2, 15), "b.com": (1, 7)}
+
+
+def test_normalize_is_idempotent(url_df):
+    """Normalizing an already-normal URL is a no-op — the fixed-point
+    property callers rely on when URLs arrive pre-cleaned."""
+    once = normalize_urls(url_df).filter(F.col("url_norm").isNotNull())
+    again = normalize_urls(
+        once.select(F.col("doc_id"), F.col("url_norm").alias("url"))
+    )
+    diffs = again.filter(F.col("url") != F.col("url_norm")).collect()
+    assert diffs == []
