@@ -729,6 +729,46 @@ def _q_semdedup(spark, sf_dir):
     )
 
 
+def _cluster_assigned(spark, sf_dir):
+    """Shared input for the cluster-curation entries: seeded spherical
+    k-means (the IVF coarse quantizer, same 8/256/42 knobs as
+    dd_semdedup) + deterministic per-row-reduction assignment."""
+    from codeindex_spark.ops.cluster import cluster_assign
+    from codeindex_spark.ops.similarity import ivf_train_centroids
+
+    emb = _load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = ivf_train_centroids(emb, dim=64, n_centroids=8, sample=256)
+    return cluster_assign(emb, cents)
+
+
+def _q_cluster_sample(spark, sf_dir):
+    """Cluster-balanced sampling (D4-style diversification,
+    arXiv:2308.12284): up to 5 vectors per k-means cluster by
+    ascending md5 rank. Oracle replays training + assignment in
+    numpy (VALUES) and the md5 rank windowing in SQL."""
+    from codeindex_spark.ops.cluster import cluster_balanced_sample
+
+    out = cluster_balanced_sample(_cluster_assigned(spark, sf_dir), 5, seed="cl")
+    return out.select(
+        "vec_id", F.col("cluster").cast("long").alias("cluster")
+    )
+
+
+def _q_cluster_profile(spark, sf_dir):
+    """Per-cluster curation profile (n, min/max centroid cosine —
+    the order-independent aggregates; mean is summation-order-
+    dependent and deliberately not hash-compared)."""
+    from codeindex_spark.ops.cluster import cluster_profile
+
+    out = cluster_profile(_cluster_assigned(spark, sf_dir))
+    return out.select(
+        F.col("cluster").cast("long").alias("cluster"),
+        F.col("n").cast("long").alias("n"),
+        F.round("min_sim", 6).alias("min_sim"),
+        F.round("max_sim", 6).alias("max_sim"),
+    )
+
+
 def _q_ann_lsh(spark, sf_dir):
     from codeindex_spark.ops.similarity import lsh_ann_topk
 
@@ -1693,6 +1733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "px_url_dedup": _q_url_dedup,
         "px_domain_filter": _q_domain_filter,
         "tx_domain_stats": _q_domain_stats,
+        "px_cluster_sample": _q_cluster_sample,
+        "px_cluster_profile": _q_cluster_profile,
         "q31_phrase_slop_reordered": _q_phrase_slop_reordered,
         "q32_phrase_slop_inorder": _q_phrase_slop_inorder,
         "tx_lm_score": _q_lm_score,
@@ -1736,9 +1778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q01_bm25_topk": _q_bm25_topk,
         "q04_phrase": _q_phrase,
         "q14_case_sensitive": _q_case_sensitive,
-        "q16_batch_search": _q_batch_search,
         "q19_content_substring": _q_content_substring,
-        "q20_content_regex": _q_content_regex,
         "q23_phrase_slop": _q_phrase_slop,
         "dd_minhash_lsh": _q_dedup_minhash,
         "dd_keep": _q_near_dedup_keep,
@@ -1750,6 +1790,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q02_bool_and": _q_bool_and,
         "q07_fuzzy": _q_fuzzy,
         "q09_hints": _q_hints,
+        "q16_batch_search": _q_batch_search,
+        "q20_content_regex": _q_content_regex,
         "q03_bool_or_not": _q_bool_or_not,
         "q05_phrase_wildcard": _q_phrase_wildcard,
         "q24_boosted_or": _q_boosted_or,
@@ -1872,6 +1914,41 @@ def _semdedup_values_sql(
         f"SELECT vec_id::BIGINT AS vec_id, cluster::BIGINT AS cluster, "
         f"kept::BOOLEAN AS kept, dup_of::BIGINT AS dup_of "
         f"FROM (VALUES {vals}) AS t(vec_id, cluster, kept, dup_of)"
+    )
+
+
+def _cluster_assign_values(
+    n_centroids: int = 8, sample: int = 256, iters: int = 10, seed: int = 42
+) -> str:
+    """VALUES literal (vec_id, cluster, cent_sim) replaying the
+    cluster-curation assignment: gemm k-means training identical to
+    ivf_train_centroids over the id-sorted sample, then PER-ROW-
+    REDUCTION similarities identical to ops/cluster.py:cluster_assign
+    (gemm would round position-dependently and could flip near-tie
+    assignments between the batch-wise kernel and this full-matrix
+    replay). cent_sim is emitted at full repr precision; rounding
+    happens in SQL on both sides."""
+    import numpy as np
+
+    ids, mat = _oracle_embedding_matrix()
+    matn = mat / np.maximum(
+        np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+    )
+    train = matn[np.argsort(ids)][:sample]
+    rng = np.random.default_rng(seed)
+    cents = train[rng.choice(len(train), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        a = (train @ cents.T).argmax(axis=1)
+        for c in range(n_centroids):
+            ms = train[a == c]
+            if len(ms):
+                v = ms.mean(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-12)
+    sims = np.stack([(matn * c).sum(axis=1) for c in cents], axis=1)
+    best = sims.argmax(axis=1)
+    return ",".join(
+        f"({int(i)},{int(c)},{float(s)!r})"
+        for i, c, s in zip(ids, best, sims[np.arange(len(ids)), best])
     )
 
 
@@ -2366,6 +2443,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT domain, count(doc_id) AS n_docs,
                    sum(n_chars) AS n_chars
             FROM urls WHERE domain IS NOT NULL GROUP BY domain""",
+        "px_cluster_sample": f"""
+            WITH a(vec_id, cluster, cent_sim) AS
+              (SELECT * FROM (VALUES {_cluster_assign_values()})),
+            r AS (SELECT vec_id, cluster, row_number() OVER (
+                PARTITION BY cluster
+                ORDER BY md5('cl:' || CAST(vec_id AS STRING)) ASC,
+                         vec_id ASC) AS rn
+              FROM a)
+            SELECT vec_id::BIGINT AS vec_id, cluster::BIGINT AS cluster
+            FROM r WHERE rn <= 5""",
+        "px_cluster_profile": f"""
+            WITH a(vec_id, cluster, cent_sim) AS
+              (SELECT * FROM (VALUES {_cluster_assign_values()}))
+            SELECT cluster::BIGINT AS cluster, count(*)::BIGINT AS n,
+                   round(min(cent_sim), 6) AS min_sim,
+                   round(max(cent_sim), 6) AS max_sim
+            FROM a GROUP BY cluster""",
         "q01_bm25_topk": "WITH " + _BM25.format(term="spark", k=10),
         "q02_bool_and": f"""WITH {_CONTRIB}
             SELECT doc_id, round(sum(c), 6) AS score FROM contrib

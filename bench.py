@@ -513,6 +513,14 @@ def main() -> None:
             F.sum(F.col("url_kept").cast("long")),
         )
         .collect(),
+        # sum over cent_sim + vec_id forces the assignment kernel and
+        # the balanced-sample window both to run
+        "op_cluster_sample": lambda: __import__(
+            "codeindex_spark.ops.cluster", fromlist=["cluster_balanced_sample"]
+        )
+        .cluster_balanced_sample(entrymod._cluster_assigned(spark, sf_dir), 5)
+        .agg(F.sum("cent_sim"), F.sum("vec_id"))
+        .collect(),
         "op_dsir": lambda: dsir_resample(
             dsir_log_weights(
                 docs_df,
@@ -548,6 +556,7 @@ def main() -> None:
         "op_dsir",
         "op_semdedup",
         "op_url_dedup",
+        "op_cluster_sample",
         "op_lmz",
         "op_dsirz",
         "tx_keywordsz",
