@@ -729,6 +729,32 @@ def _q_semdedup(spark, sf_dir):
     )
 
 
+def _q_nb_classifier(spark, sf_dir):
+    """Model-based quality/domain filter (fastText-family linear
+    classifier, here the closed-form NB log-count-ratio member —
+    Wang & Manning 2012; the filtering role per CCNet / GPT-3 App. A
+    / FineWeb-Edu): train on the doc_id %% 4 != 0 split with
+    lang='en' as the target class, score the held-out quarter. The
+    oracle replays the whole thing — featurization, counts, folded
+    NB identity — in SQL. `kept` compares the ROUNDED score so the
+    boolean can never disagree when the rounded scores agree."""
+    from codeindex_spark.ops.classify import nb_score, nb_train
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    train = docs.filter(F.col("doc_id") % 4 != 0).withColumn(
+        "is_en", F.col("lang") == "en"
+    )
+    model = nb_train(train, "is_en", num_buckets=512, alpha=1.0)
+    out = nb_score(docs.filter(F.col("doc_id") % 4 == 0), model)
+    r = F.round("nb_logodds", 6)
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        r.alias("nb_logodds"),
+        (r >= 0).alias("kept"),
+    )
+
+
 def _cluster_assigned(spark, sf_dir):
     """Shared input for the cluster-curation entries: seeded spherical
     k-means (the IVF coarse quantizer, same 8/256/42 knobs as
@@ -1735,6 +1761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_domain_stats": _q_domain_stats,
         "px_cluster_sample": _q_cluster_sample,
         "px_cluster_profile": _q_cluster_profile,
+        "tx_nb_classifier": _q_nb_classifier,
         "q31_phrase_slop_reordered": _q_phrase_slop_reordered,
         "q32_phrase_slop_inorder": _q_phrase_slop_inorder,
         "tx_lm_score": _q_lm_score,
@@ -2460,6 +2487,70 @@ def oracle_sql() -> dict[str, str]:
                    round(min(cent_sim), 6) AS min_sim,
                    round(max(cent_sim), 6) AS max_sim
             FROM a GROUP BY cluster""",
+        "tx_nb_classifier": """WITH
+            lab AS (
+              SELECT doc_id, text, (lang = 'en') AS pos
+              FROM documents WHERE doc_id % 4 <> 0),
+            ltoks AS (
+              SELECT pos,
+                     list_filter(regexp_split_to_array(lower(trim(text)), ' +'),
+                                 w -> w <> '') AS t
+              FROM lab),
+            lt2 AS (SELECT pos, t, len(t) AS nt FROM ltoks WHERE len(t) > 0),
+            g AS (
+              SELECT pos,
+                     ('0x' || substr(md5(array_to_string(
+                          list_slice(t, u.i, u.i + k.ord - 1), ' ')), 1, 8)
+                     )::BIGINT % 512 AS bucket
+              FROM lt2, UNNEST(range(1, nt + 1)) u(i),
+                   (VALUES (1), (2)) k(ord)
+              WHERE u.i + k.ord - 1 <= nt),
+            cnt AS (
+              SELECT bucket,
+                     sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS cp,
+                     sum(CASE WHEN pos THEN 0 ELSE 1 END)::BIGINT AS cn
+              FROM g GROUP BY 1),
+            w AS (SELECT bucket,
+                         ln((cp::DOUBLE + 1.0::DOUBLE)
+                            / (cn::DOUBLE + 1.0::DOUBLE)) AS lr
+                  FROM cnt),
+            consts AS (
+              SELECT ln(((SELECT sum(cn) FROM cnt)::DOUBLE + 512.0::DOUBLE)
+                        / ((SELECT sum(cp) FROM cnt)::DOUBLE + 512.0::DOUBLE))
+                       AS c,
+                     ln((SELECT count(*) FROM lab WHERE pos)::DOUBLE
+                        / (SELECT count(*) FROM lab WHERE NOT pos)::DOUBLE)
+                       AS prior),
+            held AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+            htoks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(trim(text)), ' +'),
+                                 w -> w <> '') AS t
+              FROM held),
+            ht2 AS (SELECT doc_id, t, len(t) AS nt
+                    FROM htoks WHERE len(t) > 0),
+            hg AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(array_to_string(
+                          list_slice(t, u.i, u.i + k.ord - 1), ' ')), 1, 8)
+                     )::BIGINT % 512 AS bucket
+              FROM ht2, UNNEST(range(1, nt + 1)) u(i),
+                   (VALUES (1), (2)) k(ord)
+              WHERE u.i + k.ord - 1 <= nt),
+            sc AS (
+              SELECT hg.doc_id, count(*)::BIGINT AS n_grams,
+                     sum(coalesce(w.lr, 0.0::DOUBLE)) AS s
+              FROM hg LEFT JOIN w USING (bucket) GROUP BY 1),
+            fin AS (
+              SELECT held.doc_id,
+                     coalesce(sc.n_grams, 0)::BIGINT AS n_grams,
+                     round(consts.prior
+                           + coalesce(sc.n_grams, 0)::DOUBLE * consts.c
+                           + coalesce(sc.s, 0.0::DOUBLE), 6) AS nb_logodds
+              FROM held LEFT JOIN sc USING (doc_id), consts)
+            SELECT doc_id, n_grams, nb_logodds,
+                   (nb_logodds >= 0) AS kept
+            FROM fin""",
         "q01_bm25_topk": "WITH " + _BM25.format(term="spark", k=10),
         "q02_bool_and": f"""WITH {_CONTRIB}
             SELECT doc_id, round(sum(c), 6) AS score FROM contrib

@@ -521,6 +521,11 @@ def main() -> None:
         .cluster_balanced_sample(entrymod._cluster_assigned(spark, sf_dir), 5)
         .agg(F.sum("cent_sim"), F.sum("vec_id"))
         .collect(),
+        # sums over nb_logodds + n_grams force train (two bounded
+        # collects) + broadcast-scored held-out quarter end to end
+        "op_nb_classifier": lambda: entrymod._q_nb_classifier(spark, sf_dir)
+        .agg(F.sum("nb_logodds"), F.sum("n_grams"))
+        .collect(),
         "op_dsir": lambda: dsir_resample(
             dsir_log_weights(
                 docs_df,
@@ -557,6 +562,7 @@ def main() -> None:
         "op_semdedup",
         "op_url_dedup",
         "op_cluster_sample",
+        "op_nb_classifier",
         "op_lmz",
         "op_dsirz",
         "tx_keywordsz",
