@@ -1600,6 +1600,97 @@ def _q_window_rank(spark, sf_dir):
     )
 
 
+def _q_asof(spark, sf_dir):
+    # as-of join: each purchase picks the user's most recent click
+    # within 1 day (ops/timeseries.py — union+window single-shuffle
+    # plan; the oracle is an independent LATERAL top-1 formulation)
+    from codeindex_spark.ops.timeseries import asof_join
+
+    ev = _load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    j = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        right_cols=["value"],
+        tolerance_seconds=86400.0,
+    )
+    return j.select(
+        F.col("event_id").alias("p_event"),
+        "user_id",
+        F.col("ts_us").alias("p_ts_us"),
+        F.coalesce(F.col("event_id_r"), F.lit(-1)).cast("long").alias("c_event"),
+        F.coalesce(F.col("ts_r_us"), F.lit(-1)).cast("long").alias("c_ts_us"),
+        F.coalesce(F.col("asof_lag_us"), F.lit(-1)).cast("long").alias("lag_us"),
+        F.round(F.coalesce(F.col("value_r"), F.lit(-1.0)), 6).alias("c_value"),
+    )
+
+
+def _q_rollup(spark, sf_dir):
+    # multi-level aggregation (GROUP BY ROLLUP): per (status,
+    # priority), per status, and grand total in one Expand pass
+    o = _load(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+def _q_pmi(spark, sf_dir):
+    from codeindex_spark.ops.analysis import pmi_bigrams
+
+    docs = _load(spark, sf_dir, "documents")
+    return pmi_bigrams(docs, min_count=5, top_k=50).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+def _q_entropy(spark, sf_dir):
+    from codeindex_spark.ops.analysis import token_entropy
+
+    docs = _load(spark, sf_dir, "documents")
+    return token_entropy(docs)
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_pivot(spark, sf_dir):
+    # wide per-user activity matrix: groupBy().pivot() with an
+    # EXPLICIT value list (no distinct-values pre-job; at 100 TB the
+    # pivot stays one partial-agg pass with 2·|types| agg slots)
+    ev = _load(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 6).alias("v"),
+        )
+    )
+    cols = [F.col("user_id")]
+    for t in _EVENT_TYPES:
+        cols.append(F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"{t}_n"))
+        cols.append(
+            F.round(F.coalesce(F.col(f"{t}_v"), F.lit(0.0)), 6).alias(f"{t}_v")
+        )
+    return piv.select(*cols)
+
+
 def _q_event_compaction(spark, sf_dir):
     ev = _load(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
@@ -1756,6 +1847,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verified by the most recent round's artifact go after the cap
     # (tools/check_entry.py still covers all of them locally).
     return {
+        "rel_asof": _q_asof,
+        "rel_rollup": _q_rollup,
+        "tx_pmi": _q_pmi,
+        "tx_entropy": _q_entropy,
+        "rel_pivot": _q_pivot,
         "px_url_dedup": _q_url_dedup,
         "px_domain_filter": _q_domain_filter,
         "tx_domain_stats": _q_domain_stats,
@@ -2455,6 +2551,100 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT DISTINCT doc_id FROM tok WHERE term = '{term}'"
     )
     return {
+        "rel_asof": """
+            WITH l AS (
+              SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+              FROM events WHERE event_type = 'purchase'),
+            r AS (
+              SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+              FROM events WHERE event_type = 'click')
+            SELECT l.event_id AS p_event, l.user_id, l.ts_us AS p_ts_us,
+                   coalesce(m.event_id, -1)::BIGINT AS c_event,
+                   coalesce(m.ts_us, -1)::BIGINT AS c_ts_us,
+                   coalesce(l.ts_us - m.ts_us, -1)::BIGINT AS lag_us,
+                   round(coalesce(m.value, -1.0::DOUBLE), 6) AS c_value
+            FROM l LEFT JOIN LATERAL (
+              SELECT r.event_id, r.ts_us, r.value FROM r
+              WHERE r.user_id = l.user_id AND r.ts_us <= l.ts_us
+                AND l.ts_us - r.ts_us <= 86400000000
+              ORDER BY r.ts_us DESC, r.event_id ASC LIMIT 1) m ON true""",
+        "rel_rollup": """
+            SELECT coalesce(o_orderstatus, '(all)') AS status,
+                   coalesce(o_orderpriority, '(all)') AS priority,
+                   count(*)::BIGINT AS n_orders,
+                   round(sum(o_totalprice), 4) AS total_price
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+        "tx_pmi": """
+            WITH t AS (
+              SELECT list_filter(string_split_regex(trim(text), ' +'),
+                                 w -> w <> '') AS toks
+              FROM documents),
+            u AS (
+              SELECT w, count(*)::BIGINT AS c
+              FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+            n1 AS (SELECT sum(c)::BIGINT AS n1 FROM u),
+            p AS (
+              SELECT toks[i] AS w1, toks[i + 1] AS w2
+              FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t)),
+            b AS (
+              SELECT w1, w2, count(*)::BIGINT AS c12
+              FROM p GROUP BY w1, w2),
+            n2 AS (SELECT sum(c12)::BIGINT AS n2 FROM b),
+            s AS (
+              SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2,
+                     round(ln(c12::DOUBLE * n1.n1::DOUBLE * n1.n1::DOUBLE
+                              / (n2.n2::DOUBLE * u1.c::DOUBLE
+                                 * u2.c::DOUBLE)), 6) AS pmi
+              FROM b
+              JOIN u u1 ON b.w1 = u1.w
+              JOIN u u2 ON b.w2 = u2.w
+              CROSS JOIN n1 CROSS JOIN n2
+              WHERE c12 >= 5)
+            SELECT w1, w2, c12, c1, c2, pmi,
+                   row_number() OVER (ORDER BY pmi DESC, w1, w2)::BIGINT
+                     AS rank
+            FROM s
+            QUALIFY rank <= 50""",
+        "rel_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (WHERE event_type = 'click')::BIGINT AS click_n,
+                   round(coalesce(sum(value) FILTER (WHERE event_type = 'click'), 0.0::DOUBLE), 6) AS click_v,
+                   count(*) FILTER (WHERE event_type = 'error')::BIGINT AS error_n,
+                   round(coalesce(sum(value) FILTER (WHERE event_type = 'error'), 0.0::DOUBLE), 6) AS error_v,
+                   count(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS purchase_n,
+                   round(coalesce(sum(value) FILTER (WHERE event_type = 'purchase'), 0.0::DOUBLE), 6) AS purchase_v,
+                   count(*) FILTER (WHERE event_type = 'signup')::BIGINT AS signup_n,
+                   round(coalesce(sum(value) FILTER (WHERE event_type = 'signup'), 0.0::DOUBLE), 6) AS signup_v,
+                   count(*) FILTER (WHERE event_type = 'view')::BIGINT AS view_n,
+                   round(coalesce(sum(value) FILTER (WHERE event_type = 'view'), 0.0::DOUBLE), 6) AS view_v
+            FROM events GROUP BY user_id""",
+        "tx_entropy": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), ' +'),
+                                 w -> w <> '') AS toks
+              FROM documents),
+            tf AS (
+              SELECT doc_id, w, count(*)::BIGINT AS c
+              FROM (SELECT doc_id, unnest(toks) AS w FROM t)
+              GROUP BY doc_id, w),
+            pd AS (
+              SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+                     count(*)::BIGINT AS n_types,
+                     sum(c::DOUBLE * ln(c::DOUBLE)) AS clnc
+              FROM tf GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(pd.n_tokens, 0)::BIGINT AS n_tokens,
+                   coalesce(pd.n_types, 0)::BIGINT AS n_types,
+                   round(CASE WHEN pd.n_tokens > 0
+                              THEN pd.n_types::DOUBLE / pd.n_tokens::DOUBLE
+                              ELSE 0.0::DOUBLE END, 6) AS ttr,
+                   round(CASE WHEN pd.n_tokens > 0
+                              THEN ln(pd.n_tokens::DOUBLE)
+                                   - pd.clnc / pd.n_tokens::DOUBLE
+                              ELSE 0.0::DOUBLE END, 6) AS entropy
+            FROM documents d LEFT JOIN pd USING (doc_id)""",
         "px_url_dedup": f"""WITH {_URL_ORACLE_CTE}
             SELECT doc_id, url, url_norm, domain,
               (url_norm IS NULL OR doc_id = min(doc_id)

@@ -526,6 +526,17 @@ def main() -> None:
         "op_nb_classifier": lambda: entrymod._q_nb_classifier(spark, sf_dir)
         .agg(F.sum("nb_logodds"), F.sum("n_grams"))
         .collect(),
+        # sums reference the matched columns so the window/match
+        # kernel cannot be pruned by the action
+        "op_asof": lambda: entrymod._q_asof(spark, sf_dir)
+        .agg(F.sum("lag_us"), F.sum("c_event"), F.sum("c_value"))
+        .collect(),
+        "op_pmi": lambda: entrymod._q_pmi(spark, sf_dir)
+        .agg(F.sum("pmi"), F.sum("c12"))
+        .collect(),
+        "op_entropy": lambda: entrymod._q_entropy(spark, sf_dir)
+        .agg(F.sum("entropy"), F.sum("n_types"))
+        .collect(),
         "op_dsir": lambda: dsir_resample(
             dsir_log_weights(
                 docs_df,
@@ -567,6 +578,9 @@ def main() -> None:
         "op_dsirz",
         "tx_keywordsz",
         "op_span_scrub",
+        "op_asof",
+        "op_pmi",
+        "op_entropy",
         "q_mlt",
         "q_facets",
         "q_suggest",

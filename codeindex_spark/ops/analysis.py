@@ -690,3 +690,148 @@ def histogram(
             "n",
         )
     )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Pointwise-mutual-information collocations: the ``top_k``
+    adjacent word pairs whose co-occurrence most exceeds chance —
+    (w1, w2, c12, c1, c2, pmi, rank). The classic collocation /
+    multi-word-expression detector (Church & Hanks 1990): with N1
+    total tokens and N2 total bigrams,
+
+        pmi = ln( (c12 · N1 · N1) / (N2 · c1 · c2) )
+
+    computed in double in exactly that operand order so any engine
+    reproduces it bit-for-bit; scores round to 6 dp BEFORE ranking
+    and ties break on (w1, w2). ``min_count`` drops rare pairs whose
+    PMI is all variance (standard practice — hapax pairs otherwise
+    dominate the top of the list).
+
+    Scale shape: unigram and bigram counts are map-side-combinable
+    groupBys keyed on the word / pair (skew bounded by the hottest
+    vocabulary item, not the corpus); the two scalar totals broadcast
+    as 1-row frames; c1/c2 attach via joins keyed on the word
+    (vocabulary-sized, not corpus-sized); the final top-k is a
+    TakeOrdered over the pair vocabulary, never a global sort of the
+    corpus."""
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    toks = df.select(ws_tokens(text_col).alias("_toks"))
+    uni = (
+        toks.select(F.explode("_toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    n1 = uni.agg(F.sum("c").cast("long").alias("_n1"))
+    n_pairs = F.greatest(F.size("_toks") - 1, F.lit(0))
+    pairs = (
+        toks.select(
+            F.slice(F.col("_toks"), 1, n_pairs).alias("_l"),
+            F.slice(F.col("_toks"), 2, n_pairs).alias("_r"),
+        )
+        .select(F.explode(F.arrays_zip("_l", "_r")).alias("_p"))
+        .select(F.col("_p._l").alias("w1"), F.col("_p._r").alias("w2"))
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    n2 = big.agg(F.sum("c12").cast("long").alias("_n2"))
+    scored = (
+        big.filter(F.col("c12") >= min_count)
+        .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"), "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    F.col("c12").cast("double")
+                    * F.col("_n1").cast("double")
+                    * F.col("_n1").cast("double")
+                    / (
+                        F.col("_n2").cast("double")
+                        * F.col("c1").cast("double")
+                        * F.col("c2").cast("double")
+                    )
+                ),
+                6,
+            ),
+        )
+    )
+    ranked = scored.orderBy(
+        F.desc("pmi"), F.asc("w1"), F.asc("w2")
+    ).limit(top_k)
+    w = SparkWindow.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+    return ranked.withColumn("rank", F.row_number().over(w)).select(
+        "w1", "w2", "c12", "c1", "c2", "pmi", "rank"
+    )
+
+
+def token_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document lexical-diversity signals — (doc_id, n_tokens,
+    n_types, ttr, entropy): type-token ratio and the Shannon entropy
+    of the within-doc unigram distribution in nats,
+
+        H = ln(n) - Σ_w c_w·ln(c_w) / n
+
+    (the factored form needs one pass over DISTINCT tokens and is
+    order-insensitive up to float ulps; 6-dp rounding absorbs those).
+    Low entropy at normal length flags boilerplate / keyword-stuffed
+    / template pages that length filters miss — a standard web-corpus
+    quality signal alongside the Gopher and C4 rules. Empty docs
+    yield n_tokens = 0 with zero ttr/entropy rather than NULL.
+
+    Scale shape: groupBy(doc, token) then groupBy(doc) — both
+    map-side combinable, partition bound = tokens of the longest doc;
+    zero joins, zero windows."""
+    tf = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(ws_tokens(text_col)).alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = tf.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias(
+            "_clnc"
+        ),
+    )
+    all_ids = df.select(F.col(id_col).alias("doc_id")).distinct()
+    return (
+        all_ids.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_types", F.lit(0)).cast("long").alias("n_types"),
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.col("n_types").cast("double")
+                    / F.col("n_tokens").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("ttr"),
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.log(F.col("n_tokens").cast("double"))
+                    - F.col("_clnc") / F.col("n_tokens").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("entropy"),
+        )
+    )
