@@ -1666,6 +1666,30 @@ def _q_entropy(spark, sf_dir):
     return token_entropy(docs)
 
 
+_BPE_MERGES = 30
+_BPE_MAX_WORDS = 5000
+
+
+def _q_bpe_merges(spark, sf_dir):
+    from codeindex_spark.ops.bpe import bpe_merges_df, bpe_train
+
+    docs = _load(spark, sf_dir, "documents")
+    merges = bpe_train(
+        docs, n_merges=_BPE_MERGES, max_words=_BPE_MAX_WORDS
+    )
+    return bpe_merges_df(spark, merges)
+
+
+def _q_bpe_tokens(spark, sf_dir):
+    from codeindex_spark.ops.bpe import bpe_token_counts, bpe_train
+
+    docs = _load(spark, sf_dir, "documents")
+    merges = bpe_train(
+        docs, n_merges=_BPE_MERGES, max_words=_BPE_MAX_WORDS
+    )
+    return bpe_token_counts(docs, merges)
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1852,6 +1876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_pmi": _q_pmi,
         "tx_entropy": _q_entropy,
         "rel_pivot": _q_pivot,
+        "tx_bpe_merges": _q_bpe_merges,
+        "tx_bpe_tokens": _q_bpe_tokens,
         "px_url_dedup": _q_url_dedup,
         "px_domain_filter": _q_domain_filter,
         "tx_domain_stats": _q_domain_stats,
@@ -1959,6 +1985,111 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _oracle_sf_dir() -> str:
     return os.environ.get(
         "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+
+
+def _bpe_oracle_word_freqs():
+    import collections
+
+    import pandas as pd
+
+    docs = pd.read_parquet(
+        os.path.join(_oracle_sf_dir(), "documents.parquet")
+    )
+    cnt: collections.Counter = collections.Counter()
+    for t in docs["text"]:
+        if isinstance(t, str):
+            for w in t.split():
+                cnt[w] += 1
+    items = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    return items[:_BPE_MAX_WORDS], docs
+
+
+def _bpe_oracle_merges():
+    """Independent replay of the documented BPE training semantics
+    (ops/bpe.py module docstring) over the oracle parquet: pair
+    counts from a Counter per pass, best = (count desc, pair asc),
+    all non-overlapping occurrences fused left-to-right."""
+    import collections
+
+    items, docs = _bpe_oracle_word_freqs()
+    vocab = collections.Counter()
+    for w, f in items:
+        vocab[tuple(w) + ("</w>",)] += f
+    merges = []
+    for _ in range(_BPE_MERGES):
+        pc: collections.Counter = collections.Counter()
+        for sym, f in vocab.items():
+            for i in range(len(sym) - 1):
+                pc[(sym[i], sym[i + 1])] += f
+        if not pc:
+            break
+        best = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        (l, r), c = best
+        merges.append((l, r, c))
+        nv: collections.Counter = collections.Counter()
+        for sym, f in vocab.items():
+            nv[tuple(_bpe_oracle_fuse(list(sym), l, r))] += f
+        vocab = nv
+    return merges, docs
+
+
+def _bpe_oracle_fuse(sym, l, r):
+    out, i = [], 0
+    while i < len(sym):
+        if i + 1 < len(sym) and sym[i] == l and sym[i + 1] == r:
+            out.append(l + r)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return out
+
+
+def _bpe_merges_values_sql() -> str:
+    merges, _docs = _bpe_oracle_merges()
+    rows = ",".join(
+        f"({i + 1},'{l}','{r}','{l + r}',{c})"
+        for i, (l, r, c) in enumerate(merges)
+    )
+    return (
+        "SELECT * FROM (VALUES "
+        + rows
+        + ') AS t("rank", "left", "right", merged, pair_count)'
+    )
+
+
+def _bpe_tokens_values_sql() -> str:
+    """Per-doc learned-BPE token counts: merges applied exhaustively
+    in learned order (equivalent to lowest-rank-present because a
+    merge can never recreate an earlier-rank adjacency — fusing two
+    symbols yields a NEW symbol, so destroyed pairs stay destroyed)."""
+    merges, docs = _bpe_oracle_merges()
+    seg_len: dict[str, int] = {}
+
+    def n_sub(word: str) -> int:
+        if word not in seg_len:
+            sym = list(word) + ["</w>"]
+            for l, r, _c in merges:
+                while any(
+                    sym[i] == l and sym[i + 1] == r
+                    for i in range(len(sym) - 1)
+                ):
+                    sym = _bpe_oracle_fuse(sym, l, r)
+            seg_len[word] = len(sym)
+        return seg_len[word]
+
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        words = text.split() if isinstance(text, str) else []
+        rows.append(
+            f"({int(doc_id)},{len(words)},"
+            f"{sum(n_sub(w) for w in words)})"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ",".join(rows)
+        + ") AS t(doc_id, n_words, n_bpe_tokens)"
     )
 
 
@@ -2606,6 +2737,8 @@ def oracle_sql() -> dict[str, str]:
                      AS rank
             FROM s
             QUALIFY rank <= 50""",
+        "tx_bpe_merges": _bpe_merges_values_sql(),
+        "tx_bpe_tokens": _bpe_tokens_values_sql(),
         "rel_pivot": """
             SELECT user_id,
                    count(*) FILTER (WHERE event_type = 'click')::BIGINT AS click_n,

@@ -537,6 +537,11 @@ def main() -> None:
         "op_entropy": lambda: entrymod._q_entropy(spark, sf_dir)
         .agg(F.sum("entropy"), F.sum("n_types"))
         .collect(),
+        # sum over n_bpe_tokens forces train (bounded vocab collect)
+        # + the vocab-side segmentation kernel + the count join
+        "op_bpe": lambda: entrymod._q_bpe_tokens(spark, sf_dir)
+        .agg(F.sum("n_bpe_tokens"), F.sum("n_words"))
+        .collect(),
         "op_dsir": lambda: dsir_resample(
             dsir_log_weights(
                 docs_df,
@@ -581,6 +586,7 @@ def main() -> None:
         "op_asof",
         "op_pmi",
         "op_entropy",
+        "op_bpe",
         "q_mlt",
         "q_facets",
         "q_suggest",
