@@ -1666,6 +1666,83 @@ def _q_entropy(spark, sf_dir):
     return token_entropy(docs)
 
 
+_PR_DAMPING = 0.85
+_PR_ITERS = 10
+_PR_TOPK = 100
+
+
+def _q_pagerank(spark, sf_dir):
+    # PageRank over the symmetrized order--part bipartite graph
+    # (distinct lineitem pairs); top-100 by 6-dp-rounded score with
+    # node tie-break (rounding BEFORE the cut per the oracle recipe)
+    from pyspark.sql import Window
+
+    from codeindex_spark.ops.graph import pagerank
+
+    li = _load(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("o:"), F.col("l_orderkey")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("dst"),
+    ).distinct()
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = pagerank(edges, damping=_PR_DAMPING, iters=_PR_ITERS)
+    top = (
+        pr.withColumn("pr", F.round("pr", 6))
+        .orderBy(F.desc("pr"), F.asc("node"))
+        .limit(_PR_TOPK)
+    )
+    w = Window.orderBy(F.desc("pr"), F.asc("node"))
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select("node", "pr", "rank")
+
+
+def _pagerank_values_sql() -> str:
+    """Independent pure-Python replay of the documented PageRank
+    semantics (uniform init, teleport (1-d)/N, dangling mass = 1 - Σ
+    emitted, identical update expression) over the same distinct
+    symmetrized bipartite edges."""
+    import pandas as pd
+
+    li = pd.read_parquet(
+        os.path.join(_oracle_sf_dir(), "lineitem.parquet")
+    )[["l_orderkey", "l_partkey"]].drop_duplicates()
+    fwd = [
+        (f"o:{o}", f"p:{p}")
+        for o, p in zip(li["l_orderkey"], li["l_partkey"])
+    ]
+    edges = fwd + [(d, s) for s, d in fwd]
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    deg: dict[str, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    d = _PR_DAMPING
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(_PR_ITERS):
+        contrib = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            contrib[t] += pr[s] / deg[s]
+        total = sum(contrib[v] for v in nodes)
+        pr = {
+            v: (1.0 - d) / n + d * (contrib[v] + (1.0 - total) / n)
+            for v in nodes
+        }
+    ranked = sorted(
+        ((round(p, 6), v) for v, p in pr.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:_PR_TOPK]
+    rows = ",".join(
+        f"('{v}',{p!r},{i + 1})" for i, (p, v) in enumerate(ranked)
+    )
+    return (
+        "SELECT node, pr::DOUBLE AS pr, rank::BIGINT AS rank FROM "
+        "(VALUES " + rows + ') AS t(node, pr, "rank")'
+    )
+
+
 _BPE_MERGES = 30
 _BPE_MAX_WORDS = 5000
 
@@ -1878,6 +1955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_pivot": _q_pivot,
         "tx_bpe_merges": _q_bpe_merges,
         "tx_bpe_tokens": _q_bpe_tokens,
+        "gr_pagerank": _q_pagerank,
         "px_url_dedup": _q_url_dedup,
         "px_domain_filter": _q_domain_filter,
         "tx_domain_stats": _q_domain_stats,
@@ -2739,6 +2817,7 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY rank <= 50""",
         "tx_bpe_merges": _bpe_merges_values_sql(),
         "tx_bpe_tokens": _bpe_tokens_values_sql(),
+        "gr_pagerank": _pagerank_values_sql(),
         "rel_pivot": """
             SELECT user_id,
                    count(*) FILTER (WHERE event_type = 'click')::BIGINT AS click_n,

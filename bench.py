@@ -542,6 +542,22 @@ def main() -> None:
         "op_bpe": lambda: entrymod._q_bpe_tokens(spark, sf_dir)
         .agg(F.sum("n_bpe_tokens"), F.sum("n_words"))
         .collect(),
+        # 5 power iterations over the symmetrized order-part graph;
+        # sum(pr) references the rank vector so nothing is pruned
+        "op_pagerank": lambda: __import__(
+            "codeindex_spark.ops.graph", fromlist=["pagerank"]
+        )
+        .pagerank(
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .selectExpr(
+                "concat('o:', l_orderkey) AS src",
+                "concat('p:', l_partkey) AS dst",
+            )
+            .distinct(),
+            iters=5,
+        )
+        .agg(F.sum("pr"), F.count("*"))
+        .collect(),
         "op_dsir": lambda: dsir_resample(
             dsir_log_weights(
                 docs_df,
@@ -587,6 +603,7 @@ def main() -> None:
         "op_pmi",
         "op_entropy",
         "op_bpe",
+        "op_pagerank",
         "q_mlt",
         "q_facets",
         "q_suggest",

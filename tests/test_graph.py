@@ -1,0 +1,80 @@
+"""pagerank: pure-Python reference equality, dangling mass,
+conservation, partition invariance, validation."""
+
+from __future__ import annotations
+
+import pytest
+
+from codeindex_spark.ops.graph import pagerank
+
+
+def _reference(edges, damping, iters):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        contrib = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            contrib[d] += pr[s] / deg[s]
+        total = sum(contrib[v] for v in nodes)
+        dangling = 1.0 - total
+        pr = {
+            v: (1.0 - damping) / n
+            + damping * (contrib[v] + dangling / n)
+            for v in nodes
+        }
+    return pr
+
+
+EDGES = [
+    ("a", "b"),
+    ("a", "c"),
+    ("b", "c"),
+    ("c", "a"),
+    ("d", "c"),  # e is reachable nowhere; d points in, sink 'e':
+    ("c", "e"),  # e has no out-edges -> dangling
+]
+
+
+def test_matches_reference(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {r["node"]: r["pr"] for r in pagerank(df, iters=10).collect()}
+    want = _reference(EDGES, 0.85, 10)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    # mass conservation with a dangling node present
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
+
+
+def test_star_center_dominates(spark):
+    edges = [(f"leaf{i}", "hub") for i in range(8)] + [
+        ("hub", f"leaf{i}") for i in range(8)
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["pr"] for r in pagerank(df, iters=12).collect()}
+    assert max(got, key=got.get) == "hub"
+
+
+def test_partition_invariance_to_rounding(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    a = {
+        r["node"]: round(r["pr"], 6)
+        for r in pagerank(df, iters=10).collect()
+    }
+    b = {
+        r["node"]: round(r["pr"], 6)
+        for r in pagerank(df.repartition(7), iters=10).collect()
+    }
+    assert a == b
+
+
+def test_validation(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    with pytest.raises(ValueError):
+        pagerank(df, damping=1.0)
+    with pytest.raises(ValueError):
+        pagerank(df, iters=0)
