@@ -1666,6 +1666,75 @@ def _q_entropy(spark, sf_dir):
     return token_entropy(docs)
 
 
+_TT_REPL_TEXT = "spark snapshot spark update"
+
+
+def _tt_index(spark, sf_dir):
+    """Incremental index with two applied epochs for snapshot time
+    travel: epoch 1 replaces every doc_id %% 7 == 0 with a fixed
+    snapshot text (new commit), epoch 2 deletes every live doc at a
+    doc_id %% 5 == 0 path. Cached under /tmp per sf_dir."""
+    key = os.path.abspath(sf_dir) + ":tt"
+    if key in _ENGINES:
+        return _ENGINES[key]
+    _ensure_pkg(spark)
+    import shutil
+
+    from codeindex_spark.index.build import IndexParams
+    from codeindex_spark.streaming.maintain import IncrementalIndex
+
+    tag = hashlib.sha256(key.encode()).hexdigest()[:12]
+    root = (
+        f"/tmp/codeindex_entry/tt_{os.path.basename(os.path.abspath(sf_dir))}"
+        f"_{tag}_v1"
+    )
+    params = IndexParams(num_buckets=16, block_size=128)
+    inc = IncrementalIndex(spark, root, params, n_groups=1)
+    if inc.n_applies() != 2 or len(inc.segments()) != 2:
+        shutil.rmtree(root, ignore_errors=True)
+        inc = IncrementalIndex(spark, root, params, n_groups=1)
+        docs = _load(spark, sf_dir, "documents")
+        corpus = _as_corpus(docs)
+        inc.build_base(corpus)
+        # epoch 1: upsert (same repo/path, new commit => new doc_key)
+        repl = _as_corpus(
+            docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+                "text", F.lit(_TT_REPL_TEXT)
+            )
+        ).withColumn("commit", F.lit("c000000000002"))
+        old = (
+            inc.live_docs()
+            .join(repl.select("repo", "path"), ["repo", "path"], "left_semi")
+            .select("doc_key")
+        )
+        inc.apply_changes(repl, old)
+        # epoch 2: delete whatever version is live at %5 paths
+        del_paths = _as_corpus(
+            docs.filter(F.col("doc_id") % 5 == 0)
+        ).select("repo", "path")
+        dead = (
+            inc.live_docs()
+            .join(del_paths, ["repo", "path"], "left_semi")
+            .select("doc_key")
+        )
+        inc.apply_changes(corpus.limit(0), dead)
+    _ENGINES[key] = inc
+    return inc
+
+
+def _q_time_travel(spark, sf_dir):
+    # query the index AS OF epoch 1 (after the upserts, before the
+    # deletes) — Lucene semantics: tombstoned old versions still
+    # count in df/avgdl/n_docs until a merge, so the oracle's stats
+    # corpus is ALL versions indexed by epoch 1 while matches come
+    # from live docs only
+    from codeindex_spark.query.planner import SearchEngine
+
+    inc = _tt_index(spark, sf_dir)
+    eng = SearchEngine(inc.reader(as_of=1))
+    return _bm25_topk_orig(eng, "spark", 20)
+
+
 _PR_DAMPING = 0.85
 _PR_ITERS = 10
 _PR_TOPK = 100
@@ -1956,6 +2025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_bpe_merges": _q_bpe_merges,
         "tx_bpe_tokens": _q_bpe_tokens,
         "gr_pagerank": _q_pagerank,
+        "st_time_travel": _q_time_travel,
         "px_url_dedup": _q_url_dedup,
         "px_domain_filter": _q_domain_filter,
         "tx_domain_stats": _q_domain_stats,
@@ -2818,6 +2888,46 @@ def oracle_sql() -> dict[str, str]:
         "tx_bpe_merges": _bpe_merges_values_sql(),
         "tx_bpe_tokens": _bpe_tokens_values_sql(),
         "gr_pagerank": _pagerank_values_sql(),
+        # Lucene-exact snapshot read at epoch 1: stats (n_docs, avgdl,
+        # df) cover EVERY version indexed by then — tombstoned old
+        # versions still count until a merge — while matches come from
+        # live (doc, version) rows only. Same float op order as _BM25.
+        "st_time_travel": f"""
+            WITH repl AS (
+              SELECT doc_id, '{_TT_REPL_TEXT}' AS text
+              FROM documents WHERE doc_id % 7 = 0),
+            call AS (
+              SELECT doc_id, 0 AS ver, text FROM documents
+              UNION ALL SELECT doc_id, 1 AS ver, text FROM repl),
+            cliv AS (
+              SELECT doc_id, 0 AS ver FROM documents WHERE doc_id % 7 <> 0
+              UNION ALL SELECT doc_id, 1 AS ver FROM repl),
+            tok AS (
+              SELECT c.doc_id, c.ver, t.term
+              FROM call c, LATERAL (
+                SELECT unnest(string_split(c.text, ' ')) AS term) t
+              WHERE t.term <> ''),
+            dl AS (SELECT doc_id, ver, count(*) AS dl
+                   FROM tok GROUP BY doc_id, ver),
+            nn AS (SELECT count(*)::DOUBLE AS n_docs FROM call),
+            ad AS (SELECT sum(dl)::DOUBLE / (SELECT n_docs FROM nn)
+                     AS avgdl FROM dl),
+            tf AS (SELECT doc_id, ver, count(*)::DOUBLE AS tf FROM tok
+                   WHERE term = 'spark' GROUP BY doc_id, ver),
+            dfq AS (SELECT count(*)::DOUBLE AS df FROM tf)
+            SELECT tf.doc_id,
+                   round(
+                     ln(1.0::DOUBLE + ((SELECT n_docs FROM nn)
+                          - (SELECT df FROM dfq) + 0.5::DOUBLE)
+                        / ((SELECT df FROM dfq) + 0.5::DOUBLE))
+                     * (tf.tf * (1.2::DOUBLE + 1.0::DOUBLE)
+                        / (tf.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+                           + 0.75::DOUBLE * dl.dl
+                             / (SELECT avgdl FROM ad)))),
+                   6) AS score
+            FROM tf JOIN dl USING (doc_id, ver) JOIN cliv USING (doc_id, ver)
+            ORDER BY score DESC, doc_id
+            LIMIT 20""",
         "rel_pivot": """
             SELECT user_id,
                    count(*) FILTER (WHERE event_type = 'click')::BIGINT AS click_n,

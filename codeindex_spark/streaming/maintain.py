@@ -270,9 +270,17 @@ class IncrementalIndex:
     Layout under root/:
         base/                — full IndexBuilder layout
         deltas/d0001/ ...    — delta segments (same layout)
-        tombstones.parquet   — doc_key rows excluded at query time
+        tombstones.parquet   — doc_key rows excluded at query time,
+                               epoch-tagged (the apply ordinal)
         merged/term_dict.parquet, merged/stats.parquet
         _segments.json       — ordered segment list + doc-space ends
+                               + epochs + the n_applies counter
+
+    Epochs give Iceberg-style snapshot time travel: ``reader(as_of=k)``
+    serves queries against the exact state after the k-th apply
+    (segments with epoch <= k, tombstones/removed-words with epoch
+    <= k, prefix-merged stats/dictionary). compact()/merge_compact()
+    expire history, like Iceberg's expire_snapshots.
     """
 
     def __init__(
@@ -318,11 +326,37 @@ class IncrementalIndex:
             return []
         return json.load(open(self._seg_file))["segments"]
 
-    def _write_segments(self, segs: list[dict]) -> None:
+    def n_applies(self) -> int:
+        """Snapshot epoch counter: 0 after build_base, +1 per
+        apply_changes/apply_snapshot. Older _segments.json without
+        the key falls back to segment count (each apply added one)."""
+        if not os.path.exists(self._seg_file):
+            return 0
+        meta = json.load(open(self._seg_file))
+        if "n_applies" in meta:
+            return int(meta["n_applies"])
+        return max(0, len(meta["segments"]) - 1)
+
+    def _write_segments(
+        self, segs: list[dict], n_applies: int | None = None
+    ) -> None:
+        if n_applies is None:
+            n_applies = self.n_applies()
         tmp = self._seg_file + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"segments": segs}, f, indent=1)
+            json.dump({"segments": segs, "n_applies": n_applies}, f, indent=1)
         os.replace(tmp, self._seg_file)
+
+    def _segs_as_of(self, as_of: int | None) -> list[dict]:
+        segs = self.segments()
+        if as_of is None:
+            return segs
+        if as_of < 0:
+            raise ValueError("as_of must be >= 0")
+        # legacy records without an epoch: position == apply ordinal
+        return [
+            s for i, s in enumerate(segs) if s.get("epoch", i) <= as_of
+        ]
 
     # ---------- build ----------
 
@@ -333,7 +367,8 @@ class IncrementalIndex:
         )
         end_doc = self._segment_end(base_dir)
         self._write_segments(
-            [{"name": "base", "dir": base_dir, "end_doc": end_doc}]
+            [{"name": "base", "dir": base_dir, "end_doc": end_doc, "epoch": 0}],
+            n_applies=0,
         )
         self._merge_metadata()
 
@@ -394,6 +429,7 @@ class IncrementalIndex:
         segs = self.segments()
         if not segs:
             raise RuntimeError("build_base first")
+        epoch = self.n_applies() + 1
         n_new = new_docs.count()
         if dead_doc_keys is not None:
             dead = dead_doc_keys.distinct()
@@ -409,8 +445,10 @@ class IncrementalIndex:
             # just read from
             dead = dead.localCheckpoint()
             if dead.count():
-                self._record_removed_words(dead)
-                dead.write.mode("append").parquet(self._tomb_dir)
+                self._record_removed_words(dead, epoch)
+                dead.withColumn("epoch", F.lit(epoch)).write.mode(
+                    "append"
+                ).parquet(self._tomb_dir)
         if n_new:
             idx = len(segs)
             seg_dir = os.path.join(self.root, "deltas", f"d{idx:04d}")
@@ -429,12 +467,15 @@ class IncrementalIndex:
                     "name": f"d{idx:04d}",
                     "dir": seg_dir,
                     "end_doc": self._segment_end(seg_dir),
+                    "epoch": epoch,
                 }
             )
-            self._write_segments(segs)
+        self._write_segments(segs, n_applies=epoch)
         self._merge_metadata()
 
-    def _record_removed_words(self, dead_keys: DataFrame) -> None:
+    def _record_removed_words(
+        self, dead_keys: DataFrame, epoch: int
+    ) -> None:
         """Incremental hint-word maintenance (reference deletes a hint
         word when its last live doc goes away — the Exists-before-
         delete semi-join, CodeIndexBuilder.cs:369-375,446-452).
@@ -452,7 +493,9 @@ class IncrementalIndex:
             .groupBy(F.col("term").alias("word"))
             .agg(F.count("*").alias("removed"))
         )
-        words.write.mode("append").parquet(self._removed_words_dir)
+        words.withColumn("epoch", F.lit(epoch)).write.mode("append").parquet(
+            self._removed_words_dir
+        )
 
     # ---------- merged metadata ----------
 
@@ -484,23 +527,30 @@ class IncrementalIndex:
 
     # ---------- read ----------
 
-    def live_docs(self) -> DataFrame:
-        docs = self.all_docs()
+    def live_docs(self, as_of: int | None = None) -> DataFrame:
+        docs = self.all_docs(as_of)
         if os.path.exists(self._tomb_dir):
             tomb = self.spark.read.parquet(self._tomb_dir)
+            if as_of is not None and "epoch" in tomb.columns:
+                tomb = tomb.filter(F.col("epoch") <= as_of)
             docs = docs.join(tomb, "doc_key", "left_anti")
         return docs
 
-    def all_docs(self) -> DataFrame:
-        segs = self.segments()
+    def all_docs(self, as_of: int | None = None) -> DataFrame:
+        segs = self._segs_as_of(as_of)
         dfs = [self.spark.read.parquet(IndexPaths(s["dir"]).docs) for s in segs]
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
         return out
 
-    def reader(self) -> "MultiReader":
-        return MultiReader(self)
+    def reader(self, as_of: int | None = None) -> "MultiReader":
+        """``as_of=k`` reads the index exactly as it stood after the
+        k-th apply (0 = just the base build) — Iceberg-style snapshot
+        time travel over the segment/tombstone log. compact() and
+        merge_compact() expire history: afterwards only the current
+        state (epoch 0 again) is addressable."""
+        return MultiReader(self, as_of)
 
     # ---------- compaction ----------
 
@@ -525,7 +575,15 @@ class IncrementalIndex:
         shutil.rmtree(self._tomb_dir, ignore_errors=True)
         shutil.rmtree(self._removed_words_dir, ignore_errors=True)
         self._write_segments(
-            [{"name": "base", "dir": old_base, "end_doc": self._segment_end(old_base)}]
+            [
+                {
+                    "name": "base",
+                    "dir": old_base,
+                    "end_doc": self._segment_end(old_base),
+                    "epoch": 0,
+                }
+            ],
+            n_applies=0,  # history expired — snapshots restart at 0
         )
         self._merge_metadata()
 
@@ -820,7 +878,15 @@ class IncrementalIndex:
         shutil.rmtree(self._tomb_dir, ignore_errors=True)
         shutil.rmtree(self._removed_words_dir, ignore_errors=True)
         self._write_segments(
-            [{"name": "merged", "dir": merged_dir, "end_doc": end_doc}]
+            [
+                {
+                    "name": "merged",
+                    "dir": merged_dir,
+                    "end_doc": end_doc,
+                    "epoch": 0,
+                }
+            ],
+            n_applies=0,  # history expired — snapshots restart at 0
         )
         self._merge_metadata()
 
@@ -830,9 +896,10 @@ class MultiReader:
     postings/docs, merged dictionary/stats, tombstone-aware liveness.
     Drop-in for SearchEngine."""
 
-    def __init__(self, inc: IncrementalIndex):
+    def __init__(self, inc: IncrementalIndex, as_of: int | None = None):
         self.inc = inc
         self.spark = inc.spark
+        self.as_of = as_of
         base = inc.segments()[0]["dir"]
         self._base_reader = IndexReader(inc.spark, base)
         self.params = self._base_reader.params
@@ -840,7 +907,7 @@ class MultiReader:
 
     @property
     def docs(self) -> DataFrame:
-        return self.inc.live_docs()
+        return self.inc.live_docs(self.as_of)
 
     @property
     def postings(self) -> DataFrame:
@@ -850,7 +917,7 @@ class MultiReader:
         a valid query-time upper bound is the stored block-max times
         max(1, avgdl_merged / avgdl_segment) — without it, WAND could
         prune a block whose docs now out-score their build-time bound."""
-        segs = self.inc.segments()
+        segs = self.inc._segs_as_of(self.as_of)
         merged = {
             r.field: float(r.avgdl) for r in self.stats.itertuples()
         }
@@ -883,8 +950,22 @@ class MultiReader:
 
     @property
     def term_dict(self) -> DataFrame:
-        return self.spark.read.parquet(
-            os.path.join(self.inc.root, "merged", "term_dict.parquet")
+        if self.as_of is None:
+            return self.spark.read.parquet(
+                os.path.join(self.inc.root, "merged", "term_dict.parquet")
+            )
+        # snapshot read: merge the prefix's dictionaries on the fly
+        # (the persisted merged/ artifacts only describe the latest
+        # epoch); the union is |prefix| vocabulary-sized frames
+        tds = [
+            self.spark.read.parquet(IndexPaths(s["dir"]).term_dict)
+            for s in self.inc._segs_as_of(self.as_of)
+        ]
+        td = tds[0]
+        for t in tds[1:]:
+            td = td.unionByName(t)
+        return td.groupBy("field", "term").agg(
+            F.sum("df").alias("df"), F.sum("cf").alias("cf")
         )
 
     @property
@@ -908,20 +989,32 @@ class MultiReader:
         )
         rw_dir = self.inc._removed_words_dir
         if os.path.exists(rw_dir):
-            rw = (
-                self.spark.read.parquet(rw_dir)
-                .groupBy("word")
-                .agg(F.sum("removed").alias("removed"))
-            )
+            rw = self.spark.read.parquet(rw_dir)
+            if self.as_of is not None and "epoch" in rw.columns:
+                rw = rw.filter(F.col("epoch") <= self.as_of)
+            rw = rw.groupBy("word").agg(F.sum("removed").alias("removed"))
             return td.join(rw, "word", "left").fillna({"removed": 0})
         return td.withColumn("removed", F.lit(0))
 
     @property
     def stats(self) -> pd.DataFrame:
         if self._stats is None:
-            self._stats = pd.read_parquet(
-                os.path.join(self.inc.root, "merged", "stats.parquet")
-            )
+            if self.as_of is None:
+                self._stats = pd.read_parquet(
+                    os.path.join(self.inc.root, "merged", "stats.parquet")
+                )
+            else:
+                st = pd.concat(
+                    [
+                        pd.read_parquet(IndexPaths(s["dir"]).stats)
+                        for s in self.inc._segs_as_of(self.as_of)
+                    ]
+                )
+                g = st.groupby("field", as_index=False).agg(
+                    n_docs=("n_docs", "sum"), total_dl=("total_dl", "sum")
+                )
+                g["avgdl"] = g["total_dl"] / g["n_docs"]
+                self._stats = g
         return self._stats
 
     def field_stats(self, field: str) -> tuple[int, float]:
@@ -932,7 +1025,7 @@ class MultiReader:
 
     def live_doc_ids(self) -> DataFrame | None:
         if os.path.exists(self.inc._tomb_dir):
-            return self.inc.live_docs().select("doc_id")
+            return self.inc.live_docs(self.as_of).select("doc_id")
         return None
 
 
