@@ -1132,6 +1132,46 @@ def _q_para_dedup(spark, sf_dir):
     )
 
 
+def _q_line_dedup(spark, sf_dir):
+    """RefinedWeb-style repeated-line removal (beyond-reference):
+    same pseudo-line synthesis as px_para_dedup, but a line occurring
+    MORE than once corpus-wide is removed from EVERY doc (vs
+    first-occurrence-wins)."""
+    from codeindex_spark.ops.pipeline import line_frequency_filter
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " +"), lambda w: w != "")
+    aug = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks), F.lit(8)),
+                lambda i: F.array_join(F.slice(toks, i, 8), " "),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    out = line_frequency_filter(aug, max_occurrences=1)
+    return out.select(
+        "doc_id",
+        "text",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+    )
+
+
+def _q_bloom_contamination(spark, sf_dir):
+    """Bloom-prefiltered decontamination (beyond-reference scale path
+    for 10^8-shingle benchmark suites): result must be EXACTLY
+    contamination_overlaps — the bloom is a prefilter, bloom-positive
+    shingles are re-verified against the exact benchmark table."""
+    from codeindex_spark.ops.dedup import bloom_contamination_overlaps
+
+    docs = _load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return bloom_contamination_overlaps(docs, bench, n=5)
+
+
 def _q_normalize(spark, sf_dir):
     """Unicode normalization + invisible-char scrub (beyond-reference
     cleaning step): the sf text is plain ASCII, so both sides append
@@ -2017,6 +2057,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verified by the most recent round's artifact go after the cap
     # (tools/check_entry.py still covers all of them locally).
     return {
+        "px_line_dedup": _q_line_dedup,
+        "dd_bloom_contamination": _q_bloom_contamination,
         "rel_asof": _q_asof,
         "rel_rollup": _q_rollup,
         "tx_pmi": _q_pmi,
@@ -2830,6 +2872,54 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT DISTINCT doc_id FROM tok WHERE term = '{term}'"
     )
     return {
+        # repeated-line removal: over-threshold lines removed from
+        # EVERY doc (RefinedWeb semantics, vs para_dedup first-wins)
+        "px_line_dedup": """WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, ' +'),
+                                 w -> w <> '') AS t
+              FROM documents),
+            p AS (
+              SELECT doc_id, (u.i - 1) // 8 AS idx,
+                     array_to_string(list_slice(t, u.i, u.i + 7), ' ') AS line
+              FROM toks, UNNEST(range(1, len(t) + 1, 8)) u(i)
+              WHERE len(t) > 0),
+            pnz AS (
+              SELECT doc_id, idx, line,
+                     md5(lower(trim(regexp_replace(line, '\\s+', ' ', 'g')))) AS h
+              FROM p WHERE trim(line) <> ''),
+            hot AS (SELECT h FROM pnz GROUP BY h HAVING count(*) > 1),
+            kept AS (SELECT doc_id, idx, line FROM pnz
+                     WHERE h NOT IN (SELECT h FROM hot)),
+            n AS (
+              SELECT doc_id, count(*)::BIGINT AS n_lines
+              FROM pnz GROUP BY doc_id),
+            k AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY idx) AS text,
+                     count(*)::BIGINT AS n_kept
+              FROM kept GROUP BY doc_id)
+            SELECT doc_id, k.text, n.n_lines, k.n_kept
+            FROM n JOIN k USING (doc_id)""",
+        # bloom decontamination is EXACT by construction (prefilter +
+        # exact re-verify), so the oracle is the plain exact overlap
+        "dd_bloom_contamination": """WITH sha AS (
+              SELECT d.doc_id,
+                     array_to_string(
+                       list_slice(string_split(d.text, ' '), i.i, i.i + 4),
+                       ' ') AS shingle
+              FROM documents d, LATERAL (
+                SELECT unnest(range(1,
+                         len(string_split(d.text, ' ')) - 3)) AS i) i),
+            tr AS (SELECT DISTINCT doc_id, shingle FROM sha),
+            be AS (SELECT DISTINCT doc_id AS bench_id, shingle
+                   FROM sha WHERE doc_id % 97 = 0)
+            SELECT doc_id,
+                   count(DISTINCT shingle) AS n_shared_ngrams,
+                   count(DISTINCT bench_id) AS n_bench_docs,
+                   min(bench_id) AS min_bench_id
+            FROM tr JOIN be USING (shingle)
+            GROUP BY doc_id""",
         "rel_asof": """
             WITH l AS (
               SELECT event_id, user_id, epoch_us(ts) AS ts_us, value

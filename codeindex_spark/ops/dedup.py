@@ -388,6 +388,125 @@ def contamination_overlaps(
     )
 
 
+def _bloom_build(h1, h2, m_bits: int, k: int):
+    """Set Kirsch-Mitzenmacher double-hash bits for (h1, h2) uint64
+    arrays into a fresh numpy byte array of m_bits/8 bytes."""
+    import numpy as np
+
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    m = np.uint64(m_bits)
+    for i in range(k):
+        pos = (h1 + np.uint64(i) * h2) % m
+        np.bitwise_or.at(bits, pos >> np.uint64(3),
+                         np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+    return bits
+
+
+def bloom_contamination_overlaps(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    n: int = 13,
+    bits_per_item: int = 10,
+    num_hashes: int = 7,
+    max_bench_shingles: int = 20_000_000,
+) -> DataFrame:
+    """Decontamination via a broadcast Bloom filter — the scale path
+    of :func:`contamination_overlaps` for LARGE benchmark suites.
+    Result is EXACT and identical to contamination_overlaps: the
+    Bloom test is only a prefilter, and every bloom-positive shingle
+    is re-verified against the exact benchmark shingle table before
+    aggregation, so false positives never reach the output.
+
+    Why: broadcasting the raw shingle strings of a full eval suite
+    (10^7-10^8 13-grams, ~100 chars each) costs GBs per executor; a
+    Bloom at 10 bits/item + 7 hashes (~0.8 % fpp) costs ~12 MB per
+    10^7 items — constant-size state on every executor regardless of
+    shingle length. The corpus side stays shuffle-free: shingling,
+    hashing (JVM xxhash64 twice — same expressions on both sides, so
+    build and probe agree bit-for-bit) and the membership test
+    (vectorized numpy over Arrow batches) are all map-only; only the
+    bloom-positive sliver (true hits + ~1 % fp) joins the exact
+    benchmark table, and that join is broadcast.
+
+    Scale shape: one driver collect bounded by ``max_bench_shingles``
+    (guarded — 16 bytes/item on the driver), zero corpus shuffle
+    before the final per-contaminated-doc aggregation."""
+    import numpy as np
+
+    h1c = F.xxhash64(F.col("shingle"))
+    h2c = F.xxhash64(F.lit("bloom-h2"), F.col("shingle"))
+    be = shingles(bench, bench_id_col, text_col, n).withColumnRenamed(
+        "doc_id", "bench_id"
+    )
+    bench_keys = (
+        be.select("shingle").distinct()
+        .select(h1c.alias("h1"), h2c.alias("h2"))
+    )
+    n_items = bench_keys.count()
+    if n_items > max_bench_shingles:
+        raise ValueError(
+            f"benchmark shingle set ({n_items}) exceeds "
+            f"max_bench_shingles ({max_bench_shingles}); raise the cap "
+            "or shard the benchmark"
+        )
+    if n_items == 0:
+        return contamination_overlaps(
+            train.limit(0), bench, id_col, text_col, bench_id_col, n
+        )
+    m_bits = 8
+    while m_bits < bits_per_item * n_items:
+        m_bits *= 2
+    pdf = bench_keys.toPandas()
+    bits = _bloom_build(
+        pdf["h1"].to_numpy().view(np.uint64),
+        pdf["h2"].to_numpy().view(np.uint64),
+        m_bits,
+        num_hashes,
+    )
+    sc = train.sparkSession.sparkContext
+    bc = sc.broadcast(bits.tobytes())
+    k = num_hashes
+
+    tr = shingles(train, id_col, text_col, n, distinct=False)
+    id_type = tr.schema["doc_id"].dataType.simpleString()
+    probe = tr.select("doc_id", "shingle", h1c.alias("h1"), h2c.alias("h2"))
+
+    def _member(batches):
+        arr = np.frombuffer(bc.value, dtype=np.uint8)
+        m = np.uint64(m_bits)
+        for b in batches:
+            if len(b) == 0:
+                continue
+            h1 = b["h1"].to_numpy().view(np.uint64)
+            h2 = b["h2"].to_numpy().view(np.uint64)
+            mask = np.ones(len(b), dtype=bool)
+            for i in range(k):
+                pos = (h1 + np.uint64(i) * h2) % m
+                byte = arr[(pos >> np.uint64(3)).astype(np.int64)]
+                mask &= ((byte >> (pos & np.uint64(7)).astype(np.uint8))
+                         & np.uint8(1)).astype(bool)
+            if mask.any():
+                yield b.loc[mask, ["doc_id", "shingle"]]
+
+    hits = probe.mapInPandas(
+        _member, schema=f"doc_id {id_type}, shingle string"
+    )
+    # exact re-verify: kill bloom false positives. Benchmark side is
+    # driver-bounded by construction, so broadcast is safe.
+    return (
+        hits.join(F.broadcast(be), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_ngrams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+            F.min("bench_id").alias("min_bench_id"),
+        )
+    )
+
+
 def duplicate_components(
     pairs: DataFrame,
     max_iter: int = 20,

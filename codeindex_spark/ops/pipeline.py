@@ -338,6 +338,81 @@ def paragraph_dedup(
     )
 
 
+def line_frequency_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    max_occurrences: int = 1,
+    normalize: bool = True,
+    drop_empty: bool = True,
+) -> DataFrame:
+    """RefinedWeb-style repeated-line removal (Penedo et al. 2023
+    §G.2, after MassiveText/Gopher): a line whose normalized form
+    occurs MORE than ``max_occurrences`` times corpus-wide is removed
+    from EVERY document — boilerplate (nav bars, cookie banners,
+    license headers) disappears entirely, unlike
+    :func:`paragraph_dedup` where the first occurrence survives.
+    Returns (id_col, text, n_lines, n_kept); docs whose every line is
+    boilerplate are dropped (``drop_empty``).
+
+    Scale shape: one posexplode, then groupBy(hash).count — map-side
+    combinable, so the million-copy hot line reduces to one count row
+    per map partition before the exchange. Only OVER-threshold hashes
+    survive the filter, so the removal table holds just the
+    boilerplate vocabulary (tiny vs the corpus); the left_anti join
+    against it broadcasts under AQE when it fits, and a hot hash
+    carries ONE row on the build side regardless of its corpus
+    frequency. Reassembly is one per-doc groupBy bounded by
+    lines-per-doc."""
+    para = F.col("_line")
+    norm = (
+        F.lower(F.trim(F.regexp_replace(para, r"\s+", " ")))
+        if normalize
+        else para
+    )
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.col(text_col), F.lit(re.escape(sep)))
+        ).alias("_idx", "_line"),
+    ).withColumn("_h", F.md5(norm))
+    exploded = exploded.filter(F.trim(para) != "")
+    hot = (
+        exploded.groupBy("_h")
+        .count()
+        .filter(F.col("count") > max_occurrences)
+        .select("_h")
+    )
+    kept = exploded.join(hot, "_h", "left_anti")
+    per_doc_n = exploded.groupBy(id_col).agg(F.count("*").alias("n_lines"))
+    kept_agg = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_idx", "_line"))),
+                lambda s: s["_line"],
+            ),
+            sep,
+        ).alias("text"),
+        F.count("*").alias("n_kept"),
+    )
+    if drop_empty:
+        return per_doc_n.join(kept_agg, id_col).select(
+            id_col, "text", "n_lines", "n_kept"
+        )
+    return (
+        df.select(id_col)
+        .join(per_doc_n, id_col, "left")
+        .join(kept_agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
 # invisible / control codepoints stripped by normalize_text — an
 # EXPLICIT list (not Unicode category tables) so any engine can
 # reproduce it with a plain character-class regex: C0 controls minus

@@ -1540,3 +1540,57 @@ def test_c4_clean(spark):
     assert not out.loc[5, "c4_keep"] and out.loc[5, "n_sentences"] == 1
     assert out.loc[6, "n_lines"] == 0 and not out.loc[6, "c4_keep"]
     assert out.loc[6].notna().all()
+
+
+def test_bloom_contamination_matches_exact(spark):
+    """bloom_contamination_overlaps is exact: bloom prefilter + exact
+    re-verify must reproduce contamination_overlaps bit-for-bit."""
+    from codeindex_spark.ops.dedup import (
+        bloom_contamination_overlaps,
+        contamination_overlaps,
+    )
+
+    rows = []
+    for i in range(40):
+        words = [f"w{(i * 7 + j) % 23}" for j in range(12)]
+        rows.append((i, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = docs.filter("doc_id % 13 = 0").selectExpr(
+        "doc_id + 1000 as doc_id", "text"
+    )
+    exact = {
+        r["doc_id"]: (r["n_shared_ngrams"], r["n_bench_docs"], r["min_bench_id"])
+        for r in contamination_overlaps(docs, bench, n=4).collect()
+    }
+    got = {
+        r["doc_id"]: (r["n_shared_ngrams"], r["n_bench_docs"], r["min_bench_id"])
+        for r in bloom_contamination_overlaps(docs, bench, n=4).collect()
+    }
+    assert exact == got
+    assert len(exact) > 0
+
+
+def test_bloom_contamination_empty_bench(spark):
+    from codeindex_spark.ops.dedup import bloom_contamination_overlaps
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "f g h i j")], "doc_id long, text string"
+    )
+    bench = docs.limit(0)
+    out = bloom_contamination_overlaps(docs, bench, n=3)
+    assert out.count() == 0
+    assert out.columns == [
+        "doc_id", "n_shared_ngrams", "n_bench_docs", "min_bench_id",
+    ]
+
+
+def test_bloom_contamination_cap_guard(spark):
+    import pytest as _pytest
+
+    from codeindex_spark.ops.dedup import bloom_contamination_overlaps
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="max_bench_shingles"):
+        bloom_contamination_overlaps(docs, docs, n=3, max_bench_shingles=2)

@@ -395,3 +395,56 @@ def test_normalize_text_custom_id(spark):
         for r in normalize_text(df, id_col="para_id", text_col="body").collect()
     }
     assert got == {"p1": ("café", 0), "p2": ("xy", 1)}
+
+
+def test_line_frequency_filter_removes_all_occurrences(spark):
+    """Unlike paragraph_dedup's first-wins, an over-threshold line is
+    removed from EVERY doc, including the first."""
+    from codeindex_spark.ops.pipeline import line_frequency_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one\nshared boiler\nunique two"),
+            (2, "shared boiler\nother text"),
+            (3, "shared boiler"),
+            (4, "appears twice ok\nbody four"),
+            (5, "appears twice ok\nbody five"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in line_frequency_filter(docs, max_occurrences=2).collect()
+    }
+    # 'shared boiler' occurs 3x > 2 -> gone everywhere
+    assert got[1]["text"] == "unique one\nunique two"
+    assert (got[1]["n_lines"], got[1]["n_kept"]) == (3, 2)
+    assert got[2]["text"] == "other text"
+    assert 3 not in got  # all-boilerplate doc dropped
+    # 'appears twice ok' occurs 2x == threshold -> kept
+    assert got[4]["text"] == "appears twice ok\nbody four"
+    assert got[5]["n_kept"] == 2
+
+
+def test_line_frequency_filter_normalize_and_drop_empty_false(spark):
+    from codeindex_spark.ops.pipeline import line_frequency_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Cookie  Banner \nreal content"),
+            (2, "cookie banner\nmore text"),
+            (3, "COOKIE BANNER"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in line_frequency_filter(
+            docs, max_occurrences=1, drop_empty=False
+        ).collect()
+    }
+    # case/whitespace variants normalize to one hot line, removed
+    assert got[1]["text"] == "real content"
+    assert got[2]["text"] == "more text"
+    assert got[3]["text"] == "" and got[3]["n_kept"] == 0
+    assert len(got) == 3
