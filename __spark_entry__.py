@@ -1808,6 +1808,65 @@ def _q_pagerank(spark, sf_dir):
     ).select("node", "pr", "rank")
 
 
+def _q_triangles(spark, sf_dir):
+    # per-node triangle counts over the part co-purchase graph (parts
+    # sharing an order); degree-oriented wedge join (ops/graph.py) so
+    # hub parts never explode — oracle replays the same orientation
+    # as a 3-way self-join in SQL
+    from codeindex_spark.ops.graph import triangle_counts
+
+    li = _load(spark, sf_dir, "lineitem")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .distinct()
+    )
+    return triangle_counts(edges).select(
+        F.col("node").cast("long").alias("node"), "triangles"
+    )
+
+
+def _q_interval_join(spark, sf_dir):
+    # interval overlap join: purchase windows [ts, ts+2h] x click
+    # windows [ts, ts+30min] per user — grid-bucketed equi-join with
+    # canonical-bucket emit-once (ops/timeseries.py); the oracle is
+    # the plain inequality join DuckDB runs as IEJoin
+    from codeindex_spark.ops.timeseries import interval_join
+
+    ev = _load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+    )
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event"),
+        "user_id",
+        "s",
+        (F.col("s") + F.lit(7_200_000_000)).alias("e"),
+    )
+    clicks = base.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event"),
+        "user_id",
+        "s",
+        (F.col("s") + F.lit(1_800_000_000)).alias("e"),
+    )
+    j = interval_join(
+        purchases, clicks, ["user_id"], "s", "e", "s", "e",
+        bucket_seconds=3600.0,
+    )
+    return j.select(
+        "p_event",
+        "c_event",
+        "user_id",
+        F.col("overlap_us").cast("long").alias("overlap_us"),
+    )
+
+
 def _pagerank_values_sql() -> str:
     """Independent pure-Python replay of the documented PageRank
     semantics (uniform init, teleport (1-d)/N, dangling mass = 1 - Σ
@@ -2067,6 +2126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_bpe_merges": _q_bpe_merges,
         "tx_bpe_tokens": _q_bpe_tokens,
         "gr_pagerank": _q_pagerank,
+        "gr_triangles": _q_triangles,
+        "rel_interval_join": _q_interval_join,
         "st_time_travel": _q_time_travel,
         "px_url_dedup": _q_url_dedup,
         "px_domain_filter": _q_domain_filter,
@@ -2978,6 +3039,60 @@ def oracle_sql() -> dict[str, str]:
         "tx_bpe_merges": _bpe_merges_values_sql(),
         "tx_bpe_tokens": _bpe_tokens_values_sql(),
         "gr_pagerank": _pagerank_values_sql(),
+        # same degree orientation as ops/graph.py triangle_counts:
+        # rank(x) = (deg(x), x), every edge low->high, triangle =
+        # apex wedge (rank(v1) < rank(v2)) closed by oriented (v1,v2)
+        "gr_triangles": """
+            WITH e AS (
+              SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey),
+            deg AS (
+              SELECT node, count(*)::BIGINT AS d
+              FROM (SELECT x AS node FROM e
+                    UNION ALL SELECT y AS node FROM e)
+              GROUP BY node),
+            o AS (
+              SELECT CASE WHEN dx.d < dy.d
+                            OR (dx.d = dy.d AND e.x < e.y)
+                          THEN e.x ELSE e.y END AS u,
+                     CASE WHEN dx.d < dy.d
+                            OR (dx.d = dy.d AND e.x < e.y)
+                          THEN e.y ELSE e.x END AS v
+              FROM e
+              JOIN deg dx ON dx.node = e.x
+              JOIN deg dy ON dy.node = e.y),
+            tri AS (
+              SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM o e1
+              JOIN o e2 ON e1.u = e2.u
+              JOIN deg d1 ON d1.node = e1.v
+              JOIN deg d2 ON d2.node = e2.v
+              JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v
+              WHERE d1.d < d2.d OR (d1.d = d2.d AND e1.v < e2.v))
+            SELECT node::BIGINT AS node, count(*)::BIGINT AS triangles
+            FROM (SELECT a AS node FROM tri
+                  UNION ALL SELECT b AS node FROM tri
+                  UNION ALL SELECT c AS node FROM tri)
+            GROUP BY node""",
+        "rel_interval_join": """
+            WITH l AS (
+              SELECT event_id AS p_event, user_id,
+                     epoch_us(ts) AS s,
+                     epoch_us(ts) + 7200000000 AS e
+              FROM events WHERE event_type = 'purchase'),
+            r AS (
+              SELECT event_id AS c_event, user_id,
+                     epoch_us(ts) AS s,
+                     epoch_us(ts) + 1800000000 AS e
+              FROM events WHERE event_type = 'click')
+            SELECT l.p_event, r.c_event, l.user_id,
+                   (least(l.e, r.e)
+                    - greatest(l.s, r.s))::BIGINT AS overlap_us
+            FROM l JOIN r
+              ON l.user_id = r.user_id
+             AND l.s <= r.e AND r.s <= l.e""",
         # Lucene-exact snapshot read at epoch 1: stats (n_docs, avgdl,
         # df) cover EVERY version indexed by then — tombstoned old
         # versions still count until a merge — while matches come from

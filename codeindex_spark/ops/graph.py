@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "triangle_counts"]
 
 
 def pagerank(
@@ -93,3 +93,86 @@ def pagerank(
     ew.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over the undirected simple graph
+    (self-loops dropped, parallel edges collapsed); only nodes in at
+    least one triangle are emitted. (node, triangles); Σ = 3·|Δ|.
+
+    Scale shape — degree orientation (Cohen 2009 / node-iterator++):
+    every canonical edge is oriented from the lower-(degree, id) rank
+    endpoint to the higher, so each node's OUT-degree is bounded by
+    O(sqrt(m)) regardless of its true degree. The wedge self-join on
+    the oriented source therefore never explodes on a hub: the
+    celebrity node with 10M followers has near-zero out-edges after
+    orientation, its wedges are generated at its low-degree
+    neighbours instead. Wedges close via one more shuffle join onto
+    the oriented edge set (the closing edge's orientation is implied
+    by the wedge's rank ordering, so the probe is a plain equi-join —
+    AQE-skew-splittable, no inequality residual). Total work is the
+    arboricity-bounded O(m^1.5) of the sequential algorithm, spread
+    over 3 shuffles; no driver-side state beyond the plan.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("_a"),
+            F.greatest(F.col(src), F.col(dst)).alias("_b"),
+        )
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("_a").alias("node"))
+        .unionAll(e.select(F.col("_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("_deg"))
+    )
+    # rank(x) = (deg(x), x); orient every edge low-rank -> high-rank
+    ed = (
+        e.join(deg.withColumnRenamed("node", "_a"), "_a")
+        .withColumnRenamed("_deg", "_da")
+        .join(
+            deg.select(
+                F.col("node").alias("_b"), F.col("_deg").alias("_db")
+            ),
+            "_b",
+        )
+    )
+    a_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("_a") < F.col("_b"))
+    )
+    # eager localCheckpoint, not persist: the oriented set is read 3×
+    # (wedge left, wedge right, closure probe) and the result is
+    # returned lazily, so a persist() here could never be unpersisted
+    # without recomputing the caller's plan (ADVICE r3 leak class)
+    o = ed.select(
+        F.when(a_first, F.col("_a")).otherwise(F.col("_b")).alias("_u"),
+        F.when(a_first, F.col("_b")).otherwise(F.col("_a")).alias("_v"),
+        F.when(a_first, F.col("_db")).otherwise(F.col("_da")).alias("_dv"),
+    ).localCheckpoint(eager=True)
+    # wedges at the low-rank apex: (v1, v2) with rank(v1) < rank(v2),
+    # so the closing edge, if present, is oriented exactly v1 -> v2
+    o2 = o.select(
+        F.col("_u").alias("_u2"),
+        F.col("_v").alias("_w"),
+        F.col("_dv").alias("_dw"),
+    )
+    wedges = o.join(o2, F.col("_u") == F.col("_u2")).filter(
+        (F.col("_dv") < F.col("_dw"))
+        | ((F.col("_dv") == F.col("_dw")) & (F.col("_v") < F.col("_w")))
+    )
+    tri = wedges.join(
+        o.select(F.col("_u").alias("_v"), F.col("_v").alias("_w")),
+        ["_v", "_w"],
+    ).select("_u", "_v", "_w")
+    out = (
+        tri.select(F.col("_u").alias("node"))
+        .unionAll(tri.select(F.col("_v").alias("node")))
+        .unionAll(tri.select(F.col("_w").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("triangles"))
+    )
+    return out

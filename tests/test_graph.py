@@ -78,3 +78,66 @@ def test_validation(spark):
         pagerank(df, damping=1.0)
     with pytest.raises(ValueError):
         pagerank(df, iters=0)
+
+
+# --- triangle_counts ---
+
+from codeindex_spark.ops.graph import triangle_counts  # noqa: E402
+
+
+def _brute_triangles(edges):
+    import itertools
+
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                out[n] = out.get(n, 0) + 1
+    return out
+
+
+def test_triangles_k4_pendant(spark):
+    # K4 + pendant: each K4 node in C(3,2)=3 triangles, pendant none;
+    # reversed duplicates and a self-loop must collapse/drop
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (4, 5), (2, 1), (3, 3),
+    ]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangles_random_matches_brute_force(spark):
+    import random
+
+    random.seed(11)
+    nodes = list(range(40))
+    edges = sorted(
+        {
+            (a, b)
+            for a in nodes
+            for b in nodes
+            if a < b and random.random() < 0.15
+        }
+    )
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+    assert got == _brute_triangles(edges)
+
+
+def test_triangles_partition_invariance(spark):
+    edges = [(i, (i + k) % 17) for i in range(17) for k in (1, 2, 4)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    a = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+    b = {
+        r["node"]: r["triangles"]
+        for r in triangle_counts(df.repartition(9)).collect()
+    }
+    assert a == b and sum(a.values()) % 3 == 0 and a

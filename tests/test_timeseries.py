@@ -111,3 +111,98 @@ def test_validation(spark):
         asof_join(left, right, on=["user_id"], direction="sideways")
     with pytest.raises(ValueError):
         asof_join(left, right, on=["user_id"], tolerance_seconds=-1.0)
+
+
+# --- interval_join ---
+
+from codeindex_spark.ops.timeseries import interval_join  # noqa: E402
+
+
+def _ij_frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u", 0, 100),
+            (2, "u", 150, 250),
+            (3, "v", 0, 50),
+            (4, "u", 5_000_000, 5_000_001),
+            (5, "u", 10, 5),  # inverted -> dropped
+        ],
+        "lid int, user string, s long, e long",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "u", 90, 160),
+            (11, "u", 300, 400),
+            (12, "v", 50, 60),
+            (13, "w", 0, 10**12),
+        ],
+        "rid int, user string, s long, e long",
+    )
+    return left, right
+
+
+def _ij_pairs(df):
+    return sorted(
+        (r["lid"], r["rid"], r["overlap_us"]) for r in df.collect()
+    )
+
+
+def test_interval_join_overlaps_and_emit_once(spark):
+    left, right = _ij_frames(spark)
+    # 100us buckets: pair (1,10) shares buckets 0 and 1 -> must emit once
+    out = interval_join(
+        left, right, ["user"], "s", "e", "s", "e", bucket_seconds=1e-4
+    )
+    assert _ij_pairs(out) == [(1, 10, 10), (2, 10, 10), (3, 12, 0)]
+
+
+def test_interval_join_bucket_width_invariance(spark):
+    left, right = _ij_frames(spark)
+    outs = [
+        _ij_pairs(
+            interval_join(
+                left, right, ["user"], "s", "e", "s", "e",
+                bucket_seconds=w,
+            )
+        )
+        for w in (3e-5, 1e-3, 3600.0)
+    ]
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_interval_join_matches_brute_force(spark):
+    import random
+
+    random.seed(3)
+    lrows, rrows = [], []
+    for i in range(120):
+        k = random.choice("abc")
+        s = random.randrange(0, 10_000)
+        lrows.append((i, k, s, s + random.randrange(0, 800)))
+    for j in range(120):
+        k = random.choice("abc")
+        s = random.randrange(0, 10_000)
+        rrows.append((j, k, s, s + random.randrange(0, 800)))
+    left = spark.createDataFrame(lrows, "lid int, user string, s long, e long")
+    right = spark.createDataFrame(rrows, "rid int, user string, s long, e long")
+    want = sorted(
+        (li, rj, min(le, re2) - max(ls, rs))
+        for (li, lk, ls, le) in lrows
+        for (rj, rk, rs, re2) in rrows
+        if lk == rk and ls <= re2 and rs <= le
+    )
+    out = interval_join(
+        left, right, ["user"], "s", "e", "s", "e", bucket_seconds=5e-4
+    )
+    assert _ij_pairs(out) == want
+
+
+def test_interval_join_validation(spark):
+    left, right = _ij_frames(spark)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        interval_join(left, right, [], "s", "e", "s", "e")
+    with _pt.raises(ValueError):
+        interval_join(left, right, ["user"], "s", "e", "s", "e",
+                      bucket_seconds=0)
