@@ -335,6 +335,21 @@ def _q_bool_clauses(spark, sf_dir):
     return _orig_ids(eng, eng.score("+merge batch -spark"), extra=_SCORE())
 
 
+def _q_synonym_blend(spark, sf_dir):
+    # Lucene SynonymQuery (lucene/core SynonymQuery.java public
+    # semantics): the group scores as ONE pseudo-term — member term
+    # frequencies SUM per doc BEFORE BM25 saturation, blended docFreq
+    # = MAX over members. Observably different from 'fast OR sort'
+    # (which saturates each term separately, then sums). Built
+    # programmatically: Lucene emits these from analyzer synonym
+    # graphs, not parser syntax.
+    from codeindex_spark.query import ast
+
+    eng = _engine(spark, sf_dir)
+    node = ast.Synonyms(("fast", "sort"))
+    return _orig_ids(eng, eng.score(node), extra=_SCORE())
+
+
 def _q_wildcard(spark, sf_dir):
     eng = _engine(spark, sf_dir)
     return _orig_ids(eng, eng.score("sc*"), extra=_SCORE())
@@ -2116,6 +2131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verified by the most recent round's artifact go after the cap
     # (tools/check_entry.py still covers all of them locally).
     return {
+        "q34_synonym_blend": _q_synonym_blend,
         "px_line_dedup": _q_line_dedup,
         "dd_bloom_contamination": _q_bloom_contamination,
         "rel_asof": _q_asof,
@@ -3269,6 +3285,30 @@ def oracle_sql() -> dict[str, str]:
                    (nb_logodds >= 0) AS kept
             FROM fin""",
         "q01_bm25_topk": "WITH " + _BM25.format(term="spark", k=10),
+        # SynonymQuery blend: tf = summed member tf per doc (one
+        # count over the member set), df = MAX member docFreq; then
+        # the ordinary BM25 expression with the engine's float op
+        # order (idf first, saturation on the summed tf)
+        "q34_synonym_blend": f"""WITH {_TOK},
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+            nn AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+            ad AS (SELECT sum(dl)::DOUBLE / (SELECT n_docs FROM nn) AS avgdl
+                   FROM dl),
+            tf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tok
+                   WHERE term IN ('fast', 'sort') GROUP BY doc_id),
+            dfm AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+                    FROM tok WHERE term IN ('fast', 'sort') GROUP BY term),
+            dfq AS (SELECT max(df) AS df FROM dfm)
+            SELECT tf.doc_id,
+                   round(
+                     ln(1.0::DOUBLE + ((SELECT n_docs FROM nn)
+                          - (SELECT df FROM dfq) + 0.5::DOUBLE)
+                        / ((SELECT df FROM dfq) + 0.5::DOUBLE))
+                     * (tf.tf * (1.2::DOUBLE + 1.0::DOUBLE)
+                        / (tf.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+                           + 0.75::DOUBLE * dl.dl / (SELECT avgdl FROM ad)))),
+                   6) AS score
+            FROM tf JOIN dl USING (doc_id)""",
         "q02_bool_and": f"""WITH {_CONTRIB}
             SELECT doc_id, round(sum(c), 6) AS score FROM contrib
             WHERE term IN ('merge', 'batch')

@@ -34,8 +34,8 @@ from dataclasses import dataclass, field
 from typing import Union
 
 Node = Union[
-    "Term", "Wildcard", "Regexp", "Fuzzy", "Range", "Phrase", "And", "Or", "Not",
-    "Bool",
+    "Term", "Wildcard", "Regexp", "Fuzzy", "Range", "Phrase", "Synonyms",
+    "And", "Or", "Not", "Bool",
 ]
 
 # user-facing field names (reference SearchRequest.cs:6-28) -> index fields
@@ -79,6 +79,22 @@ class Regexp:
     uppercase literals simply match nothing there."""
 
     pattern: str
+    field: str = DEFAULT_FIELD
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Synonyms:
+    """Lucene SynonymQuery (public semantics, lucene/core
+    SynonymQuery.java): the group scores as ONE pseudo-term — the
+    members' term frequencies SUM per doc BEFORE BM25 saturation and
+    the blended docFreq is the MAX of the members' docFreqs — unlike
+    an OR over the same terms, which saturates each term separately
+    and sums the scores. Lucene produces these from analyzer synonym
+    graphs, not parser syntax, so there is no query-string form here
+    either; build the node programmatically."""
+
+    terms: tuple[str, ...]
     field: str = DEFAULT_FIELD
     boost: float = 1.0
 
@@ -182,7 +198,9 @@ def apply_boost(node: Node, factor: float) -> Node:
     bound is computed from per-leaf idf, which carries the boost."""
     from dataclasses import replace
 
-    if isinstance(node, (Term, Wildcard, Regexp, Fuzzy, Range, Phrase)):
+    if isinstance(
+        node, (Term, Wildcard, Regexp, Fuzzy, Range, Phrase, Synonyms)
+    ):
         return replace(node, boost=node.boost * factor)
     if isinstance(node, And):
         return And(tuple(apply_boost(c, factor) for c in node.children))
@@ -783,7 +801,9 @@ def parse_phrase_query(
 
 
 def collect_leaves(node: Node) -> list[Node]:
-    if isinstance(node, (Term, Wildcard, Regexp, Fuzzy, Range, Phrase)):
+    if isinstance(
+        node, (Term, Wildcard, Regexp, Fuzzy, Range, Phrase, Synonyms)
+    ):
         return [node]
     if isinstance(node, (And, Or)):
         out = []

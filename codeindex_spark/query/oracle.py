@@ -207,6 +207,25 @@ class OracleIndex:
                 for d, s in self._term_scores(node.field, t).items():
                     out[d] = out.get(d, 0.0) + s * boost
             return out
+        if isinstance(node, ast.Synonyms):
+            # Lucene SynonymQuery blend: tf sums BEFORE saturation,
+            # idf from docFreq = max over members present in the dict
+            fld = node.field
+            present = [t for t in node.terms if t in self.postings[fld]]
+            if not present:
+                return {}
+            n, _ = self.stats[fld]
+            idf = idf_bm25(
+                n, max(len(self.postings[fld][t]) for t in present)
+            ) * float(getattr(node, "boost", 1.0))
+            tf_by_doc: dict[int, int] = {}
+            for t in present:
+                for d, pos in self.postings[fld][t].items():
+                    tf_by_doc[d] = tf_by_doc.get(d, 0) + len(pos)
+            return {
+                d: idf * self._tfnorm(fld, d, tf)
+                for d, tf in tf_by_doc.items()
+            }
         if isinstance(node, ast.Phrase):
             return self._eval_phrase(node)
         if isinstance(node, ast.And):

@@ -631,6 +631,14 @@ class SearchEngine:
             elif isinstance(leaf, ast.Term):
                 wants.append((lid, fld, -1, leaf.term, True))
                 exact_terms.setdefault(fld, set()).add(leaf.term)
+            elif isinstance(leaf, ast.Synonyms):
+                # one want for the whole group (slot=-2): blending
+                # needs every member's df at once
+                if not leaf.terms:
+                    raise ValueError("Synonyms needs at least one term")
+                wants.append((lid, fld, -2, tuple(leaf.terms), True))
+                for t in leaf.terms:
+                    exact_terms.setdefault(fld, set()).add(t)
             else:
                 wants.append((lid, fld, -1, leaf, False))
 
@@ -641,6 +649,31 @@ class SearchEngine:
         for lid, fld, slot_idx, spec, exact in wants:
             leaf_boost = boost_by_id[lid]
             n_docs, _ = self.reader.field_stats(fld)
+            if slot_idx == -2:
+                # SynonymQuery blend: docFreq = MAX over members that
+                # exist in the dictionary; one posting row per member,
+                # all carrying the BLENDED idf (tf merges in-kernel)
+                present = [
+                    (t, exact_df.get((fld, t)))
+                    for t in spec
+                    if exact_df.get((fld, t)) is not None
+                ]
+                if not present:
+                    continue
+                idf_blend = idf_bm25(
+                    n_docs, max(d for _, d in present)
+                ) * leaf_boost
+                for term, _ in present:
+                    rows.append(
+                        {
+                            "field": fld,
+                            "term": term,
+                            "leaf_id": lid,
+                            "slot": -2,
+                            "idf": idf_blend,
+                        }
+                    )
+                continue
             if exact:
                 df = exact_df.get((fld, spec))
                 expansions = [(spec, df)] if df is not None else []
@@ -789,6 +822,9 @@ class SearchEngine:
                             all_exact.setdefault(leaf.field, set()).add(slot)
                 elif isinstance(leaf, ast.Term):
                     all_exact.setdefault(leaf.field, set()).add(leaf.term)
+                elif isinstance(leaf, ast.Synonyms):
+                    for t in leaf.terms:
+                        all_exact.setdefault(leaf.field, set()).add(t)
         shared_df = self._lookup_exact_df(all_exact)
         for qname, root in roots.items():
             rows, leaf_ids = self._plan_rows(root, exact_df=shared_df)
@@ -920,7 +956,10 @@ class SearchEngine:
         every evaluation mode (term/AND/OR/phrase) sums at most every
         leaf contribution and phrase adjacency only removes docs. So
         dropping blocks with UB(B) < θ (θ = k-th score of a seed set)
-        can never evict a true top-k doc.
+        can never evict a true top-k doc. Synonym groups stay sound
+        too: BM25's tf-saturation is concave with TF(0)=0, hence
+        subadditive, so idf·TF(Σtf) <= Σ idf·TF(tf_t) <= the summed
+        per-row bound (synonym rows carry the blended idf).
 
         Phases (3 small jobs instead of decoding every block):
           1. block metadata agg (no decode) -> per-block UB;
@@ -1785,9 +1824,11 @@ def _decode_body(body: pd.DataFrame, avgdl, k1, b, block_size, need_pos):
     ).astype(np.float64)
     avgdl_e = np.repeat(body["field"].map(avgdl).to_numpy(dtype=np.float64), counts)
     idf_e = np.repeat(body["idf"].to_numpy(dtype=np.float64), counts)
-    contrib = idf_e * (
-        tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl_e))
-    )
+    # norms split out (same float op order as the fused expression):
+    # synonym leaves re-saturate on the SUMMED tf, so they need the
+    # raw tf and norm, not the per-term contrib
+    norms = k1 * (1.0 - b + b * dls / avgdl_e)
+    contrib = idf_e * (tfs * (k1 + 1.0) / (tfs + norms))
     entry_ends = np.cumsum(counts)
     entry_starts = entry_ends - counts
     out = {
@@ -1795,6 +1836,8 @@ def _decode_body(body: pd.DataFrame, avgdl, k1, b, block_size, need_pos):
         "block_ids": block_ids,
         "docs": docs,
         "contrib": contrib,
+        "tfs": tfs,
+        "norms": norms,
         "entry_starts": entry_starts,
         "entry_ends": entry_ends,
     }
@@ -1884,7 +1927,7 @@ def _make_tree_batch_kernel(root, leaf_ids, avgdl, k1, b, block_size):
         if isinstance(
             node,
             (ast.Term, ast.Wildcard, ast.Regexp, ast.Fuzzy, ast.Range,
-             ast.Phrase),
+             ast.Phrase, ast.Synonyms),
         ):
             return leaf_data.get(id_of[node], (_EMPTY_D, _EMPTY_S))
         if isinstance(node, ast.And):
@@ -1949,6 +1992,7 @@ def _make_tree_batch_kernel(root, leaf_ids, avgdl, k1, b, block_size):
         bids = dec["block_ids"]
         leaf_r = body["leaf_id"].to_numpy(dtype=np.int64)
         slot_r = body["slot"].to_numpy(dtype=np.int64)
+        idf_r = body["idf"].to_numpy(dtype=np.float64)
         es_r, ee_r = dec["entry_starts"], dec["entry_ends"]
         docs_all, contrib_all = dec["docs"], dec["contrib"]
         run_starts = np.flatnonzero(
@@ -1959,11 +2003,23 @@ def _make_tree_batch_kernel(root, leaf_ids, avgdl, k1, b, block_size):
         for rs, re_ in zip(run_starts, run_ends):
             simple: dict[int, list] = {}
             phrase: dict[int, list] = {}
+            syn: dict[int, list] = {}
             for row in range(rs, re_):
                 es, ee = es_r[row], ee_r[row]
                 docs = docs_all[es:ee]
                 contrib = contrib_all[es:ee]
-                if slot_r[row] < 0:
+                if slot_r[row] == -2:
+                    # synonym member row: keep raw tf + norm so the
+                    # group saturates ONCE on the summed tf
+                    syn.setdefault(leaf_r[row], []).append(
+                        (
+                            docs,
+                            dec["tfs"][es:ee],
+                            dec["norms"][es:ee],
+                            idf_r[row],
+                        )
+                    )
+                elif slot_r[row] < 0:
                     simple.setdefault(leaf_r[row], []).append((docs, contrib))
                 else:
                     pc = dec["pcounts"][es:ee]
@@ -1980,6 +2036,18 @@ def _make_tree_batch_kernel(root, leaf_ids, avgdl, k1, b, block_size):
                     cat_s = np.concatenate([p[1] for p in parts])
                     docs, inv = np.unique(cat_d, return_inverse=True)
                     leaf_data[lid] = (docs, np.bincount(inv, weights=cat_s))
+            for lid, parts in syn.items():
+                cat_d = np.concatenate([p[0] for p in parts])
+                cat_tf = np.concatenate([p[1] for p in parts])
+                cat_n = np.concatenate([p[2] for p in parts])
+                docs, inv = np.unique(cat_d, return_inverse=True)
+                tf = np.bincount(inv, weights=cat_tf)
+                norm = np.zeros(docs.size)
+                norm[inv] = cat_n  # same doc -> same dl -> same norm
+                idf = parts[0][3]  # blended idf, identical on all rows
+                leaf_data[lid] = (
+                    docs, idf * (tf * (k1 + 1.0) / (tf + norm))
+                )
             for lid, parts in phrase.items():
                 leaf_data[lid] = _eval_phrase(
                     parts,

@@ -1,0 +1,141 @@
+"""SynonymQuery semantics (Lucene lucene/core SynonymQuery.java,
+public behavior): the group scores as ONE pseudo-term — member term
+frequencies SUM per doc BEFORE BM25 tf-saturation, and the blended
+docFreq is the MAX over the members' docFreqs. This is observably
+different from an OR over the same terms (which saturates each term
+separately and sums scores): engine and pure-Python oracle must agree
+to 1e-9, and both must exhibit the blend-vs-OR gap.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from codeindex_spark.corpus import CorpusSpec, generate_documents, spark_documents
+from codeindex_spark.index.build import IndexParams
+from codeindex_spark.index.segments import IndexBuilder, IndexReader
+from codeindex_spark.query import ast
+from codeindex_spark.query.oracle import OracleIndex
+from codeindex_spark.query.planner import SearchEngine
+
+SPEC = CorpusSpec(n_docs=120)
+PARAMS = IndexParams(num_buckets=16, block_size=32)
+K = 50
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("synidx"))
+    docs = spark_documents(spark, SPEC, partitions=4)
+    IndexBuilder(spark, d, PARAMS, n_groups=2).build(docs, resume=False)
+    return SearchEngine(IndexReader(spark, d))
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    return OracleIndex.build(
+        generate_documents(SPEC),
+        num_buckets=PARAMS.num_buckets,
+        block_size=PARAMS.block_size,
+        k1=PARAMS.k1,
+        b=PARAMS.b,
+    )
+
+
+def _ranked(engine_df):
+    return [(r["doc_id"], r["score"]) for r in engine_df.collect()]
+
+
+def assert_rank_identical(engine_df, oracle_ranked, k=K):
+    got = _ranked(engine_df)
+    exp = oracle_ranked[:k]
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    for (gd, gs), (_, es) in zip(got, exp):
+        assert gs == pytest.approx(es, rel=1e-9), (gd, gs, es)
+
+
+SYN_CASES = [
+    ast.Synonyms(("get", "set")),
+    ast.Synonyms(("string", "return")),
+    ast.Synonyms(("index", "writer", "document")),
+    # one member missing from the dictionary: ignored, df-max over
+    # the present ones only
+    ast.Synonyms(("get", "zzz_not_a_token_qq")),
+]
+
+
+@pytest.mark.parametrize("node", SYN_CASES, ids=lambda n: "|".join(n.terms))
+def test_synonyms_rank_identity(engine, oracle, node):
+    assert oracle.search(node, k=K), "fixture must match something"
+    assert_rank_identical(engine.search(node, k=K), oracle.search(node, k=K))
+
+
+def test_synonyms_differ_from_or(engine, oracle):
+    """The blend must NOT equal the OR score on docs containing both
+    members (per-term saturation vs saturation of the summed tf), and
+    engine/oracle must agree on both shapes."""
+    syn = ast.Synonyms(("get", "string"))
+    orq = ast.Or((ast.Term("get"), ast.Term("string")))
+    syn_scores = dict(oracle.search(syn, k=10_000))
+    or_scores = dict(oracle.search(orq, k=10_000))
+    both = [
+        d
+        for d in syn_scores
+        if d in oracle.eval(ast.Term("get"))
+        and d in oracle.eval(ast.Term("string"))
+    ]
+    assert both, "fixture needs docs containing both members"
+    # concave saturation: blend of summed tf <= sum of saturated terms
+    # when idfs equal; with df-max blending strict inequality holds on
+    # any doc holding both members
+    assert all(
+        syn_scores[d] != pytest.approx(or_scores[d], rel=1e-9) for d in both
+    )
+    assert_rank_identical(engine.search(syn, k=K), oracle.search(syn, k=K))
+    assert_rank_identical(engine.search(orq, k=K), oracle.search(orq, k=K))
+
+
+def test_synonyms_inside_bool_tree(engine, oracle):
+    q = ast.And((ast.Synonyms(("get", "set")), ast.Term("index")))
+    assert oracle.search(q, k=K)
+    assert_rank_identical(engine.search(q, k=K), oracle.search(q, k=K))
+    q2 = ast.Or((ast.Synonyms(("string", "return")), ast.Term("writer")))
+    assert_rank_identical(engine.search(q2, k=K), oracle.search(q2, k=K))
+
+
+def test_synonyms_boost(engine, oracle):
+    plain = ast.Synonyms(("get", "set"))
+    boosted = ast.Synonyms(("get", "set"), boost=2.5)
+    p = dict(oracle.search(plain, k=10_000))
+    b = dict(oracle.search(boosted, k=10_000))
+    assert set(p) == set(b)
+    for d, s in p.items():
+        assert b[d] == pytest.approx(2.5 * s, rel=1e-12)
+    assert_rank_identical(engine.search(boosted, k=K), oracle.search(boosted, k=K))
+
+
+def test_single_member_equals_term(engine, oracle):
+    """A one-member group degenerates to the plain term query (same
+    df, same tf) — engine and oracle both."""
+    syn = ast.Synonyms(("writer",))
+    term = ast.Term("writer")
+    assert oracle.search(syn, k=K) == oracle.search(term, k=K)
+    assert _ranked(engine.search(syn, k=K)) == _ranked(engine.search(term, k=K))
+
+
+def test_all_members_missing_is_empty(engine, oracle):
+    syn = ast.Synonyms(("zz_qq_none", "zz_qq_none2"))
+    assert oracle.search(syn, k=K) == []
+    assert engine.search(syn, k=K).count() == 0
+
+
+def test_synonyms_wand_topk_sound(engine, oracle):
+    """Block-max WAND must return the exact top-k for a synonym group:
+    the per-row UB remains an upper bound because BM25 saturation is
+    concave/subadditive (see search_wand docstring)."""
+    q = ast.Or((ast.Synonyms(("get", "string")), ast.Term("index")))
+    exp = oracle.search(q, k=10)
+    got = _ranked(engine.search_wand(q, k=10))
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    for (_, gs), (_, es) in zip(got, exp):
+        assert gs == pytest.approx(es, rel=1e-9)
