@@ -350,6 +350,18 @@ def _q_synonym_blend(spark, sf_dir):
     return _orig_ids(eng, eng.score(node), extra=_SCORE())
 
 
+def _q_span_first(spark, sf_dir):
+    # Lucene SpanFirstQuery (lucene SpanFirstQuery.java public
+    # semantics): match 'sort' only at 0-based token position < 30
+    # (span end <= 30); freq = the restricted occurrence count, idf
+    # from the term's FULL docFreq (SpanWeight term statistics).
+    # Programmatic node — Lucene span queries have no parser syntax.
+    from codeindex_spark.query import ast
+
+    eng = _engine(spark, sf_dir)
+    return _orig_ids(eng, eng.score(ast.SpanFirst("sort", 30)), extra=_SCORE())
+
+
 def _q_wildcard(spark, sf_dir):
     eng = _engine(spark, sf_dir)
     return _orig_ids(eng, eng.score("sc*"), extra=_SCORE())
@@ -2132,6 +2144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (tools/check_entry.py still covers all of them locally).
     return {
         "q34_synonym_blend": _q_synonym_blend,
+        "q35_span_first": _q_span_first,
         "px_line_dedup": _q_line_dedup,
         "dd_bloom_contamination": _q_bloom_contamination,
         "rel_asof": _q_asof,
@@ -3285,6 +3298,28 @@ def oracle_sql() -> dict[str, str]:
                    (nb_logodds >= 0) AS kept
             FROM fin""",
         "q01_bm25_topk": "WITH " + _BM25.format(term="spark", k=10),
+        # SpanFirstQuery: tf = occurrences at 1-based pos <= 30
+        # (engine's 0-based pos < 30), idf from the FULL docFreq —
+        # note dfq counts the term ANYWHERE, tf only the early window
+        "q35_span_first": f"""WITH {_TOK},
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+            nn AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+            ad AS (SELECT sum(dl)::DOUBLE / (SELECT n_docs FROM nn) AS avgdl
+                   FROM dl),
+            tf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tok
+                   WHERE term = 'sort' AND pos <= 30 GROUP BY doc_id),
+            dfq AS (SELECT count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+                    WHERE term = 'sort')
+            SELECT tf.doc_id,
+                   round(
+                     ln(1.0::DOUBLE + ((SELECT n_docs FROM nn)
+                          - (SELECT df FROM dfq) + 0.5::DOUBLE)
+                        / ((SELECT df FROM dfq) + 0.5::DOUBLE))
+                     * (tf.tf * (1.2::DOUBLE + 1.0::DOUBLE)
+                        / (tf.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+                           + 0.75::DOUBLE * dl.dl / (SELECT avgdl FROM ad)))),
+                   6) AS score
+            FROM tf JOIN dl USING (doc_id)""",
         # SynonymQuery blend: tf = summed member tf per doc (one
         # count over the member set), df = MAX member docFreq; then
         # the ordinary BM25 expression with the engine's float op

@@ -35,7 +35,7 @@ from typing import Union
 
 Node = Union[
     "Term", "Wildcard", "Regexp", "Fuzzy", "Range", "Phrase", "Synonyms",
-    "And", "Or", "Not", "Bool",
+    "SpanFirst", "And", "Or", "Not", "Bool",
 ]
 
 # user-facing field names (reference SearchRequest.cs:6-28) -> index fields
@@ -95,6 +95,25 @@ class Synonyms:
     either; build the node programmatically."""
 
     terms: tuple[str, ...]
+    field: str = DEFAULT_FIELD
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanFirst:
+    """Lucene SpanFirstQuery over a single-term span (public
+    semantics, lucene SpanFirstQuery.java + SpanScorer): matches
+    docs where the term occurs with span end <= ``end`` — a
+    single-term span at 0-based position p has end p+1, so the match
+    condition is p < end. The restricted occurrence count is the
+    span freq (single-term spans have matchLength 0, slop factor 1),
+    scored BM25 with the term's FULL docFreq for idf (SpanWeight
+    builds idf from term statistics, not from the restricted match
+    set). Like Synonyms there is no query-string form — Lucene span
+    queries are built programmatically."""
+
+    term: str
+    end: int
     field: str = DEFAULT_FIELD
     boost: float = 1.0
 
@@ -199,7 +218,8 @@ def apply_boost(node: Node, factor: float) -> Node:
     from dataclasses import replace
 
     if isinstance(
-        node, (Term, Wildcard, Regexp, Fuzzy, Range, Phrase, Synonyms)
+        node,
+        (Term, Wildcard, Regexp, Fuzzy, Range, Phrase, Synonyms, SpanFirst),
     ):
         return replace(node, boost=node.boost * factor)
     if isinstance(node, And):
@@ -802,7 +822,8 @@ def parse_phrase_query(
 
 def collect_leaves(node: Node) -> list[Node]:
     if isinstance(
-        node, (Term, Wildcard, Regexp, Fuzzy, Range, Phrase, Synonyms)
+        node,
+        (Term, Wildcard, Regexp, Fuzzy, Range, Phrase, Synonyms, SpanFirst),
     ):
         return [node]
     if isinstance(node, (And, Or)):

@@ -226,6 +226,22 @@ class OracleIndex:
                 d: idf * self._tfnorm(fld, d, tf)
                 for d, tf in tf_by_doc.items()
             }
+        if isinstance(node, ast.SpanFirst):
+            # Lucene SpanFirstQuery: span end <= end, i.e. 0-based
+            # position < end; freq = restricted occurrence count,
+            # idf from the term's FULL docFreq (SpanWeight term stats)
+            fld = node.field
+            post = self.postings[fld].get(node.term, {})
+            if not post:
+                return {}
+            n, _ = self.stats[fld]
+            idf = idf_bm25(n, len(post)) * float(getattr(node, "boost", 1.0))
+            out = {}
+            for d, pos in post.items():
+                tf = sum(1 for p in pos if p < node.end)
+                if tf:
+                    out[d] = idf * self._tfnorm(fld, d, tf)
+            return out
         if isinstance(node, ast.Phrase):
             return self._eval_phrase(node)
         if isinstance(node, ast.And):

@@ -610,12 +610,12 @@ class SearchEngine:
             leaf_ids[leaf] = lid
             boost_by_id[lid] = float(getattr(leaf, "boost", 1.0))
             fld = leaf.field
-            if isinstance(leaf, ast.Phrase) and fld in getattr(
+            if isinstance(leaf, (ast.Phrase, ast.SpanFirst)) and fld in getattr(
                 self.params, "positionless", ()
             ):
                 raise ValueError(
                     f"field {fld!r} is indexed without positions; "
-                    "phrase queries are not supported on it"
+                    "positional queries are not supported on it"
                 )
             # exactness is a PARSER decision carried explicitly: a
             # Term may contain literal '*'/'?' chars (backslash
@@ -639,6 +639,14 @@ class SearchEngine:
                 wants.append((lid, fld, -2, tuple(leaf.terms), True))
                 for t in leaf.terms:
                     exact_terms.setdefault(fld, set()).add(t)
+            elif isinstance(leaf, ast.SpanFirst):
+                # slot=-3: exact-term posting row whose kernel pass
+                # counts only positions < end; idf stays the term's
+                # FULL-df idf (SpanWeight term statistics)
+                if leaf.end < 1:
+                    raise ValueError("SpanFirst end must be >= 1")
+                wants.append((lid, fld, -3, leaf.term, True))
+                exact_terms.setdefault(fld, set()).add(leaf.term)
             else:
                 wants.append((lid, fld, -1, leaf, False))
 
@@ -825,6 +833,8 @@ class SearchEngine:
                 elif isinstance(leaf, ast.Synonyms):
                     for t in leaf.terms:
                         all_exact.setdefault(leaf.field, set()).add(t)
+                elif isinstance(leaf, ast.SpanFirst):
+                    all_exact.setdefault(leaf.field, set()).add(leaf.term)
         shared_df = self._lookup_exact_df(all_exact)
         for qname, root in roots.items():
             rows, leaf_ids = self._plan_rows(root, exact_df=shared_df)
@@ -1921,13 +1931,18 @@ def _make_tree_batch_kernel(root, leaf_ids, avgdl, k1, b, block_size):
         for node, lid in leaf_ids.items()
         if isinstance(node, ast.Phrase)
     }
-    need_pos = bool(phrase_nslots)
+    spanfirst_end = {
+        lid: int(node.end)
+        for node, lid in leaf_ids.items()
+        if isinstance(node, ast.SpanFirst)
+    }
+    need_pos = bool(phrase_nslots) or bool(spanfirst_end)
 
     def eval_node(node, leaf_data):
         if isinstance(
             node,
             (ast.Term, ast.Wildcard, ast.Regexp, ast.Fuzzy, ast.Range,
-             ast.Phrase, ast.Synonyms),
+             ast.Phrase, ast.Synonyms, ast.SpanFirst),
         ):
             return leaf_data.get(id_of[node], (_EMPTY_D, _EMPTY_S))
         if isinstance(node, ast.And):
@@ -2019,6 +2034,29 @@ def _make_tree_batch_kernel(root, leaf_ids, avgdl, k1, b, block_size):
                             idf_r[row],
                         )
                     )
+                elif slot_r[row] == -3:
+                    # span-first row: count only positions < end,
+                    # re-saturate on the restricted tf (idf row value
+                    # is already the full-df idf)
+                    end = spanfirst_end[leaf_r[row]]
+                    pc = dec["pcounts"][es:ee]
+                    flat = dec["pos_all"][dec["p_cum"][es] : dec["p_cum"][ee]]
+                    hit = np.concatenate(
+                        ([0], np.cumsum((flat < end).astype(np.int64)))
+                    )
+                    ends = np.cumsum(pc)
+                    tf = (hit[ends] - hit[ends - pc]).astype(np.float64)
+                    keep = tf > 0
+                    if keep.any():
+                        norm = dec["norms"][es:ee][keep]
+                        sc = idf_r[row] * (
+                            tf[keep] * (k1 + 1.0) / (tf[keep] + norm)
+                        )
+                        simple.setdefault(leaf_r[row], []).append(
+                            (docs[keep], sc)
+                        )
+                    # no-hit rows add nothing: leaf_data.get() already
+                    # defaults the leaf to empty
                 elif slot_r[row] < 0:
                     simple.setdefault(leaf_r[row], []).append((docs, contrib))
                 else:

@@ -1,10 +1,16 @@
-"""SynonymQuery semantics (Lucene lucene/core SynonymQuery.java,
-public behavior): the group scores as ONE pseudo-term — member term
+"""Programmatic Lucene query nodes (no query-string form).
+
+SynonymQuery semantics (lucene/core SynonymQuery.java, public
+behavior): the group scores as ONE pseudo-term — member term
 frequencies SUM per doc BEFORE BM25 tf-saturation, and the blended
 docFreq is the MAX over the members' docFreqs. This is observably
 different from an OR over the same terms (which saturates each term
 separately and sums scores): engine and pure-Python oracle must agree
 to 1e-9, and both must exhibit the blend-vs-OR gap.
+
+SpanFirstQuery semantics (lucene SpanFirstQuery.java + SpanScorer):
+match only occurrences at 0-based position < end (span end <= end);
+freq = the restricted count, idf = the term's FULL docFreq.
 """
 
 from __future__ import annotations
@@ -127,6 +133,69 @@ def test_all_members_missing_is_empty(engine, oracle):
     syn = ast.Synonyms(("zz_qq_none", "zz_qq_none2"))
     assert oracle.search(syn, k=K) == []
     assert engine.search(syn, k=K).count() == 0
+
+
+SPAN_CASES = [
+    ast.SpanFirst("get", 5),
+    ast.SpanFirst("string", 20),
+    ast.SpanFirst("index", 12, boost=1.5),
+    ast.And((ast.SpanFirst("get", 15), ast.Term("writer"))),
+    ast.Or((ast.SpanFirst("sort", 8), ast.Synonyms(("string", "return")))),
+]
+
+
+@pytest.mark.parametrize("node", SPAN_CASES, ids=lambda n: repr(n)[:40])
+def test_span_first_rank_identity(engine, oracle, node):
+    assert oracle.search(node, k=K), "fixture must match something"
+    assert_rank_identical(engine.search(node, k=K), oracle.search(node, k=K))
+
+
+def test_span_first_restricts_matches(oracle):
+    """Tightening end can only shrink the match set, and a huge end
+    degenerates to the plain term query (same docs, same scores —
+    idf is the full-df idf in both)."""
+    loose = dict(oracle.search(ast.SpanFirst("get", 10**9), k=10_000))
+    tight = dict(oracle.search(ast.SpanFirst("get", 4), k=10_000))
+    term = dict(oracle.search(ast.Term("get"), k=10_000))
+    assert loose == term
+    assert set(tight) <= set(loose)
+    assert len(tight) < len(loose)
+    # a doc whose first 'get' sits past position 4 scores LESS than
+    # its unrestricted score; never more
+    for d, s in tight.items():
+        assert s <= loose[d] + 1e-12
+
+
+def test_span_first_engine_degenerate_end(engine):
+    big = [
+        (r["doc_id"], r["score"])
+        for r in engine.search(ast.SpanFirst("get", 10**9), k=K).collect()
+    ]
+    term = [
+        (r["doc_id"], r["score"])
+        for r in engine.search(ast.Term("get"), k=K).collect()
+    ]
+    assert big == term
+
+
+def test_span_first_validation(engine):
+    with pytest.raises(ValueError, match="end must be >= 1"):
+        engine.search(ast.SpanFirst("get", 0), k=5).collect()
+    with pytest.raises(ValueError, match="without positions"):
+        engine.search(
+            ast.SpanFirst("get", 5, field="content_camel"), k=5
+        ).collect()
+
+
+def test_span_first_wand_topk_sound(engine, oracle):
+    """WAND block bound (full-tf contribution) upper-bounds the
+    restricted span score, so span-first top-k stays exact."""
+    q = ast.Or((ast.SpanFirst("get", 10), ast.Term("index")))
+    exp = oracle.search(q, k=10)
+    got = _ranked(engine.search_wand(q, k=10))
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    for (_, gs), (_, es) in zip(got, exp):
+        assert gs == pytest.approx(es, rel=1e-9)
 
 
 def test_synonyms_wand_topk_sound(engine, oracle):
