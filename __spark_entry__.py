@@ -1453,6 +1453,17 @@ def _q_domain_stats(spark, sf_dir):
     )
 
 
+def _q_heavy_hitters(spark, sf_dir):
+    """Exact bigram heavy hitters (freq >= ceil(0.0012 * total
+    bigrams)) via per-partition Misra-Gries candidates + exact
+    recovery — never a full-vocabulary shuffle (ops/sketch.py)."""
+    from codeindex_spark.ops.sketch import heavy_hitters
+
+    return heavy_hitters(
+        _load(spark, sf_dir, "documents"), phi=0.0012, n=2
+    ).select("gram", "freq")
+
+
 def _q_keywords(spark, sf_dir):
     """TF-IDF keyword extraction (beyond-reference, the corpus-side
     sibling of more-like-this term selection): top-5 smooth-tf-idf
@@ -2145,6 +2156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q34_synonym_blend": _q_synonym_blend,
         "q35_span_first": _q_span_first,
+        "tx_heavy_hitters": _q_heavy_hitters,
         "px_line_dedup": _q_line_dedup,
         "dd_bloom_contamination": _q_bloom_contamination,
         "rel_asof": _q_asof,
@@ -3298,6 +3310,18 @@ def oracle_sql() -> dict[str, str]:
                    (nb_logodds >= 0) AS kept
             FROM fin""",
         "q01_bm25_topk": "WITH " + _BM25.format(term="spark", k=10),
+        # exact bigram heavy hitters: brute-force count + the same
+        # max(1, ceil(phi*total)) threshold the engine computes
+        "tx_heavy_hitters": f"""WITH {_TOK},
+            bg AS (SELECT a.doc_id, a.term || ' ' || b.term AS gram
+                   FROM tok a JOIN tok b
+                   ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+            t AS (SELECT gram, count(*)::BIGINT AS freq FROM bg
+                  GROUP BY gram),
+            n AS (SELECT sum(freq)::DOUBLE AS total FROM t)
+            SELECT gram, freq FROM t
+            WHERE freq >= greatest(
+              1, ceil(0.0012::DOUBLE * (SELECT total FROM n)))""",
         # SpanFirstQuery: tf = occurrences at 1-based pos <= 30
         # (engine's 0-based pos < 30), idf from the FULL docFreq —
         # note dfq counts the term ANYWHERE, tf only the early window

@@ -1,0 +1,157 @@
+"""Frequency sketching with exact recovery (heavy hitters).
+
+``heavy_hitters`` returns every n-gram whose corpus frequency is
+>= ceil(phi * total_grams) — EXACT results, without ever shuffling or
+collecting the full vocabulary:
+
+  pass 1 (map-only, bounded state): each input partition runs a
+    batched Misra-Gries summary with k = ceil(1/phi) + 1 counters over
+    its gram stream (Misra & Gries 1982; survey: Cormode &
+    Hadjieleftheriou, VLDB 2008). The batch decrement subtracts the
+    (k+1)-th largest count m from every counter and drops the
+    non-positive ones; at least k+1 counters hold >= m at that moment,
+    so each event removes >= m*(k+1) total mass and the cumulative
+    decrement is <= n_p/(k+1) per partition. Hence any gram with local
+    count > n_p/(k+1) survives its partition, and any gram with GLOBAL
+    count > N/(k+1) exceeds that local bar somewhere (averaging) — the
+    candidate union is a SUPERSET of the true heavy hitters because
+    ceil(phi*N) > N/(k+1) for k+1 > 1/phi. State: k counters per
+    partition; pass-1 output: <= k+1 rows per partition.
+  pass 2 (exact): re-count ONLY the candidate grams (broadcast
+    membership join), keep count >= ceil(phi*N). Partial aggregation
+    is map-side; the shuffle carries at most k*partitions distinct
+    keys instead of the vocabulary.
+
+Why this matters at 100 TB: boilerplate n-gram discovery (the input
+to filters like pipeline.line_frequency_filter) over a web corpus has
+a vocabulary far larger than executor memory; a groupBy over it is a
+full-vocabulary shuffle, and collecting it is impossible. Two bounded
+passes replace it. The reference engine has no sketch surface — this
+is a training-data curation operator beyond SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from codeindex_spark.ops._text import ws_tokens
+from codeindex_spark.util import ensure_parallelism
+
+__all__ = ["heavy_hitters", "gram_stream"]
+
+# MG state is per-partition and the candidate union is collected to
+# the driver: a phi small enough to need more counters than this
+# wants a CountSketch/CM-sketch design instead, not silent OOM
+MAX_COUNTERS = 1 << 20
+
+_SUMMARY_SCHEMA = T.StructType(
+    [
+        T.StructField("gram", T.StringType(), True),
+        T.StructField("n_part", T.LongType(), False),
+    ]
+)
+
+
+def gram_stream(
+    df: DataFrame, n: int = 1, text_col: str = "text", lower: bool = True
+) -> DataFrame:
+    """One row per (whitespace) n-gram occurrence: column ``gram``.
+    Intra-document grams only — windows never span documents. n=1 is
+    a plain explode; n>1 slices the token array per start position
+    (single-level lambda: nested higher-order-function lambdas
+    miscapture variables, see lm._order_gram_structs)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = ws_tokens(text_col, lower=lower)
+    if n == 1:
+        gram = toks
+    else:
+        gram = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    return df.select(F.explode(gram).alias("gram"))
+
+
+def _mg_summary(k: int):
+    """mapInPandas kernel: batched Misra-Gries with k counters over
+    the partition's gram stream, plus one null-gram row carrying the
+    partition's total gram count (so N needs no second scan)."""
+
+    def summarize(batches):
+        counts: dict[str, int] = {}
+        total = 0
+        for pdf in batches:
+            g = pdf["gram"].to_numpy()
+            total += g.size
+            u, c = np.unique(g, return_counts=True)
+            for t, ci in zip(u.tolist(), c.tolist()):
+                counts[t] = counts.get(t, 0) + int(ci)
+            if len(counts) > k:
+                vals = np.sort(
+                    np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+                )
+                # (k+1)-th largest == (len-k)-th smallest; subtracting
+                # it everywhere drops >= len-k counters to <= 0
+                m = int(vals[len(counts) - k - 1])
+                counts = {t: c2 - m for t, c2 in counts.items() if c2 > m}
+        yield pd.DataFrame(
+            {
+                "gram": list(counts.keys()) + [None],
+                "n_part": [0] * len(counts) + [total],
+            }
+        )
+
+    return summarize
+
+
+def heavy_hitters(
+    df: DataFrame,
+    phi: float,
+    n: int = 1,
+    text_col: str = "text",
+    lower: bool = True,
+    max_counters: int = MAX_COUNTERS,
+) -> DataFrame:
+    """Exact (gram, freq) rows for every n-gram with corpus frequency
+    >= max(1, ceil(phi * total_grams)). phi in (0, 1]."""
+    if not (0.0 < phi <= 1.0):
+        raise ValueError("phi must be in (0, 1]")
+    k = math.ceil(1.0 / phi) + 1
+    if k > max_counters:
+        raise ValueError(
+            f"phi={phi} needs {k} MG counters per partition (> "
+            f"{max_counters}); use a sketch with sublinear state "
+            "(CountSketch) for thresholds this small"
+        )
+    spark = df.sparkSession
+    grams = ensure_parallelism(gram_stream(df, n, text_col, lower))
+    summary = grams.mapInPandas(_mg_summary(k), schema=_SUMMARY_SCHEMA).collect()
+    total = sum(r["n_part"] for r in summary if r["gram"] is None)
+    cands = sorted({r["gram"] for r in summary if r["gram"] is not None})
+    if total == 0 or not cands:
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("gram", T.StringType(), False),
+                    T.StructField("freq", T.LongType(), False),
+                ]
+            ),
+        )
+    threshold = max(1, math.ceil(phi * total))
+    cand_df = spark.createDataFrame(
+        pd.DataFrame({"gram": cands})
+    )
+    return (
+        grams.join(F.broadcast(cand_df), "gram", "left_semi")
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= threshold)
+    )

@@ -45,6 +45,7 @@ from codeindex_spark.ops.analysis import repetition_stats
 from codeindex_spark.ops.dsir import dsir_log_weights, dsir_resample
 from codeindex_spark.ops.spans import remove_duplicate_spans
 from codeindex_spark.ops.similarity import semdedup
+from codeindex_spark.ops.sketch import heavy_hitters
 from pyspark.sql import functions as F
 
 cpus = {cpus}
@@ -98,6 +99,12 @@ OPS = {{
     "semdedup": lambda d: semdedup(
         d, dim=64, threshold=0.95, n_centroids=1024, sample=8192
     ).filter(F.col("kept")),
+    # heavy: bigram Misra-Gries candidates (map-only pass 1 with
+    # bounded state, eager at call time) + exact candidate re-count
+    # (pass 2) — both land inside the timed region because OP(docs)
+    # is called there; phi sized so k ~ 2001 counters/partition and
+    # real evictions happen on the code-corpus bigram vocabulary
+    "heavy": lambda d: heavy_hitters(d, phi=0.0005, n=2),
 }}
 OP = OPS[{op!r}]
 # untimed warmup: compile the plan shapes on a small slice
@@ -135,7 +142,7 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--op", default="minhash",
                     choices=["minhash", "repetition", "dsir", "spans",
-                             "semdedup"])
+                             "semdedup", "heavy"])
     args = ap.parse_args()
     levels = [int(x) for x in args.levels.split(",")]
     if len(levels) != 2 or levels[0] == levels[1]:
