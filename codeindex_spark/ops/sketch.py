@@ -62,21 +62,30 @@ def gram_stream(
     df: DataFrame, n: int = 1, text_col: str = "text", lower: bool = True
 ) -> DataFrame:
     """One row per (whitespace) n-gram occurrence: column ``gram``.
-    Intra-document grams only — windows never span documents. n=1 is
-    a plain explode; n>1 slices the token array per start position
-    (single-level lambda: nested higher-order-function lambdas
-    miscapture variables, see lm._order_gram_structs)."""
+    Intra-document grams only — windows never span documents.
+
+    Tokens are materialized ONCE per doc and windows come from an
+    exploded position column with a plain slice — the lm/dsir shape.
+    The obvious spelling (a higher-order-function lambda with the
+    split embedded) re-splits the doc per gram position because Spark
+    does not CSE through lambda bodies: measured 21 s vs 4 s for the
+    bigram stream of 50k code docs. The size >= n filter also keeps
+    sequence() from descending through 0 on too-short docs (slice
+    rejects start=0)."""
     if n < 1:
         raise ValueError("n must be >= 1")
-    toks = ws_tokens(text_col, lower=lower)
+    toks = df.select(ws_tokens(text_col, lower=lower).alias("_t")).filter(
+        F.size("_t") >= n
+    )
     if n == 1:
-        gram = toks
-    else:
-        gram = F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        )
-    return df.select(F.explode(gram).alias("gram"))
+        return toks.select(F.explode("_t").alias("gram"))
+    pos = toks.select(
+        "_t",
+        F.explode(F.sequence(F.lit(1), F.size("_t") - (n - 1))).alias("_i"),
+    )
+    return pos.select(
+        F.array_join(F.slice(F.col("_t"), F.col("_i"), n), " ").alias("gram")
+    )
 
 
 def _mg_summary(k: int):
@@ -85,26 +94,27 @@ def _mg_summary(k: int):
     partition's total gram count (so N needs no second scan)."""
 
     def summarize(batches):
-        counts: dict[str, int] = {}
+        # counters live in a pandas Series (gram -> count): the batch
+        # merge (value_counts + Series.add) and the decrement
+        # (np.partition + boolean mask) all run in C — no per-term
+        # Python loop anywhere
+        state: pd.Series | None = None
         total = 0
         for pdf in batches:
-            g = pdf["gram"].to_numpy()
-            total += g.size
-            u, c = np.unique(g, return_counts=True)
-            for t, ci in zip(u.tolist(), c.tolist()):
-                counts[t] = counts.get(t, 0) + int(ci)
-            if len(counts) > k:
-                vals = np.sort(
-                    np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
-                )
+            total += len(pdf)
+            vc = pdf["gram"].value_counts()
+            state = vc if state is None else state.add(vc, fill_value=0)
+            if len(state) > k:
+                vals = state.to_numpy()
                 # (k+1)-th largest == (len-k)-th smallest; subtracting
                 # it everywhere drops >= len-k counters to <= 0
-                m = int(vals[len(counts) - k - 1])
-                counts = {t: c2 - m for t, c2 in counts.items() if c2 > m}
+                m = np.partition(vals, len(vals) - k - 1)[len(vals) - k - 1]
+                state = state[vals > m] - m
+        grams = [] if state is None else state.index.to_list()
         yield pd.DataFrame(
             {
-                "gram": list(counts.keys()) + [None],
-                "n_part": [0] * len(counts) + [total],
+                "gram": grams + [None],
+                "n_part": [0] * len(grams) + [total],
             }
         )
 
