@@ -362,6 +362,31 @@ def _q_span_first(spark, sf_dir):
     return _orig_ids(eng, eng.score(ast.SpanFirst("sort", 30)), extra=_SCORE())
 
 
+def _q_dismax(spark, sf_dir):
+    # Lucene DisjunctionMaxQuery (DisjunctionMaxQuery.java public
+    # semantics): score = max child + tie_breaker * (sum of the other
+    # matching children) over the union — the "best field wins"
+    # query. Programmatic node; no classic-parser syntax.
+    from codeindex_spark.query import ast
+
+    eng = _engine(spark, sf_dir)
+    node = ast.DisMax((ast.Term("fast"), ast.Term("sort")), tie_breaker=0.3)
+    return _orig_ids(eng, eng.score(node), extra=_SCORE())
+
+
+def _q_constant_score(spark, sf_dir):
+    # Lucene ConstantScoreQuery: every doc matching the child scores
+    # exactly the boost (the query-as-filter wrapper / CONSTANT_SCORE
+    # multi-term rewrite). Programmatic node.
+    from codeindex_spark.query import ast
+
+    eng = _engine(spark, sf_dir)
+    node = ast.ConstantScore(
+        ast.Or((ast.Term("fast"), ast.Term("sort"))), boost=2.5
+    )
+    return _orig_ids(eng, eng.score(node), extra=_SCORE())
+
+
 def _q_wildcard(spark, sf_dir):
     eng = _engine(spark, sf_dir)
     return _orig_ids(eng, eng.score("sc*"), extra=_SCORE())
@@ -2156,6 +2181,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q34_synonym_blend": _q_synonym_blend,
         "q35_span_first": _q_span_first,
+        "q36_dismax": _q_dismax,
+        "q37_constant_score": _q_constant_score,
         "tx_heavy_hitters": _q_heavy_hitters,
         "px_line_dedup": _q_line_dedup,
         "dd_bloom_contamination": _q_bloom_contamination,
@@ -3322,6 +3349,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT gram, freq FROM t
             WHERE freq >= greatest(
               1, ceil(0.0012::DOUBLE * (SELECT total FROM n)))""",
+        # DisjunctionMaxQuery: max + tie*(sum - max) over the union,
+        # same float op order as the kernel
+        "q36_dismax": f"""WITH {_CONTRIB},
+            u AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot
+                  FROM contrib WHERE term IN ('fast', 'sort')
+                  GROUP BY doc_id)
+            SELECT doc_id, round(mx + 0.3::DOUBLE * (tot - mx), 6) AS score
+            FROM u""",
+        # ConstantScoreQuery: matching set of the child, constant score
+        "q37_constant_score": f"""WITH {_TOK}
+            SELECT DISTINCT doc_id, 2.5::DOUBLE AS score FROM tok
+            WHERE term IN ('fast', 'sort')""",
         # SpanFirstQuery: tf = occurrences at 1-based pos <= 30
         # (engine's 0-based pos < 30), idf from the FULL docFreq —
         # note dfq counts the term ANYWHERE, tf only the early window

@@ -35,7 +35,7 @@ from typing import Union
 
 Node = Union[
     "Term", "Wildcard", "Regexp", "Fuzzy", "Range", "Phrase", "Synonyms",
-    "SpanFirst", "And", "Or", "Not", "Bool",
+    "SpanFirst", "DisMax", "ConstantScore", "And", "Or", "Not", "Bool",
 ]
 
 # user-facing field names (reference SearchRequest.cs:6-28) -> index fields
@@ -166,6 +166,38 @@ class Phrase:
 
 
 @dataclass(frozen=True)
+class DisMax:
+    """Lucene DisjunctionMaxQuery (public semantics,
+    DisjunctionMaxQuery.java): matches the union of the children;
+    score = max(child scores) + tie_breaker * (sum of the OTHER
+    matching children's scores), 0 <= tie_breaker <= 1. tie=0 is the
+    pure max (the classic "don't double-count a term that appears in
+    several fields" query); tie=1 degenerates to Or. No boost field:
+    dismax is linear in the child scores, so a boost distributes into
+    the children exactly (apply_boost does that) — which also keeps
+    the WAND block bound sound: max + tie*rest <= sum(children) <=
+    the summed per-row bound. Built programmatically, like Lucene."""
+
+    children: tuple[Node, ...]
+    tie_breaker: float = 0.0
+
+
+@dataclass(frozen=True)
+class ConstantScore:
+    """Lucene ConstantScoreQuery (public semantics,
+    ConstantScoreQuery.java): every doc matching ``child`` scores
+    exactly ``boost``, regardless of tf/idf — the query-as-filter
+    wrapper (Lucene uses it for FILTER clauses and as
+    MultiTermQuery's CONSTANT_SCORE rewrite). Composes anywhere a
+    query can. WAND note: a constant boost is NOT bounded by the
+    BM25 block maxima, so search_wand falls back to exact scoring
+    when the tree contains one. Built programmatically."""
+
+    child: Node
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class And:
     children: tuple[Node, ...]
 
@@ -226,6 +258,16 @@ def apply_boost(node: Node, factor: float) -> Node:
         return And(tuple(apply_boost(c, factor) for c in node.children))
     if isinstance(node, Or):
         return Or(tuple(apply_boost(c, factor) for c in node.children))
+    if isinstance(node, DisMax):
+        # dismax is linear in child scores: boost*(max + tie*rest)
+        # == dismax over boosted children
+        return DisMax(
+            tuple(apply_boost(c, factor) for c in node.children),
+            node.tie_breaker,
+        )
+    if isinstance(node, ConstantScore):
+        # the constant IS the score: scale it, leave the child alone
+        return ConstantScore(node.child, node.boost * factor)
     if isinstance(node, Not):
         # the negative side only filters docs out; its scores are
         # never summed, so boosting it would change nothing
@@ -826,11 +868,13 @@ def collect_leaves(node: Node) -> list[Node]:
         (Term, Wildcard, Regexp, Fuzzy, Range, Phrase, Synonyms, SpanFirst),
     ):
         return [node]
-    if isinstance(node, (And, Or)):
+    if isinstance(node, (And, Or, DisMax)):
         out = []
         for c in node.children:
             out.extend(collect_leaves(c))
         return out
+    if isinstance(node, ConstantScore):
+        return collect_leaves(node.child)
     if isinstance(node, Not):
         return collect_leaves(node.positive) + collect_leaves(node.negative)
     if isinstance(node, Bool):

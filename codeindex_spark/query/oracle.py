@@ -242,6 +242,21 @@ class OracleIndex:
                 if tf:
                     out[d] = idf * self._tfnorm(fld, d, tf)
             return out
+        if isinstance(node, ast.DisMax):
+            # DisjunctionMaxQuery: max child + tie * (sum - max),
+            # same float op order as the kernel
+            tot: dict[int, float] = {}
+            mx: dict[int, float] = {}
+            for child in node.children:
+                for d, s in self.eval(child).items():
+                    tot[d] = tot.get(d, 0.0) + s
+                    if d not in mx or s > mx[d]:
+                        mx[d] = s
+            tie = node.tie_breaker
+            return {d: mx[d] + tie * (tot[d] - mx[d]) for d in tot}
+        if isinstance(node, ast.ConstantScore):
+            boost = float(node.boost)
+            return {d: boost for d in self.eval(node.child)}
         if isinstance(node, ast.Phrase):
             return self._eval_phrase(node)
         if isinstance(node, ast.And):

@@ -986,6 +986,16 @@ class SearchEngine:
         spark = self.reader.spark
         if candidates is None:
             return spark.createDataFrame([], SCORE_SCHEMA)
+        if _contains_constant_score(root):
+            # a ConstantScore boost is not bounded by the BM25 block
+            # maxima, so block pruning is unsound — score exactly
+            rows = (
+                self._score_stream(candidates, kernel)
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+                .collect()
+            )
+            return spark.createDataFrame(rows, schema=SCORE_SCHEMA)
         # Cache ONLY the per-block metadata aggregate (one small row
         # per block) — never the candidate posting rows themselves: a
         # stop-word-grade term's postings are enormous at scale, while
@@ -1804,6 +1814,26 @@ class SearchEngine:
 
 
 
+def _contains_constant_score(node) -> bool:
+    """True when the tree holds a ConstantScore wrapper anywhere: its
+    boost is not bounded by the BM25 block maxima, so block-max
+    pruning is unsound for it."""
+    if isinstance(node, ast.ConstantScore):
+        return True
+    if isinstance(node, (ast.And, ast.Or, ast.DisMax)):
+        return any(_contains_constant_score(c) for c in node.children)
+    if isinstance(node, ast.Not):
+        return _contains_constant_score(node.positive) or _contains_constant_score(
+            node.negative
+        )
+    if isinstance(node, ast.Bool):
+        return any(
+            _contains_constant_score(c)
+            for c in node.must + node.should + node.must_not
+        )
+    return False
+
+
 def _is_pure_disjunction(node) -> bool:
     """True when the tree is only Or / Term / Wildcard / Fuzzy — the
     semantics reduce to 'sum every matched leaf contribution per doc',
@@ -1966,6 +1996,27 @@ def _make_tree_batch_kernel(root, leaf_ids, avgdl, k1, b, block_size):
                 return _EMPTY_D, _EMPTY_S
             docs, inv = np.unique(cat_d, return_inverse=True)
             return docs, np.bincount(inv, weights=cat_s)
+        if isinstance(node, ast.DisMax):
+            # DisjunctionMaxQuery: max child + tie * (sum - max) over
+            # the union — child contributions are positive, so the
+            # -inf fill never leaks into a matched doc's max
+            alld, alls = [], []
+            for child in node.children:
+                d, s = eval_node(child, leaf_data)
+                alld.append(d)
+                alls.append(s)
+            cat_d = np.concatenate(alld) if alld else _EMPTY_D
+            cat_s = np.concatenate(alls) if alls else _EMPTY_S
+            if cat_d.size == 0:
+                return _EMPTY_D, _EMPTY_S
+            docs, inv = np.unique(cat_d, return_inverse=True)
+            total = np.bincount(inv, weights=cat_s)
+            mx = np.full(docs.size, -np.inf)
+            np.maximum.at(mx, inv, cat_s)
+            return docs, mx + node.tie_breaker * (total - mx)
+        if isinstance(node, ast.ConstantScore):
+            d, _ = eval_node(node.child, leaf_data)
+            return d, np.full(d.size, float(node.boost))
         if isinstance(node, ast.Not):
             dp, sp = eval_node(node.positive, leaf_data)
             dn, _ = eval_node(node.negative, leaf_data)

@@ -198,6 +198,92 @@ def test_span_first_wand_topk_sound(engine, oracle):
         assert gs == pytest.approx(es, rel=1e-9)
 
 
+DISMAX_CASES = [
+    ast.DisMax((ast.Term("get"), ast.Term("string"))),
+    ast.DisMax(
+        (ast.Term("get"), ast.Term("string"), ast.Term("index")),
+        tie_breaker=0.3,
+    ),
+    ast.And(
+        (ast.DisMax((ast.Term("get"), ast.Term("writer")), 0.5),
+         ast.Term("index"))
+    ),
+    ast.DisMax(
+        (ast.ConstantScore(ast.Term("get"), 0.5),
+         ast.Synonyms(("string", "return"))),
+        0.2,
+    ),
+]
+
+
+@pytest.mark.parametrize("node", DISMAX_CASES, ids=lambda n: repr(n)[:40])
+def test_dismax_rank_identity(engine, oracle, node):
+    assert oracle.search(node, k=K), "fixture must match something"
+    assert_rank_identical(engine.search(node, k=K), oracle.search(node, k=K))
+
+
+def test_dismax_tie_semantics(oracle):
+    """tie=0 is the pure max of the matching children; tie=1
+    degenerates to Or (same docs, same scores)."""
+    a, b = ast.Term("get"), ast.Term("string")
+    sa, sb = oracle.eval(a), oracle.eval(b)
+    dm0 = dict(oracle.search(ast.DisMax((a, b)), k=10_000))
+    for d, s in dm0.items():
+        assert s == pytest.approx(
+            max(sa.get(d, -1e30), sb.get(d, -1e30)), rel=1e-12
+        )
+    dm1 = oracle.search(ast.DisMax((a, b), 1.0), k=10_000)
+    orr = oracle.search(ast.Or((a, b)), k=10_000)
+    assert [d for d, _ in dm1] == [d for d, _ in orr]
+    for (_, x), (_, y) in zip(dm1, orr):
+        assert x == pytest.approx(y, rel=1e-12)
+
+
+def test_dismax_boost_distributes(oracle):
+    """apply_boost on a DisMax pushes into the children (linearity):
+    scores scale exactly."""
+    node = ast.DisMax((ast.Term("get"), ast.Term("string")), 0.4)
+    plain = dict(oracle.search(node, k=10_000))
+    boosted = dict(oracle.search(ast.apply_boost(node, 2.0), k=10_000))
+    assert set(plain) == set(boosted)
+    for d, s in plain.items():
+        assert boosted[d] == pytest.approx(2.0 * s, rel=1e-12)
+
+
+def test_constant_score(engine, oracle):
+    node = ast.ConstantScore(ast.Or((ast.Term("get"), ast.Term("string"))), 3.5)
+    got = _ranked(engine.search(node, k=K))
+    exp = oracle.search(node, k=K)
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    assert all(s == 3.5 for _, s in got)
+    # matching set == the child's matching set
+    child_docs = set(oracle.eval(node.child))
+    assert set(oracle.eval(node)) == child_docs
+    # apply_boost scales the constant, not the child
+    assert ast.apply_boost(node, 2.0) == ast.ConstantScore(node.child, 7.0)
+
+
+def test_constant_score_wand_falls_back_exact(engine, oracle):
+    """A constant boost above every BM25 block bound would break WAND
+    pruning; search_wand must detect the wrapper and return the exact
+    top-k anyway."""
+    q = ast.Or((ast.ConstantScore(ast.Term("get"), 50.0), ast.Term("index")))
+    exp = oracle.search(q, k=10)
+    got = _ranked(engine.search_wand(q, k=10))
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    for (_, gs), (_, es) in zip(got, exp):
+        assert gs == pytest.approx(es, rel=1e-9)
+
+
+def test_dismax_wand_topk_sound(engine, oracle):
+    """DisMax <= sum of children (tie <= 1), so the summed block
+    bound stays an upper bound and WAND pruning stays exact."""
+    q = ast.DisMax((ast.Term("get"), ast.Term("string")), 0.4)
+    exp = oracle.search(q, k=10)
+    got = _ranked(engine.search_wand(q, k=10))
+    assert [d for d, _ in got] == [d for d, _ in exp]
+
+
 def test_synonyms_wand_topk_sound(engine, oracle):
     """Block-max WAND must return the exact top-k for a synonym group:
     the per-row UB remains an upper bound because BM25 saturation is

@@ -217,7 +217,8 @@ def main() -> None:
                "repetition": "repetition_stats",
                "dsir": "dsir_log_weights+resample",
                "spans": "remove_duplicate_spans",
-               "semdedup": "semdedup"}[args.op],
+               "semdedup": "semdedup",
+               "heavy": "heavy_hitters(bigram, phi=5e-4)"}[args.op],
         "n_docs": args.docs,
         "protocol": (
             f"{args.runs} independent runs per level on the same "
