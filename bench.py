@@ -558,6 +558,14 @@ def main() -> None:
         )
         .agg(F.sum("pr"), F.count("*"))
         .collect(),
+        # agg over freq forces the exact re-count pass (a bare count
+        # would still run pass 1 eagerly but could prune pass 2's agg)
+        "op_heavy": lambda: __import__(
+            "codeindex_spark.ops.sketch", fromlist=["heavy_hitters"]
+        )
+        .heavy_hitters(docs_df, phi=0.0012, n=2)
+        .agg(F.sum("freq"), F.count("*"))
+        .collect(),
         "op_dsir": lambda: dsir_resample(
             dsir_log_weights(
                 docs_df,
@@ -591,6 +599,7 @@ def main() -> None:
         "op_components",
         "op_profile",
         "op_dsir",
+        "op_heavy",
         "op_semdedup",
         "op_url_dedup",
         "op_cluster_sample",

@@ -862,6 +862,44 @@ def parse_phrase_query(
     return _phrase(text, fld, lowercase=not case_sensitive)
 
 
+def expand_synonyms(node: Node, synonyms: dict[str, tuple[str, ...]]) -> Node:
+    """Query-time synonym expansion (the public behavior of Lucene's
+    SynonymGraphFilter applied at query time by QueryBuilder): every
+    Term whose text has an entry in ``synonyms`` is rewritten to a
+    SynonymQuery over {term} | synonyms[term], preserving field and
+    boost — which gives the Lucene blend (summed tf, max df), NOT an
+    OR. Other leaves (wildcard, fuzzy, phrase slots, ranges) are left
+    alone, exactly as Lucene's query-time analysis leaves multi-term
+    expansions alone. The mapping is directional: apply it to a
+    symmetric thesaurus by listing each member's full group."""
+    from dataclasses import replace as _replace
+
+    def walk(n: Node) -> Node:
+        if isinstance(n, Term):
+            group = synonyms.get(n.term)
+            if not group:
+                return n
+            members = (n.term, *[t for t in group if t != n.term])
+            return Synonyms(members, field=n.field, boost=n.boost)
+        if isinstance(n, (And, Or)):
+            return _replace(n, children=tuple(walk(c) for c in n.children))
+        if isinstance(n, DisMax):
+            return DisMax(tuple(walk(c) for c in n.children), n.tie_breaker)
+        if isinstance(n, ConstantScore):
+            return ConstantScore(walk(n.child), n.boost)
+        if isinstance(n, Not):
+            return Not(walk(n.positive), walk(n.negative))
+        if isinstance(n, Bool):
+            return Bool(
+                tuple(walk(c) for c in n.must),
+                tuple(walk(c) for c in n.should),
+                tuple(walk(c) for c in n.must_not),
+            )
+        return n
+
+    return walk(node)
+
+
 def collect_leaves(node: Node) -> list[Node]:
     if isinstance(
         node,

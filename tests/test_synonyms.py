@@ -198,6 +198,28 @@ def test_span_first_wand_topk_sound(engine, oracle):
         assert gs == pytest.approx(es, rel=1e-9)
 
 
+def test_expand_synonyms_rewrite(engine, oracle):
+    """Query-time synonym expansion: Terms with a mapping entry become
+    Synonyms groups (field+boost preserved), everything else is left
+    alone; the rewritten tree stays engine/oracle rank-identical."""
+    mapping = {"get": ("set",), "string": ("return",)}
+    parsed = ast.parse_query("get AND (string OR writ*)")
+    rewritten = ast.expand_synonyms(parsed, mapping)
+    assert rewritten == ast.And(
+        (
+            ast.Synonyms(("get", "set")),
+            ast.Or((ast.Synonyms(("string", "return")), ast.Wildcard("writ*"))),
+        )
+    )
+    # boost preserved; self-references deduped
+    b = ast.expand_synonyms(ast.Term("get", boost=2.0), {"get": ("get", "set")})
+    assert b == ast.Synonyms(("get", "set"), boost=2.0)
+    assert oracle.search(rewritten, k=K)
+    assert_rank_identical(
+        engine.search(rewritten, k=K), oracle.search(rewritten, k=K)
+    )
+
+
 DISMAX_CASES = [
     ast.DisMax((ast.Term("get"), ast.Term("string"))),
     ast.DisMax(
