@@ -387,6 +387,34 @@ def _q_constant_score(spark, sf_dir):
     return _orig_ids(eng, eng.score(node), extra=_SCORE())
 
 
+def _q_min_should_match(spark, sf_dir):
+    # Lucene BooleanQuery.Builder.setMinimumNumberShouldMatch(2)
+    # (public semantics, MinShouldMatchSumScorer): match docs holding
+    # >= 2 of the three SHOULD terms; score = sum of the MATCHING
+    # clause contributions (a filter, never a re-score). Programmatic
+    # — the classic parser has no syntax for msm.
+    from codeindex_spark.query import ast
+
+    eng = _engine(spark, sf_dir)
+    node = ast.Bool(
+        should=(ast.Term("fast"), ast.Term("sort"), ast.Term("merge")),
+        min_should_match=2,
+    )
+    return _orig_ids(eng, eng.score(node), extra=_SCORE())
+
+
+def _q_span_not(spark, sf_dir):
+    # Lucene SpanNotQuery (SpanNotQuery.java public semantics):
+    # occurrences of 'sort' with no 'merge' within a [-2, +2] token
+    # window; freq = surviving count, idf = the include term's FULL
+    # docFreq (SpanWeight term statistics). Programmatic span node.
+    from codeindex_spark.query import ast
+
+    eng = _engine(spark, sf_dir)
+    node = ast.SpanNot("sort", "merge", pre=2, post=2)
+    return _orig_ids(eng, eng.score(node), extra=_SCORE())
+
+
 def _q_wildcard(spark, sf_dir):
     eng = _engine(spark, sf_dir)
     return _orig_ids(eng, eng.score("sc*"), extra=_SCORE())
@@ -2179,6 +2207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verified by the most recent round's artifact go after the cap
     # (tools/check_entry.py still covers all of them locally).
     return {
+        "q38_min_should_match": _q_min_should_match,
+        "q39_span_not": _q_span_not,
         "q34_synonym_blend": _q_synonym_blend,
         "q35_span_first": _q_span_first,
         "q36_dismax": _q_dismax,
@@ -3364,6 +3394,43 @@ def oracle_sql() -> dict[str, str]:
         # SpanFirstQuery: tf = occurrences at 1-based pos <= 30
         # (engine's 0-based pos < 30), idf from the FULL docFreq —
         # note dfq counts the term ANYWHERE, tf only the early window
+        # minimumNumberShouldMatch(2): contrib has one row per
+        # (doc, matched term), so count(*) = number of matching
+        # SHOULD clauses; msm filters, the score stays the plain sum
+        "q38_min_should_match": f"""WITH {_CONTRIB},
+            sel AS (SELECT doc_id, sum(c) AS s, count(*) AS nm
+                    FROM contrib
+                    WHERE term IN ('fast', 'sort', 'merge')
+                    GROUP BY doc_id)
+            SELECT doc_id, round(s, 6) AS score FROM sel
+            WHERE nm >= 2""",
+        # SpanNotQuery: an include position survives iff no exclude
+        # position within [p-2, p+2] (window logic is base-invariant,
+        # so the 1-based tok.pos replay matches the engine's 0-based
+        # positions); tf = surviving count, idf from FULL include df
+        "q39_span_not": f"""WITH {_TOK},
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+            nn AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+            ad AS (SELECT sum(dl)::DOUBLE / (SELECT n_docs FROM nn) AS avgdl
+                   FROM dl),
+            tf AS (SELECT a.doc_id, count(*)::DOUBLE AS tf FROM tok a
+                   WHERE a.term = 'sort' AND NOT EXISTS (
+                     SELECT 1 FROM tok b
+                     WHERE b.doc_id = a.doc_id AND b.term = 'merge'
+                       AND b.pos BETWEEN a.pos - 2 AND a.pos + 2)
+                   GROUP BY a.doc_id),
+            dfq AS (SELECT count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+                    WHERE term = 'sort')
+            SELECT tf.doc_id,
+                   round(
+                     ln(1.0::DOUBLE + ((SELECT n_docs FROM nn)
+                          - (SELECT df FROM dfq) + 0.5::DOUBLE)
+                        / ((SELECT df FROM dfq) + 0.5::DOUBLE))
+                     * (tf.tf * (1.2::DOUBLE + 1.0::DOUBLE)
+                        / (tf.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+                           + 0.75::DOUBLE * dl.dl / (SELECT avgdl FROM ad)))),
+                   6) AS score
+            FROM tf JOIN dl USING (doc_id)""",
         "q35_span_first": f"""WITH {_TOK},
             dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
             nn AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),

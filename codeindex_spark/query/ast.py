@@ -35,7 +35,8 @@ from typing import Union
 
 Node = Union[
     "Term", "Wildcard", "Regexp", "Fuzzy", "Range", "Phrase", "Synonyms",
-    "SpanFirst", "DisMax", "ConstantScore", "And", "Or", "Not", "Bool",
+    "SpanFirst", "SpanNot", "DisMax", "ConstantScore", "And", "Or", "Not",
+    "Bool",
 ]
 
 # user-facing field names (reference SearchRequest.cs:6-28) -> index fields
@@ -114,6 +115,33 @@ class SpanFirst:
 
     term: str
     end: int
+    field: str = DEFAULT_FIELD
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanNot:
+    """Lucene SpanNotQuery over single-term spans (public semantics,
+    lucene SpanNotQuery.java ctor ``SpanNotQuery(include, exclude,
+    pre, post)``): matches occurrences of ``include`` whose span does
+    not overlap any ``exclude`` span, with the forbidden window
+    widened ``pre`` tokens before and ``post`` tokens after the
+    include span. For single-term spans that reduces to: include
+    position p survives iff no exclude position q has
+    p - pre <= q <= p + post (pre = post = 0 is "not at the same
+    position", useful with multi-term fields; the classic use is
+    pre/post windows, e.g. "new not within 2 tokens of york").
+    freq = the surviving occurrence count; BM25-scored with the
+    include term's FULL docFreq for idf (SpanWeight builds idf from
+    term statistics, not the restricted match set — same contract as
+    SpanFirst). Docs where ``exclude`` never occurs keep every
+    occurrence. Programmatic only — Lucene span queries have no
+    parser syntax."""
+
+    include: str
+    exclude: str
+    pre: int = 0
+    post: int = 0
     field: str = DEFAULT_FIELD
     boost: float = 1.0
 
@@ -229,11 +257,22 @@ class Bool:
     only emits this node for the irreducible mixed case (must AND
     should both non-empty, or no positives at all — a match-nothing
     query, Lucene's pure-negative BooleanQuery); every other sign
-    combination rewrites to And/Or/Not."""
+    combination rewrites to And/Or/Not.
+
+    ``min_should_match`` carries Lucene's
+    ``BooleanQuery.Builder.setMinimumNumberShouldMatch(n)`` (public
+    semantics, BooleanQuery.java / MinShouldMatchSumScorer): a doc
+    matches only if it satisfies at least ``n`` SHOULD clauses (in
+    addition to every MUST clause); scoring is unchanged — the sum of
+    every matching positive clause. Programmatic only, like Lucene
+    (no classic-parser syntax sets it). ``n <= 0`` means the default
+    optional-SHOULD behaviour; ``n > len(should)`` matches nothing,
+    mirroring Lucene's unsatisfiable-scorer case."""
 
     must: tuple[Node, ...] = ()
     should: tuple[Node, ...] = ()
     must_not: tuple[Node, ...] = ()
+    min_should_match: int = 0
 
 
 class QueryParseError(ValueError):
@@ -251,7 +290,8 @@ def apply_boost(node: Node, factor: float) -> Node:
 
     if isinstance(
         node,
-        (Term, Wildcard, Regexp, Fuzzy, Range, Phrase, Synonyms, SpanFirst),
+        (Term, Wildcard, Regexp, Fuzzy, Range, Phrase, Synonyms,
+         SpanFirst, SpanNot),
     ):
         return replace(node, boost=node.boost * factor)
     if isinstance(node, And):
@@ -903,7 +943,8 @@ def expand_synonyms(node: Node, synonyms: dict[str, tuple[str, ...]]) -> Node:
 def collect_leaves(node: Node) -> list[Node]:
     if isinstance(
         node,
-        (Term, Wildcard, Regexp, Fuzzy, Range, Phrase, Synonyms, SpanFirst),
+        (Term, Wildcard, Regexp, Fuzzy, Range, Phrase, Synonyms,
+         SpanFirst, SpanNot),
     ):
         return [node]
     if isinstance(node, (And, Or, DisMax)):

@@ -242,6 +242,28 @@ class OracleIndex:
                 if tf:
                     out[d] = idf * self._tfnorm(fld, d, tf)
             return out
+        if isinstance(node, ast.SpanNot):
+            # Lucene SpanNotQuery: include position p survives iff no
+            # exclude position q in [p-pre, p+post]; freq = surviving
+            # count, idf from the include term's FULL docFreq
+            fld = node.field
+            inc = self.postings[fld].get(node.include, {})
+            if not inc:
+                return {}
+            exc = self.postings[fld].get(node.exclude, {})
+            n, _ = self.stats[fld]
+            idf = idf_bm25(n, len(inc)) * float(getattr(node, "boost", 1.0))
+            out = {}
+            for d, pos in inc.items():
+                bad = exc.get(d, ())
+                tf = sum(
+                    1
+                    for p in pos
+                    if not any(p - node.pre <= q <= p + node.post for q in bad)
+                )
+                if tf:
+                    out[d] = idf * self._tfnorm(fld, d, tf)
+            return out
         if isinstance(node, ast.DisMax):
             # DisjunctionMaxQuery: max child + tie * (sum - max),
             # same float op order as the kernel
@@ -276,7 +298,10 @@ class OracleIndex:
             neg = set(self.eval(node.negative))
             return {d: s for d, s in pos.items() if d not in neg}
         if isinstance(node, ast.Bool):
+            msm = max(0, int(getattr(node, "min_should_match", 0)))
             if not node.must and not node.should:
+                return {}
+            if msm > len(node.should):
                 return {}
             if node.must:
                 maps = [self.eval(c) for c in node.must]
@@ -284,16 +309,24 @@ class OracleIndex:
                 for m in maps[1:]:
                     docs &= set(m)
                 out = {d: sum(m[d] for m in maps) for d in docs}
+                hits = {d: 0 for d in docs}
                 for c in node.should:
                     m = self.eval(c)
                     for d in out:
                         if d in m:
                             out[d] += m[d]
+                            hits[d] += 1
+                if msm:
+                    out = {d: s for d, s in out.items() if hits[d] >= msm}
             else:
                 out = {}
+                hits = {}
                 for c in node.should:
                     for d, s in self.eval(c).items():
                         out[d] = out.get(d, 0.0) + s
+                        hits[d] = hits.get(d, 0) + 1
+                if msm:
+                    out = {d: s for d, s in out.items() if hits[d] >= msm}
             for c in node.must_not:
                 neg = set(self.eval(c))
                 out = {d: s for d, s in out.items() if d not in neg}

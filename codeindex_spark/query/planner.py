@@ -610,7 +610,9 @@ class SearchEngine:
             leaf_ids[leaf] = lid
             boost_by_id[lid] = float(getattr(leaf, "boost", 1.0))
             fld = leaf.field
-            if isinstance(leaf, (ast.Phrase, ast.SpanFirst)) and fld in getattr(
+            if isinstance(
+                leaf, (ast.Phrase, ast.SpanFirst, ast.SpanNot)
+            ) and fld in getattr(
                 self.params, "positionless", ()
             ):
                 raise ValueError(
@@ -647,6 +649,18 @@ class SearchEngine:
                     raise ValueError("SpanFirst end must be >= 1")
                 wants.append((lid, fld, -3, leaf.term, True))
                 exact_terms.setdefault(fld, set()).add(leaf.term)
+            elif isinstance(leaf, ast.SpanNot):
+                # slot=-4 include / slot=-5 exclude posting rows; the
+                # kernel counts include positions with no exclude
+                # position in [p-pre, p+post]. Include idf = FULL-df
+                # idf; the exclude row's idf is zeroed below so the
+                # WAND block bound (Σ idf*block_max) stays tight.
+                if leaf.pre < 0 or leaf.post < 0:
+                    raise ValueError("SpanNot pre/post must be >= 0")
+                wants.append((lid, fld, -4, leaf.include, True))
+                wants.append((lid, fld, -5, leaf.exclude, True))
+                exact_terms.setdefault(fld, set()).add(leaf.include)
+                exact_terms.setdefault(fld, set()).add(leaf.exclude)
             else:
                 wants.append((lid, fld, -1, leaf, False))
 
@@ -701,8 +715,14 @@ class SearchEngine:
                         # kernel, tree kernel, phrase slots, and the
                         # WAND block upper bound (idf * block_max) —
                         # multiplies this column, so the boost scales
-                        # scores AND keeps the pruning bound sound
-                        "idf": idf_bm25(n_docs, df) * leaf_boost,
+                        # scores AND keeps the pruning bound sound.
+                        # SpanNot exclude rows (-5) never contribute
+                        # score, so their idf is 0 (keeps WAND tight).
+                        "idf": (
+                            0.0
+                            if slot_idx == -5
+                            else idf_bm25(n_docs, df) * leaf_boost
+                        ),
                     }
                 )
         return rows, leaf_ids
@@ -835,6 +855,9 @@ class SearchEngine:
                         all_exact.setdefault(leaf.field, set()).add(t)
                 elif isinstance(leaf, ast.SpanFirst):
                     all_exact.setdefault(leaf.field, set()).add(leaf.term)
+                elif isinstance(leaf, ast.SpanNot):
+                    all_exact.setdefault(leaf.field, set()).add(leaf.include)
+                    all_exact.setdefault(leaf.field, set()).add(leaf.exclude)
         shared_df = self._lookup_exact_df(all_exact)
         for qname, root in roots.items():
             rows, leaf_ids = self._plan_rows(root, exact_df=shared_df)
@@ -1966,13 +1989,18 @@ def _make_tree_batch_kernel(root, leaf_ids, avgdl, k1, b, block_size):
         for node, lid in leaf_ids.items()
         if isinstance(node, ast.SpanFirst)
     }
-    need_pos = bool(phrase_nslots) or bool(spanfirst_end)
+    spannot_pp = {
+        lid: (int(node.pre), int(node.post))
+        for node, lid in leaf_ids.items()
+        if isinstance(node, ast.SpanNot)
+    }
+    need_pos = bool(phrase_nslots) or bool(spanfirst_end) or bool(spannot_pp)
 
     def eval_node(node, leaf_data):
         if isinstance(
             node,
             (ast.Term, ast.Wildcard, ast.Regexp, ast.Fuzzy, ast.Range,
-             ast.Phrase, ast.Synonyms, ast.SpanFirst),
+             ast.Phrase, ast.Synonyms, ast.SpanFirst, ast.SpanNot),
         ):
             return leaf_data.get(id_of[node], (_EMPTY_D, _EMPTY_S))
         if isinstance(node, ast.And):
@@ -2026,9 +2054,15 @@ def _make_tree_batch_kernel(root, leaf_ids, avgdl, k1, b, block_size):
             # Lucene MUST/SHOULD/MUST_NOT: the parser only emits the
             # irreducible shapes — (a) must+should mixed: intersect
             # musts, then ADD each should's score where it matches
-            # (never filtering); (b) no positives: match nothing.
+            # (never filtering unless min_should_match demands it);
+            # (b) no positives: match nothing. min_should_match > 0
+            # gates the match on >= n SHOULD hits (MinShouldMatchSum-
+            # Scorer semantics); scores stay the plain matching sum.
+            msm = max(0, int(getattr(node, "min_should_match", 0)))
             if not node.must and not node.should:
                 return _EMPTY_D, _EMPTY_S
+            if msm > len(node.should):
+                return _EMPTY_D, _EMPTY_S  # Lucene: unsatisfiable
             if node.must:
                 docs, scores = eval_node(node.must[0], leaf_data)
                 for child in node.must[1:]:
@@ -2037,6 +2071,7 @@ def _make_tree_batch_kernel(root, leaf_ids, avgdl, k1, b, block_size):
                         docs, d2, assume_unique=True, return_indices=True
                     )
                     scores = scores[i1] + s2[i2]
+                nmatch = np.zeros(docs.size, dtype=np.int64)
                 for child in node.should:
                     d2, s2 = eval_node(child, leaf_data)
                     _, i1, i2 = np.intersect1d(
@@ -2044,8 +2079,27 @@ def _make_tree_batch_kernel(root, leaf_ids, avgdl, k1, b, block_size):
                     )
                     scores = scores.copy()
                     scores[i1] += s2[i2]
-            else:
+                    nmatch[i1] += 1
+                if msm:
+                    keep = nmatch >= msm
+                    docs, scores = docs[keep], scores[keep]
+            elif msm <= 1:
+                # pure-should default is already "at least one match"
                 docs, scores = eval_node(ast.Or(node.should), leaf_data)
+            else:
+                alld, alls = [], []
+                for child in node.should:
+                    d, s = eval_node(child, leaf_data)
+                    alld.append(d)
+                    alls.append(s)
+                cat_d = np.concatenate(alld) if alld else _EMPTY_D
+                cat_s = np.concatenate(alls) if alls else _EMPTY_S
+                if cat_d.size == 0:
+                    return _EMPTY_D, _EMPTY_S
+                docs, inv = np.unique(cat_d, return_inverse=True)
+                scores = np.bincount(inv, weights=cat_s)
+                keep = np.bincount(inv) >= msm
+                docs, scores = docs[keep], scores[keep]
             for child in node.must_not:
                 dn, _ = eval_node(child, leaf_data)
                 keep = ~np.isin(docs, dn, assume_unique=True)
@@ -2070,6 +2124,8 @@ def _make_tree_batch_kernel(root, leaf_ids, avgdl, k1, b, block_size):
             simple: dict[int, list] = {}
             phrase: dict[int, list] = {}
             syn: dict[int, list] = {}
+            snot_inc: dict[int, tuple] = {}
+            snot_exc: dict[int, tuple] = {}
             for row in range(rs, re_):
                 es, ee = es_r[row], ee_r[row]
                 docs = docs_all[es:ee]
@@ -2108,6 +2164,22 @@ def _make_tree_batch_kernel(root, leaf_ids, avgdl, k1, b, block_size):
                         )
                     # no-hit rows add nothing: leaf_data.get() already
                     # defaults the leaf to empty
+                elif slot_r[row] == -4:
+                    # span-not include row: positions + norms + idf,
+                    # resolved against the exclude row after the loop
+                    snot_inc[leaf_r[row]] = (
+                        docs,
+                        dec["pcounts"][es:ee],
+                        dec["pos_all"][dec["p_cum"][es] : dec["p_cum"][ee]],
+                        dec["norms"][es:ee],
+                        idf_r[row],
+                    )
+                elif slot_r[row] == -5:
+                    snot_exc[leaf_r[row]] = (
+                        docs,
+                        dec["pcounts"][es:ee],
+                        dec["pos_all"][dec["p_cum"][es] : dec["p_cum"][ee]],
+                    )
                 elif slot_r[row] < 0:
                     simple.setdefault(leaf_r[row], []).append((docs, contrib))
                 else:
@@ -2137,6 +2209,46 @@ def _make_tree_batch_kernel(root, leaf_ids, avgdl, k1, b, block_size):
                 leaf_data[lid] = (
                     docs, idf * (tf * (k1 + 1.0) / (tf + norm))
                 )
+            for lid, (di, pci, flati, normi, idf) in snot_inc.items():
+                # SpanNot: include position p survives iff no exclude
+                # position in [p-pre, p+post]. Fully vectorized via a
+                # combined (doc_rank, position) key: docs and positions
+                # are ascending within a posting row, so one global
+                # searchsorted pair bounds each forbidden window.
+                pre, post = spannot_pp[lid]
+                exc = snot_exc.get(lid)
+                if exc is None or exc[0].size == 0:
+                    tf = pci.astype(np.float64)
+                else:
+                    de, pce, flate = exc
+                    rank = np.searchsorted(de, di)
+                    safe = np.minimum(rank, de.size - 1)
+                    has_exc = (rank < de.size) & (de[safe] == di)
+                    doc_idx = np.repeat(np.arange(di.size), pci)
+                    base = np.int64(1) << np.int64(32)
+                    key_e = (
+                        np.repeat(np.arange(de.size), pce) * base + flate
+                    )
+                    r_pp = rank[doc_idx]
+                    lo = np.searchsorted(
+                        key_e, r_pp * base + np.maximum(flati - pre, 0)
+                    )
+                    hi = np.searchsorted(
+                        key_e, r_pp * base + flati + post, side="right"
+                    )
+                    survive = (~has_exc[doc_idx]) | (lo == hi)
+                    tf = np.bincount(
+                        doc_idx,
+                        weights=survive.astype(np.float64),
+                        minlength=di.size,
+                    )
+                keep = tf > 0
+                if keep.any():
+                    tfk = tf[keep]
+                    leaf_data[lid] = (
+                        di[keep],
+                        idf * (tfk * (k1 + 1.0) / (tfk + normi[keep])),
+                    )
             for lid, parts in phrase.items():
                 leaf_data[lid] = _eval_phrase(
                     parts,
