@@ -1781,6 +1781,45 @@ def _q_rollup(spark, sf_dir):
     )
 
 
+def _q_cube(spark, sf_dir):
+    # full grouping-set lattice (GROUP BY CUBE): per (status,
+    # priority), per status, per priority, and grand total — one
+    # Expand pass, 4 grouping sets, no re-scan per level
+    o = _load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "n_orders",
+            "avg_price",
+        )
+    )
+
+
+def _q_quantiles(spark, sf_dir):
+    # exact per-group quantiles, distinct-value-bounded shuffle
+    # (quantile_disc / percentile_disc lower semantics — see
+    # ops/analysis.py group_quantiles)
+    from codeindex_spark.ops.analysis import group_quantiles
+
+    li = _load(spark, sf_dir, "lineitem")
+    qv = group_quantiles(
+        li, "l_returnflag", "l_extendedprice", (0.25, 0.5, 0.75, 0.9)
+    )
+    return qv.select(
+        "l_returnflag",
+        *[
+            F.round(F.col(c).cast("double"), 4).alias(c)
+            for c in ("q25", "q50", "q75", "q90")
+        ],
+    )
+
+
 def _q_pmi(spark, sf_dir):
     from codeindex_spark.ops.analysis import pmi_bigrams
 
@@ -2209,6 +2248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q38_min_should_match": _q_min_should_match,
         "q39_span_not": _q_span_not,
+        "rel_cube": _q_cube,
+        "rel_quantiles": _q_quantiles,
         "q34_synonym_blend": _q_synonym_blend,
         "q35_span_first": _q_span_first,
         "q36_dismax": _q_dismax,
@@ -3096,6 +3137,27 @@ def oracle_sql() -> dict[str, str]:
               WHERE r.user_id = l.user_id AND r.ts_us <= l.ts_us
                 AND l.ts_us - r.ts_us <= 86400000000
               ORDER BY r.ts_us DESC, r.event_id ASC LIMIT 1) m ON true""",
+        "rel_cube": """
+            SELECT coalesce(o_orderstatus, '(all)') AS status,
+                   coalesce(o_orderpriority, '(all)') AS priority,
+                   count(*)::BIGINT AS n_orders,
+                   round(avg(o_totalprice), 4) AS avg_price
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+        # quantile_disc = percentile_disc lower semantics: smallest
+        # value with cumulative count >= ceil(q*n) — the engine's
+        # group_quantiles implements exactly this rank convention
+        "rel_quantiles": """
+            SELECT l_returnflag,
+                   round(quantile_disc(l_extendedprice, 0.25)::DOUBLE, 4)
+                     AS q25,
+                   round(quantile_disc(l_extendedprice, 0.50)::DOUBLE, 4)
+                     AS q50,
+                   round(quantile_disc(l_extendedprice, 0.75)::DOUBLE, 4)
+                     AS q75,
+                   round(quantile_disc(l_extendedprice, 0.90)::DOUBLE, 4)
+                     AS q90
+            FROM lineitem GROUP BY l_returnflag""",
         "rel_rollup": """
             SELECT coalesce(o_orderstatus, '(all)') AS status,
                    coalesce(o_orderpriority, '(all)') AS priority,

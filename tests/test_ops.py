@@ -1594,3 +1594,57 @@ def test_bloom_contamination_cap_guard(spark):
     )
     with _pytest.raises(ValueError, match="max_bench_shingles"):
         bloom_contamination_overlaps(docs, docs, n=3, max_bench_shingles=2)
+
+
+def test_group_quantiles_matches_duckdb(spark):
+    """Seeded random grouped values incl. heavy ties and NULLs: the
+    distributed value-count/running-sum path must equal DuckDB's
+    quantile_disc (percentile_disc lower semantics) exactly."""
+    import random
+
+    import duckdb
+
+    from codeindex_spark.ops.analysis import group_quantiles
+
+    rng = random.Random(29)
+    rows = [
+        (g, float(rng.choice([1, 2, 2, 3, 5, 8, 13, 21, 34])))
+        for g in "abc"
+        for _ in range(rng.randint(5, 80))
+    ] + [("a", None), ("c", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    qs = (0.1, 0.25, 0.5, 0.75, 0.9, 1.0)
+    got = {
+        r["g"]: [r[f"q{int(round(q * 100))}"] for q in qs]
+        for r in group_quantiles(df, "g", "v", qs).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", __import__("pandas").DataFrame(rows, columns=["g", "v"]))
+    sel = ", ".join(
+        f"quantile_disc(v, {q})::DOUBLE AS q{int(round(q * 100))}" for q in qs
+    )
+    exp = {
+        r[0]: list(r[1:])
+        for r in con.execute(f"SELECT g, {sel} FROM t GROUP BY g").fetchall()
+    }
+    assert got == exp
+
+
+def test_group_quantiles_edges(spark):
+    from codeindex_spark.ops.analysis import group_quantiles
+
+    df = spark.createDataFrame(
+        [("x", 10.0), ("x", 20.0), ("y", 7.0), ("y", None)],
+        "g string, v double",
+    )
+    out = {r["g"]: r for r in group_quantiles(df, "g", "v", (0.5, 1.0)).collect()}
+    # n=2: ceil(.5*2)=1 -> 10; ceil(1*2)=2 -> 20
+    assert out["x"]["q50"] == 10.0 and out["x"]["q100"] == 20.0
+    # single non-NULL value: every quantile is it
+    assert out["y"]["q50"] == 7.0 and out["y"]["q100"] == 7.0
+    with pytest.raises(ValueError):
+        group_quantiles(df, "g", "v", ())
+    with pytest.raises(ValueError):
+        group_quantiles(df, "g", "v", (0.0,))
+    with pytest.raises(ValueError):
+        group_quantiles(df, "g", "v", (1.5,))
