@@ -1938,6 +1938,38 @@ def _q_pagerank(spark, sf_dir):
     ).select("node", "pr", "rank")
 
 
+_HITS_ITERS = 6
+_HITS_TOPK = 100
+
+
+def _q_hits(spark, sf_dir):
+    # HITS hubs & authorities (Kleinberg 1999) over the DIRECTED
+    # order->part bipartite graph (distinct lineitem pairs): orders
+    # are pure hubs, parts pure authorities. Top-100 by 6-dp-rounded
+    # auth with node tie-break (rounding BEFORE the cut, same oracle
+    # recipe as gr_pagerank).
+    from pyspark.sql import Window
+
+    from codeindex_spark.ops.graph import hits
+
+    li = _load(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("o:"), F.col("l_orderkey")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("dst"),
+    ).distinct()
+    hv = hits(edges, iters=_HITS_ITERS)
+    top = (
+        hv.withColumn("hub", F.round("hub", 6))
+        .withColumn("auth", F.round("auth", 6))
+        .orderBy(F.desc("auth"), F.asc("node"))
+        .limit(_HITS_TOPK)
+    )
+    w = Window.orderBy(F.desc("auth"), F.asc("node"))
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select("node", "hub", "auth", "rank")
+
+
 def _q_triangles(spark, sf_dir):
     # per-node triangle counts over the part co-purchase graph (parts
     # sharing an order); degree-oriented wedge join (ops/graph.py) so
@@ -1994,6 +2026,50 @@ def _q_interval_join(spark, sf_dir):
         "c_event",
         "user_id",
         F.col("overlap_us").cast("long").alias("overlap_us"),
+    )
+
+
+def _hits_values_sql() -> str:
+    """Independent pure-Python replay of the documented HITS
+    semantics (uniform hub init, a = Aᵀh then h = Aa per iteration,
+    L1 normalization of each vector, the loop-final coupled pair)
+    over the same distinct DIRECTED order->part edges."""
+    import pandas as pd
+
+    li = pd.read_parquet(
+        os.path.join(_oracle_sf_dir(), "lineitem.parquet")
+    )[["l_orderkey", "l_partkey"]].drop_duplicates()
+    edges = [
+        (f"o:{o}", f"p:{p}")
+        for o, p in zip(li["l_orderkey"], li["l_partkey"])
+    ]
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    h = {v: 1.0 / n for v in nodes}
+    a = {v: 0.0 for v in nodes}
+    for _ in range(_HITS_ITERS):
+        a = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            a[d] += h[s]
+        ta = sum(a.values())
+        a = {v: (x / ta if ta > 0 else 0.0) for v, x in a.items()}
+        h = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            h[s] += a[d]
+        th = sum(h.values())
+        h = {v: (x / th if th > 0 else 0.0) for v, x in h.items()}
+    ranked = sorted(
+        ((round(a[v], 6), round(h[v], 6), v) for v in nodes),
+        key=lambda t: (-t[0], t[2]),
+    )[:_HITS_TOPK]
+    rows = ",".join(
+        f"('{v}',{hb!r},{au!r},{i + 1})"
+        for i, (au, hb, v) in enumerate(ranked)
+    )
+    return (
+        "SELECT node, hub::DOUBLE AS hub, auth::DOUBLE AS auth, "
+        'rank::BIGINT AS rank FROM (VALUES ' + rows
+        + ') AS t(node, hub, auth, "rank")'
     )
 
 
@@ -2250,6 +2326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_span_not": _q_span_not,
         "rel_cube": _q_cube,
         "rel_quantiles": _q_quantiles,
+        "gr_hits": _q_hits,
         "q34_synonym_blend": _q_synonym_blend,
         "q35_span_first": _q_span_first,
         "q36_dismax": _q_dismax,
@@ -3199,6 +3276,7 @@ def oracle_sql() -> dict[str, str]:
         "tx_bpe_merges": _bpe_merges_values_sql(),
         "tx_bpe_tokens": _bpe_tokens_values_sql(),
         "gr_pagerank": _pagerank_values_sql(),
+        "gr_hits": _hits_values_sql(),
         # same degree orientation as ops/graph.py triangle_counts:
         # rank(x) = (deg(x), x), every edge low->high, triangle =
         # apex wedge (rank(v1) < rank(v2)) closed by oriented (v1,v2)

@@ -141,3 +141,75 @@ def test_triangles_partition_invariance(spark):
         for r in triangle_counts(df.repartition(9)).collect()
     }
     assert a == b and sum(a.values()) % 3 == 0 and a
+
+
+# ----------------------------------------------------------- HITS
+
+from codeindex_spark.ops.graph import hits  # noqa: E402
+
+
+def _hits_reference(edges, iters):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    h = {v: 1.0 / n for v in nodes}
+    a = {v: 0.0 for v in nodes}
+    for _ in range(iters):
+        a = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            a[d] += h[s]
+        ta = sum(a.values())
+        a = {v: (x / ta if ta > 0 else 0.0) for v, x in a.items()}
+        h = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            h[s] += a[d]
+        th = sum(h.values())
+        h = {v: (x / th if th > 0 else 0.0) for v, x in h.items()}
+    return h, a
+
+
+def test_hits_matches_reference(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    rows = hits(df, iters=8).collect()
+    gh = {r["node"]: r["hub"] for r in rows}
+    ga = {r["node"]: r["auth"] for r in rows}
+    wh, wa = _hits_reference(EDGES, 8)
+    assert set(gh) == set(wh)
+    for v in wh:
+        assert gh[v] == pytest.approx(wh[v], abs=1e-12), ("hub", v)
+        assert ga[v] == pytest.approx(wa[v], abs=1e-12), ("auth", v)
+    # L1 normalization invariant
+    assert sum(gh.values()) == pytest.approx(1.0, abs=1e-12)
+    assert sum(ga.values()) == pytest.approx(1.0, abs=1e-12)
+
+
+def test_hits_star_roles(spark):
+    """All leaves point at the center: the center is the unique top
+    authority (auth 1.0), leaves are the hubs, and the center's hub
+    score is 0 (it has no out-edges)."""
+    edges = [(f"leaf{i}", "center") for i in range(6)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    rows = {r["node"]: r for r in hits(df, iters=5).collect()}
+    assert rows["center"]["auth"] == pytest.approx(1.0, abs=1e-12)
+    assert rows["center"]["hub"] == 0.0
+    for i in range(6):
+        assert rows[f"leaf{i}"]["auth"] == 0.0
+        assert rows[f"leaf{i}"]["hub"] == pytest.approx(1 / 6, abs=1e-12)
+
+
+def test_hits_partition_invariance_to_rounding(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    a = {
+        (r["node"]): (round(r["hub"], 6), round(r["auth"], 6))
+        for r in hits(df, iters=8).collect()
+    }
+    b = {
+        (r["node"]): (round(r["hub"], 6), round(r["auth"], 6))
+        for r in hits(df.repartition(5), iters=8).collect()
+    }
+    assert a == b
+
+
+def test_hits_validation(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    with pytest.raises(ValueError):
+        hits(df, iters=0)
