@@ -1820,6 +1820,22 @@ def _q_quantiles(spark, sf_dir):
     )
 
 
+def _q_kmv_distinct(spark, sf_dir):
+    # KMV bottom-k distinct sketch (Bar-Yossef 2002 / Beyer 2007):
+    # distinct l_partkey per l_returnflag, k=256 — deterministic
+    # (md5, no RNG) so the DuckDB oracle replays it EXACTLY, unlike
+    # HLL whose registers are implementation-defined
+    from codeindex_spark.ops.sketch import kmv_distinct
+
+    li = _load(spark, sf_dir, "lineitem")
+    out = kmv_distinct(li, "l_partkey", k=256, group_col="l_returnflag")
+    return out.select(
+        "l_returnflag",
+        F.col("n_min").cast("long").alias("n_min"),
+        F.round("est_distinct", 4).alias("est_distinct"),
+    )
+
+
 def _q_pmi(spark, sf_dir):
     from codeindex_spark.ops.analysis import pmi_bigrams
 
@@ -2327,6 +2343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_cube": _q_cube,
         "rel_quantiles": _q_quantiles,
         "gr_hits": _q_hits,
+        "rel_kmv_distinct": _q_kmv_distinct,
         "q34_synonym_blend": _q_synonym_blend,
         "q35_span_first": _q_span_first,
         "q36_dismax": _q_dismax,
@@ -3235,6 +3252,29 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_disc(l_extendedprice, 0.90)::DOUBLE, 4)
                      AS q90
             FROM lineitem GROUP BY l_returnflag""",
+        # KMV sketch replay: bottom-256 distinct 13-hex-char md5
+        # prefixes per group; below k the count is exact, else the
+        # (k-1)/h_(k) estimator with h in (0,1) via exact /2^52 —
+        # deterministic, so value-hash equality holds
+        "rel_kmv_distinct": """
+            WITH hx AS (
+              SELECT DISTINCT l_returnflag AS g,
+                     substr(md5(l_partkey::VARCHAR), 1, 13) AS h
+              FROM lineitem WHERE l_partkey IS NOT NULL),
+            rk AS (
+              SELECT g, h,
+                     row_number() OVER (PARTITION BY g ORDER BY h) AS rn,
+                     count(*) OVER (PARTITION BY g) AS nd
+              FROM hx)
+            SELECT g AS l_returnflag,
+                   least(nd, 256)::BIGINT AS n_min,
+                   round(CASE WHEN nd < 256 THEN nd::DOUBLE
+                         ELSE 255.0::DOUBLE /
+                              (('0x' || h)::BIGINT
+                               / 4503599627370496.0::DOUBLE) END,
+                         4) AS est_distinct
+            FROM rk
+            WHERE rn = CASE WHEN nd < 256 THEN nd ELSE 256 END""",
         "rel_rollup": """
             SELECT coalesce(o_orderstatus, '(all)') AS status,
                    coalesce(o_orderpriority, '(all)') AS priority,

@@ -43,7 +43,7 @@ from pyspark.sql import types as T
 from codeindex_spark.ops._text import ws_tokens
 from codeindex_spark.util import ensure_parallelism
 
-__all__ = ["heavy_hitters", "gram_stream"]
+__all__ = ["heavy_hitters", "gram_stream", "kmv_distinct"]
 
 # MG state is per-partition and the candidate union is collected to
 # the driver: a phi small enough to need more counters than this
@@ -165,3 +165,104 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias("freq"))
         .filter(F.col("freq") >= threshold)
     )
+
+
+_KMV_HEX = 13  # 52 bits: exact in a double AND in BIGINT hex parses
+_KMV_SCALE = float(1 << 52)  # 16^13
+
+_KMV_PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("_g", T.StringType(), True),
+        T.StructField("_h", T.StringType(), False),
+    ]
+)
+
+
+def _kmv_partial(k: int):
+    """Per-partition bottom-k DISTINCT hashes per group — bounded
+    state (k sorted hex strings per group seen in the partition),
+    emits <= k rows per (partition, group)."""
+
+    def fn(batches):
+        state: dict = {}
+        for pdf in batches:
+            for grp, sub in pdf.groupby("_g", dropna=False, sort=False):
+                vals = sub["_h"].to_numpy()
+                cur = state.get(grp)
+                merged = (
+                    np.unique(vals)
+                    if cur is None
+                    else np.unique(np.concatenate([cur, vals]))
+                )
+                state[grp] = merged[:k]  # np.unique sorts ascending
+        for grp, hs in state.items():
+            yield pd.DataFrame(
+                {"_g": [grp] * len(hs), "_h": hs}
+            )
+
+    return fn
+
+
+def kmv_distinct(
+    df: DataFrame,
+    col: str,
+    k: int = 256,
+    group_col: str | None = None,
+) -> DataFrame:
+    """KMV / bottom-k distinct-count sketch (Bar-Yossef et al. 2002
+    "Counting distinct elements in a data stream"; the estimator
+    (k-1)/h_(k) analyzed by Beyer et al., SIGMOD 2007): per group,
+    keep the k smallest DISTINCT md5-hashes of the value; if fewer
+    than k distinct hashes exist the count is exact, otherwise
+    estimate (k-1)/h_(k) with h_(k) = the k-th smallest hash mapped
+    into (0, 1). Returns (group?, n_min, est_distinct).
+
+    Deterministic by construction — the hash is md5 (no seed, no
+    RNG), so the result is bit-stable across runs, partitionings,
+    and engines; unlike HLL (whose register layout is
+    implementation-defined) the whole sketch is replayable in plain
+    SQL, which is what makes it oracle-checkable. The first 13 hex
+    chars (52 bits) parse exactly into both a double and a BIGINT,
+    so the (0,1) mapping is division by 2^52 with zero rounding in
+    either engine.
+
+    Scale shape (the reason to sketch at all): a map-only
+    mapInPandas pass holds AT MOST k sorted hashes per (partition,
+    group) — the full distinct set never materializes and the
+    exchange carries <= k rows per partition per group, vs a
+    count(DISTINCT) whose shuffle is the full cardinality. The final
+    merge is one tiny groupBy over those bounded rows (array_sort +
+    slice, all JVM-side). Standard error ~ 1/sqrt(k-2) (~6 % at
+    k=256); raise k for tighter bounds, state stays k rows.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    g = (
+        F.col(group_col).cast("string")
+        if group_col
+        else F.lit("(all)")
+    )
+    proj = df.filter(F.col(col).isNotNull()).select(
+        g.alias("_g"),
+        F.substring(F.md5(F.col(col).cast("string")), 1, _KMV_HEX).alias(
+            "_h"
+        ),
+    )
+    partial = ensure_parallelism(proj).mapInPandas(
+        _kmv_partial(k), schema=_KMV_PARTIAL_SCHEMA
+    )
+    hs = F.slice(F.array_sort(F.collect_set("_h")), 1, k)
+    agg = partial.groupBy("_g").agg(hs.alias("_hs"))
+    n = F.size("_hs")
+    kth = F.conv(F.element_at("_hs", k), 16, 10).cast("double") / F.lit(
+        _KMV_SCALE
+    )
+    est = F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1)) / kth
+    )
+    out = agg.select(
+        F.col("_g").alias(group_col if group_col else "group"),
+        n.cast("long").alias("n_min"),
+        est.alias("est_distinct"),
+    )
+    return out

@@ -100,3 +100,65 @@ def test_empty_and_validation(spark):
         heavy_hitters(df, 1e-9)
     with pytest.raises(ValueError, match="n must be"):
         gram_stream(df, n=0)
+
+
+# ----------------------------------------------------------- KMV
+
+import hashlib
+
+from codeindex_spark.ops.sketch import kmv_distinct
+
+
+def _kmv_replay(values, k):
+    hs = sorted({hashlib.md5(str(v).encode()).hexdigest()[:13] for v in values})
+    if len(hs) < k:
+        return len(hs), float(len(hs))
+    h_k = int(hs[k - 1], 16) / float(1 << 52)
+    return k, (k - 1) / h_k
+
+
+def test_kmv_matches_pure_python_replay(spark):
+    """Bit-exact vs an independent hashlib replay — the sketch is
+    deterministic (md5, no RNG), so equality is exact, not approx."""
+    vals = [i % 400 for i in range(5000)]  # heavy duplication
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    row = kmv_distinct(df, "v", k=64).collect()[0]
+    n_min, est = _kmv_replay(vals, 64)
+    assert row["n_min"] == n_min
+    assert row["est_distinct"] == pytest.approx(est, rel=1e-12)
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.createDataFrame([(i % 10, str(i % 7)) for i in range(100)],
+                               "v long, g string")
+    rows = {r["g"]: r for r in kmv_distinct(df, "v", k=256, group_col="g").collect()}
+    for g, r in rows.items():
+        exact = len({i % 10 for i in range(100) if str(i % 7) == g})
+        assert r["n_min"] == exact and r["est_distinct"] == float(exact)
+
+
+def test_kmv_error_bound_and_grouping(spark):
+    """~1/sqrt(k) relative error on a 5000-distinct column, per group."""
+    rows = [(f"u{i}", "a" if i % 2 == 0 else "b") for i in range(5000)]
+    df = spark.createDataFrame(rows, "v string, g string")
+    got = {r["g"]: r for r in kmv_distinct(df, "v", k=256, group_col="g").collect()}
+    for g in ("a", "b"):
+        assert got[g]["n_min"] == 256
+        assert abs(got[g]["est_distinct"] - 2500) / 2500 < 0.25
+        # exact replay equality too
+        exp = _kmv_replay([v for v, gg in rows if gg == g], 256)[1]
+        assert got[g]["est_distinct"] == pytest.approx(exp, rel=1e-12)
+
+
+def test_kmv_partition_invariance(spark):
+    rows = [(f"x{i % 777}",) for i in range(3000)]
+    df = spark.createDataFrame(rows, "v string")
+    a = kmv_distinct(df.repartition(2), "v", k=128).collect()[0]
+    b = kmv_distinct(df.repartition(17), "v", k=128).collect()[0]
+    assert (a["n_min"], a["est_distinct"]) == (b["n_min"], b["est_distinct"])
+
+
+def test_kmv_validation(spark):
+    df = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(ValueError):
+        kmv_distinct(df, "v", k=1)
