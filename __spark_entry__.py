@@ -1954,6 +1954,40 @@ def _q_pagerank(spark, sf_dir):
     ).select("node", "pr", "rank")
 
 
+_PPR_SEEDS = ("p:1", "p:2", "p:3")
+
+
+def _q_ppr(spark, sf_dir):
+    # personalized PageRank (Haveliwala 2002 / random walk with
+    # restart): teleport + dangling mass restart at the seed parts;
+    # same symmetrized bipartite graph, top-100 by 6-dp-rounded pr
+    # with node tie-break (rounding BEFORE the cut)
+    from pyspark.sql import Window
+
+    from codeindex_spark.ops.graph import pagerank
+
+    li = _load(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("o:"), F.col("l_orderkey")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("dst"),
+    ).distinct()
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = pagerank(
+        edges, damping=_PR_DAMPING, iters=_PR_ITERS, seeds=list(_PPR_SEEDS)
+    )
+    top = (
+        pr.withColumn("pr", F.round("pr", 6))
+        .orderBy(F.desc("pr"), F.asc("node"))
+        .limit(_PR_TOPK)
+    )
+    w = Window.orderBy(F.desc("pr"), F.asc("node"))
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select("node", "pr", "rank")
+
+
 _HITS_ITERS = 6
 _HITS_TOPK = 100
 
@@ -2042,6 +2076,56 @@ def _q_interval_join(spark, sf_dir):
         "c_event",
         "user_id",
         F.col("overlap_us").cast("long").alias("overlap_us"),
+    )
+
+
+def _ppr_values_sql() -> str:
+    """Independent pure-Python replay of the documented personalized
+    PageRank semantics (uniform init, teleport vector uniform over
+    the seed set, dangling mass restarting at the seeds) over the
+    same distinct symmetrized bipartite edges."""
+    import pandas as pd
+
+    li = pd.read_parquet(
+        os.path.join(_oracle_sf_dir(), "lineitem.parquet")
+    )[["l_orderkey", "l_partkey"]].drop_duplicates()
+    fwd = [
+        (f"o:{o}", f"p:{p}")
+        for o, p in zip(li["l_orderkey"], li["l_partkey"])
+    ]
+    edges = fwd + [(d, s) for s, d in fwd]
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    nset = set(nodes)
+    seeds = [s for s in sorted(set(_PPR_SEEDS)) if s in nset]
+    t = {
+        v: (1.0 / len(seeds) if v in set(seeds) else 0.0) for v in nodes
+    }
+    n = len(nodes)
+    deg: dict[str, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    d = _PR_DAMPING
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(_PR_ITERS):
+        contrib = {v: 0.0 for v in nodes}
+        for s, tgt in edges:
+            contrib[tgt] += pr[s] / deg[s]
+        total = sum(contrib[v] for v in nodes)
+        pr = {
+            v: (1.0 - d) * t[v]
+            + d * (contrib[v] + (1.0 - total) * t[v])
+            for v in nodes
+        }
+    ranked = sorted(
+        ((round(p, 6), v) for v, p in pr.items()),
+        key=lambda x: (-x[0], x[1]),
+    )[:_PR_TOPK]
+    rows = ",".join(
+        f"('{v}',{p!r},{i + 1})" for i, (p, v) in enumerate(ranked)
+    )
+    return (
+        "SELECT node, pr::DOUBLE AS pr, rank::BIGINT AS rank FROM "
+        "(VALUES " + rows + ') AS t(node, pr, "rank")'
     )
 
 
@@ -2344,6 +2428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_quantiles": _q_quantiles,
         "gr_hits": _q_hits,
         "rel_kmv_distinct": _q_kmv_distinct,
+        "gr_ppr": _q_ppr,
         "q34_synonym_blend": _q_synonym_blend,
         "q35_span_first": _q_span_first,
         "q36_dismax": _q_dismax,
@@ -3317,6 +3402,7 @@ def oracle_sql() -> dict[str, str]:
         "tx_bpe_tokens": _bpe_tokens_values_sql(),
         "gr_pagerank": _pagerank_values_sql(),
         "gr_hits": _hits_values_sql(),
+        "gr_ppr": _ppr_values_sql(),
         # same degree orientation as ops/graph.py triangle_counts:
         # rank(x) = (deg(x), x), every edge low->high, triangle =
         # apex wedge (rank(v1) < rank(v2)) closed by oriented (v1,v2)

@@ -35,11 +35,23 @@ def pagerank(
     damping: float = 0.85,
     iters: int = 10,
     checkpoint_every: int = 3,
+    seeds: list | tuple | None = None,
 ) -> DataFrame:
     """(node, pr) after ``iters`` power iterations with uniform
     init, teleport (1−d)/N, and dangling mass redistributed
     uniformly; Σ pr = 1 every iteration. Parallel edges should be
-    de-duplicated by the caller if a simple graph is intended."""
+    de-duplicated by the caller if a simple graph is intended.
+
+    ``seeds`` switches to PERSONALIZED PageRank (topic-sensitive,
+    Haveliwala WWW 2002; random-walk-with-restart): the teleport
+    vector becomes uniform over the seed set instead of over all
+    nodes, and dangling mass restarts at the seeds too — so Σ pr
+    stays 1 and all rank concentrates in the seeds' reachable
+    component. Init stays uniform (the fixed point is independent of
+    init; iterates differ, which is why the oracle replays the same
+    init). Seeds absent from the graph are ignored; an empty
+    effective seed set raises. The seed list is broadcast — it is a
+    query parameter (10s-1000s of nodes), never a data-scale table."""
     if not 0.0 < damping < 1.0:
         raise ValueError("damping must be in (0, 1)")
     if iters < 1:
@@ -52,6 +64,26 @@ def pagerank(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n = nodes.count()  # one bounded driver scalar, reused every iter
+    # teleport vector: uniform 1/N, or uniform over the seed set
+    if seeds is None:
+        nodes_t = nodes.withColumn("_tp", F.lit(1.0 / n))
+    else:
+        seed_list = sorted(set(seeds))
+        if not seed_list:
+            raise ValueError("seeds must be non-empty when given")
+        marker = nodes.filter(F.col("node").isin(seed_list)).withColumn(
+            "_is", F.lit(1)
+        )
+        ns = marker.count()
+        if ns == 0:
+            raise ValueError("no seed node present in the graph")
+        nodes_t = nodes.join(F.broadcast(marker), "node", "left").select(
+            "node",
+            F.when(F.col("_is").isNotNull(), F.lit(1.0 / ns))
+            .otherwise(F.lit(0.0))
+            .alias("_tp"),
+        )
+    nodes_t = nodes_t.persist(StorageLevel.MEMORY_AND_DISK)
     deg = e.groupBy("_s").agg(F.count("*").alias("_deg"))
     ew = (
         e.join(deg, "_s")
@@ -80,16 +112,16 @@ def pagerank(
             F.coalesce(F.sum("_contrib"), F.lit(0.0)).alias("_t")
         )
         ranks = (
-            nodes.join(msgs.withColumnRenamed("_d", "node"), "node", "left")
+            nodes_t.join(msgs.withColumnRenamed("_d", "node"), "node", "left")
             .crossJoin(F.broadcast(total))
             .select(
                 "node",
                 (
-                    F.lit((1.0 - d) / n)
+                    F.lit(1.0 - d) * F.col("_tp")
                     + F.lit(d)
                     * (
                         F.coalesce(F.col("_contrib"), F.lit(0.0))
-                        + (F.lit(1.0) - F.col("_t")) / F.lit(float(n))
+                        + (F.lit(1.0) - F.col("_t")) * F.col("_tp")
                     )
                 ).alias("pr"),
             )
@@ -100,6 +132,7 @@ def pagerank(
                 df_.unpersist()
             pending = []
     ew.unpersist()
+    nodes_t.unpersist()
     nodes.unpersist()
     return ranks
 

@@ -213,3 +213,73 @@ def test_hits_validation(spark):
     df = spark.createDataFrame(EDGES, "src string, dst string")
     with pytest.raises(ValueError):
         hits(df, iters=0)
+
+
+# ------------------------------------------- personalized PageRank
+
+def _ppr_reference(edges, damping, iters, seeds):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    seeds = [s for s in sorted(set(seeds)) if s in set(nodes)]
+    t = {v: (1.0 / len(seeds) if v in set(seeds) else 0.0) for v in nodes}
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        contrib = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            contrib[d] += pr[s] / deg[s]
+        total = sum(contrib[v] for v in nodes)
+        pr = {
+            v: (1.0 - damping) * t[v]
+            + damping * (contrib[v] + (1.0 - total) * t[v])
+            for v in nodes
+        }
+    return pr
+
+
+def test_personalized_matches_reference(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {
+        r["node"]: r["pr"]
+        for r in pagerank(df, iters=10, seeds=["a"]).collect()
+    }
+    want = _ppr_reference(EDGES, 0.85, 10, ["a"])
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12), v
+    # restart conservation: mass still sums to 1
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
+    # rank concentrates near the seed: the seed outranks the node
+    # unreachable from it only via teleport ('d' never receives walk
+    # mass from a's component — check it holds strictly less than a)
+    assert got["a"] > got["d"]
+
+
+def test_personalized_seed_locality(spark):
+    """Two disconnected 2-cycles, seeds in one: the other component
+    receives NO teleport mass, so its initial 0.25-per-node share
+    decays geometrically — pr_k(x) = 0.25 * d^k exactly (its only
+    inflow is d * contrib from the cycle partner) — and the seeded
+    component holds the complement."""
+    edges = [("a", "b"), ("b", "a"), ("x", "y"), ("y", "x")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    iters, d = 15, 0.85
+    got = {
+        r["node"]: r["pr"]
+        for r in pagerank(df, iters=iters, seeds=["a", "b"]).collect()
+    }
+    leak = 0.25 * d**iters
+    assert got["x"] == pytest.approx(leak, rel=1e-9)
+    assert got["y"] == pytest.approx(leak, rel=1e-9)
+    assert got["a"] + got["b"] == pytest.approx(1.0 - 2 * leak, abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
+
+
+def test_personalized_validation(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    with pytest.raises(ValueError):
+        pagerank(df, seeds=[])
+    with pytest.raises(ValueError):
+        pagerank(df, seeds=["not_a_node_zz"])
