@@ -2275,6 +2275,28 @@ def _q_event_compaction(spark, sf_dir):
     )
 
 
+def _q_sliding_window(spark, sf_dir):
+    # overlapping event-time windows (size 2h, slide 1h): Spark's
+    # F.window expands each event into exactly size/slide = 2 rows
+    # map-side (one Expand, epoch-aligned starts) feeding ONE
+    # partial-agg groupBy — never a self-join of shifted copies
+    ev = _load(spark, sf_dir, "events")
+    w = F.window("ts", "2 hours", "1 hour")
+    return (
+        ev.groupBy("event_type", w.alias("win"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.col("win.start").alias("win_start"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def _q_event_window(spark, sf_dir):
     ev = _load(spark, sf_dir, "events")
     return ev.groupBy(
@@ -2429,6 +2451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gr_hits": _q_hits,
         "rel_kmv_distinct": _q_kmv_distinct,
         "gr_ppr": _q_ppr,
+        "rel_sliding_window": _q_sliding_window,
         "q34_synonym_blend": _q_synonym_blend,
         "q35_span_first": _q_span_first,
         "q36_dismax": _q_dismax,
@@ -4916,6 +4939,19 @@ def oracle_sql() -> dict[str, str]:
                    round(arg_max(value, ts), 6) AS last_value,
                    count(*)::BIGINT AS n_events
             FROM events GROUP BY user_id""",
+        # sliding windows: every event lands in exactly size/slide=2
+        # epoch-aligned windows (k=0: floor(t/1h); k=1: one slide
+        # earlier — t-s in [1h,2h) < size, so no extra predicate)
+        "rel_sliding_window": """
+            SELECT event_type,
+                   make_timestamp(ws) AS win_start,
+                   count(*)::BIGINT AS n,
+                   round(sum(value), 6) AS sum_value
+            FROM (
+              SELECT event_type, value,
+                     ((epoch_us(ts) // 3600000000) - k) * 3600000000 AS ws
+              FROM events, unnest([0, 1]) AS u(k))
+            GROUP BY event_type, ws""",
         "st_event_window": """
             SELECT event_type, date_trunc('hour', ts) AS hour,
                    count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value

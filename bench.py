@@ -566,6 +566,31 @@ def main() -> None:
         .heavy_hitters(docs_df, phi=0.0012, n=2)
         .agg(F.sum("freq"), F.count("*"))
         .collect(),
+        # sums reference the quantile columns so the window + final
+        # agg cannot be pruned
+        "op_quantiles": lambda: __import__(
+            "codeindex_spark.ops.analysis", fromlist=["group_quantiles"]
+        )
+        .group_quantiles(
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+            "l_returnflag",
+            "l_extendedprice",
+            (0.25, 0.5, 0.75, 0.9),
+        )
+        .agg(F.sum("q50"), F.sum("q90"))
+        .collect(),
+        # est_distinct forces the bottom-k merge + estimator
+        "op_kmv": lambda: __import__(
+            "codeindex_spark.ops.sketch", fromlist=["kmv_distinct"]
+        )
+        .kmv_distinct(
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+            "l_partkey",
+            k=256,
+            group_col="l_returnflag",
+        )
+        .agg(F.sum("est_distinct"), F.sum("n_min"))
+        .collect(),
         "op_dsir": lambda: dsir_resample(
             dsir_log_weights(
                 docs_df,
@@ -613,6 +638,8 @@ def main() -> None:
         "op_entropy",
         "op_bpe",
         "op_pagerank",
+        "op_quantiles",
+        "op_kmv",
         "q_mlt",
         "q_facets",
         "q_suggest",

@@ -45,7 +45,7 @@ from codeindex_spark.ops.analysis import repetition_stats
 from codeindex_spark.ops.dsir import dsir_log_weights, dsir_resample
 from codeindex_spark.ops.spans import remove_duplicate_spans
 from codeindex_spark.ops.similarity import semdedup
-from codeindex_spark.ops.sketch import heavy_hitters
+from codeindex_spark.ops.sketch import heavy_hitters, kmv_distinct
 from pyspark.sql import functions as F
 
 cpus = {cpus}
@@ -105,6 +105,11 @@ OPS = {{
     # is called there; phi sized so k ~ 2001 counters/partition and
     # real evictions happen on the code-corpus bigram vocabulary
     "heavy": lambda d: heavy_hitters(d, phi=0.0005, n=2),
+    # kmv: bottom-1024 distinct sketch over the full doc text — the
+    # map-only bounded-state pass (md5 + per-partition bottom-k)
+    # plus a <= k-rows-per-partition merge; the map-dominated
+    # contrast like repetition, but with a (tiny) exchange
+    "kmv": lambda d: kmv_distinct(d, "text", k=1024),
 }}
 OP = OPS[{op!r}]
 # untimed warmup: compile the plan shapes on a small slice
@@ -142,7 +147,7 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--op", default="minhash",
                     choices=["minhash", "repetition", "dsir", "spans",
-                             "semdedup", "heavy"])
+                             "semdedup", "heavy", "kmv"])
     args = ap.parse_args()
     levels = [int(x) for x in args.levels.split(",")]
     if len(levels) != 2 or levels[0] == levels[1]:
@@ -218,7 +223,8 @@ def main() -> None:
                "dsir": "dsir_log_weights+resample",
                "spans": "remove_duplicate_spans",
                "semdedup": "semdedup",
-               "heavy": "heavy_hitters(bigram, phi=5e-4)"}[args.op],
+               "heavy": "heavy_hitters(bigram, phi=5e-4)",
+               "kmv": "kmv_distinct(text, k=1024)"}[args.op],
         "n_docs": args.docs,
         "protocol": (
             f"{args.runs} independent runs per level on the same "
