@@ -387,6 +387,21 @@ def _q_constant_score(spark, sf_dir):
     return _orig_ids(eng, eng.score(node), extra=_SCORE())
 
 
+def _q_span_or(spark, sf_dir):
+    # Lucene SpanOrQuery (SpanOrQuery.java + SpanWeight public
+    # semantics): union of single-term spans — freq = summed member
+    # tf (two terms never share a position), idf = SUM of the
+    # members' idfs (BM25Similarity over multiple TermStatistics),
+    # observably different from both OR and SynonymQuery. Two members
+    # keep the idf sum order-independent (IEEE + is commutative).
+    from codeindex_spark.query import ast
+
+    eng = _engine(spark, sf_dir)
+    return _orig_ids(
+        eng, eng.score(ast.SpanOr(("fast", "sort"))), extra=_SCORE()
+    )
+
+
 def _q_min_should_match(spark, sf_dir):
     # Lucene BooleanQuery.Builder.setMinimumNumberShouldMatch(2)
     # (public semantics, MinShouldMatchSumScorer): match docs holding
@@ -2452,6 +2467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_kmv_distinct": _q_kmv_distinct,
         "gr_ppr": _q_ppr,
         "rel_sliding_window": _q_sliding_window,
+        "q40_span_or": _q_span_or,
         "q34_synonym_blend": _q_synonym_blend,
         "q35_span_first": _q_span_first,
         "q36_dismax": _q_dismax,
@@ -3683,6 +3699,31 @@ def oracle_sql() -> dict[str, str]:
         # SpanFirstQuery: tf = occurrences at 1-based pos <= 30
         # (engine's 0-based pos < 30), idf from the FULL docFreq —
         # note dfq counts the term ANYWHERE, tf only the early window
+        # SpanOr blend: tf = summed member tf (one count over the
+        # member set), idf = SUM of per-term idfs — then the ordinary
+        # BM25 expression with the engine's float op order. Two-term
+        # sum: IEEE addition is commutative, so dfm row order is moot
+        "q40_span_or": f"""WITH {_TOK},
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+            nn AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+            ad AS (SELECT sum(dl)::DOUBLE / (SELECT n_docs FROM nn) AS avgdl
+                   FROM dl),
+            tf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tok
+                   WHERE term IN ('fast', 'sort') GROUP BY doc_id),
+            dfm AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+                    FROM tok WHERE term IN ('fast', 'sort') GROUP BY term),
+            idfs AS (SELECT sum(
+                       ln(1.0::DOUBLE + ((SELECT n_docs FROM nn)
+                            - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+                     ) AS idf FROM dfm)
+            SELECT tf.doc_id,
+                   round(
+                     (SELECT idf FROM idfs)
+                     * (tf.tf * (1.2::DOUBLE + 1.0::DOUBLE)
+                        / (tf.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+                           + 0.75::DOUBLE * dl.dl / (SELECT avgdl FROM ad)))),
+                   6) AS score
+            FROM tf JOIN dl USING (doc_id)""",
         # minimumNumberShouldMatch(2): contrib has one row per
         # (doc, matched term), so count(*) = number of matching
         # SHOULD clauses; msm filters, the score stays the plain sum

@@ -35,8 +35,8 @@ from typing import Union
 
 Node = Union[
     "Term", "Wildcard", "Regexp", "Fuzzy", "Range", "Phrase", "Synonyms",
-    "SpanFirst", "SpanNot", "DisMax", "ConstantScore", "And", "Or", "Not",
-    "Bool",
+    "SpanFirst", "SpanOr", "SpanNot", "DisMax", "ConstantScore", "And",
+    "Or", "Not", "Bool",
 ]
 
 # user-facing field names (reference SearchRequest.cs:6-28) -> index fields
@@ -115,6 +115,26 @@ class SpanFirst:
 
     term: str
     end: int
+    field: str = DEFAULT_FIELD
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanOr:
+    """Lucene SpanOrQuery over single-term spans (public semantics,
+    lucene SpanOrQuery.java + SpanWeight): the union of the member
+    spans. Single-term spans occupy one position each and two terms
+    never share a position, so the union's span freq per doc is the
+    SUM of member tfs — like SynonymQuery's blend — but the idf
+    differs observably: SpanWeight.buildSimWeight passes EVERY
+    member's TermStatistics to the similarity, and BM25Similarity
+    with multiple term stats SUMS the per-term idfs
+    (BM25Similarity.idfExplain(collectionStats, termStats[])), where
+    SynonymQuery blends docFreq = max first and takes one idf.
+    Members missing from the dictionary contribute nothing (no term
+    states). Programmatic only, like every span query."""
+
+    terms: tuple[str, ...]
     field: str = DEFAULT_FIELD
     boost: float = 1.0
 
@@ -291,7 +311,7 @@ def apply_boost(node: Node, factor: float) -> Node:
     if isinstance(
         node,
         (Term, Wildcard, Regexp, Fuzzy, Range, Phrase, Synonyms,
-         SpanFirst, SpanNot),
+         SpanFirst, SpanOr, SpanNot),
     ):
         return replace(node, boost=node.boost * factor)
     if isinstance(node, And):
@@ -944,7 +964,7 @@ def collect_leaves(node: Node) -> list[Node]:
     if isinstance(
         node,
         (Term, Wildcard, Regexp, Fuzzy, Range, Phrase, Synonyms,
-         SpanFirst, SpanNot),
+         SpanFirst, SpanOr, SpanNot),
     ):
         return [node]
     if isinstance(node, (And, Or, DisMax)):

@@ -226,6 +226,27 @@ class OracleIndex:
                 d: idf * self._tfnorm(fld, d, tf)
                 for d, tf in tf_by_doc.items()
             }
+        if isinstance(node, ast.SpanOr):
+            # Lucene SpanOrQuery: union of single-term spans — freq
+            # sums like the Synonyms blend, but idf = SUM of the
+            # present members' idfs (BM25Similarity over multiple
+            # TermStatistics sums idfExplain terms)
+            fld = node.field
+            present = [t for t in node.terms if t in self.postings[fld]]
+            if not present:
+                return {}
+            n, _ = self.stats[fld]
+            idf = sum(
+                idf_bm25(n, len(self.postings[fld][t])) for t in present
+            ) * float(getattr(node, "boost", 1.0))
+            tf_by_doc: dict[int, int] = {}
+            for t in present:
+                for d, pos in self.postings[fld][t].items():
+                    tf_by_doc[d] = tf_by_doc.get(d, 0) + len(pos)
+            return {
+                d: idf * self._tfnorm(fld, d, tf)
+                for d, tf in tf_by_doc.items()
+            }
         if isinstance(node, ast.SpanFirst):
             # Lucene SpanFirstQuery: span end <= end, i.e. 0-based
             # position < end; freq = restricted occurrence count,

@@ -641,6 +641,16 @@ class SearchEngine:
                 wants.append((lid, fld, -2, tuple(leaf.terms), True))
                 for t in leaf.terms:
                     exact_terms.setdefault(fld, set()).add(t)
+            elif isinstance(leaf, ast.SpanOr):
+                # one want for the whole group (slot=-6): the blended
+                # idf needs every member's df at once (Σ idf, unlike
+                # Synonyms' max-df); tf still merges in-kernel via
+                # the same summed-tf path as slot -2
+                if not leaf.terms:
+                    raise ValueError("SpanOr needs at least one term")
+                wants.append((lid, fld, -6, tuple(leaf.terms), True))
+                for t in leaf.terms:
+                    exact_terms.setdefault(fld, set()).add(t)
             elif isinstance(leaf, ast.SpanFirst):
                 # slot=-3: exact-term posting row whose kernel pass
                 # counts only positions < end; idf stays the term's
@@ -671,10 +681,13 @@ class SearchEngine:
         for lid, fld, slot_idx, spec, exact in wants:
             leaf_boost = boost_by_id[lid]
             n_docs, _ = self.reader.field_stats(fld)
-            if slot_idx == -2:
-                # SynonymQuery blend: docFreq = MAX over members that
-                # exist in the dictionary; one posting row per member,
-                # all carrying the BLENDED idf (tf merges in-kernel)
+            if slot_idx in (-2, -6):
+                # blended-group rows (one posting row per member, all
+                # carrying the same blended idf; tf sums in-kernel):
+                # slot -2 = SynonymQuery, docFreq = MAX over present
+                # members -> one idf; slot -6 = SpanOrQuery, idf =
+                # SUM of the present members' idfs (BM25Similarity
+                # over multiple TermStatistics sums idfExplain terms)
                 present = [
                     (t, exact_df.get((fld, t)))
                     for t in spec
@@ -682,9 +695,15 @@ class SearchEngine:
                 ]
                 if not present:
                     continue
-                idf_blend = idf_bm25(
-                    n_docs, max(d for _, d in present)
-                ) * leaf_boost
+                if slot_idx == -2:
+                    idf_blend = idf_bm25(
+                        n_docs, max(d for _, d in present)
+                    ) * leaf_boost
+                else:
+                    idf_blend = (
+                        sum(idf_bm25(n_docs, d) for _, d in present)
+                        * leaf_boost
+                    )
                 for term, _ in present:
                     rows.append(
                         {
@@ -850,7 +869,7 @@ class SearchEngine:
                             all_exact.setdefault(leaf.field, set()).add(slot)
                 elif isinstance(leaf, ast.Term):
                     all_exact.setdefault(leaf.field, set()).add(leaf.term)
-                elif isinstance(leaf, ast.Synonyms):
+                elif isinstance(leaf, (ast.Synonyms, ast.SpanOr)):
                     for t in leaf.terms:
                         all_exact.setdefault(leaf.field, set()).add(t)
                 elif isinstance(leaf, ast.SpanFirst):
@@ -2000,7 +2019,8 @@ def _make_tree_batch_kernel(root, leaf_ids, avgdl, k1, b, block_size):
         if isinstance(
             node,
             (ast.Term, ast.Wildcard, ast.Regexp, ast.Fuzzy, ast.Range,
-             ast.Phrase, ast.Synonyms, ast.SpanFirst, ast.SpanNot),
+             ast.Phrase, ast.Synonyms, ast.SpanOr, ast.SpanFirst,
+             ast.SpanNot),
         ):
             return leaf_data.get(id_of[node], (_EMPTY_D, _EMPTY_S))
         if isinstance(node, ast.And):

@@ -316,3 +316,82 @@ def test_synonyms_wand_topk_sound(engine, oracle):
     assert [d for d, _ in got] == [d for d, _ in exp]
     for (_, gs), (_, es) in zip(got, exp):
         assert gs == pytest.approx(es, rel=1e-9)
+
+
+# ---------------------------------------------------------- SpanOr
+
+SPANOR_CASES = [
+    ast.SpanOr(("get", "set")),
+    ast.SpanOr(("string", "return")),
+    ast.SpanOr(("index", "writer", "document")),
+    ast.SpanOr(("get", "zzz_not_a_token_qq")),  # missing member ignored
+]
+
+
+@pytest.mark.parametrize("node", SPANOR_CASES, ids=lambda n: "|".join(n.terms))
+def test_spanor_rank_identity(engine, oracle, node):
+    assert oracle.search(node, k=K), "fixture must match something"
+    assert_rank_identical(engine.search(node, k=K), oracle.search(node, k=K))
+
+
+def test_spanor_differs_from_synonyms_and_or(oracle):
+    """Same member set, three different Lucene scorings: OR (per-term
+    saturation, summed), SynonymQuery (summed tf, max-df idf), and
+    SpanOr (summed tf, SUMMED per-term idf). All three must disagree
+    on docs holding both members — and SpanOr must equal Synonyms
+    scaled by idf_sum/idf_maxdf (same tf blend, different idf)."""
+    terms = ("get", "string")
+    spanor = dict(oracle.search(ast.SpanOr(terms), k=10_000))
+    syn = dict(oracle.search(ast.Synonyms(terms), k=10_000))
+    orq = dict(oracle.search(ast.Or(tuple(ast.Term(t) for t in terms)), k=10_000))
+    both = [
+        d for d in spanor
+        if d in oracle.eval(ast.Term("get"))
+        and d in oracle.eval(ast.Term("string"))
+    ]
+    assert both
+    from codeindex_spark.query.planner import idf_bm25
+
+    n, _ = oracle.stats["content"]
+    idf_sum = idf_bm25(n, len(oracle.postings["content"]["get"])) + idf_bm25(
+        n, len(oracle.postings["content"]["string"])
+    )
+    idf_max = idf_bm25(
+        n,
+        max(
+            len(oracle.postings["content"]["get"]),
+            len(oracle.postings["content"]["string"]),
+        ),
+    )
+    for d in both:
+        assert spanor[d] != pytest.approx(syn[d], rel=1e-9)
+        assert spanor[d] != pytest.approx(orq[d], rel=1e-9)
+        assert spanor[d] == pytest.approx(
+            syn[d] * idf_sum / idf_max, rel=1e-9
+        )
+
+
+def test_spanor_single_member_equals_term(engine, oracle):
+    so = ast.SpanOr(("writer",))
+    term = ast.Term("writer")
+    assert oracle.search(so, k=K) == oracle.search(term, k=K)
+    assert _ranked(engine.search(so, k=K)) == _ranked(engine.search(term, k=K))
+
+
+def test_spanor_all_missing_empty(engine, oracle):
+    so = ast.SpanOr(("zz_qq_none", "zz_qq_none2"))
+    assert oracle.search(so, k=K) == []
+    assert engine.search(so, k=K).count() == 0
+
+
+def test_spanor_boost_and_composition(engine, oracle):
+    plain = ast.SpanOr(("get", "set"))
+    boosted = ast.SpanOr(("get", "set"), boost=1.7)
+    p = dict(oracle.search(plain, k=10_000))
+    b = dict(oracle.search(boosted, k=10_000))
+    assert set(p) == set(b)
+    for d, s in p.items():
+        assert b[d] == pytest.approx(1.7 * s, rel=1e-12)
+    tree = ast.And((plain, ast.Term("index")))
+    assert oracle.search(tree, k=K)
+    assert_rank_identical(engine.search(tree, k=K), oracle.search(tree, k=K))
