@@ -1323,6 +1323,44 @@ def _q_sessions(spark, sf_dir):
     )
 
 
+def _q_kmv_stream(spark, sf_dir):
+    """Streaming KMV twin, driver-pinned: documents.text replayed
+    through a file-source readStream -> hash-bucketed stateful
+    bottom-k (applyInPandasWithState) -> merged (n_min,
+    est_distinct). The sketch is deterministic (md5, no RNG) and KMV
+    composes exactly across buckets, so the SQL oracle replays the
+    SAME sketch — bit equality, not an error bound."""
+    import hashlib
+    import uuid
+
+    from codeindex_spark.streaming.sketch import stream_kmv_distinct
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    base = f"/tmp/codeindex_entry/stream_kmv_{tag}"
+    docs_dir = os.path.join(base, "docs")
+    if not os.path.exists(os.path.join(docs_dir, "_SUCCESS")):
+        (
+            _load(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .repartition(4)
+            .write.mode("overwrite")
+            .json(docs_dir)
+        )
+    out = stream_kmv_distinct(
+        spark,
+        docs_dir,
+        os.path.join(base, f"ckpt_{uuid.uuid4().hex}"),
+        col="text",
+        k=256,
+        n_buckets=8,
+        query_name=f"kmv_{tag}_{uuid.uuid4().hex[:8]}",
+    )
+    return out.select(
+        F.col("n_min").cast("long").alias("n_min"),
+        F.round("est_distinct", 4).alias("est_distinct"),
+    )
+
+
 def _q_sessions_stream(spark, sf_dir):
     """Native Structured Streaming session windows (ST2's gap-session
     twin, r4): the events table replayed through a file-source
@@ -1832,6 +1870,50 @@ def _q_quantiles(spark, sf_dir):
             F.round(F.col(c).cast("double"), 4).alias(c)
             for c in ("q25", "q50", "q75", "q90")
         ],
+    )
+
+
+def _q_salted_agg(spark, sf_dir):
+    # hot-key-proof two-phase aggregation (ops/skew.py): phase 1
+    # groups by (key, salt) so no reducer owns a whole hot key,
+    # phase 2 recombines <= n_salts partials per key — result rows
+    # identical to the plain GROUP BY (the oracle)
+    from codeindex_spark.ops.skew import salted_agg
+
+    li = _load(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        n_salts=16,
+        salt_on="l_orderkey",
+        sums={"sum_qty": "l_quantity", "sum_price": "l_extendedprice"},
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n",
+        F.round("sum_qty", 4).alias("sum_qty"),
+        F.round("sum_price", 4).alias("sum_price"),
+    )
+
+
+def _q_salted_join(spark, sf_dir):
+    # skew-proof fact-dim join: fact rows salt into 16 buckets, the
+    # dim side replicates per salt, join key = (key, salt) — the
+    # multiset equals the plain join, verified through a revenue
+    # rollup against the plain SQL join
+    from codeindex_spark.ops.skew import salted_join
+
+    li = _load(spark, sf_dir, "lineitem")
+    pt = _load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_type"
+    )
+    j = salted_join(li, pt, "l_partkey", n_salts=16, salt_on="l_orderkey")
+    return j.groupBy("p_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
     )
 
 
@@ -2468,6 +2550,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gr_ppr": _q_ppr,
         "rel_sliding_window": _q_sliding_window,
         "q40_span_or": _q_span_or,
+        "st_kmv_stream": _q_kmv_stream,
+        "rel_salted_agg": _q_salted_agg,
+        "rel_salted_join": _q_salted_join,
         "q34_synonym_blend": _q_synonym_blend,
         "q35_span_first": _q_span_first,
         "q36_dismax": _q_dismax,
@@ -3376,6 +3461,20 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_disc(l_extendedprice, 0.90)::DOUBLE, 4)
                      AS q90
             FROM lineitem GROUP BY l_returnflag""",
+        # salted ops: the oracle is simply the UNSALTED spelling —
+        # salting must be plan-only, never result-visible
+        "rel_salted_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*)::BIGINT AS n,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_price
+            FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "rel_salted_join": """
+            SELECT p_type, count(*)::BIGINT AS n,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                     AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_type""",
         # KMV sketch replay: bottom-256 distinct 13-hex-char md5
         # prefixes per group; below k the count is exact, else the
         # (k-1)/h_(k) estimator with h in (0,1) via exact /2^52 —
@@ -4980,6 +5079,26 @@ def oracle_sql() -> dict[str, str]:
                    round(arg_max(value, ts), 6) AS last_value,
                    count(*)::BIGINT AS n_events
             FROM events GROUP BY user_id""",
+        # streaming KMV: the stream's bucketed bottom-k merge equals
+        # the single-pass sketch exactly (KMV composes), so the
+        # oracle is the same deterministic replay as rel_kmv_distinct
+        # but over documents.text, ungrouped
+        "st_kmv_stream": """
+            WITH hx AS (
+              SELECT DISTINCT substr(md5(text), 1, 13) AS h
+              FROM documents WHERE text IS NOT NULL),
+            rk AS (
+              SELECT h, row_number() OVER (ORDER BY h) AS rn,
+                     count(*) OVER () AS nd
+              FROM hx)
+            SELECT least(nd, 256)::BIGINT AS n_min,
+                   round(CASE WHEN nd < 256 THEN nd::DOUBLE
+                         ELSE 255.0::DOUBLE /
+                              (('0x' || h)::BIGINT
+                               / 4503599627370496.0::DOUBLE) END,
+                         4) AS est_distinct
+            FROM rk
+            WHERE rn = CASE WHEN nd < 256 THEN nd ELSE 256 END""",
         # sliding windows: every event lands in exactly size/slide=2
         # epoch-aligned windows (k=0: floor(t/1h); k=1: one slide
         # earlier — t-s in [1h,2h) < size, so no extra predicate)

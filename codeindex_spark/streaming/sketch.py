@@ -174,3 +174,136 @@ def stream_heavy_hitters(
         schema="bucket int, seq long",
     )
     return hist.join(F.broadcast(finals), ["bucket", "seq"])
+
+
+# ------------------------------------------------------ streaming KMV
+
+KMV_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("h", T.StringType(), False),
+    ]
+)
+
+_KMV_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("hs", T.ArrayType(T.StringType()), True),
+        T.StructField("seq", T.LongType(), True),
+    ]
+)
+
+
+def streaming_kmv_state(
+    hashes: DataFrame, k: int, n_buckets: int = 8
+) -> DataFrame:
+    """Stateful bottom-k over a (streaming) one-column ``_h``
+    DataFrame of 13-hex-char hashes (ops/sketch.py kmv_distinct's
+    hash shape). Hash-bucketed like the MG stream: all copies of a
+    hash land in one bucket, each bucket keeps ITS k smallest
+    distinct hashes as keyed state (bounded for the stream's
+    lifetime at n_buckets * k strings).
+
+    KMV composes exactly: the global bottom-k is contained in the
+    union of per-bucket bottom-k's (each globally-smallest hash is
+    among the smallest of its own bucket), so a batch-side merge —
+    bottom-k of the union — reproduces the single-pass sketch
+    BIT-EXACTLY. Each trigger emits the bucket's current snapshot
+    tagged with a monotone ``seq``; consumers keep max-seq rows."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+
+    def update(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        bucket = int(key[0])
+        if state.hasTimedOut:  # pragma: no cover — no timeout configured
+            state.remove()
+            return
+        if state.exists:
+            hs0, seq = state.get
+            cur = np.asarray(hs0, dtype=object)
+        else:
+            cur, seq = np.empty(0, dtype=object), 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            merged = np.unique(
+                np.concatenate([cur, pdf["_h"].to_numpy(dtype=object)])
+            )
+            cur = merged[:k]
+        seq += 1
+        state.update((cur.tolist(), int(seq)))
+        yield pd.DataFrame(
+            {"bucket": bucket, "seq": int(seq), "h": cur.tolist()}
+        )
+
+    bucketed = hashes.withColumn(
+        "bucket", F.pmod(F.xxhash64("_h"), F.lit(n_buckets)).cast("int")
+    )
+    return bucketed.groupBy("bucket").applyInPandasWithState(
+        update,
+        outputStructType=KMV_OUT_SCHEMA,
+        stateStructType=_KMV_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_kmv_distinct(
+    spark: SparkSession,
+    docs_dir: str,
+    checkpoint_dir: str,
+    col: str = "text",
+    k: int = 256,
+    n_buckets: int = 8,
+    query_name: str = "kmv_stream",
+) -> DataFrame:
+    """File-source stream of (doc_id, text) JSON -> md5 hashes ->
+    bucketed stateful bottom-k -> append memory sink (availableNow,
+    one file per trigger). Returns a ONE-ROW (n_min, est_distinct)
+    DataFrame computed from the final snapshots with the same
+    estimator as ops/sketch.py kmv_distinct — bit-identical to
+    running the batch op over the same rows, which is the test."""
+    from codeindex_spark.ops.sketch import _KMV_HEX, _KMV_SCALE
+
+    stream = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(docs_dir)
+    )
+    hashes = stream.filter(F.col(col).isNotNull()).select(
+        F.substring(F.md5(F.col(col).cast("string")), 1, _KMV_HEX).alias(
+            "_h"
+        )
+    )
+    out = streaming_kmv_state(hashes, k=k, n_buckets=n_buckets)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    hist = spark.table(query_name)
+    finals = spark.createDataFrame(
+        hist.groupBy("bucket").agg(F.max("seq").alias("seq")).collect(),
+        schema="bucket int, seq long",
+    )
+    kept = hist.join(F.broadcast(finals), ["bucket", "seq"])
+    hs = F.slice(F.array_sort(F.collect_set("h")), 1, k)
+    agg = kept.agg(hs.alias("_hs"))
+    n = F.size("_hs")
+    kth = F.conv(F.element_at("_hs", k), 16, 10).cast("double") / F.lit(
+        _KMV_SCALE
+    )
+    est = F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1)) / kth
+    )
+    return agg.select(
+        n.cast("long").alias("n_min"), est.alias("est_distinct")
+    )

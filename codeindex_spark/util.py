@@ -16,6 +16,10 @@ def ensure_parallelism(df: DataFrame, factor: int = 2) -> DataFrame:
     scale the natural split count already exceeds the target and this
     is a no-op.
     """
+    if df.isStreaming:
+        # .rdd raises on streaming plans; micro-batch parallelism is
+        # the source's concern (maxFilesPerTrigger etc.), not ours
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism * factor
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

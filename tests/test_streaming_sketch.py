@@ -108,3 +108,46 @@ def test_snapshot_is_final_state_only(streamed):
     # state bound: at most k counters per bucket
     cnt = Counter(r["bucket"] for r in snap)
     assert all(c <= K for c in cnt.values())
+
+
+# ------------------------------------------------------ streaming KMV
+
+def test_streaming_kmv_equals_batch(spark, tmp_path_factory):
+    """The streamed bucketed bottom-k, merged at the end, must equal
+    the batch kmv_distinct over the same rows BIT-EXACTLY (the sketch
+    is deterministic: md5, no RNG — so this is equality, not an
+    error-bound check). Docs arrive one file per trigger so state
+    genuinely crosses micro-batches."""
+    import json as _json
+
+    from codeindex_spark.ops.sketch import kmv_distinct
+    from codeindex_spark.streaming.sketch import stream_kmv_distinct
+
+    tmp = tmp_path_factory.mktemp("kmvstream")
+    docs_dir = tmp / "docs"
+    docs_dir.mkdir()
+    batches = _zipf_batches(n_batches=3, docs_per_batch=120)
+    base = time.time() - 100
+    for i, rows in enumerate(batches):
+        p = docs_dir / f"b{i}.json"
+        with open(p, "w") as f:
+            for doc_id, text in rows:
+                f.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        os.utime(p, (base + 10 * i, base + 10 * i))
+    got = stream_kmv_distinct(
+        spark,
+        str(docs_dir),
+        str(tmp / "ckpt"),
+        col="text",
+        k=64,
+        n_buckets=4,
+        query_name="kmv_test",
+    ).collect()[0]
+    flat = [r for rows in batches for r in rows]
+    batch_df = spark.createDataFrame(flat, "doc_id long, text string")
+    exp = kmv_distinct(batch_df, "text", k=64).collect()[0]
+    assert got["n_min"] == exp["n_min"]
+    assert got["est_distinct"] == exp["est_distinct"]  # bit-exact
+    # and the estimator is sane: ~360 distinct zipf docs, k=64
+    n_true = len({t for _, t in flat})
+    assert abs(got["est_distinct"] - n_true) / n_true < 0.5

@@ -45,7 +45,7 @@ from codeindex_spark.ops.analysis import repetition_stats
 from codeindex_spark.ops.dsir import dsir_log_weights, dsir_resample
 from codeindex_spark.ops.spans import remove_duplicate_spans
 from codeindex_spark.ops.similarity import semdedup
-from codeindex_spark.ops.sketch import heavy_hitters, kmv_distinct
+from codeindex_spark.ops.sketch import heavy_hitters, kmv_distinct, gram_stream
 from pyspark.sql import functions as F
 
 cpus = {cpus}
@@ -105,11 +105,13 @@ OPS = {{
     # is called there; phi sized so k ~ 2001 counters/partition and
     # real evictions happen on the code-corpus bigram vocabulary
     "heavy": lambda d: heavy_hitters(d, phi=0.0005, n=2),
-    # kmv: bottom-1024 distinct sketch over the full doc text — the
-    # map-only bounded-state pass (md5 + per-partition bottom-k)
-    # plus a <= k-rows-per-partition merge; the map-dominated
-    # contrast like repetition, but with a (tiny) exchange
-    "kmv": lambda d: kmv_distinct(d, "text", k=1024),
+    # kmv: vocabulary estimation — bottom-1024 distinct sketch over
+    # the ~100x-exploded unigram stream (the realistic 100 TB use:
+    # distinct-token counts without a vocabulary shuffle); explode +
+    # md5 + per-partition bottom-k, then a <= k-rows-per-partition
+    # merge — map-dominated with a tiny exchange
+    "kmv": lambda d: kmv_distinct(gram_stream(d, 1, "text"), "gram",
+                                  k=1024),
 }}
 OP = OPS[{op!r}]
 # untimed warmup: compile the plan shapes on a small slice
