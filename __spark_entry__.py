@@ -1873,6 +1873,23 @@ def _q_quantiles(spark, sf_dir):
     )
 
 
+def _q_explain(spark, sf_dir):
+    # Lucene IndexSearcher.explain()'s role: per-(doc, leaf) score
+    # breakdown + assembled total for 'fast AND sort' — one batched
+    # score_many job (shared dictionary lookup, one posting scan)
+    eng = _engine(spark, sf_dir)
+    ex = eng.explain("fast AND sort")
+    return _orig_ids(
+        eng,
+        ex,
+        extra=(
+            F.col("leaf"),
+            F.round("contribution", 6).alias("contribution"),
+            F.round("total", 6).alias("total"),
+        ),
+    )
+
+
 def _q_salted_agg(spark, sf_dir):
     # hot-key-proof two-phase aggregation (ops/skew.py): phase 1
     # groups by (key, salt) so no reducer owns a whole hot key,
@@ -2553,6 +2570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_kmv_stream": _q_kmv_stream,
         "rel_salted_agg": _q_salted_agg,
         "rel_salted_join": _q_salted_join,
+        "q41_explain": _q_explain,
         "q34_synonym_blend": _q_synonym_blend,
         "q35_span_first": _q_span_first,
         "q36_dismax": _q_dismax,
@@ -3461,6 +3479,19 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_disc(l_extendedprice, 0.90)::DOUBLE, 4)
                      AS q90
             FROM lineitem GROUP BY l_returnflag""",
+        # explain breakdown: per-leaf contribution rows + the summed
+        # total on docs matching BOTH terms (AND semantics)
+        "q41_explain": f"""WITH {_CONTRIB},
+            m AS (SELECT a.doc_id, a.c AS c_fast, b.c AS c_sort
+                  FROM contrib a JOIN contrib b USING (doc_id)
+                  WHERE a.term = 'fast' AND b.term = 'sort')
+            SELECT doc_id, 'content:fast' AS leaf,
+                   round(c_fast, 6) AS contribution,
+                   round(c_fast + c_sort, 6) AS total FROM m
+            UNION ALL
+            SELECT doc_id, 'content:sort' AS leaf,
+                   round(c_sort, 6) AS contribution,
+                   round(c_fast + c_sort, 6) AS total FROM m""",
         # salted ops: the oracle is simply the UNSALTED spelling —
         # salting must be plan-only, never result-visible
         "rel_salted_agg": """

@@ -830,6 +830,57 @@ class SearchEngine:
             return self.reader.spark.createDataFrame([], SCORE_SCHEMA)
         return self._score_stream(candidates, kernel)
 
+    def explain(
+        self, query: ast.Node | str, case_sensitive: bool = False
+    ) -> DataFrame:
+        """Lucene-style score breakdown (the role of
+        Explanation.java / IndexSearcher.explain): one row per
+        (matching doc, leaf) with that leaf's contribution, plus the
+        assembled query total — the "why did this doc score X"
+        debugging surface. Columns: (doc_id, leaf, contribution,
+        total). For sum-combined trees (term / AND / OR / Bool /
+        boosts) the contributions of a doc's rows sum exactly to its
+        total; DisMax and ConstantScore totals follow their own
+        documented rules and the rows remain the raw leaf scores.
+        Leaves a doc does not match contribute no row (Lucene prints
+        them as noMatch explanations).
+
+        One batched job: every distinct leaf evaluates as its own
+        query through score_many — shared dictionary lookup, ONE
+        posting scan for total + all leaves — then two joins pivot
+        the batch into the breakdown."""
+        root = (
+            ast.parse_query(query, case_sensitive)
+            if isinstance(query, str)
+            else query
+        )
+        leaves: list = []
+        for leaf in ast.collect_leaves(root):
+            if leaf not in leaves:
+                leaves.append(leaf)
+        batch: dict = {"__total__": root}
+        labels = []
+        for i, leaf in enumerate(leaves):
+            batch[f"__leaf_{i}__"] = leaf
+            labels.append((f"__leaf_{i}__", _leaf_label(leaf)))
+        scored = self.score_many(batch, case_sensitive)
+        spark = self.reader.spark
+        lab = spark.createDataFrame(
+            pd.DataFrame(labels, columns=["query", "leaf"])
+        )
+        totals = scored.filter(F.col("query") == "__total__").select(
+            "doc_id", F.col("score").alias("total")
+        )
+        parts = scored.filter(F.col("query") != "__total__").join(
+            F.broadcast(lab), "query"
+        )
+        return parts.join(totals, "doc_id").select(
+            "doc_id",
+            "leaf",
+            F.col("score").alias("contribution"),
+            "total",
+        )
+
     def score_many(
         self,
         queries: dict[str, ast.Node | str],
@@ -1854,6 +1905,32 @@ class SearchEngine:
         )
 
 
+
+
+def _leaf_label(leaf) -> str:
+    """Stable human-readable leaf identity for explain() rows."""
+    f = leaf.field
+    if isinstance(leaf, ast.Term):
+        return f"{f}:{leaf.term}"
+    if isinstance(leaf, ast.Wildcard):
+        return f"{f}:{leaf.pattern} (wildcard)"
+    if isinstance(leaf, ast.Regexp):
+        return f"{f}:/{leaf.pattern}/ (regexp)"
+    if isinstance(leaf, ast.Fuzzy):
+        return f"{f}:{leaf.term}~{leaf.max_edits} (fuzzy)"
+    if isinstance(leaf, ast.Range):
+        return f"{f}:[{leaf.lo}..{leaf.hi}] (range)"
+    if isinstance(leaf, ast.Phrase):
+        return f'{f}:"{" ".join(leaf.slots)}"~{leaf.slop} (phrase)'
+    if isinstance(leaf, ast.Synonyms):
+        return f"{f}:syn({'|'.join(leaf.terms)})"
+    if isinstance(leaf, ast.SpanOr):
+        return f"{f}:spanOr({'|'.join(leaf.terms)})"
+    if isinstance(leaf, ast.SpanFirst):
+        return f"{f}:spanFirst({leaf.term},{leaf.end})"
+    if isinstance(leaf, ast.SpanNot):
+        return f"{f}:spanNot({leaf.include}!{leaf.exclude})"
+    return repr(leaf)  # pragma: no cover — every leaf type is above
 
 
 def _contains_constant_score(node) -> bool:

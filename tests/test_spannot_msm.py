@@ -187,3 +187,40 @@ def test_msm_zero_is_default_bool(engine, oracle):
     b = ast.Bool(**base, min_should_match=0)
     assert oracle.search(a, k=K) == oracle.search(b, k=K)
     assert _ranked(engine.search(a, k=K)) == _ranked(engine.search(b, k=K))
+
+
+# ---------------------------------------------------------- explain
+
+def test_explain_breakdown_sums_to_total(engine, oracle):
+    """Sum-shaped tree: per-doc leaf contributions sum to the total,
+    each contribution equals the leaf's own score, and the total
+    equals search()'s score for that doc."""
+    q = ast.And((ast.Term("get"), ast.Term("string")))
+    rows = engine.explain(q).collect()
+    assert rows, "fixture must match something"
+    per_doc: dict = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    leaf_get = oracle.eval(ast.Term("get"))
+    leaf_str = oracle.eval(ast.Term("string"))
+    total = oracle.eval(q)
+    assert set(per_doc) == set(total)
+    for d, rs in per_doc.items():
+        assert {r["leaf"] for r in rs} == {"content:get", "content:string"}
+        got_sum = sum(r["contribution"] for r in rs)
+        assert got_sum == pytest.approx(total[d], rel=1e-9)
+        for r in rs:
+            exp = leaf_get if r["leaf"] == "content:get" else leaf_str
+            assert r["contribution"] == pytest.approx(exp[d], rel=1e-9)
+            assert r["total"] == pytest.approx(total[d], rel=1e-9)
+
+
+def test_explain_unmatched_leaf_has_no_row(engine, oracle):
+    """OR query: docs matching only one branch get one row."""
+    q = ast.Or((ast.Term("get"), ast.Term("zzq_not_a_token")))
+    rows = engine.explain(q).collect()
+    assert rows
+    assert {r["leaf"] for r in rows} == {"content:get"}
+    tot = oracle.eval(q)
+    for r in rows:
+        assert r["total"] == pytest.approx(tot[r["doc_id"]], rel=1e-9)
