@@ -1873,6 +1873,24 @@ def _q_quantiles(spark, sf_dir):
     )
 
 
+def _q_tfidf_pairs(spark, sf_dir):
+    # sparse lexical near-dup: TF-IDF cosine pairs (SMART ltc
+    # weights, Salton & Buckley 1988) over a deterministic 10% doc
+    # slice; max_df_frac prunes corpus-stopwords before the
+    # inverted-index self-join (quadratic cost, near-zero idf)
+    from codeindex_spark.ops.dedup import tfidf_cosine_pairs
+
+    d = _load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    out = tfidf_cosine_pairs(
+        d, min_df=2, max_df_frac=0.5, threshold=0.9
+    )
+    return out.select(
+        "doc_a", "doc_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def _q_explain(spark, sf_dir):
     # Lucene IndexSearcher.explain()'s role: per-(doc, leaf) score
     # breakdown + assembled total for 'fast AND sort' — one batched
@@ -2571,6 +2589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_salted_agg": _q_salted_agg,
         "rel_salted_join": _q_salted_join,
         "q41_explain": _q_explain,
+        "dd_tfidf_pairs": _q_tfidf_pairs,
         "q34_synonym_blend": _q_synonym_blend,
         "q35_span_first": _q_span_first,
         "q36_dismax": _q_dismax,
@@ -3479,6 +3498,42 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_disc(l_extendedprice, 0.90)::DOUBLE, 4)
                      AS q90
             FROM lineitem GROUP BY l_returnflag""",
+        # TF-IDF cosine replay: tf * ln(N/df) weights, L2 norms, pair
+        # dot via term self-join; df <= floor(0.5N) == df <= 0.5N for
+        # integer df; threshold filters the UNROUNDED cosine like the
+        # engine, rounding applies only to the output column
+        "dd_tfidf_pairs": """
+            WITH d AS (SELECT doc_id, text FROM documents
+                       WHERE doc_id % 10 = 0),
+            tok AS (SELECT doc_id, t.term FROM d, LATERAL (
+                      SELECT unnest(string_split(text, ' ')) AS term) t
+                    WHERE t.term <> ''),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+                   FROM tok GROUP BY doc_id, term),
+            nn AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM d),
+            dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+                    GROUP BY term),
+            kept AS (SELECT term,
+                            ln((SELECT n FROM nn) / df::DOUBLE) AS idf
+                     FROM dfq
+                     WHERE df >= 2
+                       AND df::DOUBLE <= (SELECT n FROM nn) * 0.5::DOUBLE
+                       AND df <= 10000),
+            w AS (SELECT tf.doc_id, tf.term, tf.tf * kept.idf AS w
+                  FROM tf JOIN kept USING (term)),
+            nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w
+                    GROUP BY doc_id),
+            dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                            sum(a.w * b.w) AS dot
+                     FROM w a JOIN w b USING (term)
+                     WHERE a.doc_id < b.doc_id
+                     GROUP BY a.doc_id, b.doc_id)
+            SELECT doc_a, doc_b,
+                   round(dot / (na.nrm * nb.nrm), 6) AS cosine
+            FROM dots
+            JOIN nrm na ON dots.doc_a = na.doc_id
+            JOIN nrm nb ON dots.doc_b = nb.doc_id
+            WHERE dot / (na.nrm * nb.nrm) >= 0.9""",
         # explain breakdown: per-leaf contribution rows + the summed
         # total on docs matching BOTH terms (AND semantics)
         "q41_explain": f"""WITH {_CONTRIB},

@@ -146,6 +146,101 @@ def ngram_jaccard_pairs(
     return out
 
 
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    max_df_frac: float = 0.5,
+    threshold: float = 0.5,
+    hot_cap: int = 10000,
+) -> DataFrame:
+    """Sparse lexical near-dup: TF-IDF cosine similarity pairs >=
+    ``threshold`` — (doc_a, doc_b, cosine). The bag-of-words
+    complement to embedding_neardup (dense) and ngram_jaccard_pairs
+    (set-based): weighs REPEATED rare terms, which Jaccard's set
+    semantics ignore.
+
+    Weights: tf * ln(N/df) per (doc, term), L2-normalized per doc
+    (the classic SMART ltc scheme, Salton & Buckley 1988). Docs whose
+    every term got pruned (zero norm) pair with nothing.
+
+    Scale shape, same defenses as the Jaccard op: the pair generator
+    is an inverted-index self-join on the term, and THREE independent
+    caps bound it — ``max_df_frac`` drops corpus-stopwords up front
+    (a term in half the corpus generates N²/8 pairs and near-zero
+    idf: quadratic cost, no signal), ``min_df`` drops hapaxes that
+    cannot form pairs, and ``hot_cap`` hard-bounds any surviving
+    term's postings. The dot-product aggregation is
+    map-side-combinable (sum of per-term products keyed on the
+    pair); norms join in from a per-doc aggregate. Deterministic:
+    pure arithmetic, no sampling.
+    """
+    if not 0.0 < max_df_frac <= 1.0:
+        raise ValueError("max_df_frac must be in (0, 1]")
+    from pyspark import StorageLevel
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.split(F.col(text_col), r"\s+"), lambda w: w != ""
+            )
+        ).alias("term"),
+    )
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    n_docs = df.select(F.countDistinct(id_col)).first()[0]
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    kept_terms = dfreq.filter(
+        (F.col("df") >= min_df)
+        & (F.col("df") <= int(max_df_frac * n_docs))
+        & (F.col("df") <= hot_cap)
+    ).withColumn("idf", F.log(F.lit(float(n_docs)) / F.col("df")))
+    w = tf.join(kept_terms.select("term", "idf"), "term").select(
+        "doc_id", "term", (F.col("tf") * F.col("idf")).alias("w")
+    ).persist(StorageLevel.DISK_ONLY)
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    dots = (
+        w.alias("a")
+        .join(w.alias("b"), "term")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    out = (
+        dots.join(
+            norms.select(
+                F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na")
+            ),
+            "doc_a",
+        )
+        .join(
+            norms.select(
+                F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb")
+            ),
+            "doc_b",
+        )
+        .withColumn("cosine", F.col("dot") / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b", "cosine")
+    )
+    # thresholded pairs are tiny vs the weight table: eager-checkpoint
+    # and release the disk caches now (jaccard/spans discipline)
+    out = out.localCheckpoint(eager=True)
+    w.unpersist()
+    tf.unpersist()
+    return out
+
+
 # Universal-hash family for MinHash permutations: h_i(x) = (A_i*x + B_i)
 # mod P over the 32-bit shingle fingerprint x = first 8 md5 hex digits.
 # One md5 per shingle row instead of num_hashes of them, and the mins

@@ -1648,3 +1648,87 @@ def test_group_quantiles_edges(spark):
         group_quantiles(df, "g", "v", (0.0,))
     with pytest.raises(ValueError):
         group_quantiles(df, "g", "v", (1.5,))
+
+
+def test_tfidf_cosine_pairs_matches_replay(spark):
+    """Bit-exact-to-1e-9 pure-Python replay of the documented scheme
+    (tf * ln(N/df), L2 norm, pair dot), including the min_df /
+    max_df_frac pruning."""
+    import math
+    from collections import Counter
+
+    from codeindex_spark.ops.dedup import tfidf_cosine_pairs
+
+    docs = {
+        1: "apple banana apple cherry",
+        2: "apple banana apple cherry date",
+        3: "zebra yak xylo walrus",
+        4: "zebra yak xylo walrus zebra",
+        5: "apple zebra mixed bag here",
+        6: "totally different words only once",
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in tfidf_cosine_pairs(
+            df, min_df=1, max_df_frac=1.0, threshold=0.1
+        ).collect()
+    }
+    # replay
+    n = len(docs)
+    tfs = {d: Counter(t.split()) for d, t in docs.items()}
+    dfreq = Counter(w for c in tfs.values() for w in c)
+    w = {
+        d: {
+            t: tf * math.log(n / dfreq[t])
+            for t, tf in c.items()
+            if dfreq[t] <= n  # max_df_frac=1.0 keeps all
+        }
+        for d, c in tfs.items()
+    }
+    nrm = {d: math.sqrt(sum(x * x for x in ws.values())) for d, ws in w.items()}
+    exp = {}
+    ids = sorted(docs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            dot = sum(w[a][t] * w[b].get(t, 0.0) for t in w[a])
+            if nrm[a] > 0 and nrm[b] > 0:
+                cos = dot / (nrm[a] * nrm[b])
+                if cos >= 0.1:
+                    exp[(a, b)] = cos
+    assert set(got) == set(exp)
+    for k, v in exp.items():
+        assert got[k] == pytest.approx(v, rel=1e-9), k
+    # the two near-copy pairs rank above every cross pair
+    top2 = sorted(got, key=got.get, reverse=True)[:2]
+    assert set(top2) == {(1, 2), (3, 4)}
+
+
+def test_tfidf_cosine_pairs_stopword_prune(spark):
+    """A term in more than max_df_frac of docs must contribute
+    nothing: two docs sharing ONLY the stopword form no pair."""
+    from codeindex_spark.ops.dedup import tfidf_cosine_pairs
+
+    rows = [(i, "the unique%d word%d" % (i, i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_cosine_pairs(df, max_df_frac=0.5, threshold=0.01).collect()
+    assert out == []  # 'the' pruned; everything else is a hapax
+
+
+def test_tfidf_cosine_pairs_partition_invariance(spark):
+    from codeindex_spark.ops.dedup import tfidf_cosine_pairs
+
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(12)))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(
+        (r["doc_a"], r["doc_b"], round(r["cosine"], 9))
+        for r in tfidf_cosine_pairs(df, threshold=0.3).collect()
+    )
+    b = sorted(
+        (r["doc_a"], r["doc_b"], round(r["cosine"], 9))
+        for r in tfidf_cosine_pairs(df.repartition(11), threshold=0.3).collect()
+    )
+    assert a == b and a
