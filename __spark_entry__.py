@@ -3772,8 +3772,8 @@ def oracle_sql() -> dict[str, str]:
                                     ('ads.site2.example.org')) b(bd)
               WHERE u.domain = b.bd OR u.domain LIKE '%.' || b.bd)""",
         "tx_domain_stats": f"""WITH {_URL_ORACLE_CTE}
-            SELECT domain, count(doc_id) AS n_docs,
-                   sum(n_chars) AS n_chars
+            SELECT domain, count(doc_id)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS n_chars
             FROM urls WHERE domain IS NOT NULL GROUP BY domain""",
         "px_cluster_sample": f"""
             WITH a(vec_id, cluster, cent_sim) AS

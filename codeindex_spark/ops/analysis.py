@@ -738,16 +738,21 @@ def group_quantiles(
         F.sum("_c").over(w).alias("_cum"),
         F.sum("_c").over(SparkWindow.partitionBy(group_col)).alias("_n"),
     )
+    # aliases round to integer percents (q25, q50, ...); two
+    # quantiles landing on the same percent would emit duplicate
+    # column names, so refuse rather than silently shadow
+    names = [f"q{int(round(q * 100))}" for q in quantiles]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"quantile aliases collide after integer-percent "
+            f"rounding: {names}; pick quantiles at least 1% apart"
+        )
     aggs = []
-    for q in quantiles:
+    for q, name in zip(quantiles, names):
         tgt = F.greatest(
             F.ceil(F.lit(float(q)) * F.col("_n")), F.lit(1)
         ).cast("long")
-        aggs.append(
-            F.min(F.when(F.col("_cum") >= tgt, v)).alias(
-                f"q{int(round(q * 100))}"
-            )
-        )
+        aggs.append(F.min(F.when(F.col("_cum") >= tgt, v)).alias(name))
     return cum.groupBy(group_col).agg(*aggs)
 
 

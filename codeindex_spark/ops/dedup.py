@@ -161,9 +161,10 @@ def tfidf_cosine_pairs(
     (set-based): weighs REPEATED rare terms, which Jaccard's set
     semantics ignore.
 
-    Weights: tf * ln(N/df) per (doc, term), L2-normalized per doc
-    (the classic SMART ltc scheme, Salton & Buckley 1988). Docs whose
-    every term got pruned (zero norm) pair with nothing.
+    Weights: raw tf * ln(N/df) per (doc, term), L2-normalized per
+    doc — SMART 'ntc' (natural tf, not the 1+ln(tf)-damped 'ltc';
+    Salton & Buckley 1988). Docs whose every term got pruned (zero
+    norm) pair with nothing.
 
     Scale shape, same defenses as the Jaccard op: the pair generator
     is an inverted-index self-join on the term, and THREE independent

@@ -240,7 +240,16 @@ def hits(
             )
         )
         if (i + 1) % checkpoint_every == 0 or i == iters - 1:
+            # checkpoint BOTH state vectors: once hubs and auths are
+            # materialized nothing downstream can re-read this
+            # window's raw aggregates, so release them now — keeps
+            # cached state bounded by one window instead of growing
+            # 2 persisted frames per iteration for the whole run
             hubs = hubs.localCheckpoint(eager=True)
+            auths = auths.localCheckpoint(eager=True)
+            for df_ in pending:
+                df_.unpersist()
+            pending.clear()
     # the loop-final pair IS the k-iteration output: auths = a_k
     # (from h_{k-1}), hubs = h_k (from a_k) — the standard coupled
     # state after k mutual-reinforcement steps

@@ -265,8 +265,15 @@ def kmv_distinct(
     if k < 2:
         raise ValueError("k must be >= 2")
     spark = df.sparkSession
+    # null group values route through a sentinel string: null join
+    # keys never match, so without this a null group could never be
+    # anti-joined out after the pruned pass proved it exact (correct
+    # output, wasted full-stream rerun) — and the pandas state dict
+    # would key on the fragile np.nan singleton. Mapped back to a
+    # real NULL in the final projection.
+    _null_g = "\x00__kmv_null_group__"
     g = (
-        F.col(group_col).cast("string")
+        F.coalesce(F.col(group_col).cast("string"), F.lit(_null_g))
         if group_col
         else F.lit("(all)")
     )
@@ -340,7 +347,9 @@ def kmv_distinct(
         F.lit(float(k - 1)) / kth
     )
     out = agg.select(
-        F.col("_g").alias(group_col if group_col else "group"),
+        F.when(F.col("_g") == _null_g, F.lit(None))
+        .otherwise(F.col("_g"))
+        .alias(group_col if group_col else "group"),
         n.cast("long").alias("n_min"),
         est.alias("est_distinct"),
     )

@@ -24,9 +24,16 @@ no single task ever owns a hot key:
   one replica of its dim row, so the result multiset is identical to
   the plain join, but a hot fact key now lands on n_salts reducers.
 
-Salts are deterministic (xxhash64 of a stable id column, or of the
-whole row via a monotonic fallback), so results are reproducible
-run-to-run and partition-invariant.
+Salt determinism: with ``salt_on`` set, salts are xxhash64 of a
+stable id column — reproducible run-to-run and partition-invariant.
+The fallback (xxhash64 of spark_partition_id + a monotonic row id)
+is only deterministic for a FIXED physical plan: AQE decisions,
+input-split boundaries, or repartitioning change which salt a row
+gets. RESULTS stay identical either way (the phase-2 re-aggregate /
+replica join is salt-value-agnostic); only the salt assignment
+itself is plan-dependent in fallback mode. Pass ``salt_on`` when you
+need the assignment itself replayable (e.g. debugging a specific
+reducer's load).
 """
 
 from __future__ import annotations
