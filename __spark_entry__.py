@@ -443,6 +443,41 @@ def _q_term_regexp(spark, sf_dir):
     return _orig_ids(eng, eng.score("/(qu|s).*t/"), extra=_SCORE())
 
 
+def _q_regexp_extended(spark, sf_dir):
+    # Lucene RegexpQuery EXTENDED operators — '&' intersection, '~'
+    # complement, '@' any-string (RegExp.java optional syntax; the
+    # reference's classic parser exposes RegexpQuery wholesale,
+    # QueryGenerator.cs:217-222). '(s|t)@&~(@(ing|ed))' = terms that
+    # start with s or t AND do not end in ing/ed. No Java-regex
+    # spelling exists for & and ~: the pattern compiles to a DFA
+    # (query/luceneregex.py — Thompson NFA, subset determinization,
+    # complement via accept-flip on the completed DFA) and the term
+    # dictionary is verified by a vectorized Arrow kernel on the
+    # executors, pruned by the DFA's forced literal prefix.
+    eng = _engine(spark, sf_dir)
+    return _orig_ids(
+        eng, eng.score("/(s|t)@&~(@(ing|ed))/"), extra=_SCORE()
+    )
+
+
+def _q_span_near_or(spark, sf_dir):
+    # nested span composition — Lucene SpanNearQuery over a SpanOr
+    # clause (SpanNearQuery.java; clause trees are how Lucene users
+    # compose spans programmatically): (fast|slow) immediately
+    # followed by 'sort'. The SpanOr clause becomes a tuple slot in
+    # the phrase kernel: any member may bind the slot's position;
+    # score = sum of each member term's idf*tfnorm contribution in
+    # the matched doc (per-term statistics, the span-family
+    # contract). Also gives synonym-in-phrase for free.
+    from codeindex_spark.query import ast
+
+    eng = _engine(spark, sf_dir)
+    node = ast.SpanNear(
+        [ast.SpanOr(("fast", "slow")), "sort"], slop=0, in_order=True
+    )
+    return _orig_ids(eng, eng.score(node), extra=_SCORE())
+
+
 def _q_term_range(spark, sf_dir):
     # '[query TO sort}': classic-parser term range, mixed inclusivity
     # (includes 'query', excludes 'sort') — expands against the
@@ -2570,12 +2605,75 @@ def _mm_hist_values(n: int = 16) -> str:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Declaration order matters: the driver's CORRECTNESS artifact
-    # caps at the FIRST 50 entries, so the window rotates each round
-    # to put never-yet-driver-checked entries first, then the least-
-    # recently-checked, then ~17 core regression sentinels; entries
-    # verified by the most recent round's artifact go after the cap
-    # (tools/check_entry.py still covers all of them locally).
+    # caps at the FIRST 50 entries. The window policy (explicit per
+    # VERDICT r4 task 8) is encoded in the section comments below:
+    # (1) entries never yet externally checked lead, (2) a fixed set
+    # of ~14 PINNED core sentinels appears in EVERY window so core
+    # regressions are always externally visible, (3) the remaining
+    # slots rotate through the least-recently-checked entries.
+    # Everything below the cap was checked in the most recent rounds
+    # and stays covered locally by tools/check_entry.py.
     return {
+        # --- WINDOW (first 50 = the driver's CORRECTNESS cap) ---
+        # r5 additions (never externally checked):
+        "q42_regexp_extended": _q_regexp_extended,
+        "q43_span_near_or": _q_span_near_or,
+        # never-driver-checked through r04 (VERDICT r4 task 2):
+        "mm_resize_plan": _q_mm_resize_plan,
+        "mm_frame_sample": _q_mm_frame_sample,
+        "mm_feature_hist": _q_mm_feature_hist,
+        "mm_audio_windows": _q_mm_audio_windows,
+        "px_dsir": _q_dsir,
+        "px_mixture": _q_mixture,
+        "px_shards": _q_shards,
+        "q28_facets": _q_facets,
+        "q29_suggest": _q_suggest,
+        "q30_more_like_this": _q_mlt,
+        "rel_value_hist": _q_value_hist,
+        "tx_c4": _q_c4,
+        "tx_normalize": _q_normalize,
+        "tx_profile": _q_profile,
+        "dd_span_scrub": _q_span_scrub,
+        # r04's one red row — re-proving the oracle-type fix:
+        "tx_domain_stats": _q_domain_stats,
+        # PINNED core sentinels — keep in EVERY window so core
+        # regressions are always externally visible (r4 task 8):
+        "q01_bm25_topk": _q_bm25_topk,
+        "q02_bool_and": _q_bool_and,
+        "q03_bool_or_not": _q_bool_or_not,
+        "q04_phrase": _q_phrase,
+        "q06_wildcard": _q_wildcard,
+        "q07_fuzzy": _q_fuzzy,
+        "q09_hints": _q_hints,
+        "q12_pk_lookup": _q_pk_lookup,
+        "q14_case_sensitive": _q_case_sensitive,
+        "q16_batch_search": _q_batch_search,
+        "q23_phrase_slop": _q_phrase_slop,
+        "dd_exact": _q_dedup_exact,
+        "dd_minhash_lsh": _q_dedup_minhash,
+        "ann_cosine_topk": _q_ann_cosine,
+        # least-recently-checked rotation fill (r1/r2-era):
+        "px_pack": _q_pack,
+        "px_sample_strat": _q_sample_stratified,
+        "tx_fingerprint": _q_fingerprint,
+        "tx_bpe_count": _q_bpe_count,
+        "tx_scrub": _q_scrub,
+        "px_chunk": _q_chunk,
+        "px_chunk_dedup": _q_chunk_dedup,
+        "px_sample": _q_sample,
+        "st_event_compaction": _q_event_compaction,
+        "st_event_window": _q_event_window,
+        "rel_pricing_summary": _q_pricing_summary,
+        "rel_order_join": _q_order_join,
+        "rel_window_rank": _q_window_rank,
+        "q19_content_substring": _q_content_substring,
+        "dd_keep": _q_near_dedup_keep,
+        "hy_rrf": _q_hybrid_rrf,
+        "ann_ivfpq_res_topk": _q_ann_ivfpq_res,
+        "px_pipeline": _q_pipeline,
+        # --- below the cap: checked in r03/r04; tools/check_entry.py
+        # still covers all of them locally every session ---
+        "pv_highlight": _q_preview_highlight,
         "q38_min_should_match": _q_min_should_match,
         "q39_span_not": _q_span_not,
         "rel_cube": _q_cube,
@@ -2610,7 +2708,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_time_travel": _q_time_travel,
         "px_url_dedup": _q_url_dedup,
         "px_domain_filter": _q_domain_filter,
-        "tx_domain_stats": _q_domain_stats,
         "px_cluster_sample": _q_cluster_sample,
         "px_cluster_profile": _q_cluster_profile,
         "tx_nb_classifier": _q_nb_classifier,
@@ -2626,62 +2723,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_semdedup": _q_semdedup,
         "q33_term_interval": _q_term_interval,
         "tx_gopher": _q_gopher,
-        "tx_c4": _q_c4,
-        "rel_value_hist": _q_value_hist,
-        "tx_normalize": _q_normalize,
-        "dd_span_scrub": _q_span_scrub,
-        "px_dsir": _q_dsir,
-        "q30_more_like_this": _q_mlt,
-        "q28_facets": _q_facets,
-        "q29_suggest": _q_suggest,
-        "tx_profile": _q_profile,
-        "px_mixture": _q_mixture,
-        "px_shards": _q_shards,
-        "mm_resize_plan": _q_mm_resize_plan,
-        "mm_frame_sample": _q_mm_frame_sample,
-        "mm_feature_hist": _q_mm_feature_hist,
-        "mm_audio_windows": _q_mm_audio_windows,
-        "px_pack": _q_pack,
-        "px_sample_strat": _q_sample_stratified,
-        "tx_fingerprint": _q_fingerprint,
-        "tx_bpe_count": _q_bpe_count,
-        "tx_scrub": _q_scrub,
-        "px_chunk": _q_chunk,
-        "px_chunk_dedup": _q_chunk_dedup,
-        "px_sample": _q_sample,
-        "st_event_compaction": _q_event_compaction,
-        "st_event_window": _q_event_window,
-        "rel_pricing_summary": _q_pricing_summary,
-        "rel_order_join": _q_order_join,
-        "rel_window_rank": _q_window_rank,
-        "q01_bm25_topk": _q_bm25_topk,
-        "q04_phrase": _q_phrase,
-        "q14_case_sensitive": _q_case_sensitive,
-        "q19_content_substring": _q_content_substring,
-        "q23_phrase_slop": _q_phrase_slop,
-        "dd_minhash_lsh": _q_dedup_minhash,
-        "dd_keep": _q_near_dedup_keep,
-        "hy_rrf": _q_hybrid_rrf,
-        "ann_ivfpq_res_topk": _q_ann_ivfpq_res,
-        "px_pipeline": _q_pipeline,
-        "pv_highlight": _q_preview_highlight,
         "tx_langid": _q_langid,
-        "q02_bool_and": _q_bool_and,
-        "q07_fuzzy": _q_fuzzy,
-        "q09_hints": _q_hints,
-        "q16_batch_search": _q_batch_search,
         "q20_content_regex": _q_content_regex,
-        "q03_bool_or_not": _q_bool_or_not,
         "q05_phrase_wildcard": _q_phrase_wildcard,
         "q24_boosted_or": _q_boosted_or,
         "q25_term_range": _q_term_range,
         "q27_term_regexp": _q_term_regexp,
         "q26_bool_clauses": _q_bool_clauses,
-        "q06_wildcard": _q_wildcard,
         "q08_term_dict": _q_term_dict,
         "q10_field_filtered": _q_field_filtered,
         "q11_path_term": _q_path_term,
-        "q12_pk_lookup": _q_pk_lookup,
         "q13_scan_filter_project": _q_scan_filter_project,
         "q15_cs_negative": _q_cs_negative,
         "q17_path_substring": _q_path_substring,
@@ -2689,13 +2740,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_substring_batch": _q_substring_batch,
         "q22_regex_batch": _q_regex_batch,
         "a1_doc_len": _q_doc_len,
-        "dd_exact": _q_dedup_exact,
         "dd_jaccard": _q_dedup_jaccard,
         "dd_components": _q_dedup_components,
         "dd_contamination": _q_contamination,
         "dd_simhash": _q_dedup_simhash,
         "dd_embed_neardup": _q_embed_neardup,
-        "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_pq_topk": _q_ann_pq,
@@ -4104,6 +4153,28 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY term LIMIT 1024)
             SELECT doc_id, round(sum(c), 6) AS score FROM contrib
             WHERE term IN (SELECT term FROM rx) GROUP BY doc_id""",
+        # extended RegexpQuery operators replay as boolean regex
+        # algebra: intersection = AND of full matches, complement =
+        # NOT, '@' = '.*' — exactly the automaton semantics for this
+        # pattern (engine side compiles the real Lucene syntax)
+        "q42_regexp_extended": f"""WITH {_CONTRIB},
+            rx AS (SELECT DISTINCT term FROM contrib
+                   WHERE regexp_full_match(term, '(s|t).*')
+                     AND NOT regexp_full_match(term, '.*(ing|ed)')
+                   ORDER BY term LIMIT 1024)
+            SELECT doc_id, round(sum(c), 6) AS score FROM contrib
+            WHERE term IN (SELECT term FROM rx) GROUP BY doc_id""",
+        # SpanNear over a SpanOr clause: adjacency where slot 0 is
+        # bound by EITHER member; score = sum of all member + term
+        # contributions in matched docs (same convention as q04)
+        "q43_span_near_or": f"""WITH {_CONTRIB},
+            pm AS (
+              SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
+                ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+              WHERE a.term IN ('fast', 'slow') AND b.term = 'sort')
+            SELECT doc_id, round(sum(c), 6) AS score
+            FROM contrib JOIN pm USING (doc_id)
+            WHERE term IN ('fast', 'slow', 'sort') GROUP BY doc_id""",
         # damerau: Lucene FuzzyQuery counts transpositions as 1 edit
         "q07_fuzzy": f"""WITH {_CONTRIB}
             SELECT doc_id, round(sum(c), 6) AS score FROM contrib

@@ -166,6 +166,66 @@ class SpanNot:
     boost: float = 1.0
 
 
+def SpanNear(
+    clauses,
+    slop: int = 0,
+    in_order: bool = True,
+    field: str = DEFAULT_FIELD,
+    boost: float = 1.0,
+) -> "Phrase":
+    """Lucene SpanNearQuery over term or SpanOr clauses (public
+    semantics, SpanNearQuery.java ctor ``SpanNearQuery(clauses, slop,
+    inOrder)``) — the nested span composition Lucene users build
+    programmatically: SpanNear(SpanOr(...), term, ...).
+
+    Returns the equivalent Phrase node: each clause becomes a slot —
+    a single term stays a string slot, a SpanOr clause (or a plain
+    list/tuple of terms) becomes a TUPLE slot any of whose members
+    may bind that slot's position. Proximity semantics are exactly
+    the Phrase machinery's (in_order=True: nondecreasing q-chain with
+    total gap <= slop; in_order=False: Lucene SloppyPhraseScorer
+    distinct-position windows). This also gives synonym-in-phrase:
+    Phrase(("run", ("fast", "quick"))).
+
+    Scoring: the sum over slots of each member term's
+    idf(full df) * tfnorm contribution in the matched doc — per-term
+    statistics, the same contract the single-term span nodes
+    (SpanFirst/SpanNot) document.
+
+    A SpanOr clause's ``field`` must match the enclosing span's field
+    (Lucene requires same-field clauses; SpanNearQuery.java throws
+    IllegalArgumentException)."""
+    slots = []
+    for c in clauses:
+        if isinstance(c, str):
+            slots.append(c)
+        elif isinstance(c, SpanOr):
+            if c.field != field:
+                raise ValueError(
+                    f"SpanNear clauses must share the field: "
+                    f"{c.field!r} != {field!r}"
+                )
+            if len(c.terms) == 1:
+                slots.append(c.terms[0])
+            else:
+                slots.append(tuple(c.terms))
+        elif isinstance(c, (tuple, list)):
+            if not c or not all(isinstance(t, str) for t in c):
+                raise ValueError(
+                    "SpanNear tuple clause must be non-empty strings"
+                )
+            slots.append(c[0] if len(c) == 1 else tuple(c))
+        else:
+            raise TypeError(
+                f"SpanNear clause must be str, SpanOr or tuple: {c!r}"
+            )
+    if len(slots) < 2:
+        raise ValueError("SpanNear needs at least two clauses")
+    return Phrase(
+        tuple(slots), field=field, boost=boost, slop=slop, in_order=in_order
+    )
+
+
 @dataclass(frozen=True)
 class Fuzzy:
     term: str
@@ -194,8 +254,13 @@ class Range:
 
 @dataclass(frozen=True)
 class Phrase:
-    # each slot is a literal term or a Wildcard pattern string
-    slots: tuple[str, ...]
+    # each slot is a literal term, a Wildcard pattern string, or a
+    # TUPLE of literal terms (a SpanOr clause inside a SpanNear — any
+    # member may bind the slot's position; see the SpanNear factory).
+    # Multi-term slots ride the same kernel path as wildcard
+    # expansions: per-member posting rows share the slot index and
+    # merge in-kernel.
+    slots: tuple
     field: str = DEFAULT_FIELD
     boost: float = 1.0
     # proximity slop ("a b"~N), Lucene SloppyPhraseScorer semantics
@@ -443,10 +508,25 @@ def _regexp_leaf(word: str, fld: str) -> Node:
             raise QueryParseError(f"bad boost suffix in {word!r}") from e
         if not (0 < boost < float("inf")):
             raise QueryParseError(f"bad boost in {word!r}")
-    try:
-        re.compile(pat)
-    except re.error as e:
-        raise QueryParseError(f"bad regexp {pat!r}: {e}") from e
+    from codeindex_spark.query.luceneregex import (
+        compile_lucene_regexp,
+        uses_extended_ops,
+    )
+
+    if uses_extended_ops(pat):
+        # Lucene RegexpQuery extended operators (~ & @ # "..") —
+        # validated by the automaton compiler that will also serve
+        # the query (luceneregex.py); Java/Python regex never sees
+        # these patterns
+        try:
+            compile_lucene_regexp(pat)
+        except ValueError as e:
+            raise QueryParseError(f"bad regexp {pat!r}: {e}") from e
+    else:
+        try:
+            re.compile(pat)
+        except re.error as e:
+            raise QueryParseError(f"bad regexp {pat!r}: {e}") from e
     return Regexp(pat, fld, boost)
 
 

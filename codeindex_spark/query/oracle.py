@@ -37,6 +37,87 @@ from codeindex_spark.query.planner import (
 from codeindex_spark.tokenizer import tokenize
 
 
+def _lucene_ends(node, s: str, i: int, memo: dict) -> frozenset:
+    """Set of end positions j such that s[i:j] is in the language of
+    ``node`` (a luceneregex parse tree). Glushkov-style position-set
+    simulation with memoization — the oracle's independent
+    implementation of Lucene RegexpQuery semantics (the engine
+    compiles a DFA instead). Complement and intersection fall out of
+    set algebra over end-position sets:
+
+        ends(~e, i)    = { j in [i, |s|] : j not in ends(e, i) }
+        ends(e1&e2, i) = ends(e1, i) & ends(e2, i)
+
+    both exact because a full sub-match s[i:j] is in L(e1)&L(e2) iff
+    it is in both languages."""
+    key = (id(node), i)
+    hit = memo.get(key)
+    if hit is not None:
+        return hit
+    memo[key] = frozenset()  # cycle guard (repeat fixpoint below)
+    kind = node[0]
+    if kind == "class":
+        out = (
+            frozenset([i + 1])
+            if i < len(s)
+            and any(lo <= ord(s[i]) <= hi for lo, hi in node[1])
+            else frozenset()
+        )
+    elif kind == "empty":
+        out = frozenset([i])
+    elif kind == "nothing":
+        out = frozenset()
+    elif kind == "concat":
+        out = frozenset(
+            j
+            for m in _lucene_ends(node[1], s, i, memo)
+            for j in _lucene_ends(node[2], s, m, memo)
+        )
+    elif kind == "union":
+        out = _lucene_ends(node[1], s, i, memo) | _lucene_ends(
+            node[2], s, i, memo
+        )
+    elif kind == "inter":
+        out = _lucene_ends(node[1], s, i, memo) & _lucene_ends(
+            node[2], s, i, memo
+        )
+    elif kind == "comp":
+        sub = _lucene_ends(node[1], s, i, memo)
+        out = frozenset(j for j in range(i, len(s) + 1) if j not in sub)
+    elif kind == "repeat":
+        _, child, lo, hi = node
+        frontier = frozenset([i])
+        k = 0
+        while k < lo:  # mandatory copies
+            frontier = frozenset(
+                j
+                for m in frontier
+                for j in _lucene_ends(child, s, m, memo)
+            )
+            k += 1
+        out = set(frontier)
+        # optional copies to hi (or fixpoint for unbounded): end
+        # positions are bounded by |s|+1, so this terminates
+        while frontier and (hi is None or k < hi):
+            frontier = frozenset(
+                j
+                for m in frontier
+                for j in _lucene_ends(child, s, m, memo)
+                if j not in out
+            )
+            out |= frontier
+            k += 1
+        out = frozenset(out)
+    else:  # pragma: no cover
+        raise AssertionError(kind)
+    memo[key] = out
+    return out
+
+
+def _lucene_fullmatch(node, s: str) -> bool:
+    return len(s) in _lucene_ends(node, s, 0, {})
+
+
 def _damerau(a: str, b: str, cap: int) -> int:
     """Unrestricted Damerau-Levenshtein (transposition = one edit,
     edits allowed around it), the Lucene FuzzyQuery default the
@@ -155,6 +236,23 @@ class OracleIndex:
         if isinstance(leaf, ast.Wildcard):
             return self._expand_pattern(fld, leaf.pattern)
         if isinstance(leaf, ast.Regexp):
+            from codeindex_spark.query.luceneregex import (
+                uses_extended_ops,
+            )
+
+            if uses_extended_ops(leaf.pattern):
+                # extended RegexpQuery operators (~ & @ # ".."):
+                # evaluated by the set-of-end-positions interpreter
+                # below — deliberately a DIFFERENT algorithm from the
+                # engine's compiled DFA, so rank-identity tests pit
+                # two independent implementations of the semantics
+                # against each other
+                from codeindex_spark.query.luceneregex import _Parser
+
+                node = _Parser(leaf.pattern).parse()
+                return sorted(
+                    t for t in terms if _lucene_fullmatch(node, t)
+                )[:MAX_EXPANSIONS]
             # re.ASCII: Java regex classes (\d \w \s) are ASCII by
             # default — the oracle must match the engine's rlike;
             # Lucene <m-n> intervals rewritten the same as the engine
@@ -469,7 +567,9 @@ class OracleIndex:
                 return True
         return False
 
-    def _expand_slot(self, fld: str, slot: str) -> list[str]:
+    def _expand_slot(self, fld: str, slot) -> list[str]:
+        if isinstance(slot, tuple):  # SpanOr clause inside SpanNear
+            return [t for t in slot if t in self.postings[fld]]
         if "*" in slot or "?" in slot:
             return self._expand_pattern(fld, slot)
         return [slot] if slot in self.postings[fld] else []

@@ -48,6 +48,10 @@ from pyspark.sql import types as T
 from codeindex_spark.index import encoding
 from codeindex_spark.index.segments import IndexReader
 from codeindex_spark.query import ast
+from codeindex_spark.query.luceneregex import (
+    compile_lucene_regexp,
+    uses_extended_ops,
+)
 
 MAX_EXPANSIONS = 1024  # Lucene BooleanQuery.maxClauseCount parity
 
@@ -139,6 +143,22 @@ def regex_literal_prefix(pattern: str) -> str:
             break
         out.append(ch)
     return "".join(out)
+
+
+def _dfa_filter_kernel(matcher):
+    """mapInPandas kernel: keep dictionary rows whose term the
+    compiled Lucene-regexp DFA accepts. The matcher (a few-KB numpy
+    table) ships in the closure; match_many evaluates the whole
+    Arrow batch in lockstep — no per-row Python."""
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf):
+                keep = matcher.match_many(pdf["term"].tolist())
+                pdf = pdf[keep]
+            yield pdf
+
+    return fn
 
 
 def idf_bm25(n_docs: int, df: int) -> float:
@@ -443,6 +463,37 @@ class SearchEngine:
             rows = td.filter(F.col("term") == leaf.term).select("term", "df").collect()
         elif isinstance(leaf, ast.Wildcard):
             rows = self._expand_pattern(td, leaf.pattern)
+        elif isinstance(leaf, ast.Regexp) and uses_extended_ops(
+            leaf.pattern
+        ):
+            # Lucene RegexpQuery extended operators (~ complement,
+            # & intersection, @ anystring, # empty, "quoted") have no
+            # Java-regex spelling — the pattern compiles to a DFA
+            # (luceneregex.py, Lucene automaton semantics incl. <m-n>
+            # intervals) and the dictionary slice is verified by a
+            # vectorized Arrow kernel on the EXECUTORS: the forced
+            # literal prefix prunes the parquet scan exactly like the
+            # rlike path, then mapInPandas gathers the few-KB DFA
+            # table through each batch in lockstep — the vocabulary
+            # never collects to the driver unfiltered.
+            matcher = compile_lucene_regexp(leaf.pattern)
+            if matcher.matches_nothing:
+                rows = []
+            else:
+                cand = td
+                pfx = matcher.literal_prefix()
+                if pfx:
+                    cand = cand.filter(F.col("term").startswith(pfx))
+                rows = (
+                    cand.select("term", "df")
+                    .mapInPandas(
+                        _dfa_filter_kernel(matcher),
+                        schema="term string, df long",
+                    )
+                    .orderBy("term")
+                    .limit(MAX_EXPANSIONS)
+                    .collect()
+                )
         elif isinstance(leaf, ast.Regexp):
             # anchored full match over the dictionary (Lucene
             # RegexpQuery semantics); a leading literal run prunes
@@ -626,6 +677,15 @@ class SearchEngine:
             # expand what the parser declared literal
             if isinstance(leaf, ast.Phrase):
                 for slot_idx, slot in enumerate(leaf.slots):
+                    if isinstance(slot, tuple):
+                        # SpanOr clause inside a SpanNear: one exact
+                        # want per member, all sharing the slot index
+                        # — the kernel merges them like wildcard
+                        # expansions of the same slot
+                        for member in slot:
+                            wants.append((lid, fld, slot_idx, member, True))
+                            exact_terms.setdefault(fld, set()).add(member)
+                        continue
                     is_wild = "*" in slot or "?" in slot
                     wants.append((lid, fld, slot_idx, slot, not is_wild))
                     if not is_wild:
@@ -916,7 +976,12 @@ class SearchEngine:
             for leaf in ast.collect_leaves(root):
                 if isinstance(leaf, ast.Phrase):
                     for slot in leaf.slots:
-                        if "*" not in slot and "?" not in slot:
+                        if isinstance(slot, tuple):
+                            for t in slot:
+                                all_exact.setdefault(
+                                    leaf.field, set()
+                                ).add(t)
+                        elif "*" not in slot and "?" not in slot:
                             all_exact.setdefault(leaf.field, set()).add(slot)
                 elif isinstance(leaf, ast.Term):
                     all_exact.setdefault(leaf.field, set()).add(leaf.term)
@@ -1921,7 +1986,11 @@ def _leaf_label(leaf) -> str:
     if isinstance(leaf, ast.Range):
         return f"{f}:[{leaf.lo}..{leaf.hi}] (range)"
     if isinstance(leaf, ast.Phrase):
-        return f'{f}:"{" ".join(leaf.slots)}"~{leaf.slop} (phrase)'
+        shown = " ".join(
+            "(" + "|".join(s) + ")" if isinstance(s, tuple) else s
+            for s in leaf.slots
+        )
+        return f'{f}:"{shown}"~{leaf.slop} (phrase)'
     if isinstance(leaf, ast.Synonyms):
         return f"{f}:syn({'|'.join(leaf.terms)})"
     if isinstance(leaf, ast.SpanOr):
@@ -2072,10 +2141,16 @@ def _make_tree_batch_kernel(root, leaf_ids, avgdl, k1, b, block_size):
     # slots could claim the same position: a repeated literal term,
     # or any wildcard slot (whose expansions may overlap another
     # slot's term) — conservative, and cheap to decide once here
+    # multi-term slots (tuple = SpanOr clause) are conservative like
+    # wildcard slots: their members may overlap another slot's term,
+    # so sloppy matches get the distinct-positions verification
     phrase_distinct = {
         lid: (
             len(set(node.slots)) < len(node.slots)
-            or any("*" in s or "?" in s for s in node.slots)
+            or any(
+                not isinstance(s, str) or "*" in s or "?" in s
+                for s in node.slots
+            )
         )
         for node, lid in leaf_ids.items()
         if isinstance(node, ast.Phrase)

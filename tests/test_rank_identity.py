@@ -567,3 +567,76 @@ def test_q_regexp_interval(engine, oracle):
     assert_rank_identical(engine.search(q3, k=K), oracle.search(q3, k=K))
     parsed = ast.parse_query("/<5-25>/")
     assert isinstance(parsed, ast.Regexp) and parsed.pattern == "<5-25>"
+
+
+def test_q_regexp_extended_ops(engine, oracle):
+    """Lucene RegexpQuery extended operators (~ & @): the engine's
+    compiled-DFA path (planner._expand -> luceneregex) vs the
+    oracle's end-position-set interpreter, scored end to end. The
+    engine's dictionary expansion and the oracle's must agree on the
+    SAME terms, so docIDs AND BM25 scores are rank-identical."""
+    for q in [
+        "/(s|t)@&~(@(ing|ed))/",  # starts s/t, not ending ing/ed
+        "/s@&~(sort|stream)/",  # s-prefix minus two exact terms
+        "/~(the)&[a-z]{3}/",  # 3-letter lowercase words except 'the'
+        "/ind@x|@ing/",  # union of anystring forms
+    ]:
+        assert_rank_identical(engine.search(q, k=K), oracle.search(q, k=K))
+    # boolean composition around an extended leaf
+    q = "index AND /s@&~(@ing)/"
+    assert_rank_identical(engine.search(q, k=K), oracle.search(q, k=K))
+
+
+def test_q_span_near_nested(engine, oracle):
+    """SpanNear over SpanOr clauses (nested span composition —
+    SpanNearQuery.java over SpanOrQuery clauses): a tuple slot binds
+    any of its member terms. Exercises exact adjacency, in-order
+    slop, unordered slop, and overlapping member sets (which force
+    the distinct-positions verification)."""
+    cases = [
+        ast.SpanNear(
+            [ast.SpanOr(("add", "remove")), "documents"],
+            slop=0,
+            in_order=True,
+        ),
+        ast.SpanNear([("add", "get"), "documents"], slop=2, in_order=True),
+        ast.SpanNear(
+            ["index", ("writer", "reader"), "batch"],
+            slop=3,
+            in_order=False,
+        ),
+        ast.SpanNear(
+            [("index", "string"), ("writer", "return")],
+            slop=1,
+            in_order=False,
+        ),
+        # overlapping member sets: 'documents' may bind either slot,
+        # so matches must place the two slots on DISTINCT positions
+        ast.SpanNear(
+            [("add", "documents"), ("documents", "index")],
+            slop=2,
+            in_order=False,
+        ),
+    ]
+    nonempty = 0
+    for q in cases:
+        got = engine.search(q, k=K)
+        assert_rank_identical(got, oracle.search(q, k=K))
+        nonempty += int(got.count() > 0)
+    assert nonempty >= 4  # the comparisons must not be vacuous
+
+    # single-member SpanOr degenerates to the plain term slot
+    a = ast.SpanNear([ast.SpanOr(("add",)), "documents"], slop=0,
+                     in_order=True)
+    b = ast.parse_phrase_query("add documents")
+    ga = [(r["doc_id"], r["score"]) for r in engine.search(a, k=K).collect()]
+    gb = [(r["doc_id"], r["score"]) for r in engine.search(b, k=K).collect()]
+    assert ga == gb
+
+    # validation: mixed fields and degenerate clause lists refuse
+    with pytest.raises(ValueError):
+        ast.SpanNear([ast.SpanOr(("a",), field="file_name"), "b"])
+    with pytest.raises(ValueError):
+        ast.SpanNear(["only_one"])
+    with pytest.raises(ValueError):
+        ast.SpanNear([(), "b"])
