@@ -5,8 +5,11 @@ Phases:
            source-code corpus (files/sec; the BASELINE.json metric)
   sfload — index build over $SPARK_GRAFT_SF_DIR/documents.parquet
   query  — the reference query set (FIXTURES.md §3 shapes) against
-           the sf index, per-query p50 wall seconds over N_RUNS
-  ops    — dedup / ANN / analysis headline ops at the sf dir
+           the sf index, pooled auto-ranged medians (seconds per
+           single call; reps recorded in queries_reps)
+  ops    — dedup / ANN / analysis headline ops at the sf dir, same
+           pooled protocol; builds report the median of BUILD_RUNS
+           full rebuilds
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
@@ -16,6 +19,7 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 import statistics
@@ -26,6 +30,17 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 N_RUNS = 3
+# pooled timing (VERDICT r4 tasks 3-4): a sub-second key measures
+# fixed job-launch cost, not engine work, and round-over-round diffs
+# on such keys are unreadable (the r4 "regressions" were 0.4-2.7 s
+# deltas inside the host's noise band). Each key is auto-ranged: one
+# untimed warm/estimate call picks reps so a SAMPLE spans >= TARGET_S
+# of wall (capped at MAX_REPS), then the median of N_RUNS samples is
+# reported PER SINGLE CALL. Reps are recorded in the output
+# (queries_reps) so rounds stay comparable.
+TARGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_TARGET_S", "3.0"))
+MAX_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPS", "8"))
+BUILD_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_BUILD_RUNS", "3"))
 
 
 def timed(fn):
@@ -38,6 +53,36 @@ def p50(fn, runs: int = N_RUNS) -> float:
     samples = []
     for _ in range(runs):
         dt, _ = timed(fn)
+        samples.append(dt)
+    return statistics.median(samples)
+
+
+_REPS_USED: dict[str, int] = {}
+
+
+def pooled_p50(name: str, fn, runs: int = N_RUNS) -> float:
+    """Auto-ranged pooled median: warm + estimate once (untimed in
+    the report), then ``runs`` samples of ``reps`` back-to-back calls
+    each, reporting median seconds per single call."""
+    est, _ = timed(fn)
+    reps = max(1, min(MAX_REPS, int(math.ceil(TARGET_S / max(est, 1e-3)))))
+    _REPS_USED[name] = reps
+    samples = []
+    for _ in range(runs):
+        t0 = time.monotonic()
+        for _ in range(reps):
+            fn()
+        samples.append((time.monotonic() - t0) / reps)
+    return statistics.median(samples)
+
+
+def pooled_build(builder_fn, runs: int = BUILD_RUNS) -> float:
+    """Builds rebuild the same artifacts each run (resume=False), so
+    the median of ``runs`` full builds is directly comparable and the
+    final artifacts serve the query phases."""
+    samples = []
+    for _ in range(runs):
+        dt, _ = timed(builder_fn)
         samples.append(dt)
     return statistics.median(samples)
 
@@ -114,7 +159,7 @@ def main() -> None:
     builder = IndexBuilder(
         spark, syn_dir, IndexParams(num_buckets=64, block_size=128), n_groups=4
     )
-    build_s, _ = timed(lambda: builder.build(docs, resume=False))
+    build_s = pooled_build(lambda: builder.build(docs, resume=False))
     queries["build_synthetic"] = round(build_s, 3)
     result["build"] = {
         "n_docs": bench_docs,
@@ -132,7 +177,7 @@ def main() -> None:
     sfb = IndexBuilder(
         spark, sf_idx, IndexParams(num_buckets=16, block_size=128), n_groups=1
     )
-    sfload_s, _ = timed(lambda: sfb.build(sf_docs, resume=False))
+    sfload_s = pooled_build(lambda: sfb.build(sf_docs, resume=False))
     queries["build_sf_docs"] = round(sfload_s, 3)
     eng = SearchEngine(IndexReader(spark, sf_idx))
 
@@ -154,7 +199,7 @@ def main() -> None:
         "q13_hints": lambda: eng.hints("sc").collect(),
     }
     for name, fn in qset.items():
-        queries[name] = round(p50(fn), 3)
+        queries[name] = round(pooled_p50(name, fn), 3)
 
     # batch execution: the same 8 scored query shapes in ONE posting
     # scan + shuffle + kernel job (hints excluded — not a scored query)
@@ -169,7 +214,8 @@ def main() -> None:
         "b8": "spak~1",
     }
     queries["q_batch8"] = round(
-        p50(lambda: eng.search_many(batch, k=100).collect()), 3
+        pooled_p50("q_batch8",
+                   lambda: eng.search_many(batch, k=100).collect()), 3
     )
 
     # r3 query-side additions (informational extras)
@@ -181,19 +227,22 @@ def main() -> None:
         .collect()[0]["doc_key"]
     )
     queries["q_mlt"] = round(
-        p50(lambda: eng.more_like_this(mlt_key, k=10).collect()), 3
+        pooled_p50("q_mlt",
+                   lambda: eng.more_like_this(mlt_key, k=10).collect()), 3
     )
     queries["q_facets"] = round(
-        p50(lambda: eng.facet_counts("spark").collect()), 3
+        pooled_p50("q_facets",
+                   lambda: eng.facet_counts("spark").collect()), 3
     )
     queries["q_suggest"] = round(
-        p50(lambda: eng.suggest("hast", k=5).collect()), 3
+        pooled_p50("q_suggest", lambda: eng.suggest("hast", k=5).collect()), 3
     )
     # r4: same op through the bigram candidate sidecar (build cost
     # excluded — it is a one-time index artifact)
     eng.build_suggest_index()
     queries["q_suggest_idx"] = round(
-        p50(lambda: eng.suggest("custmer", k=5).collect()), 3
+        pooled_p50("q_suggest_idx",
+                   lambda: eng.suggest("custmer", k=5).collect()), 3
     )
 
     # ---- phase 3b: trigram substring/regex search (r2) ----
@@ -211,17 +260,20 @@ def main() -> None:
         ),
         n_groups=1,
     )
-    tri_s, _ = timed(lambda: trib.build(sf_docs, resume=False))
+    tri_s = pooled_build(lambda: trib.build(sf_docs, resume=False))
     queries["build_sf_trigram"] = round(tri_s, 3)
     tri_eng = SearchEngine(IndexReader(spark, tri_idx))
     queries["q14_substring"] = round(
-        p50(lambda: tri_eng.search_content_substring("ge sor").count()), 3
+        pooled_p50("q14_substring",
+                   lambda: tri_eng.search_content_substring("ge sor").count()),
+        3,
     )
     queries["q15_regex"] = round(
-        p50(
+        pooled_p50(
+            "q15_regex",
             lambda: tri_eng.search_content_regex(
                 r"merge [a-z]+ sort", case_sensitive=False
-            ).count()
+            ).count(),
         ),
         3,
     )
@@ -303,17 +355,19 @@ def main() -> None:
         ),
         n_groups=1,
     )
-    ztri_s, _ = timed(lambda: zb.build(zipf_docs, resume=False))
+    ztri_s = pooled_build(lambda: zb.build(zipf_docs, resume=False))
     queries["build_zipf_trigram"] = round(ztri_s, 3)
     zeng = SearchEngine(IndexReader(spark, zipf_idx))
     # needles from mid-rank vocabulary: present but selective
     zneedle = zvocab[400]
     zregex = rf"{zvocab[120]} [a-z]+ {zvocab[150]}"
     queries["q14z_substring"] = round(
-        p50(lambda: zeng.search_content_substring(zneedle).count()), 3
+        pooled_p50("q14z_substring",
+                   lambda: zeng.search_content_substring(zneedle).count()), 3
     )
     queries["q15z_regex"] = round(
-        p50(lambda: zeng.search_content_regex(zregex).count()), 3
+        pooled_p50("q15z_regex",
+                   lambda: zeng.search_content_regex(zregex).count()), 3
     )
 
     def _cand_count(engine, needle):
@@ -601,7 +655,7 @@ def main() -> None:
         ).collect(),
     }
     for name, fn in opset.items():
-        queries[name] = round(p50(fn), 3)
+        queries[name] = round(pooled_p50(name, fn), 3)
 
     # headline total keeps the round-1-comparable set; keys added in
     # later rounds (batch execution, trigram search, pipeline-prep
@@ -652,6 +706,13 @@ def main() -> None:
             "value": round(total, 3),
             "unit": "sec",
             "queries": queries,
+            "queries_reps": _REPS_USED,
+            "bench_protocol": {
+                "runs": N_RUNS,
+                "build_runs": BUILD_RUNS,
+                "target_sample_s": TARGET_S,
+                "max_reps": MAX_REPS,
+            },
             "n_sf_docs": n_sf_docs,
         }
     )

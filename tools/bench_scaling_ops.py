@@ -46,6 +46,8 @@ from codeindex_spark.ops.dsir import dsir_log_weights, dsir_resample
 from codeindex_spark.ops.spans import remove_duplicate_spans
 from codeindex_spark.ops.similarity import semdedup
 from codeindex_spark.ops.sketch import heavy_hitters, kmv_distinct, gram_stream
+from codeindex_spark.ops.graph import pagerank
+from codeindex_spark.ops.web import normalize_urls, url_dedup_keep
 from pyspark.sql import functions as F
 
 cpus = {cpus}
@@ -112,6 +114,38 @@ OPS = {{
     # merge — map-dominated with a tiny exchange
     "kmv": lambda d: kmv_distinct(gram_stream(d, 1, "text"), "gram",
                                   k=1024),
+    # pagerank: 5 power iterations over a deterministic 8-out-regular
+    # graph with a hot-hub tail (1 of 8 links lands in a 1024-node
+    # hub set -> the in-degree skew a web/link graph has). Two
+    # shuffles per iteration, lineage checkpointed every 3 — the
+    # iterative-replan trap this op family fixed in r4. The agg
+    # references pr so nothing is pruned.
+    "pagerank": lambda d: pagerank(
+        d.select(F.col("doc_id").alias("src"), F.explode(F.array(*[
+            F.pmod(F.xxhash64(F.col("doc_id"), F.lit(i)),
+                   F.lit(1024 if i == 0 else {n_docs})).alias(f"x{{i}}")
+            for i in range(8)])).alias("dst")),
+        iters=5,
+    ),
+    # url: canonicalize + first-occurrence dedup over a synthetic
+    # crawl (zipf-ish duplicate pressure: ~2 rows per canonical URL,
+    # 5k domains) — pure JVM regex projection + one min-agg keyed on
+    # url_norm; the curation-pipeline web op.
+    "url": lambda d: url_dedup_keep(normalize_urls(d.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW.site"),
+            F.pmod(F.xxhash64("doc_id"), F.lit(5000)).cast("string"),
+            F.lit(".example.org:443/p/"),
+            F.pmod(F.xxhash64(F.col("doc_id"), F.lit(99)),
+                   F.lit({n_docs} // 2)).cast("string"),
+            F.lit("/?utm_source=x&q="),
+            F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+            F.lit("#frag"),
+        ).alias("url"),
+    ))).filter(F.col("url_kept").cast("int") >= 0),
+    # ^ the filter references the computed kept flag so the harness's
+    #   count() cannot prune the dedup window away
 }}
 OP = OPS[{op!r}]
 # untimed warmup: compile the plan shapes on a small slice
@@ -149,7 +183,8 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--op", default="minhash",
                     choices=["minhash", "repetition", "dsir", "spans",
-                             "semdedup", "heavy", "kmv"])
+                             "semdedup", "heavy", "kmv", "pagerank",
+                             "url"])
     args = ap.parse_args()
     levels = [int(x) for x in args.levels.split(",")]
     if len(levels) != 2 or levels[0] == levels[1]:
@@ -226,7 +261,9 @@ def main() -> None:
                "spans": "remove_duplicate_spans",
                "semdedup": "semdedup",
                "heavy": "heavy_hitters(bigram, phi=5e-4)",
-               "kmv": "kmv_distinct(text, k=1024)"}[args.op],
+               "kmv": "kmv_distinct(text, k=1024)",
+               "pagerank": "pagerank(8-out-regular + hub tail, iters=5)",
+               "url": "normalize_urls+url_dedup_keep"}[args.op],
         "n_docs": args.docs,
         "protocol": (
             f"{args.runs} independent runs per level on the same "
