@@ -460,6 +460,23 @@ def _q_regexp_extended(spark, sf_dir):
     )
 
 
+def _q_bool_filter(spark, sf_dir):
+    # Lucene BooleanClause.Occur.FILTER (BooleanQuery.java): filter
+    # clauses gate the match exactly like MUST but contribute ZERO
+    # score — the query-as-filter clause IndexSearcher never scores.
+    # Docs containing BOTH 'table' and 'sort' match; the optional
+    # SHOULD 'spark' adds its BM25 contribution where present, so
+    # filter-only matches legitimately score 0.0 (Lucene behaviour).
+    from codeindex_spark.query import ast
+
+    eng = _engine(spark, sf_dir)
+    node = ast.Bool(
+        should=(ast.Term("spark"),),
+        filter=(ast.Term("table"), ast.Term("sort")),
+    )
+    return _orig_ids(eng, eng.score(node), extra=_SCORE())
+
+
 def _q_span_near_or(spark, sf_dir):
     # nested span composition — Lucene SpanNearQuery over a SpanOr
     # clause (SpanNearQuery.java; clause trees are how Lucene users
@@ -1552,6 +1569,49 @@ def _url_corpus(spark, sf_dir):
     return d.select("doc_id", "n_chars", F.expr(_URL_DERIVE_SQL).alias("url"))
 
 
+# deterministic synthetic HTML wrapped around each document's text —
+# one SQL expression both engines evaluate (Spark F.expr / DuckDB
+# verbatim): script+style+comment blocks to drop, block tags that
+# become newlines, inline tags that become spaces, and all six
+# entities incl. the &amp;amp; double-escape trap. chr(10) instead of
+# '\n' because DuckDB does not interpret backslash escapes in plain
+# string literals while Spark SQL does.
+from codeindex_spark.ops.web import (  # noqa: E402 — shared patterns
+    _HTML_ANY_TAG_RE as _W_ANY_RE,
+    _HTML_BLOCK_TAG_RE as _W_BLOCK_RE,
+    _HTML_COMMENT_RE as _W_COMMENT_RE,
+    _HTML_DROP_BLOCK_RE as _W_DROP_RE,
+)
+
+_HTML_DERIVE_SQL = (
+    "'<html><head><title>t</title>"
+    "<script type=\"x\">var a = 1 < 2 && b;</script>"
+    "<style>.c{color:red}</style></head>"
+    "<body><!-- hidden ' || CAST(doc_id % 7 AS STRING) || ' -->"
+    "<h1>H &amp;amp; L</h1><p id=\"p' || CAST(doc_id % 5 AS STRING)"
+    " || '\">' || replace(text, ' ', '</p><p>') || '</p>"
+    "<div>&lt;tail&gt;&nbsp;&#39;q&quot; x=' || CAST(doc_id % 3 AS"
+    " STRING) || '</div><span>inline</span></body></html>'"
+)
+
+
+def _q_html_extract(spark, sf_dir):
+    """HTML -> visible-text extraction (every web pipeline's step 1;
+    CCNet/C4/RefinedWeb all consume extracted text): drop script/
+    style/noscript/template elements + comments, block tags become
+    newlines, inline tags spaces, six-entity decode with &amp; last,
+    whitespace collapse. Pure JVM regexp chain (ops/web.py
+    extract_html_text); the oracle replays every step in DuckDB with
+    the identical RE2-safe patterns."""
+    from codeindex_spark.ops.web import extract_html_text
+
+    d = _load(spark, sf_dir, "documents")
+    h = d.select("doc_id", F.expr(_HTML_DERIVE_SQL).alias("html"))
+    return extract_html_text(h).select(
+        "doc_id", "text_extracted", "n_html_chars"
+    )
+
+
 def _q_url_dedup(spark, sf_dir):
     """URL canonicalization + first-occurrence URL dedup (RefinedWeb
     arXiv:2306.01116 §3.1; beyond-reference web surface): the full
@@ -2618,6 +2678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 additions (never externally checked):
         "q42_regexp_extended": _q_regexp_extended,
         "q43_span_near_or": _q_span_near_or,
+        "q44_bool_filter": _q_bool_filter,
+        "px_html_extract": _q_html_extract,
         # never-driver-checked through r04 (VERDICT r4 task 2):
         "mm_resize_plan": _q_mm_resize_plan,
         "mm_frame_sample": _q_mm_frame_sample,
@@ -2669,10 +2731,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_content_substring": _q_content_substring,
         "dd_keep": _q_near_dedup_keep,
         "hy_rrf": _q_hybrid_rrf,
-        "ann_ivfpq_res_topk": _q_ann_ivfpq_res,
-        "px_pipeline": _q_pipeline,
         # --- below the cap: checked in r03/r04; tools/check_entry.py
         # still covers all of them locally every session ---
+        "ann_ivfpq_res_topk": _q_ann_ivfpq_res,
+        "px_pipeline": _q_pipeline,
         "pv_highlight": _q_preview_highlight,
         "q38_min_should_match": _q_min_should_match,
         "q39_span_not": _q_span_not,
@@ -3824,6 +3886,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT domain, count(doc_id)::BIGINT AS n_docs,
                    sum(n_chars)::BIGINT AS n_chars
             FROM urls WHERE domain IS NOT NULL GROUP BY domain""",
+        # HTML extraction: the oracle replays the engine's exact
+        # RE2-safe pattern chain step by step (drop blocks ->
+        # comments -> block tags to newline -> any tag to space ->
+        # entity decode with &amp; LAST -> whitespace collapse);
+        # chr(10)/chr(39) instead of escapes (DuckDB literals do not
+        # process backslashes)
+        "px_html_extract": f"""
+            WITH h AS (SELECT doc_id, {_HTML_DERIVE_SQL} AS html
+                       FROM documents),
+            s1 AS (SELECT doc_id, html, regexp_replace(html,
+                     '{_W_DROP_RE}', ' ', 'g') AS t FROM h),
+            s2 AS (SELECT doc_id, html, regexp_replace(t,
+                     '{_W_COMMENT_RE}', ' ', 'g') AS t FROM s1),
+            s3 AS (SELECT doc_id, html, regexp_replace(t,
+                     '{_W_BLOCK_RE}', chr(10), 'g') AS t FROM s2),
+            s4 AS (SELECT doc_id, html, regexp_replace(t,
+                     '{_W_ANY_RE}', ' ', 'g') AS t FROM s3),
+            e AS (SELECT doc_id, html,
+              replace(replace(replace(replace(replace(replace(t,
+                '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS t
+              FROM s4),
+            w1 AS (SELECT doc_id, html, regexp_replace(t,
+                     '[ \t\x0B\f\r]+', ' ', 'g') AS t FROM e),
+            w2 AS (SELECT doc_id, html, regexp_replace(t,
+                     ' ?\n[ \n]*', chr(10), 'g') AS t FROM w1)
+            SELECT doc_id,
+                   regexp_replace(t, '^[\n ]+|[\n ]+$', '', 'g')
+                     AS text_extracted,
+                   length(html)::BIGINT AS n_html_chars FROM w2""",
         "px_cluster_sample": f"""
             WITH a(vec_id, cluster, cent_sim) AS
               (SELECT * FROM (VALUES {_cluster_assign_values()})),
@@ -4164,6 +4256,18 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY term LIMIT 1024)
             SELECT doc_id, round(sum(c), 6) AS score FROM contrib
             WHERE term IN (SELECT term FROM rx) GROUP BY doc_id""",
+        # FILTER occur: the match set is the intersection of the
+        # filter terms' doc sets (never scored); the optional SHOULD
+        # adds its contribution where present, else the doc scores 0
+        "q44_bool_filter": f"""WITH {_CONTRIB},
+            fl AS (SELECT doc_id FROM contrib WHERE term = 'table'
+                   INTERSECT
+                   SELECT doc_id FROM contrib WHERE term = 'sort'),
+            sp AS (SELECT doc_id, c FROM contrib WHERE term = 'spark')
+            SELECT f.doc_id,
+                   round(coalesce(sum(sp.c), 0.0::DOUBLE), 6) AS score
+            FROM fl f LEFT JOIN sp USING (doc_id)
+            GROUP BY f.doc_id""",
         # SpanNear over a SpanOr clause: adjacency where slot 0 is
         # bound by EITHER member; score = sum of all member + term
         # contributions in matched docs (same convention as q04)

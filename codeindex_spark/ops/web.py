@@ -196,3 +196,71 @@ def domain_stats(
     return df.filter(F.col(domain_col).isNotNull()).groupBy(
         F.col(domain_col).alias("domain")
     ).agg(*aggs)
+
+
+# HTML text extraction — every web-corpus pipeline's step 1 (CCNet /
+# C4 / RefinedWeb all start from extracted WET-style text). The rule
+# set is documented so any engine replays it; the patterns keep to
+# the Java-regex/RE2 common subset ((?is) flags, non-greedy blocks,
+# no lookaround) so the DuckDB oracle runs the SAME expressions.
+# alternation instead of a backreferenced close tag: RE2 (the DuckDB
+# oracle's engine) has no backreferences
+_HTML_DROP_BLOCK_RE = "(?is)" + "|".join(
+    f"<{t}\\b[^>]*>.*?</{t}\\s*>"
+    for t in ("script", "style", "noscript", "template")
+)
+_HTML_COMMENT_RE = "(?s)<!--.*?-->"
+_HTML_BLOCK_TAG_RE = (
+    "(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|thead|tbody|"
+    "blockquote|section|article|header|footer|pre|hr|form)\\b[^>]*>"
+)
+_HTML_ANY_TAG_RE = "(?s)<[^>]*>"
+
+_HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),  # LAST: so "&amp;lt;" decodes to "&lt;" not "<"
+)
+
+
+def extract_html_text(
+    df: DataFrame,
+    html_col: str = "html",
+    text_col: str = "text_extracted",
+) -> DataFrame:
+    """HTML -> visible text, the documented rule set:
+
+    1. drop ``<script>/<style>/<noscript>/<template>`` ELEMENTS
+       (non-greedy, case-insensitive, matching close tag) and HTML
+       comments — their content is never visible text;
+    2. block-level tags (p/div/br/li/h1-6/table rows...) become a
+       newline (paragraph structure survives for the downstream
+       paragraph ops), every other tag becomes a space;
+    3. decode the six ubiquitous entities (&amp; &lt; &gt; &quot;
+       &#39; &nbsp;), ampersand LAST so double-escapes stay escaped;
+    4. collapse horizontal-whitespace runs to one space, collapse
+       newline runs (with surrounding spaces) to one ``\\n``, trim.
+
+    Adds ``text_col`` plus ``n_html_chars`` (raw length, the usual
+    extraction-ratio quality signal denominator). Pure JVM
+    regexp_replace chain — zero Python, zero shuffle, fully
+    pushdown-transparent; at 100 TB this is a map-only pass whose
+    cost is the parquet scan itself."""
+    c = F.col(html_col)
+    out = F.regexp_replace(c, _HTML_DROP_BLOCK_RE, " ")
+    out = F.regexp_replace(out, _HTML_COMMENT_RE, " ")
+    out = F.regexp_replace(out, _HTML_BLOCK_TAG_RE, "\n")
+    out = F.regexp_replace(out, _HTML_ANY_TAG_RE, " ")
+    for ent, rep in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    out = F.regexp_replace(out, "[ \\t\\x0B\\f\\r]+", " ")
+    out = F.regexp_replace(out, " ?\\n[ \\n]*", "\n")
+    # anchor-strip: plain trim() drops only spaces, but block tags at
+    # the document edges leave boundary newlines too
+    out = F.regexp_replace(out, "^[\\n ]+|[\\n ]+$", "")
+    return df.withColumn(text_col, out).withColumn(
+        "n_html_chars", F.length(c).cast("long")
+    )

@@ -352,12 +352,22 @@ class Bool:
     every matching positive clause. Programmatic only, like Lucene
     (no classic-parser syntax sets it). ``n <= 0`` means the default
     optional-SHOULD behaviour; ``n > len(should)`` matches nothing,
-    mirroring Lucene's unsatisfiable-scorer case."""
+    mirroring Lucene's unsatisfiable-scorer case.
+
+    ``filter`` carries Lucene's ``BooleanClause.Occur.FILTER``
+    (public semantics, BooleanQuery.java): like MUST for MATCHING —
+    every filter clause must match — but contributing ZERO score
+    (Lucene's query-as-filter clause; IndexSearcher wraps filters so
+    they are never scored). A Bool with only filter clauses matches
+    every doc satisfying them all, each scoring 0.0 — exactly
+    Lucene's behaviour for a FILTER-only BooleanQuery. Programmatic
+    only (the classic parser has no FILTER syntax)."""
 
     must: tuple[Node, ...] = ()
     should: tuple[Node, ...] = ()
     must_not: tuple[Node, ...] = ()
     min_should_match: int = 0
+    filter: tuple[Node, ...] = ()
 
 
 class QueryParseError(ValueError):
@@ -398,10 +408,15 @@ def apply_boost(node: Node, factor: float) -> Node:
         # never summed, so boosting it would change nothing
         return Not(apply_boost(node.positive, factor), node.negative)
     if isinstance(node, Bool):
+        # must_not only filters and filter clauses never score, so
+        # neither is boosted; min_should_match is matching semantics,
+        # carried through unchanged
         return Bool(
             tuple(apply_boost(c, factor) for c in node.must),
             tuple(apply_boost(c, factor) for c in node.should),
             node.must_not,
+            node.min_should_match,
+            node.filter,
         )
     raise TypeError(node)
 
@@ -1034,6 +1049,8 @@ def expand_synonyms(node: Node, synonyms: dict[str, tuple[str, ...]]) -> Node:
                 tuple(walk(c) for c in n.must),
                 tuple(walk(c) for c in n.should),
                 tuple(walk(c) for c in n.must_not),
+                n.min_should_match,
+                tuple(walk(c) for c in n.filter),
             )
         return n
 
@@ -1058,7 +1075,7 @@ def collect_leaves(node: Node) -> list[Node]:
         return collect_leaves(node.positive) + collect_leaves(node.negative)
     if isinstance(node, Bool):
         out = []
-        for c in node.must + node.should + node.must_not:
+        for c in node.must + node.should + node.must_not + node.filter:
             out.extend(collect_leaves(c))
         return out
     raise TypeError(f"unknown node {node!r}")

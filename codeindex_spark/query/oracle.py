@@ -418,15 +418,19 @@ class OracleIndex:
             return {d: s for d, s in pos.items() if d not in neg}
         if isinstance(node, ast.Bool):
             msm = max(0, int(getattr(node, "min_should_match", 0)))
-            if not node.must and not node.should:
+            flt = tuple(getattr(node, "filter", ()))
+            if not node.must and not node.should and not flt:
                 return {}
             if msm > len(node.should):
                 return {}
-            if node.must:
+            if node.must or flt:
                 maps = [self.eval(c) for c in node.must]
-                docs = set(maps[0])
+                fsets = [set(self.eval(c)) for c in flt]
+                docs = set(maps[0]) if maps else set(fsets[0])
                 for m in maps[1:]:
                     docs &= set(m)
+                for fs in fsets:
+                    docs &= fs
                 out = {d: sum(m[d] for m in maps) for d in docs}
                 hits = {d: 0 for d in docs}
                 for c in node.should:

@@ -901,9 +901,11 @@ class SearchEngine:
         total). For sum-combined trees (term / AND / OR / Bool /
         boosts) the contributions of a doc's rows sum exactly to its
         total; DisMax and ConstantScore totals follow their own
-        documented rules and the rows remain the raw leaf scores.
-        Leaves a doc does not match contribute no row (Lucene prints
-        them as noMatch explanations).
+        documented rules, Bool FILTER-clause leaves show their raw
+        leaf score while contributing nothing to the total (Lucene
+        prints them as non-scoring matches), and the rows remain the
+        raw leaf scores. Leaves a doc does not match contribute no
+        row (Lucene prints them as noMatch explanations).
 
         One batched job: every distinct leaf evaluates as its own
         query through score_many — shared dictionary lookup, ONE
@@ -2017,7 +2019,7 @@ def _contains_constant_score(node) -> bool:
     if isinstance(node, ast.Bool):
         return any(
             _contains_constant_score(c)
-            for c in node.must + node.should + node.must_not
+            for c in node.must + node.should + node.must_not + node.filter
         )
     return False
 
@@ -2231,18 +2233,37 @@ def _make_tree_batch_kernel(root, leaf_ids, avgdl, k1, b, block_size):
             # gates the match on >= n SHOULD hits (MinShouldMatchSum-
             # Scorer semantics); scores stay the plain matching sum.
             msm = max(0, int(getattr(node, "min_should_match", 0)))
-            if not node.must and not node.should:
+            flt = tuple(getattr(node, "filter", ()))
+            if not node.must and not node.should and not flt:
                 return _EMPTY_D, _EMPTY_S
             if msm > len(node.should):
                 return _EMPTY_D, _EMPTY_S  # Lucene: unsatisfiable
-            if node.must:
-                docs, scores = eval_node(node.must[0], leaf_data)
-                for child in node.must[1:]:
+            if node.must or flt:
+                # FILTER clauses (BooleanClause.Occur.FILTER) gate the
+                # match exactly like MUST but contribute zero score —
+                # intersect on docs, drop their score vector
+                docs, scores = None, None
+                for child in node.must:
                     d2, s2 = eval_node(child, leaf_data)
-                    docs, i1, i2 = np.intersect1d(
-                        docs, d2, assume_unique=True, return_indices=True
-                    )
-                    scores = scores[i1] + s2[i2]
+                    if docs is None:
+                        docs, scores = d2, s2
+                    else:
+                        docs, i1, i2 = np.intersect1d(
+                            docs, d2, assume_unique=True,
+                            return_indices=True,
+                        )
+                        scores = scores[i1] + s2[i2]
+                for child in flt:
+                    d2, _ = eval_node(child, leaf_data)
+                    if docs is None:
+                        docs = d2
+                        scores = np.zeros(d2.size, dtype=np.float64)
+                    else:
+                        docs, i1, _ = np.intersect1d(
+                            docs, d2, assume_unique=True,
+                            return_indices=True,
+                        )
+                        scores = scores[i1]
                 nmatch = np.zeros(docs.size, dtype=np.int64)
                 for child in node.should:
                     d2, s2 = eval_node(child, leaf_data)

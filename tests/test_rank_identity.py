@@ -587,6 +587,47 @@ def test_q_regexp_extended_ops(engine, oracle):
     assert_rank_identical(engine.search(q, k=K), oracle.search(q, k=K))
 
 
+def test_q_bool_filter_clause(engine, oracle):
+    """BooleanClause.Occur.FILTER: gates the match like MUST,
+    contributes zero score; filter-only queries match with score 0;
+    composes with must / should / must_not / min_should_match."""
+    cases = [
+        ast.Bool(should=(ast.Term("index"),), filter=(ast.Term("writer"),)),
+        ast.Bool(filter=(ast.Term("index"), ast.Term("writer"))),
+        ast.Bool(
+            must=(ast.Term("index"),),
+            filter=(ast.Term("writer"),),
+            must_not=(ast.Term("batch"),),
+        ),
+        ast.Bool(
+            should=(ast.Term("string"), ast.Term("return")),
+            filter=(ast.Term("index"),),
+            min_should_match=2,
+        ),
+    ]
+    nonempty = 0
+    for q in cases:
+        got = engine.search(q, k=K)
+        assert_rank_identical(got, oracle.search(q, k=K))
+        nonempty += int(got.count() > 0)
+    assert nonempty >= 3
+
+    # filter vs must: same match set, different scores (filter never
+    # scores); and the filter-only query scores exactly 0.0
+    f = ast.Bool(should=(ast.Term("index"),), filter=(ast.Term("writer"),))
+    m = ast.Bool(must=(ast.Term("writer"),), should=(ast.Term("index"),))
+    df_f = {r["doc_id"]: r["score"] for r in engine.search(f, k=500).collect()}
+    df_m = {r["doc_id"]: r["score"] for r in engine.search(m, k=500).collect()}
+    assert set(df_f) == set(df_m)
+    assert any(df_f[d] != df_m[d] for d in df_f)  # writer's score gone
+    only = engine.search(ast.Bool(filter=(ast.Term("index"),)), k=500)
+    assert {r["score"] for r in only.collect()} == {0.0}
+
+    # apply_boost must preserve filter and min_should_match
+    b = ast.apply_boost(cases[3], 2.0)
+    assert b.min_should_match == 2 and len(b.filter) == 1
+
+
 def test_q_span_near_nested(engine, oracle):
     """SpanNear over SpanOr clauses (nested span composition —
     SpanNearQuery.java over SpanOrQuery clauses): a tuple slot binds

@@ -147,3 +147,40 @@ def test_normalize_is_idempotent(url_df):
     )
     diffs = again.filter(F.col("url") != F.col("url_norm")).collect()
     assert diffs == []
+
+
+def test_extract_html_text_rules(spark):
+    """HTML extraction contract, rule by rule: element drops (incl.
+    case-insensitive close tags and attributes), comments, block vs
+    inline tags, entity decode order (&amp; LAST so double-escapes
+    survive), whitespace collapse, and the raw-length signal."""
+    from codeindex_spark.ops.web import extract_html_text
+
+    rows = [
+        (1, "<p>hello</p><p>world</p>"),
+        (2, "<SCRIPT a=b>var x = '<p>not text</p>';</SCRIPT>ok"),
+        (3, "<style>.c{color:red}</style>visible"),
+        (4, "a<!-- hidden <b>bold</b> -->b"),
+        (5, "x<span>inline</span>y"),
+        (6, "&amp;amp; &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;!"),
+        (7, "  lots   of\t spaces <br> and <BR/> breaks  "),
+        (8, "<div class='x'>block</div><h2>head</h2>tail"),
+        (9, "<noscript><img src=x></noscript>seen"),
+        (10, "plain text, no markup"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, html string")
+    got = {
+        r["doc_id"]: (r["text_extracted"], r["n_html_chars"])
+        for r in extract_html_text(df).collect()
+    }
+    assert got[1][0] == "hello\nworld"
+    assert got[2][0] == "ok"
+    assert got[3][0] == "visible"
+    assert got[4][0] == "a b"
+    assert got[5][0] == "x inline y"
+    # &amp;amp; -> &amp; (NOT &): ampersand decodes last
+    assert got[6][0] == "&amp; <tag> \"q\" 's' !"
+    assert got[7][0] == "lots of spaces\nand\nbreaks"
+    assert got[8][0] == "block\nhead\ntail"
+    assert got[9][0] == "seen"
+    assert got[10] == ("plain text, no markup", len(rows[9][1]))
