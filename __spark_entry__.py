@@ -1577,6 +1577,7 @@ def _url_corpus(spark, sf_dir):
 # '\n' because DuckDB does not interpret backslash escapes in plain
 # string literals while Spark SQL does.
 from codeindex_spark.ops.web import (  # noqa: E402 — shared patterns
+    _HTML_ANCHOR_RE as _W_ANCHOR_RE,
     _HTML_ANY_TAG_RE as _W_ANY_RE,
     _HTML_BLOCK_TAG_RE as _W_BLOCK_RE,
     _HTML_COMMENT_RE as _W_COMMENT_RE,
@@ -1610,6 +1611,39 @@ def _q_html_extract(spark, sf_dir):
     return extract_html_text(h).select(
         "doc_id", "text_extracted", "n_html_chars"
     )
+
+
+# deterministic synthetic link-bearing HTML: five links per doc in
+# every href style (double-quoted absolute w/ fragment, bare
+# relative, single-quoted mailto, quoted fragment-only, bare
+# protocol-relative) plus a no-href named anchor the extractor must
+# skip; anchors carry inner tags + an entity ('' escapes a literal
+# single quote in both engines' SQL literals)
+_HTML_LINKS_DERIVE_SQL = (
+    "'<p>See <a href=\"https://Site' || CAST(doc_id % 97 AS STRING)"
+    " || '.Example.COM:443/p/' || CAST(doc_id % 13 AS STRING) ||"
+    " '?utm_source=z&x=1#f\">Link <b>' || CAST(doc_id % 5 AS STRING)"
+    " || '</b></a> and <a class=nav href=/rel/' || CAST(doc_id % 7"
+    " AS STRING) || '>rel &amp; more</a>, <A HREF=''mailto:a@b.c''>"
+    "mail</A><a name=x>no href</a><a href=\"#top\"> top  note </a>"
+    "<a href=//cdn.example.net/lib' || CAST(doc_id % 3 AS STRING) ||"
+    " '.js>cdn</a></p>'"
+)
+
+
+def _q_extract_links(spark, sf_dir):
+    """HTML -> link table (the web-graph source step: link graphs,
+    anchor-text corpora, crawl frontiers): one row per <a href=...>,
+    quote-stripped href, tag-stripped entity-decoded anchor text,
+    and a kind classification (special/absolute/protocol_relative/
+    fragment/relative). ops/web.py extract_links — two JVM regexp
+    passes + posexplode, zero shuffle; the oracle replays the SAME
+    RE2-safe pattern via regexp_extract_all groups 1 and 2."""
+    from codeindex_spark.ops.web import extract_links
+
+    d = _load(spark, sf_dir, "documents")
+    h = d.select("doc_id", F.expr(_HTML_LINKS_DERIVE_SQL).alias("html"))
+    return extract_links(h)
 
 
 def _q_url_dedup(spark, sf_dir):
@@ -2680,6 +2714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_span_near_or": _q_span_near_or,
         "q44_bool_filter": _q_bool_filter,
         "px_html_extract": _q_html_extract,
+        "px_extract_links": _q_extract_links,
         # never-driver-checked through r04 (VERDICT r4 task 2):
         "mm_resize_plan": _q_mm_resize_plan,
         "mm_frame_sample": _q_mm_frame_sample,
@@ -3916,6 +3951,46 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(t, '^[\n ]+|[\n ]+$', '', 'g')
                      AS text_extracted,
                    length(html)::BIGINT AS n_html_chars FROM w2""",
+        # link extraction: the SAME anchor pattern, groups 1 (href)
+        # and 2 (anchor body) via regexp_extract_all, zipped by
+        # ordinal; then the engine's exact cleaning chain (quote
+        # strip, tag strip, entity decode with &amp; last, whitespace
+        # collapse) and the first-match-wins kind CASE
+        "px_extract_links": f"""
+            WITH h AS (SELECT doc_id, {_HTML_LINKS_DERIVE_SQL} AS html
+                       FROM documents),
+            x AS (SELECT doc_id,
+                    regexp_extract_all(html,
+                      '{_W_ANCHOR_RE.replace(chr(39), chr(39) * 2)}',
+                      1) AS hrefs,
+                    regexp_extract_all(html,
+                      '{_W_ANCHOR_RE.replace(chr(39), chr(39) * 2)}',
+                      2) AS anchors FROM h),
+            e AS (SELECT doc_id, unnest(range(1, len(hrefs) + 1)) AS i,
+                         hrefs, anchors FROM x),
+            c AS (SELECT doc_id, i::BIGINT AS link_idx,
+                    trim(regexp_replace(hrefs[i],
+                      '^["'']|["'']$', '', 'g')) AS href,
+                    regexp_replace(anchors[i],
+                      '(?s)<[^>]*>', ' ', 'g') AS a FROM e),
+            d AS (SELECT doc_id, link_idx, href,
+              replace(replace(replace(replace(replace(replace(a,
+                '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS a
+              FROM c)
+            SELECT doc_id, link_idx, href,
+                   trim(regexp_replace(a, '[ \t\n\r\x0B\f]+', ' ',
+                        'g')) AS anchor_text,
+                   CASE WHEN regexp_matches(href,
+                          '^(?i)(javascript|mailto|tel|data):')
+                        THEN 'special'
+                        WHEN regexp_matches(href,
+                          '^[A-Za-z][A-Za-z0-9+.-]*://')
+                        THEN 'absolute'
+                        WHEN href LIKE '//%' THEN 'protocol_relative'
+                        WHEN href LIKE '#%' THEN 'fragment'
+                        ELSE 'relative' END AS link_kind
+            FROM d""",
         "px_cluster_sample": f"""
             WITH a(vec_id, cluster, cent_sim) AS
               (SELECT * FROM (VALUES {_cluster_assign_values()})),

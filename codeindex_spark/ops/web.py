@@ -264,3 +264,86 @@ def extract_html_text(
     return df.withColumn(text_col, out).withColumn(
         "n_html_chars", F.length(c).cast("long")
     )
+
+
+# Anchor/link extraction — the web-graph source step: every link
+# graph (and pagerank over it, ops/graph.py) starts from (page ->
+# href, anchor text) rows pulled out of raw HTML. Quoted (double or
+# single) and bare attribute values per the HTML spec; an <a> with
+# no href (a named anchor) is not a link and emits nothing. RE2-safe
+# (alternation, no backreferences/lookaround) so the DuckDB oracle
+# replays the SAME pattern.
+_HTML_ANCHOR_RE = (
+    "(?is)<a\\b[^>]*\\bhref\\s*=\\s*"
+    "(\"[^\"]*\"|'[^']*'|[^\\s>]+)[^>]*>(.*?)</a\\s*>"
+)
+# first match wins; the unanchored-scheme check is LAST so
+# "mailto:" never classifies as relative
+_LINK_KIND_SPECIAL_RE = "^(?i)(javascript|mailto|tel|data):"
+_LINK_KIND_ABSOLUTE_RE = "^[A-Za-z][A-Za-z0-9+.-]*://"
+
+
+def extract_links(
+    df: DataFrame,
+    html_col: str = "html",
+) -> DataFrame:
+    """HTML -> one row per ``<a href=...>...</a>`` link, the web-graph
+    source table (crawl frontier building, anchor-text corpora, link
+    graphs for :func:`codeindex_spark.ops.graph.pagerank`).
+
+    Output: every input column except ``html_col``, plus
+
+    - ``link_idx``   1-based position of the link in the document;
+    - ``href``       the attribute value, surrounding quotes stripped
+      and trimmed — NOT resolved against a base URL (resolution needs
+      the page URL; compose with :func:`normalize_urls` for absolute
+      links);
+    - ``anchor_text`` the visible text: inner tags become spaces, the
+      six ubiquitous entities decode (``&amp;`` last), whitespace
+      collapses to single spaces, trimmed;
+    - ``link_kind``  ``special`` (javascript/mailto/tel/data) |
+      ``absolute`` (has a scheme) | ``protocol_relative`` (``//..``) |
+      ``fragment`` (``#..``) | ``relative``.
+
+    Documents with no links emit no rows (inner explode — a link
+    table, not a per-doc annotation). Pure JVM: two regexp passes
+    plus posexplode, zero Python, zero shuffle; at 100 TB this is a
+    map-only pass bounded by the HTML scan. An ``<a>`` whose close
+    tag never comes is skipped (the non-greedy body needs ``</a>``)."""
+    c = F.col(html_col)
+    pat = F.lit(_HTML_ANCHOR_RE)
+    keep = [col for col in df.columns if col != html_col]
+    out = df.select(
+        *keep,
+        F.regexp_extract_all(c, pat, F.lit(1)).alias("_hrefs"),
+        F.regexp_extract_all(c, pat, F.lit(2)).alias("_anchors"),
+    ).select(
+        *keep,
+        F.posexplode("_hrefs").alias("_i", "_href_raw"),
+        F.col("_anchors"),
+    )
+    href = F.trim(
+        F.regexp_replace(F.col("_href_raw"), "^[\"']|[\"']$", "")
+    )
+    anchor = F.regexp_replace(
+        F.col("_anchors")[F.col("_i")], "(?s)<[^>]*>", " "
+    )
+    for ent, rep in _HTML_ENTITIES:
+        anchor = F.replace(anchor, F.lit(ent), F.lit(rep))
+    anchor = F.trim(
+        F.regexp_replace(anchor, "[ \\t\\n\\r\\x0B\\f]+", " ")
+    )
+    kind = (
+        F.when(href.rlike(_LINK_KIND_SPECIAL_RE), "special")
+        .when(href.rlike(_LINK_KIND_ABSOLUTE_RE), "absolute")
+        .when(href.startswith("//"), "protocol_relative")
+        .when(href.startswith("#"), "fragment")
+        .otherwise("relative")
+    )
+    return out.select(
+        *keep,
+        (F.col("_i") + 1).cast("long").alias("link_idx"),
+        href.alias("href"),
+        anchor.alias("anchor_text"),
+        kind.alias("link_kind"),
+    )

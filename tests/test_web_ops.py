@@ -184,3 +184,37 @@ def test_extract_html_text_rules(spark):
     assert got[8][0] == "block\nhead\ntail"
     assert got[9][0] == "seen"
     assert got[10] == ("plain text, no markup", len(rows[9][1]))
+
+
+def test_extract_links_rules(spark):
+    """Link extraction contract: quoted/single-quoted/bare hrefs,
+    no-href anchors skipped, uppercase tags, inner-tag + entity
+    anchor cleaning, 1-based link_idx, kind classification, no-link
+    docs emit nothing, non-html columns pass through."""
+    from codeindex_spark.ops.web import extract_links
+
+    rows = [
+        (1, "x", '<a href="https://a.b/c?d=1#f">Go <b>now</b></a>'),
+        (2, "y", "<A HREF='mailto:u@v.w'>mail</A><a href=/rel/p>r</a>"),
+        (3, "z", '<a name=x>skip</a><a href="#top">  top &amp; up </a>'),
+        (4, "w", "<a href=//cdn.net/l.js>cdn</a>"
+                 '<a href="javascript:void(0)">js</a>'),
+        (5, "q", "<p>no links at all</p>"),
+        (6, "e", '<a href="x">open but never closed'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, tag string, html string")
+    got = sorted(
+        (
+            (r["doc_id"], r["link_idx"], r["href"], r["anchor_text"],
+             r["link_kind"], r["tag"])
+            for r in extract_links(df).collect()
+        )
+    )
+    assert got == [
+        (1, 1, "https://a.b/c?d=1#f", "Go now", "absolute", "x"),
+        (2, 1, "mailto:u@v.w", "mail", "special", "y"),
+        (2, 2, "/rel/p", "r", "relative", "y"),
+        (3, 1, "#top", 'top & up', "fragment", "z"),
+        (4, 1, "//cdn.net/l.js", "cdn", "protocol_relative", "w"),
+        (4, 2, "javascript:void(0)", "js", "special", "w"),
+    ]
