@@ -1630,6 +1630,48 @@ _HTML_LINKS_DERIVE_SQL = (
     " '.js>cdn</a></p>'"
 )
 
+# shared DuckDB replay of the extract_links chain (hrefs/anchors via
+# the SAME RE2-safe pattern, groups 1/2; quote strip, inner-tag ->
+# space, six-entity decode with &amp; LAST, whitespace collapse,
+# kind classification), ending in lnk(doc_id, link_idx, href,
+# anchor_text, link_kind) — consumed by the px_extract_links /
+# px_anchor_stats oracles
+_LINKS_ORACLE_CTE = f"""h AS (SELECT doc_id,
+                       {_HTML_LINKS_DERIVE_SQL} AS html
+                       FROM documents),
+            x AS (SELECT doc_id,
+                    regexp_extract_all(html,
+                      '{_W_ANCHOR_RE.replace(chr(39), chr(39) * 2)}',
+                      1) AS hrefs,
+                    regexp_extract_all(html,
+                      '{_W_ANCHOR_RE.replace(chr(39), chr(39) * 2)}',
+                      2) AS anchors FROM h),
+            e AS (SELECT doc_id, unnest(range(1, len(hrefs) + 1)) AS i,
+                         hrefs, anchors FROM x),
+            c AS (SELECT doc_id, i::BIGINT AS link_idx,
+                    trim(regexp_replace(hrefs[i],
+                      '^["'']|["'']$', '', 'g')) AS href,
+                    regexp_replace(anchors[i],
+                      '(?s)<[^>]*>', ' ', 'g') AS a FROM e),
+            d AS (SELECT doc_id, link_idx, href,
+              replace(replace(replace(replace(replace(replace(a,
+                '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS a
+              FROM c),
+            lnk AS (SELECT doc_id, link_idx, href,
+                   trim(regexp_replace(a, '[ \t\n\r\x0B\f]+', ' ',
+                        'g')) AS anchor_text,
+                   CASE WHEN regexp_matches(href,
+                          '^(?i)(javascript|mailto|tel|data):')
+                        THEN 'special'
+                        WHEN regexp_matches(href,
+                          '^[A-Za-z][A-Za-z0-9+.-]*://')
+                        THEN 'absolute'
+                        WHEN href LIKE '//%' THEN 'protocol_relative'
+                        WHEN href LIKE '#%' THEN 'fragment'
+                        ELSE 'relative' END AS link_kind
+              FROM d)"""
+
 
 def _q_extract_links(spark, sf_dir):
     """HTML -> link table (the web-graph source step: link graphs,
@@ -1644,6 +1686,55 @@ def _q_extract_links(spark, sf_dir):
     d = _load(spark, sf_dir, "documents")
     h = d.select("doc_id", F.expr(_HTML_LINKS_DERIVE_SQL).alias("html"))
     return extract_links(h)
+
+
+def _q_anchor_stats(spark, sf_dir):
+    """Inbound anchor-text rollup per link target (Brin & Page 1998
+    §2.2: anchor text describes the TARGET page — the per-target
+    aggregate every web ranker consumes): top-2 anchors by (count
+    DESC, text ASC) plus per-target link/doc totals over the
+    extract_links table. ops/web.py anchor_stats — two target-keyed
+    map-side-combinable shuffles, the row_number window runs after
+    the per-anchor pre-agg so hot targets cost their DISTINCT
+    anchors, never raw inbound count."""
+    from codeindex_spark.ops.web import anchor_stats, extract_links
+
+    d = _load(spark, sf_dir, "documents")
+    h = d.select("doc_id", F.expr(_HTML_LINKS_DERIVE_SQL).alias("html"))
+    return anchor_stats(extract_links(h), k=2)
+
+
+def _q_link_pagerank(spark, sf_dir):
+    """Domain-authority PageRank over the extracted web graph:
+    extract_links -> link_graph (absolute links only, dst domain via
+    the normalize_urls case/www/port rules, distinct edges) with a
+    deterministic per-doc source domain, then 5 power iterations on
+    the DIRECTED graph — the site nodes have no out-links, so this
+    also exercises uniform dangling-mass redistribution. Top-100 by
+    6-dp-rounded pr with node tie-break (round BEFORE the cut per
+    the oracle recipe)."""
+    from pyspark.sql import Window
+
+    from codeindex_spark.ops.graph import pagerank
+    from codeindex_spark.ops.web import extract_links, link_graph
+
+    d = _load(spark, sf_dir, "documents")
+    h = d.select("doc_id", F.expr(_HTML_LINKS_DERIVE_SQL).alias("html"))
+    links = extract_links(h).withColumn(
+        "src_domain",
+        F.concat(F.lit("src"), (F.col("doc_id") % 53).cast("string")),
+    )
+    edges = link_graph(links, src_col="src_domain")
+    pr = pagerank(edges, damping=_PR_DAMPING, iters=_LPR_ITERS)
+    top = (
+        pr.withColumn("pr", F.round("pr", 6))
+        .orderBy(F.desc("pr"), F.asc("node"))
+        .limit(_PR_TOPK)
+    )
+    w = Window.orderBy(F.desc("pr"), F.asc("node"))
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select("node", "pr", "rank")
 
 
 def _q_url_dedup(spark, sf_dir):
@@ -2185,6 +2276,7 @@ def _q_time_travel(spark, sf_dir):
 _PR_DAMPING = 0.85
 _PR_ITERS = 10
 _PR_TOPK = 100
+_LPR_ITERS = 5  # gr_link_pagerank (directed link graph)
 
 
 def _q_pagerank(spark, sf_dir):
@@ -2478,6 +2570,55 @@ def _pagerank_values_sql() -> str:
     )
 
 
+def _link_pagerank_values_sql() -> str:
+    """Independent pure-Python replay of the gr_link_pagerank entry:
+    the absolute link of doc i resolves to site{i%97}.example.com
+    (per _HTML_LINKS_DERIVE_SQL plus the normalize_urls lowercase/
+    www/default-port rules), the source domain is src{i%53}, edges
+    are DISTINCT and DIRECTED (site nodes dangling), then the same
+    documented PageRank update as _pagerank_values_sql for
+    _LPR_ITERS iterations; round to 6 dp BEFORE the top-k cut."""
+    import pandas as pd
+
+    ids = pd.read_parquet(
+        os.path.join(_oracle_sf_dir(), "documents.parquet"),
+        columns=["doc_id"],
+    )["doc_id"]
+    edges = sorted(
+        {
+            (f"src{int(i) % 53}", f"site{int(i) % 97}.example.com")
+            for i in ids
+        }
+    )
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    n = len(nodes)
+    deg: dict[str, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    d = _PR_DAMPING
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(_LPR_ITERS):
+        contrib = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            contrib[t] += pr[s] / deg[s]
+        total = sum(contrib[v] for v in nodes)
+        pr = {
+            v: (1.0 - d) / n + d * (contrib[v] + (1.0 - total) / n)
+            for v in nodes
+        }
+    ranked = sorted(
+        ((round(p, 6), v) for v, p in pr.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:_PR_TOPK]
+    rows = ",".join(
+        f"('{v}',{p!r},{i + 1})" for i, (p, v) in enumerate(ranked)
+    )
+    return (
+        "SELECT node, pr::DOUBLE AS pr, rank::BIGINT AS rank FROM "
+        "(VALUES " + rows + ') AS t(node, pr, "rank")'
+    )
+
+
 _BPE_MERGES = 30
 _BPE_MAX_WORDS = 5000
 
@@ -2715,6 +2856,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_bool_filter": _q_bool_filter,
         "px_html_extract": _q_html_extract,
         "px_extract_links": _q_extract_links,
+        "px_anchor_stats": _q_anchor_stats,
+        "gr_link_pagerank": _q_link_pagerank,
         # never-driver-checked through r04 (VERDICT r4 task 2):
         "mm_resize_plan": _q_mm_resize_plan,
         "mm_frame_sample": _q_mm_frame_sample,
@@ -2763,11 +2906,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_pricing_summary": _q_pricing_summary,
         "rel_order_join": _q_order_join,
         "rel_window_rank": _q_window_rank,
+        # --- below the cap: checked in r03/r04; tools/check_entry.py
+        # still covers all of them locally every session ---
         "q19_content_substring": _q_content_substring,
         "dd_keep": _q_near_dedup_keep,
         "hy_rrf": _q_hybrid_rrf,
-        # --- below the cap: checked in r03/r04; tools/check_entry.py
-        # still covers all of them locally every session ---
         "ann_ivfpq_res_topk": _q_ann_ivfpq_res,
         "px_pipeline": _q_pipeline,
         "pv_highlight": _q_preview_highlight,
@@ -3955,42 +4098,32 @@ def oracle_sql() -> dict[str, str]:
         # and 2 (anchor body) via regexp_extract_all, zipped by
         # ordinal; then the engine's exact cleaning chain (quote
         # strip, tag strip, entity decode with &amp; last, whitespace
-        # collapse) and the first-match-wins kind CASE
+        # collapse) and the first-match-wins kind CASE — all inside
+        # the shared _LINKS_ORACLE_CTE ending in lnk(...)
         "px_extract_links": f"""
-            WITH h AS (SELECT doc_id, {_HTML_LINKS_DERIVE_SQL} AS html
-                       FROM documents),
-            x AS (SELECT doc_id,
-                    regexp_extract_all(html,
-                      '{_W_ANCHOR_RE.replace(chr(39), chr(39) * 2)}',
-                      1) AS hrefs,
-                    regexp_extract_all(html,
-                      '{_W_ANCHOR_RE.replace(chr(39), chr(39) * 2)}',
-                      2) AS anchors FROM h),
-            e AS (SELECT doc_id, unnest(range(1, len(hrefs) + 1)) AS i,
-                         hrefs, anchors FROM x),
-            c AS (SELECT doc_id, i::BIGINT AS link_idx,
-                    trim(regexp_replace(hrefs[i],
-                      '^["'']|["'']$', '', 'g')) AS href,
-                    regexp_replace(anchors[i],
-                      '(?s)<[^>]*>', ' ', 'g') AS a FROM e),
-            d AS (SELECT doc_id, link_idx, href,
-              replace(replace(replace(replace(replace(replace(a,
-                '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
-                '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS a
-              FROM c)
-            SELECT doc_id, link_idx, href,
-                   trim(regexp_replace(a, '[ \t\n\r\x0B\f]+', ' ',
-                        'g')) AS anchor_text,
-                   CASE WHEN regexp_matches(href,
-                          '^(?i)(javascript|mailto|tel|data):')
-                        THEN 'special'
-                        WHEN regexp_matches(href,
-                          '^[A-Za-z][A-Za-z0-9+.-]*://')
-                        THEN 'absolute'
-                        WHEN href LIKE '//%' THEN 'protocol_relative'
-                        WHEN href LIKE '#%' THEN 'fragment'
-                        ELSE 'relative' END AS link_kind
-            FROM d""",
+            WITH {_LINKS_ORACLE_CTE}
+            SELECT doc_id, link_idx, href, anchor_text, link_kind
+            FROM lnk""",
+        # anchor_stats replay over the same lnk table (k=2): count
+        # per (target, anchor), rank by count DESC then anchor ASC,
+        # target totals joined back — mirrors ops/web.py anchor_stats
+        "px_anchor_stats": f"""
+            WITH {_LINKS_ORACLE_CTE},
+            pa AS (SELECT href, anchor_text,
+                          count(*)::BIGINT AS n_anchor
+                   FROM lnk GROUP BY href, anchor_text),
+            r AS (SELECT href, anchor_text, n_anchor,
+                         row_number() OVER (PARTITION BY href
+                           ORDER BY n_anchor DESC, anchor_text ASC
+                         )::BIGINT AS rank
+                  FROM pa),
+            t AS (SELECT href, count(*)::BIGINT AS n_links,
+                         count(DISTINCT doc_id)::BIGINT AS n_docs
+                  FROM lnk GROUP BY href)
+            SELECT r.href, r.rank, r.anchor_text, r.n_anchor,
+                   t.n_links, t.n_docs
+            FROM r JOIN t USING (href) WHERE r.rank <= 2""",
+        "gr_link_pagerank": _link_pagerank_values_sql(),
         "px_cluster_sample": f"""
             WITH a(vec_id, cluster, cent_sim) AS
               (SELECT * FROM (VALUES {_cluster_assign_values()})),

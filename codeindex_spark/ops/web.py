@@ -347,3 +347,92 @@ def extract_links(
         anchor.alias("anchor_text"),
         kind.alias("link_kind"),
     )
+
+
+def anchor_stats(
+    links: DataFrame,
+    target_col: str = "href",
+    anchor_col: str = "anchor_text",
+    source_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-link-target anchor-text rollup: for every distinct value
+    of ``target_col`` report the top-``k`` anchor texts pointing at
+    it plus the target's totals — the classic inbound-anchor signal
+    (Brin & Page 1998 §2.2: anchor text describes the TARGET page;
+    every web ranker since aggregates it per target). Consumes the
+    output of :func:`extract_links`.
+
+    Output: one row per (target, anchor rank ≤ k) —
+    ``target_col``, ``rank`` (1-based; count DESC then anchor ASC,
+    fully deterministic), ``anchor_col``, ``n_anchor`` (links with
+    this exact anchor), ``n_links`` (all links to the target),
+    ``n_docs`` (distinct ``source_col`` values linking to it).
+
+    Scale shape: two shuffles keyed on the target. The per-anchor
+    count is map-side combinable, so a million identical "click
+    here" links collapse per map task before the exchange; the
+    row_number window runs AFTER that pre-aggregation, so a hot
+    target costs its number of DISTINCT anchors, never its raw
+    inbound-link count. All JVM column algebra, zero Python."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    per_anchor = links.groupBy(target_col, anchor_col).agg(
+        F.count(F.lit(1)).alias("n_anchor")
+    )
+    w = Window.partitionBy(target_col).orderBy(
+        F.desc("n_anchor"), F.asc(anchor_col)
+    )
+    top = (
+        per_anchor.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+    totals = links.groupBy(target_col).agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct(source_col).alias("n_docs"),
+    )
+    return top.join(totals, target_col).select(
+        target_col, "rank", anchor_col, "n_anchor", "n_links", "n_docs"
+    )
+
+
+def link_graph(
+    links: DataFrame,
+    src_col: str = "domain",
+    href_col: str = "href",
+    kind_col: str = "link_kind",
+) -> DataFrame:
+    """Distinct (src, dst) domain-level edge list from an
+    :func:`extract_links` table — the web-graph construction step
+    that feeds :func:`codeindex_spark.ops.graph.pagerank` /
+    :func:`~codeindex_spark.ops.graph.hits` (domain authority,
+    crawl prioritization).
+
+    Only ``link_kind == 'absolute'`` rows contribute (relative /
+    fragment links stay within ``src_col``'s own domain and would
+    only add self-loops; protocol-relative links lack the scheme
+    :func:`normalize_urls` validates). The destination domain comes
+    from the same normalization rules as :func:`normalize_urls`
+    (lowercase host, ``www.`` strip, port strip), so the two sides
+    of the graph agree on domain spelling. NULL endpoints and
+    self-loops are dropped.
+
+    Scale shape: map-only projection + one ``distinct`` shuffle
+    (map-side combinable — a page linking its sister domain 10k
+    times collapses to one edge per map task). Output is the edge
+    table; pagerank's own shuffles are keyed on it downstream."""
+    e = links.filter(F.col(kind_col) == "absolute")
+    e = normalize_urls(
+        e, url_col=href_col, norm_col="_lg_norm", domain_col="_lg_dst"
+    )
+    return (
+        e.filter(
+            F.col("_lg_dst").isNotNull()
+            & F.col(src_col).isNotNull()
+            & (F.col("_lg_dst") != F.col(src_col))
+        )
+        .select(F.col(src_col).alias("src"), F.col("_lg_dst").alias("dst"))
+        .distinct()
+    )

@@ -218,3 +218,61 @@ def test_extract_links_rules(spark):
         (4, 1, "//cdn.net/l.js", "cdn", "protocol_relative", "w"),
         (4, 2, "javascript:void(0)", "js", "special", "w"),
     ]
+
+
+def test_anchor_stats_topk_and_totals(spark):
+    """anchor_stats contract: per-target top-k anchors ranked by
+    count DESC then anchor ASC (deterministic), n_anchor per
+    (target, anchor), n_links = all links to the target, n_docs =
+    distinct sources; targets with fewer than k distinct anchors
+    emit fewer rows; k<1 rejected."""
+    from codeindex_spark.ops.web import anchor_stats
+
+    rows = [
+        # target A: "go" x3 from docs 1,1,2; "click" x2 from 2,3;
+        # "zzz" x1 from 3 -> k=2 keeps go(3), click(2)
+        (1, "A", "go"), (1, "A", "go"), (2, "A", "go"),
+        (2, "A", "click"), (3, "A", "click"), (3, "A", "zzz"),
+        # target B: tie on count -> anchor ASC breaks it
+        (1, "B", "beta"), (2, "B", "alpha"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, href string, anchor_text string")
+    got = sorted(
+        (r["href"], r["rank"], r["anchor_text"], r["n_anchor"],
+         r["n_links"], r["n_docs"])
+        for r in anchor_stats(df, k=2).collect()
+    )
+    assert got == [
+        ("A", 1, "go", 3, 6, 3),
+        ("A", 2, "click", 2, 6, 3),
+        ("B", 1, "alpha", 1, 2, 2),
+        ("B", 2, "beta", 1, 2, 2),
+    ]
+    with pytest.raises(ValueError):
+        anchor_stats(df, k=0)
+
+
+def test_link_graph_edges(spark):
+    """link_graph contract: absolute links only, dst domain follows
+    the normalize_urls rules (case/www/port), self-loops and NULL
+    endpoints dropped, parallel links collapse to one edge."""
+    from codeindex_spark.ops.web import extract_links, link_graph
+
+    rows = [
+        # two parallel absolute links to the same (normalized) domain
+        (1, "s1.com", '<a href="https://WWW.T1.com:443/a">x</a>'
+                      '<a href="https://t1.com/b">y</a>'
+                      '<a href="/rel">r</a><a href="#f">f</a>'),
+        # self-loop after normalization -> dropped
+        (2, "t2.com", '<a href="http://www.T2.COM/x">self</a>'
+                      '<a href="https://t3.com/">out</a>'),
+        # NULL src -> dropped; ftp scheme -> NULL dst -> dropped
+        (3, None, '<a href="https://t1.com/c">z</a>'),
+        (4, "s4.com", '<a href="ftp://t9.com/f">bad</a>'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, domain string, html string")
+    edges = sorted(
+        (r["src"], r["dst"])
+        for r in link_graph(extract_links(df)).collect()
+    )
+    assert edges == [("s1.com", "t1.com"), ("t2.com", "t3.com")]
