@@ -653,6 +653,42 @@ def main() -> None:
             ),
             100,
         ).collect(),
+        # full web-graph front end: HTML -> links -> anchor rollup +
+        # distinct domain edges (aggs reference the outputs so no
+        # stage is pruned)
+        "op_linkgraph": lambda: (
+            lambda links: (
+                __import__(
+                    "codeindex_spark.ops.web", fromlist=["anchor_stats"]
+                )
+                .anchor_stats(links, k=2)
+                .agg(F.sum("n_links"), F.count("*"))
+                .collect(),
+                __import__(
+                    "codeindex_spark.ops.web", fromlist=["link_graph"]
+                )
+                .link_graph(
+                    links.withColumn(
+                        "src_domain",
+                        F.concat(
+                            F.lit("src"),
+                            (F.col("doc_id") % 53).cast("string"),
+                        ),
+                    ),
+                    src_col="src_domain",
+                )
+                .count(),
+            )
+        )(
+            __import__(
+                "codeindex_spark.ops.web", fromlist=["extract_links"]
+            ).extract_links(
+                docs_df.select(
+                    "doc_id",
+                    F.expr(entrymod._HTML_LINKS_DERIVE_SQL).alias("html"),
+                )
+            )
+        ),
     }
     for name, fn in opset.items():
         queries[name] = round(pooled_p50(name, fn), 3)
@@ -694,6 +730,7 @@ def main() -> None:
         "op_pagerank",
         "op_quantiles",
         "op_kmv",
+        "op_linkgraph",
         "q_mlt",
         "q_facets",
         "q_suggest",

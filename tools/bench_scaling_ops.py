@@ -47,7 +47,8 @@ from codeindex_spark.ops.spans import remove_duplicate_spans
 from codeindex_spark.ops.similarity import semdedup
 from codeindex_spark.ops.sketch import heavy_hitters, kmv_distinct, gram_stream
 from codeindex_spark.ops.graph import pagerank
-from codeindex_spark.ops.web import normalize_urls, url_dedup_keep
+from codeindex_spark.ops.web import (normalize_urls, url_dedup_keep,
+                                     extract_links, anchor_stats)
 from pyspark.sql import functions as F
 
 cpus = {cpus}
@@ -146,6 +147,28 @@ OPS = {{
     ))).filter(F.col("url_kept").cast("int") >= 0),
     # ^ the filter references the computed kept flag so the harness's
     #   count() cannot prune the dedup window away
+    # linkgraph: HTML link extraction + inbound-anchor rollup over a
+    # synthetic crawl page per doc (~3 anchors each embedded in real
+    # corpus text, 5k hot targets) — the regex-extraction stage is
+    # map-only JVM CPU, then anchor_stats's two target-keyed
+    # map-side-combinable shuffles; the filter references n_links so
+    # the rollup cannot be pruned by count()
+    "linkgraph": lambda d: anchor_stats(extract_links(d.select(
+        "doc_id",
+        F.concat(
+            F.lit("<p>"), F.substring("text", 1, 400),
+            F.lit(' <a href="https://WWW.Site'),
+            F.pmod(F.xxhash64("doc_id"), F.lit(5000)).cast("string"),
+            F.lit('.example.org:443/p/'),
+            F.pmod(F.xxhash64(F.col("doc_id"), F.lit(7)),
+                   F.lit(1000)).cast("string"),
+            F.lit('">'), F.substring("text", 10, 60),
+            F.lit("</a> mid <a href=/rel/"),
+            F.pmod(F.col("doc_id"), F.lit(97)).cast("string"),
+            F.lit(">rel &amp; <b>deep</b> link</a> "),
+            F.substring("text", 80, 200),
+            F.lit(" <a href='#frag'>f</a></p>"),
+        ).alias("html"))), k=2).filter(F.col("n_links") >= 1),
 }}
 OP = OPS[{op!r}]
 # untimed warmup: compile the plan shapes on a small slice
@@ -184,7 +207,7 @@ def main() -> None:
     ap.add_argument("--op", default="minhash",
                     choices=["minhash", "repetition", "dsir", "spans",
                              "semdedup", "heavy", "kmv", "pagerank",
-                             "url"])
+                             "url", "linkgraph"])
     args = ap.parse_args()
     levels = [int(x) for x in args.levels.split(",")]
     if len(levels) != 2 or levels[0] == levels[1]:
@@ -263,7 +286,8 @@ def main() -> None:
                "heavy": "heavy_hitters(bigram, phi=5e-4)",
                "kmv": "kmv_distinct(text, k=1024)",
                "pagerank": "pagerank(8-out-regular + hub tail, iters=5)",
-               "url": "normalize_urls+url_dedup_keep"}[args.op],
+               "url": "normalize_urls+url_dedup_keep",
+               "linkgraph": "extract_links+anchor_stats(k=2)"}[args.op],
         "n_docs": args.docs,
         "protocol": (
             f"{args.runs} independent runs per level on the same "
