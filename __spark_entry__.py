@@ -139,6 +139,40 @@ def _engine(spark: SparkSession, sf_dir: str):
     return eng
 
 
+def _engine_forpack(spark: SparkSession, sf_dir: str):
+    """Like _engine but with IndexParams.codec="forpack" (FOR
+    bit-packed posting streams — the Lucene block-postings analog).
+    Separate cache dir: the codec is pinned per index."""
+    key = os.path.abspath(sf_dir) + "#forpack"
+    if key in _ENGINES:
+        return _ENGINES[key]
+    _ensure_pkg(spark)
+    from codeindex_spark.index.build import (
+        CONTENT_TRIGRAM_FIELDS,
+        IndexParams,
+    )
+    from codeindex_spark.index.segments import IndexBuilder, IndexReader
+    from codeindex_spark.query.planner import SearchEngine
+
+    tag = hashlib.sha256(key.encode()).hexdigest()[:12]
+    idx_dir = f"/tmp/codeindex_entry/{os.path.basename(os.path.abspath(sf_dir))}_{tag}_fp1"
+    params = IndexParams(
+        num_buckets=16,
+        block_size=128,
+        fields=CONTENT_TRIGRAM_FIELDS,
+        codec="forpack",
+    )
+    builder = IndexBuilder(spark, idx_dir, params, n_groups=1)
+    corpus = _as_corpus(_load(spark, sf_dir, "documents"))
+    try:
+        builder.build(corpus, resume=True)
+    except ValueError:
+        builder.build(corpus, resume=False)
+    eng = SearchEngine(IndexReader(spark, idx_dir))
+    _ENGINES[key] = eng
+    return eng
+
+
 def _orig_ids(eng, result: DataFrame, extra=()) -> DataFrame:
     """Map engine doc_ids back to the driver's documents.doc_id."""
     docs = eng.reader.docs.select(
@@ -273,6 +307,21 @@ def _q_phrase(spark, sf_dir):
     from codeindex_spark.query import ast
 
     eng = _engine(spark, sf_dir)
+    return _orig_ids(
+        eng, eng.score(ast.parse_phrase_query("fast sort")), extra=_SCORE()
+    )
+
+
+def _q_forpack_phrase(spark, sf_dir):
+    """FOR bit-packed posting codec (IndexParams.codec="forpack",
+    encoding.py forpack_*): the q04 phrase query over an index whose
+    posting byte streams are FOR bit-packed instead of LEB128 varint.
+    Phrase scoring decodes every stream family (docs/tfs/dls/
+    pos_counts/pos_deltas) through the forpack path, so a green row
+    proves the codec is invisible to results — same oracle as q04."""
+    from codeindex_spark.query import ast
+
+    eng = _engine_forpack(spark, sf_dir)
     return _orig_ids(
         eng, eng.score(ast.parse_phrase_query("fast sort")), extra=_SCORE()
     )
@@ -2854,6 +2903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_regexp_extended": _q_regexp_extended,
         "q43_span_near_or": _q_span_near_or,
         "q44_bool_filter": _q_bool_filter,
+        "q45_forpack_phrase": _q_forpack_phrase,
         "px_html_extract": _q_html_extract,
         "px_extract_links": _q_extract_links,
         "px_anchor_stats": _q_anchor_stats,
@@ -4352,6 +4402,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, round(sum(c), 6) AS score
             FROM u GROUP BY doc_id""",
         "q04_phrase": f"""WITH {_CONTRIB},
+            pm AS (
+              SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
+                ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+              WHERE a.term = 'fast' AND b.term = 'sort')
+            SELECT doc_id, round(sum(c), 6) AS score
+            FROM contrib JOIN pm USING (doc_id)
+            WHERE term IN ('fast', 'sort') GROUP BY doc_id""",
+        # forpack codec must be invisible to results: oracle is q04's
+        # verbatim (same query, differently-encoded index)
+        "q45_forpack_phrase": f"""WITH {_CONTRIB},
             pm AS (
               SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
                 ON a.doc_id = b.doc_id AND b.pos = a.pos + 1

@@ -181,6 +181,31 @@ def main() -> None:
     queries["build_sf_docs"] = round(sfload_s, 3)
     eng = SearchEngine(IndexReader(spark, sf_idx))
 
+    # ---- phase 2b: FOR bit-packed codec twin (r5) ----
+    # same sf corpus, codec="forpack": build cost + one positional
+    # query, directly comparable with build_sf_docs / q05_phrase
+    fp_idx = sf_idx + "_forpack"
+    shutil.rmtree(fp_idx, ignore_errors=True)
+    fpb = IndexBuilder(
+        spark,
+        fp_idx,
+        IndexParams(num_buckets=16, block_size=128, codec="forpack"),
+        n_groups=1,
+    )
+    queries["build_sf_forpack"] = round(
+        pooled_build(lambda: fpb.build(sf_docs, resume=False)), 3
+    )
+    eng_fp = SearchEngine(IndexReader(spark, fp_idx))
+    queries["q05_phrase_forpack"] = round(
+        pooled_p50(
+            "q05_phrase_forpack",
+            lambda: eng_fp.search(
+                ast.parse_phrase_query("fast sort"), k=100
+            ).collect(),
+        ),
+        3,
+    )
+
     # ---- phase 3: reference query set latencies (p50) ----
     def run_q(q, **kw):
         return lambda: eng.search(q, k=100, **kw).collect()

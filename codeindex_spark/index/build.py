@@ -114,6 +114,17 @@ class IndexParams:
     # docID space starts here (block-aligned); delta segments of an
     # incremental index stack above their predecessors
     base_doc_id: int = 0
+    # posting byte-stream codec, index-wide: "varint" (LEB128) or
+    # "forpack" (FOR bit-packing, Lucene's block-postings analog).
+    # Pinned in params.json — every segment of an index shares it.
+    codec: str = "varint"
+
+    def __post_init__(self):
+        if self.codec not in encoding.CODECS:
+            raise ValueError(
+                f"unknown posting codec: {self.codec!r} "
+                f"(expected one of {encoding.CODECS})"
+            )
 
     def to_dict(self) -> dict:
         if self.num_buckets is None:
@@ -130,6 +141,7 @@ class IndexParams:
             "fields": list(self.fields),
             "positionless": list(self.positionless),
             "base_doc_id": self.base_doc_id,
+            "codec": self.codec,
         }
 
     @staticmethod
@@ -142,6 +154,7 @@ class IndexParams:
             fields=tuple(d["fields"]),
             positionless=tuple(d.get("positionless", ())),
             base_doc_id=d.get("base_doc_id", 0),
+            codec=d.get("codec", "varint"),
         )
 
 
@@ -449,7 +462,7 @@ def build_postings(
     no grouped-map overhead (encoding.encode_blocks_batch).
     """
     avgdl_map = {str(k): float(v) for k, v in zip(stats["field"], stats["avgdl"])}
-    k1, b, bsz = params.k1, params.b, params.block_size
+    k1, b, bsz, codec = params.k1, params.b, params.block_size, params.codec
     key_cols = ["field", "term", "block_id"]
 
     def encode_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -470,9 +483,9 @@ def build_postings(
             carry = pdf[in_last_group.to_numpy()]
             body = pdf[~in_last_group.to_numpy()]
             if len(body):
-                yield _encode_batch(body, avgdl_map, k1, b, bsz)
+                yield _encode_batch(body, avgdl_map, k1, b, bsz, codec)
         if carry is not None and len(carry):
-            yield _encode_batch(carry, avgdl_map, k1, b, bsz)
+            yield _encode_batch(carry, avgdl_map, k1, b, bsz, codec)
 
     with_block = tokens.withColumn(
         "block_id", (F.col("doc_id") / F.lit(params.block_size)).cast("long")
@@ -483,7 +496,9 @@ def build_postings(
     )
 
 
-def _encode_batch(pdf: pd.DataFrame, avgdl_map, k1, b, bsz) -> pd.DataFrame:
+def _encode_batch(
+    pdf: pd.DataFrame, avgdl_map, k1, b, bsz, codec="varint"
+) -> pd.DataFrame:
     cols = encoding.encode_blocks_batch(
         pdf["field"].to_numpy(dtype=object),
         pdf["term"].to_numpy(dtype=object),
@@ -496,6 +511,7 @@ def _encode_batch(pdf: pd.DataFrame, avgdl_map, k1, b, bsz) -> pd.DataFrame:
         k1=k1,
         b=b,
         block_size=bsz,
+        codec=codec,
     )
     return pd.DataFrame(cols)
 

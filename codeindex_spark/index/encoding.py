@@ -104,14 +104,11 @@ def encode_positions(position_lists: list[np.ndarray]) -> tuple[bytes, bytes]:
     return varint_encode(counts), varint_encode(flat)
 
 
-def decode_positions(
-    counts_buf: bytes, deltas_buf: bytes
+def _positions_absolute(
+    counts: np.ndarray, flat_d: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Decode to (counts, flat_positions); slice i spans
-    flat[offsets[i]:offsets[i]+counts[i]] with offsets=cumsum-exclusive.
-    """
-    counts = varint_decode(counts_buf).astype(np.int64)
-    flat_d = varint_decode(deltas_buf)
+    """Rebuild absolute positions from per-entry counts + raw deltas
+    (cumsum with per-entry base resets)."""
     if flat_d.size == 0:
         return counts, flat_d.astype(np.int64)
     cs = np.cumsum(flat_d, dtype=np.uint64)
@@ -123,6 +120,55 @@ def decode_positions(
     bases[nonempty] = bases_ne
     flat = cs - np.repeat(bases, counts)
     return counts, flat.astype(np.int64)
+
+
+def decode_positions(
+    counts_buf: bytes, deltas_buf: bytes
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode to (counts, flat_positions); slice i spans
+    flat[offsets[i]:offsets[i]+counts[i]] with offsets=cumsum-exclusive.
+    """
+    counts = varint_decode(counts_buf).astype(np.int64)
+    return _positions_absolute(counts, varint_decode(deltas_buf))
+
+
+def decode_rows_pos_deltas(
+    pos_bufs: list[bytes],
+    pcounts: np.ndarray,
+    row_entry_counts: np.ndarray,
+    codec: str = "varint",
+) -> np.ndarray:
+    """Decode the per-row position-delta buffers to one RAW delta
+    array in input order. ``pcounts`` is per-ENTRY position counts
+    (already decoded), ``row_entry_counts`` is per-row `n` — needed to
+    derive per-row value counts for the forpack path (varint is
+    self-delimiting and just concatenates)."""
+    if codec == "varint":
+        return varint_decode(b"".join(pos_bufs))
+    n_arr = np.asarray(row_entry_counts, dtype=np.int64)
+    pcounts = np.asarray(pcounts, dtype=np.int64)
+    assert (n_arr > 0).all(), "posting rows must have >=1 entry"
+    row_starts = np.concatenate(([0], np.cumsum(n_arr)[:-1]))
+    row_tot = (
+        np.add.reduceat(pcounts, row_starts)
+        if pcounts.size
+        else np.zeros(len(pos_bufs), dtype=np.int64)
+    )
+    return forpack_decode_rows(pos_bufs, row_tot)
+
+
+def decode_positions_rows(
+    cnt_bufs: list[bytes],
+    pos_bufs: list[bytes],
+    row_entry_counts: np.ndarray,
+    codec: str = "varint",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batch decode many rows' position streams to (per-entry counts,
+    flat ABSOLUTE positions) — the multi-row analog of
+    decode_positions, codec-dispatched."""
+    pcounts = decode_rows_values(cnt_bufs, row_entry_counts, codec).astype(np.int64)
+    flat_d = decode_rows_pos_deltas(pos_bufs, pcounts, row_entry_counts, codec)
+    return _positions_absolute(pcounts, flat_d)
 
 
 def bm25_tfnorm(
@@ -176,10 +222,15 @@ def decode_block_docs(
     ).astype(np.int64)
 
 
-def decode_rows_values(buffers: list[bytes], counts: np.ndarray) -> np.ndarray:
-    """Decode MANY per-row varint buffers in one pass: concatenates the
-    byte streams and runs a single vectorized varint decode. ``counts``
-    is the known value count per buffer (the posting row's ``n``)."""
+def decode_rows_values(
+    buffers: list[bytes], counts: np.ndarray, codec: str = "varint"
+) -> np.ndarray:
+    """Decode MANY per-row buffers in one vectorized pass. ``counts``
+    is the known value count per buffer (the posting row's ``n``).
+    varint: concatenate (self-delimiting) + single decode; forpack:
+    width-classed batch decode."""
+    if codec == "forpack":
+        return forpack_decode_rows(buffers, counts)
     joined = b"".join(buffers)
     vals = varint_decode(joined)
     assert vals.size == int(np.sum(counts)), "varint stream length mismatch"
@@ -191,10 +242,11 @@ def decode_rows_docs(
     counts: np.ndarray,
     block_ids: np.ndarray,
     block_size: int = BLOCK_SIZE,
+    codec: str = "varint",
 ) -> np.ndarray:
-    """Batch docID decode across many posting rows: one varint pass +
+    """Batch docID decode across many posting rows: one codec pass +
     one cumsum with per-row base resets (no Python loop over rows)."""
-    deltas = decode_rows_values(buffers, counts)
+    deltas = decode_rows_values(buffers, counts, codec)
     if deltas.size == 0:
         return np.empty(0, dtype=np.int64)
     counts = np.asarray(counts, dtype=np.int64)
@@ -207,6 +259,175 @@ def decode_rows_docs(
     bases = (block_ids.astype(np.int64) * block_size).astype(np.uint64)
     docs = cs - np.repeat(row_adjust, counts) + np.repeat(bases, counts)
     return docs.astype(np.int64)
+
+
+# --- FOR (frame-of-reference bit-packing) codec -------------------
+#
+# Lucene's default block postings format packs each 128-entry block's
+# deltas at a fixed bit width (PackedInts / "FOR"); the reference
+# inherits it through Lucene.NET (LucenePoolLight.cs:30). This is the
+# parquet-segment analog, selectable per index via
+# IndexParams.codec="forpack" (default stays "varint"):
+#
+#   buffer := width:uint8 || packbits_little(values as width-bit LE)
+#
+# width is the bit width of the buffer's max value (0 => all zeros,
+# empty payload), so a buffer decodes with no external context except
+# its value count — which every posting row already stores (`n`). For
+# dense terms the docID deltas need ~log2(block/n)+1 bits, well under
+# varint's 8-bit floor, and decode is a branch-free unpackbits +
+# shift-accumulate instead of continuation-bit scanning.
+
+CODEC_VARINT = "varint"
+CODEC_FORPACK = "forpack"
+CODECS = (CODEC_VARINT, CODEC_FORPACK)
+
+
+def _bit_widths(values: np.ndarray) -> np.ndarray:
+    """Per-element bit width of a uint64 array (0 for value 0)."""
+    w = np.zeros(values.size, dtype=np.int64)
+    tmp = values.copy()
+    while tmp.any():
+        w += tmp > 0
+        tmp = tmp >> np.uint64(1)
+    return w
+
+
+def forpack_encode(values: np.ndarray) -> bytes:
+    """FOR-encode a uint64 array into a self-describing buffer."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    w = int(_bit_widths(np.array([v.max()], dtype=np.uint64))[0])
+    if w == 0:
+        return b""
+    bits = ((v[:, None] >> np.arange(w, dtype=np.uint64)) & np.uint64(1)).astype(
+        np.uint8
+    )
+    return bytes([w]) + np.packbits(bits.ravel(), bitorder="little").tobytes()
+
+
+def forpack_decode(buf: bytes, n: int) -> np.ndarray:
+    """Decode a FOR buffer back to uint64 given its value count."""
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    w = buf[0] if len(buf) else 0
+    if w == 0:
+        return np.zeros(n, dtype=np.uint64)
+    payload = np.frombuffer(buf, dtype=np.uint8, offset=1)
+    bits = np.unpackbits(payload, bitorder="little", count=n * w)
+    mat = bits.reshape(n, w).astype(np.uint64)
+    return (mat << np.arange(w, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
+
+
+def _ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenated [starts[i], starts[i]+lens[i]) index ranges."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    rep_starts = np.repeat(starts, lens)
+    ends_cum = np.cumsum(lens)
+    offs = np.arange(total) - np.repeat(ends_cum - lens, lens)
+    return rep_starts + offs
+
+
+def forpack_encode_groups(
+    values: np.ndarray, g_starts: np.ndarray, g_ends: np.ndarray
+) -> list[bytes]:
+    """FOR-encode contiguous groups of one value stream, one buffer
+    per group. Groups must tile ``values`` in order (zero-length
+    groups allowed). Vectorized per distinct bit width: the only
+    Python loops are the final byte-range slices (O(groups), same
+    shape as the varint path's ``_slices``)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    g_starts = np.asarray(g_starts, dtype=np.int64)
+    g_ends = np.asarray(g_ends, dtype=np.int64)
+    n_groups = g_starts.size
+    lens = g_ends - g_starts
+    out: list[bytes | None] = [None] * n_groups
+    gmax = np.zeros(n_groups, dtype=np.uint64)
+    ne = lens > 0
+    if ne.any() and v.size:
+        gmax[ne] = np.maximum.reduceat(v, g_starts[ne])
+    widths = np.zeros(n_groups, dtype=np.int64)
+    widths[ne] = _bit_widths(gmax[ne])
+    # zero-width groups (empty, or every value 0) need no payload and
+    # no header — decode derives width 0 from the empty buffer
+    zero_w = widths == 0
+    for gi in np.flatnonzero(zero_w):
+        out[gi] = b""
+    for w in np.unique(widths[~zero_w]):
+        sel = np.flatnonzero(widths == w)
+        vals = v[_ranges(g_starts[sel], lens[sel])]
+        bits = (
+            (vals[:, None] >> np.arange(w, dtype=np.uint64)) & np.uint64(1)
+        ).astype(np.uint8)
+        flat = bits.ravel()
+        bit_lens = lens[sel] * w
+        pad_lens = -(-bit_lens // 8) * 8  # per-group byte-aligned extents
+        pad_ends = np.cumsum(pad_lens)
+        pad_starts = pad_ends - pad_lens
+        bit_ends = np.cumsum(bit_lens)
+        bit_starts = bit_ends - bit_lens
+        padded = np.zeros(int(pad_ends[-1]), dtype=np.uint8)
+        padded[
+            np.repeat(pad_starts - bit_starts, bit_lens)
+            + np.arange(int(bit_ends[-1]))
+        ] = flat
+        packed = np.packbits(padded, bitorder="little")
+        hdr = bytes([int(w)])
+        byte_starts = pad_starts // 8
+        byte_ends = pad_ends // 8
+        pb = packed.tobytes()
+        for gi, s, e in zip(sel, byte_starts, byte_ends):
+            out[gi] = hdr + pb[s:e]
+    return out  # type: ignore[return-value]
+
+
+def forpack_decode_rows(buffers: list[bytes], counts: np.ndarray) -> np.ndarray:
+    """Batch-decode many FOR buffers into one uint64 array in input
+    order. Vectorized per distinct bit width (unpackbits once per
+    class); Python touches only the per-buffer headers."""
+    counts = np.asarray(counts, dtype=np.int64)
+    total = int(counts.sum())
+    out = np.zeros(total, dtype=np.uint64)
+    if total == 0:
+        return out
+    widths = np.fromiter(
+        (b[0] if len(b) else 0 for b in buffers), dtype=np.int64, count=len(buffers)
+    )
+    widths = np.where(counts > 0, widths, 0)
+    val_ends = np.cumsum(counts)
+    val_starts = val_ends - counts
+    for w in np.unique(widths[widths > 0]):
+        sel = np.flatnonzero(widths == w)
+        payload = np.frombuffer(
+            b"".join(buffers[i][1:] for i in sel), dtype=np.uint8
+        )
+        bits = np.unpackbits(payload, bitorder="little")
+        n_sel = counts[sel]
+        bit_lens = n_sel * w
+        pad_lens = -(-bit_lens // 8) * 8
+        pad_ends = np.cumsum(pad_lens)
+        pad_starts = pad_ends - pad_lens
+        bit_ends = np.cumsum(bit_lens)
+        bit_starts = bit_ends - bit_lens
+        flat = bits[
+            np.repeat(pad_starts - bit_starts, bit_lens)
+            + np.arange(int(bit_ends[-1]))
+        ]
+        mat = flat.reshape(-1, w).astype(np.uint64)
+        vals = (mat << np.arange(w, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
+        out[_ranges(val_starts[sel], n_sel)] = vals
+    return out
+
+
+def encode_stream(values: np.ndarray, codec: str = CODEC_VARINT) -> bytes:
+    if codec == CODEC_VARINT:
+        return varint_encode(values)
+    if codec == CODEC_FORPACK:
+        return forpack_encode(values)
+    raise ValueError(f"unknown posting codec: {codec!r} (expected one of {CODECS})")
 
 
 def _varint_with_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
@@ -237,16 +458,22 @@ def encode_blocks_batch(
     k1: float = 1.2,
     b: float = 0.75,
     block_size: int = BLOCK_SIZE,
+    codec: str = "varint",
 ) -> dict:
     """Vectorized multi-group posting encoder.
 
     Input rows MUST be sorted by (field, term, block_id, doc_id) —
     the build pipeline's sortWithinPartitions guarantees it. All
-    heavy work (deltas, varints, tfnorm, reduceat aggregations) runs
-    ONCE over the whole batch; the only Python loop slices per-group
-    byte ranges out of the shared buffers (O(groups), trivially cheap).
-    This removes the per-group call overhead of grouped-map UDFs —
-    the difference between ~3 and ~1000+ files/sec at build time.
+    heavy work (deltas, codec packing, tfnorm, reduceat aggregations)
+    runs ONCE over the whole batch; the only Python loop slices
+    per-group byte ranges out of the shared buffers (O(groups),
+    trivially cheap). This removes the per-group call overhead of
+    grouped-map UDFs — the difference between ~3 and ~1000+ files/sec
+    at build time.
+
+    ``codec`` selects the byte-stream format for every posting column
+    ("varint" LEB128 default, "forpack" FOR bit-packing); it is an
+    index-wide property pinned in params.json.
 
     Returns columnar dict ready for a pandas DataFrame in
     POSTING_SCHEMA order.
@@ -281,10 +508,6 @@ def encode_blocks_batch(
     base = (block_id.astype(np.int64) * block_size)
     deltas = np.where(same, doc_id - prev, doc_id - base).astype(np.uint64)
 
-    docs_buf, docs_ends = _varint_with_offsets(deltas)
-    tfs_buf, tfs_ends = _varint_with_offsets(tf64)
-    dls_buf, dls_ends = _varint_with_offsets(dl64)
-
     # positions: per-row counts + per-row delta-encoded flat stream
     counts = np.fromiter((len(p) for p in positions), dtype=np.int64, count=n)
     total_pos = int(counts.sum())
@@ -299,16 +522,41 @@ def encode_blocks_batch(
         first_of_row = np.zeros(total_pos, dtype=bool)
         first_of_row[row_starts[counts > 0]] = True
         pdeltas = np.where(first_of_row, flat, flat - pprev)
-        pos_buf, pos_ends = _varint_with_offsets(pdeltas)
-        # per-row end offset in the positions stream
-        row_pos_end = np.zeros(n, dtype=np.int64)
-        ends_cum = np.cumsum(counts)
-        nonzero = counts > 0
-        row_pos_end[nonzero] = pos_ends[ends_cum[nonzero] - 1]
-        row_pos_end = np.maximum.accumulate(row_pos_end)
     else:
-        pos_buf, row_pos_end = b"", np.zeros(n, dtype=np.int64)
-    cnt_buf, cnt_ends = _varint_with_offsets(counts.astype(np.uint64))
+        pdeltas = np.empty(0, dtype=np.uint64)
+
+    if codec == "forpack":
+        docs_slices = forpack_encode_groups(deltas, g_starts, g_ends)
+        tfs_slices = forpack_encode_groups(tf64, g_starts, g_ends)
+        dls_slices = forpack_encode_groups(dl64, g_starts, g_ends)
+        cnt_slices = forpack_encode_groups(
+            counts.astype(np.uint64), g_starts, g_ends
+        )
+        # group extents in position-VALUE space (rows tile the stream)
+        ends_cum = np.cumsum(counts)
+        row_val_starts = ends_cum - counts
+        pos_g_starts = row_val_starts[g_starts]
+        pos_g_ends = ends_cum[g_ends - 1]
+        pos_slices = forpack_encode_groups(pdeltas, pos_g_starts, pos_g_ends)
+    elif codec == "varint":
+        docs_buf, docs_ends = _varint_with_offsets(deltas)
+        tfs_buf, tfs_ends = _varint_with_offsets(tf64)
+        dls_buf, dls_ends = _varint_with_offsets(dl64)
+        if total_pos:
+            pos_buf, pos_ends = _varint_with_offsets(pdeltas)
+            # per-row end offset in the positions stream
+            row_pos_end = np.zeros(n, dtype=np.int64)
+            ends_cum = np.cumsum(counts)
+            nonzero = counts > 0
+            row_pos_end[nonzero] = pos_ends[ends_cum[nonzero] - 1]
+            row_pos_end = np.maximum.accumulate(row_pos_end)
+        else:
+            pos_buf, row_pos_end = b"", np.zeros(n, dtype=np.int64)
+        cnt_buf, cnt_ends = _varint_with_offsets(counts.astype(np.uint64))
+    else:
+        raise ValueError(
+            f"unknown posting codec: {codec!r} (expected one of {CODECS})"
+        )
 
     # per-field avgdl, then one vectorized tfnorm pass
     avgdl_arr = np.empty(n, dtype=np.float64)
@@ -321,20 +569,25 @@ def encode_blocks_batch(
     cf = np.add.reduceat(tf64.astype(np.int64), g_starts)
     bmax = np.maximum.reduceat(tfnorm, g_starts)
 
-    mv_docs, mv_tfs, mv_dls = docs_buf, tfs_buf, dls_buf
-    mv_cnt, mv_pos = cnt_buf, pos_buf
+    if codec == "varint":
+        mv_docs, mv_tfs, mv_dls = docs_buf, tfs_buf, dls_buf
+        mv_cnt, mv_pos = cnt_buf, pos_buf
 
-    def _slices(buf, ends):
-        out = []
+        def _slices(buf, ends):
+            out = []
+            for s, e in zip(g_starts, g_ends):
+                lo = ends[s - 1] if s > 0 else 0
+                out.append(buf[lo : ends[e - 1]])
+            return out
+
+        docs_slices = _slices(mv_docs, docs_ends)
+        tfs_slices = _slices(mv_tfs, tfs_ends)
+        dls_slices = _slices(mv_dls, dls_ends)
+        cnt_slices = _slices(mv_cnt, cnt_ends)
+        pos_slices = []
         for s, e in zip(g_starts, g_ends):
-            lo = ends[s - 1] if s > 0 else 0
-            out.append(buf[lo : ends[e - 1]])
-        return out
-
-    pos_slices = []
-    for s, e in zip(g_starts, g_ends):
-        lo = row_pos_end[s - 1] if s > 0 else 0
-        pos_slices.append(mv_pos[lo : row_pos_end[e - 1]])
+            lo = row_pos_end[s - 1] if s > 0 else 0
+            pos_slices.append(mv_pos[lo : row_pos_end[e - 1]])
 
     return {
         "field": field[g_starts],
@@ -342,10 +595,10 @@ def encode_blocks_batch(
         "block_id": block_id[g_starts].astype(np.int64),
         "n": (g_ends - g_starts).astype(np.int32),
         "cf": cf,
-        "docs_delta": _slices(mv_docs, docs_ends),
-        "tfs": _slices(mv_tfs, tfs_ends),
-        "dls": _slices(mv_dls, dls_ends),
-        "pos_counts": _slices(mv_cnt, cnt_ends),
+        "docs_delta": docs_slices,
+        "tfs": tfs_slices,
+        "dls": dls_slices,
+        "pos_counts": cnt_slices,
         "pos_deltas": pos_slices,
         "block_max_tfnorm": bmax,
     }

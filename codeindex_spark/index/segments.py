@@ -159,7 +159,9 @@ class IndexBuilder:
         """
         if os.path.exists(self.paths.params):
             stored = json.load(open(self.paths.params))
-            if stored != self.params.to_dict():
+            # normalize through from_dict so params.json written before
+            # a new defaulted field existed (e.g. codec) still resumes
+            if IndexParams.from_dict(stored).to_dict() != self.params.to_dict():
                 raise ValueError(
                     "index params changed vs existing index; "
                     "delete the index dir to rebuild"

@@ -831,6 +831,7 @@ class SearchEngine:
         )
         avgdl = {f: self.reader.field_stats(f)[1] for f in fields}
         k1, b, bsz = self.params.k1, self.params.b, self.params.block_size
+        codec = self.params.codec
         if _is_pure_disjunction(root):
             # identical leaves share a leaf_id, but a clause written
             # twice scores twice (Lucene duplicate-clause semantics):
@@ -839,9 +840,13 @@ class SearchEngine:
             for leaf in ast.collect_leaves(root):
                 lid = leaf_ids[leaf]
                 mult[lid] = mult.get(lid, 0) + 1
-            kernel = _make_disjunctive_batch_kernel(avgdl, k1, b, bsz, mult)
+            kernel = _make_disjunctive_batch_kernel(
+                avgdl, k1, b, bsz, mult, codec
+            )
             return candidates, ("batch", kernel), len(rows)
-        kernel = _make_tree_batch_kernel(root, leaf_ids, avgdl, k1, b, bsz)
+        kernel = _make_tree_batch_kernel(
+            root, leaf_ids, avgdl, k1, b, bsz, codec
+        )
         return candidates, ("batch", kernel), len(rows)
 
     def _score_stream(self, candidates: DataFrame, kernel_spec) -> DataFrame:
@@ -963,6 +968,7 @@ class SearchEngine:
         all_rows: list[dict] = []
         kernels: dict[str, tuple] = {}
         k1, b, bsz = self.params.k1, self.params.b, self.params.block_size
+        codec = self.params.codec
         roots = {
             qname: (
                 ast.parse_query(query, case_sensitive)
@@ -1010,11 +1016,11 @@ class SearchEngine:
                     lid = leaf_ids[leaf]
                     mult[lid] = mult.get(lid, 0) + 1
                 kernels[qname] = _make_disjunctive_batch_kernel(
-                    avgdl, k1, b, bsz, mult
+                    avgdl, k1, b, bsz, mult, codec
                 )
             else:
                 kernels[qname] = _make_tree_batch_kernel(
-                    root, leaf_ids, avgdl, k1, b, bsz
+                    root, leaf_ids, avgdl, k1, b, bsz, codec
                 )
         if not all_rows:
             return spark.createDataFrame([], MULTI_SCORE_SCHEMA)
@@ -2037,20 +2043,26 @@ def _is_pure_disjunction(node) -> bool:
     return False
 
 
-def _decode_body(body: pd.DataFrame, avgdl, k1, b, block_size, need_pos):
+def _decode_body(
+    body: pd.DataFrame, avgdl, k1, b, block_size, need_pos, codec="varint"
+):
     """Batch-predecode every posting row of an Arrow body in a handful
     of vectorized passes. Returns per-ENTRY arrays plus per-row entry
     offsets; positions are decoded only when a phrase needs them."""
     counts = body["n"].to_numpy(dtype=np.int64)
     block_ids = body["block_id"].to_numpy(dtype=np.int64)
     docs = encoding.decode_rows_docs(
-        [bytes(x) for x in body["docs_delta"]], counts, block_ids, block_size
+        [bytes(x) for x in body["docs_delta"]],
+        counts,
+        block_ids,
+        block_size,
+        codec,
     )
     tfs = encoding.decode_rows_values(
-        [bytes(x) for x in body["tfs"]], counts
+        [bytes(x) for x in body["tfs"]], counts, codec
     ).astype(np.float64)
     dls = encoding.decode_rows_values(
-        [bytes(x) for x in body["dls"]], counts
+        [bytes(x) for x in body["dls"]], counts, codec
     ).astype(np.float64)
     avgdl_e = np.repeat(body["field"].map(avgdl).to_numpy(dtype=np.float64), counts)
     idf_e = np.repeat(body["idf"].to_numpy(dtype=np.float64), counts)
@@ -2073,10 +2085,10 @@ def _decode_body(body: pd.DataFrame, avgdl, k1, b, block_size, need_pos):
     }
     if need_pos:
         pcounts = encoding.decode_rows_values(
-            [bytes(x) for x in body["pos_counts"]], counts
+            [bytes(x) for x in body["pos_counts"]], counts, codec
         ).astype(np.int64)
-        pdeltas = encoding.varint_decode(
-            b"".join(bytes(x) for x in body["pos_deltas"])
+        pdeltas = encoding.decode_rows_pos_deltas(
+            [bytes(x) for x in body["pos_deltas"]], pcounts, counts, codec
         )
         if pdeltas.size:
             pos_cs = np.cumsum(pdeltas, dtype=np.uint64)
@@ -2094,7 +2106,9 @@ def _decode_body(body: pd.DataFrame, avgdl, k1, b, block_size, need_pos):
     return out
 
 
-def _make_disjunctive_batch_kernel(avgdl, k1, b, block_size, multiplicity):
+def _make_disjunctive_batch_kernel(
+    avgdl, k1, b, block_size, multiplicity, codec="varint"
+):
     """Vectorized scorer for pure-disjunctive queries: one varint pass
     over every buffer in the Arrow batch, one unique+bincount to merge
     per-doc contributions. No per-block Python at all. ``multiplicity``
@@ -2102,7 +2116,9 @@ def _make_disjunctive_batch_kernel(avgdl, k1, b, block_size, multiplicity):
     mult = dict(multiplicity)
 
     def kernel(body: pd.DataFrame) -> pd.DataFrame:
-        dec = _decode_body(body, avgdl, k1, b, block_size, need_pos=False)
+        dec = _decode_body(
+            body, avgdl, k1, b, block_size, need_pos=False, codec=codec
+        )
         mult_row = body["leaf_id"].map(lambda l: float(mult.get(l, 1))).to_numpy()
         contrib = dec["contrib"] * np.repeat(mult_row, dec["counts"])
         u_docs, inv = np.unique(dec["docs"], return_inverse=True)
@@ -2116,7 +2132,9 @@ _EMPTY_D = np.empty(0, dtype=np.int64)
 _EMPTY_S = np.empty(0, dtype=np.float64)
 
 
-def _make_tree_batch_kernel(root, leaf_ids, avgdl, k1, b, block_size):
+def _make_tree_batch_kernel(
+    root, leaf_ids, avgdl, k1, b, block_size, codec="varint"
+):
     """Boolean/phrase evaluation over a block-sorted Arrow body.
 
     All varint decoding and BM25 math happens in batch passes
@@ -2301,7 +2319,7 @@ def _make_tree_batch_kernel(root, leaf_ids, avgdl, k1, b, block_size):
         raise TypeError(node)
 
     def kernel(body: pd.DataFrame) -> pd.DataFrame:
-        dec = _decode_body(body, avgdl, k1, b, block_size, need_pos)
+        dec = _decode_body(body, avgdl, k1, b, block_size, need_pos, codec)
         bids = dec["block_ids"]
         leaf_r = body["leaf_id"].to_numpy(dtype=np.int64)
         slot_r = body["slot"].to_numpy(dtype=np.int64)

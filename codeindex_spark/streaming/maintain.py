@@ -290,17 +290,25 @@ class IncrementalIndex:
         params: IndexParams = IndexParams(),
         n_groups: int = 1,
     ):
+        stored = os.path.join(root, "base", "params.json")
+        stored_d = json.load(open(stored)) if os.path.exists(stored) else None
         if params.num_buckets is None:
             # same resolution rule as IndexBuilder: adopt the bucket
             # count pinned by an existing base segment (docIDs depend
             # on it), else the scale-adaptive default — resolved HERE
             # so every delta segment inherits one consistent value
-            stored = os.path.join(root, "base", "params.json")
-            if os.path.exists(stored):
-                nb = json.load(open(stored))["num_buckets"]
+            if stored_d is not None:
+                nb = stored_d["num_buckets"]
             else:
                 nb = default_num_buckets(spark, n_groups)
             params = dataclasses.replace(params, num_buckets=nb)
+        if stored_d is not None:
+            # the posting codec is likewise pinned by the base segment
+            # (every segment's byte streams must decode the same way);
+            # a default-params reopen must never mix codecs
+            params = dataclasses.replace(
+                params, codec=stored_d.get("codec", "varint")
+            )
         self.spark = spark
         self.root = root
         self.params = params
@@ -623,6 +631,7 @@ class IncrementalIndex:
             raise RuntimeError("build_base first")
         bsz = self.params.block_size
         k1, b_ = self.params.k1, self.params.b
+        codec = self.params.codec
 
         live = self.live_docs()
         dead_docs = self.all_docs().join(
@@ -714,10 +723,10 @@ class IncrementalIndex:
             def refresh(pdf: pd.DataFrame) -> pd.DataFrame:
                 n_arr = pdf["n"].to_numpy(dtype=np.int64)
                 tfs = encoding.decode_rows_values(
-                    [bytes(x) for x in pdf["tfs"]], n_arr
+                    [bytes(x) for x in pdf["tfs"]], n_arr, codec
                 )
                 dls = encoding.decode_rows_values(
-                    [bytes(x) for x in pdf["dls"]], n_arr
+                    [bytes(x) for x in pdf["dls"]], n_arr, codec
                 )
                 # same expression (op order included) as
                 # encoding.bm25_tfnorm, with per-entry avgdl
@@ -752,16 +761,19 @@ class IncrementalIndex:
                     n_arr,
                     block_ids,
                     bsz,
+                    codec,
                 )
                 tfs = encoding.decode_rows_values(
-                    [bytes(x) for x in pdf["tfs"]], n_arr
+                    [bytes(x) for x in pdf["tfs"]], n_arr, codec
                 )
                 dls = encoding.decode_rows_values(
-                    [bytes(x) for x in pdf["dls"]], n_arr
+                    [bytes(x) for x in pdf["dls"]], n_arr, codec
                 )
-                pcounts, flat_pos = encoding.decode_positions(
-                    b"".join(bytes(x) for x in pdf["pos_counts"]),
-                    b"".join(bytes(x) for x in pdf["pos_deltas"]),
+                pcounts, flat_pos = encoding.decode_positions_rows(
+                    [bytes(x) for x in pdf["pos_counts"]],
+                    [bytes(x) for x in pdf["pos_deltas"]],
+                    n_arr,
+                    codec,
                 )
                 total = int(n_arr.sum())
                 assert pcounts.size == total, "positions/entries mismatch"
@@ -794,6 +806,7 @@ class IncrementalIndex:
                     k1,
                     b_,
                     bsz,
+                    codec,
                 )
                 return pd.DataFrame(cols)
 
@@ -815,6 +828,7 @@ class IncrementalIndex:
                         n_arr,
                         block_ids,
                         bsz,
+                        codec,
                     )
                     dead_arr = np.unique(
                         np.concatenate(
