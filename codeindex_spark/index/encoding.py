@@ -315,9 +315,7 @@ def forpack_decode(buf: bytes, n: int) -> np.ndarray:
     if w == 0:
         return np.zeros(n, dtype=np.uint64)
     payload = np.frombuffer(buf, dtype=np.uint8, offset=1)
-    bits = np.unpackbits(payload, bitorder="little", count=n * w)
-    mat = bits.reshape(n, w).astype(np.uint64)
-    return (mat << np.arange(w, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
+    return _forpack_decode_class(payload, np.array([n], dtype=np.int64), int(w))
 
 
 def _ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
@@ -384,32 +382,32 @@ def forpack_encode_groups(
     return out  # type: ignore[return-value]
 
 
-def forpack_decode_rows(buffers: list[bytes], counts: np.ndarray) -> np.ndarray:
-    """Batch-decode many FOR buffers into one uint64 array in input
-    order. Vectorized per distinct bit width (unpackbits once per
-    class); Python touches only the per-buffer headers."""
-    counts = np.asarray(counts, dtype=np.int64)
-    total = int(counts.sum())
-    out = np.zeros(total, dtype=np.uint64)
+def _forpack_decode_class(
+    payload: np.ndarray, n_sel: np.ndarray, w: int
+) -> np.ndarray:
+    """Decode one width class from the concatenated per-buffer
+    payloads (each buffer byte-aligned, ``n_sel`` values each).
+
+    Fast path (w <= 56): each w-bit field spans at most
+    (w+7)//8 + 1 = nb bytes at any bit offset, so the value is an
+    nb-byte little-endian gather shifted right by the in-byte offset
+    and masked — ~nb vectorized gathers per class instead of w
+    bit-gathers + an (n, w) matrix reduction. Overreads past a
+    buffer's real payload land in the next buffer's bytes (or the
+    zero tail appended here) and are masked away, never observed.
+
+    Wide path (w >= 57, unused by posting streams in practice): the
+    field plus shift can exceed 64 accumulated bits, so fall back to
+    the exact bit-matrix reduction."""
+    total = int(n_sel.sum())
     if total == 0:
-        return out
-    widths = np.fromiter(
-        (b[0] if len(b) else 0 for b in buffers), dtype=np.int64, count=len(buffers)
-    )
-    widths = np.where(counts > 0, widths, 0)
-    val_ends = np.cumsum(counts)
-    val_starts = val_ends - counts
-    for w in np.unique(widths[widths > 0]):
-        sel = np.flatnonzero(widths == w)
-        payload = np.frombuffer(
-            b"".join(buffers[i][1:] for i in sel), dtype=np.uint8
-        )
+        return np.empty(0, dtype=np.uint64)
+    pad_bytes = -(-n_sel * w // 8)
+    if w >= 57:
         bits = np.unpackbits(payload, bitorder="little")
-        n_sel = counts[sel]
         bit_lens = n_sel * w
-        pad_lens = -(-bit_lens // 8) * 8
-        pad_ends = np.cumsum(pad_lens)
-        pad_starts = pad_ends - pad_lens
+        pad_ends = np.cumsum(pad_bytes) * 8
+        pad_starts = pad_ends - pad_bytes * 8
         bit_ends = np.cumsum(bit_lens)
         bit_starts = bit_ends - bit_lens
         flat = bits[
@@ -417,9 +415,76 @@ def forpack_decode_rows(buffers: list[bytes], counts: np.ndarray) -> np.ndarray:
             + np.arange(int(bit_ends[-1]))
         ]
         mat = flat.reshape(-1, w).astype(np.uint64)
-        vals = (mat << np.arange(w, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
-        out[_ranges(val_starts[sel], n_sel)] = vals
-    return out
+        return (mat << np.arange(w, dtype=np.uint64)).sum(
+            axis=1, dtype=np.uint64
+        )
+    nb = (w + 7) // 8 + 1
+    buf = np.concatenate([payload, np.zeros(nb, dtype=np.uint8)])
+    byte_ends = np.cumsum(pad_bytes)
+    byte_starts = byte_ends - pad_bytes
+    # per-value local index within its buffer, then global bit offset
+    i_local = np.arange(total) - np.repeat(
+        np.cumsum(n_sel) - n_sel, n_sel
+    )
+    bitoff = i_local * w
+    b0 = np.repeat(byte_starts, n_sel) + (bitoff >> 3)
+    shift = (bitoff & 7).astype(np.uint64)
+    acc = np.zeros(total, dtype=np.uint64)
+    for k in range(nb):
+        acc |= buf[b0 + k].astype(np.uint64) << np.uint64(8 * k)
+    mask = (np.uint64(1) << np.uint64(w)) - np.uint64(1)
+    return (acc >> shift) & mask
+
+
+def forpack_decode_rows(buffers: list[bytes], counts: np.ndarray) -> np.ndarray:
+    """Batch-decode many FOR buffers into one uint64 array in input
+    order — ONE mixed-width vectorized pass: per-value widths come
+    from repeating each buffer's header, then nb_max byte-gathers
+    accumulate every field regardless of its width (narrow fields'
+    extra gathered bytes are masked away). No per-width classes, no
+    scatter — the concatenated payloads are already in input order.
+    Buffers with width >= 57 (never produced by posting streams) fall
+    back to the exact per-class path."""
+    counts = np.asarray(counts, dtype=np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.uint64)
+    widths = np.fromiter(
+        (b[0] if len(b) else 0 for b in buffers), dtype=np.int64, count=len(buffers)
+    )
+    widths = np.where(counts > 0, widths, 0)
+    max_w = int(widths.max())
+    val_ends = np.cumsum(counts)
+    val_starts = val_ends - counts
+    if max_w >= 57:
+        out = np.zeros(total, dtype=np.uint64)
+        for w in np.unique(widths[widths > 0]):
+            sel = np.flatnonzero(widths == w)
+            payload = np.frombuffer(
+                b"".join(buffers[i][1:] for i in sel), dtype=np.uint8
+            )
+            vals = _forpack_decode_class(payload, counts[sel], int(w))
+            out[_ranges(val_starts[sel], counts[sel])] = vals
+        return out
+    if max_w == 0:
+        return np.zeros(total, dtype=np.uint64)
+    nb = (max_w + 7) // 8 + 1
+    joined = b"".join(b[1:] for b in buffers)
+    buf = np.empty(len(joined) + nb, dtype=np.uint8)
+    buf[: len(joined)] = np.frombuffer(joined, dtype=np.uint8)
+    buf[len(joined):] = 0
+    pad_bytes = -(-counts * widths // 8)
+    byte_starts = np.cumsum(pad_bytes) - pad_bytes
+    w_rep = np.repeat(widths, counts).astype(np.uint64)
+    i_local = np.arange(total) - np.repeat(val_starts, counts)
+    bitoff = i_local * w_rep.astype(np.int64)
+    b0 = np.repeat(byte_starts, counts) + (bitoff >> 3)
+    shift = (bitoff & 7).astype(np.uint64)
+    acc = buf[b0].astype(np.uint64)
+    for k in range(1, nb):
+        acc |= buf[b0 + k].astype(np.uint64) << np.uint64(8 * k)
+    mask = (np.uint64(1) << w_rep) - np.uint64(1)
+    return (acc >> shift) & mask
 
 
 def encode_stream(values: np.ndarray, codec: str = CODEC_VARINT) -> bytes:
