@@ -888,6 +888,31 @@ def _q_ann_cosine(spark, sf_dir):
     ).select("vec_id")
 
 
+def _q_margin_align(spark, sf_dir):
+    """Margin-based cross-corpus alignment mining (Artetxe & Schwenk
+    arXiv:1811.01136, the CCMatrix/LASER criterion; ops/similarity.py
+    margin_knn_align): labels <5 vs >=5 as the two corpora, forward
+    4-NN candidates scored by the ratio margin (cos over the mean of
+    both endpoints' kNN cosines), threshold 1.02 (nearest margin sits
+    1.5e-4 away at sf0.01 — safe against float-order divergence).
+    Margin + cosine rounded to 5 dp for the value hash."""
+    from codeindex_spark.ops.similarity import margin_knn_align
+
+    emb = _load(spark, sf_dir, "embeddings")
+    out = margin_knn_align(
+        emb.filter(F.col("label") < 5),
+        emb.filter(F.col("label") >= 5),
+        k=4,
+        threshold=1.02,
+    )
+    return out.select(
+        "src_id",
+        "dst_id",
+        F.round("cosine", 5).alias("cosine"),
+        F.round("margin", 5).alias("margin"),
+    )
+
+
 def _dd_semdedup_input(spark, sf_dir):
     """Embeddings plus deterministic exact-copy twins (every vec_id %
     10 == 0 duplicated at id + 1,000,000): the synthetic embeddings
@@ -2904,6 +2929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_span_near_or": _q_span_near_or,
         "q44_bool_filter": _q_bool_filter,
         "q45_forpack_phrase": _q_forpack_phrase,
+        "ann_margin_align": _q_margin_align,
         "px_html_extract": _q_html_extract,
         "px_extract_links": _q_extract_links,
         "px_anchor_stats": _q_anchor_stats,
@@ -4741,6 +4767,32 @@ def oracle_sql() -> dict[str, str]:
               JOIN edges e ON e.src = w.doc_id)
             SELECT doc_id, min(lab) AS component
             FROM walk GROUP BY doc_id""",
+        # ratio margin over forward 4-NN candidates: full cross-cosine
+        # (list_cosine_similarity), row_number kNN with the engine's
+        # (cosine DESC, id ASC) tie-break, per-endpoint kNN means
+        "ann_margin_align": """
+            WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS e
+                       FROM embeddings WHERE label < 5),
+            b AS (SELECT vec_id, embedding::DOUBLE[] AS e
+                  FROM embeddings WHERE label >= 5),
+            xc AS (SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+                          list_cosine_similarity(a.e, b.e) AS c
+                   FROM a, b),
+            fwd AS (SELECT *, row_number() OVER (
+                      PARTITION BY src_id ORDER BY c DESC, dst_id) AS rk
+                    FROM xc),
+            fk AS (SELECT * FROM fwd WHERE rk <= 4),
+            ms AS (SELECT src_id, avg(c) AS mean_src FROM fk
+                   GROUP BY src_id),
+            bwd AS (SELECT *, row_number() OVER (
+                      PARTITION BY dst_id ORDER BY c DESC, src_id) AS rk
+                    FROM xc),
+            md AS (SELECT dst_id, avg(c) AS mean_dst
+                   FROM bwd WHERE rk <= 4 GROUP BY dst_id)
+            SELECT src_id, dst_id, round(c, 5) AS cosine,
+                   round(c / (mean_src / 2 + mean_dst / 2), 5) AS margin
+            FROM fk JOIN ms USING (src_id) JOIN md USING (dst_id)
+            WHERE c / (mean_src / 2 + mean_dst / 2) >= 1.02""",
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings
                        WHERE vec_id = 0)

@@ -520,7 +520,10 @@ def main() -> None:
         sample_by_hash,
         scrub_text,
     )
-    from codeindex_spark.ops.similarity import brute_force_cosine_topk
+    from codeindex_spark.ops.similarity import (
+        brute_force_cosine_topk,
+        margin_knn_align,
+    )
     from pyspark.sql import functions as F
 
     docs_df = entrymod._load(spark, sf_dir, "documents")
@@ -539,6 +542,14 @@ def main() -> None:
         "op_minhash_lsh": lambda: minhash_lsh_pairs(docs_df).count(),
         "op_ann_cosine": lambda: brute_force_cosine_topk(
             emb, qvec, k=10, exclude_id=0
+        ).collect(),
+        # r5: margin-based cross-corpus alignment (two grid-blocked
+        # exact kNN passes + ratio-margin join)
+        "op_margin_align": lambda: margin_knn_align(
+            emb.filter(F.col("label") < 5),
+            emb.filter(F.col("label") >= 5),
+            k=4,
+            threshold=1.02,
         ).collect(),
         # aggregates reference every computed column: a bare count()
         # of a pure projection is answered from the scan row count

@@ -129,6 +129,135 @@ def batch_cosine_topk(
     )
 
 
+def cross_knn(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    grid: tuple[int, int] = (4, 4),
+) -> DataFrame:
+    """Exact k-nearest-neighbors of every LEFT vector within RIGHT by
+    cosine, distributed as a block matrix product.
+
+    Grid-blocked exact kNN (the CPU analog of the exact-search fan-out
+    CCMatrix/LASER mining uses): left rows are replicated across the
+    Pb right-blocks, right rows across the Pa left-blocks, and each of
+    the Pa*Pb cogroups runs ONE float64 matmul + per-source partial
+    top-k inside an Arrow kernel. Shuffle volume is Pb*|L| + Pa*|R|
+    rows; per-task memory is (|L|/Pa + |R|/Pb) * dim — both chosen by
+    ``grid``, so the op scales by adding tasks, never by growing a
+    task. A window merge of the per-block top-k (cosine DESC, id ASC
+    tie-break) yields the exact global result.
+
+    Returns (src_id, dst_id, cosine) with exactly min(k, |R|) rows per
+    source. For corpus sizes where |L|*|R| compute is prohibitive, use
+    ivf_ann_topk as the approximate candidate generator instead.
+    """
+    pa, pb = grid
+    la = left.select(
+        F.col(id_col).alias("src_id"), F.col(vec_col).alias("v")
+    ).withColumn("ab", F.pmod(F.xxhash64("src_id"), F.lit(pa)))
+    la = la.withColumn(
+        "bb", F.explode(F.array(*[F.lit(j) for j in range(pb)]))
+    )
+    rb = right.select(
+        F.col(id_col).alias("dst_id"), F.col(vec_col).alias("v")
+    ).withColumn("bb", F.pmod(F.xxhash64("dst_id"), F.lit(pb)))
+    rb = rb.withColumn(
+        "ab", F.explode(F.array(*[F.lit(i) for i in range(pa)]))
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("src_id", T.LongType(), False),
+            T.StructField("dst_id", T.LongType(), False),
+            T.StructField("cosine", T.DoubleType(), False),
+        ]
+    )
+
+    def block(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame({"src_id": [], "dst_id": [], "cosine": []})
+        lm = np.stack([np.asarray(v, dtype=np.float64) for v in lpdf["v"]])
+        rm = np.stack([np.asarray(v, dtype=np.float64) for v in rpdf["v"]])
+        lm = lm / np.maximum(np.linalg.norm(lm, axis=1, keepdims=True), 1e-12)
+        rm = rm / np.maximum(np.linalg.norm(rm, axis=1, keepdims=True), 1e-12)
+        sims = lm @ rm.T  # (nl, nr)
+        nl, nr = sims.shape
+        kk = min(k, nr)
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        return pd.DataFrame(
+            {
+                "src_id": np.repeat(lpdf["src_id"].to_numpy(), kk),
+                "dst_id": rpdf["dst_id"].to_numpy()[idx.ravel()],
+                "cosine": np.take_along_axis(sims, idx, 1).ravel(),
+            }
+        )
+
+    from pyspark.sql import Window
+
+    partial = (
+        la.groupBy("ab", "bb")
+        .cogroup(rb.groupBy("ab", "bb"))
+        .applyInPandas(lambda lg, rg: block(lg, rg), schema=schema)
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("cosine"), F.asc("dst_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
+def margin_knn_align(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 4,
+    threshold: float = 1.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    grid: tuple[int, int] = (4, 4),
+) -> DataFrame:
+    """Margin-based cross-corpus alignment mining (Artetxe & Schwenk
+    2019, arXiv:1811.01136 — the CCMatrix/LASER bitext-mining
+    criterion; beyond-reference training-data surface).
+
+    For each forward candidate pair (x, y) with y among x's k-NN in
+    RIGHT, the ratio margin is
+
+        margin(x, y) = cos(x, y) /
+                       (mean_kNN(x->RIGHT)/2 + mean_kNN(y->LEFT)/2)
+
+    which normalizes raw cosine by how "hubby" each endpoint is —
+    vectors whose neighborhoods are uniformly close score no pair
+    highly, which is the point: raw-cosine thresholds break down
+    under hubness, margins don't.
+
+    Pairs with margin >= threshold survive. Both kNN passes are
+    exact grid-blocked products (cross_knn); the two per-node mean
+    joins are on the pair's endpoints (shuffle bounded by k*|L| +
+    k*|R| candidate rows). Returns (src_id, dst_id, cosine, margin).
+    """
+    fwd = cross_knn(left, right, k, id_col, vec_col, grid)
+    bwd = cross_knn(right, left, k, id_col, vec_col, (grid[1], grid[0]))
+    mean_src = fwd.groupBy("src_id").agg(F.avg("cosine").alias("mean_src"))
+    mean_dst = bwd.groupBy("src_id").agg(
+        F.avg("cosine").alias("mean_dst")
+    ).withColumnRenamed("src_id", "dst_id")
+    return (
+        fwd.join(mean_src, "src_id")
+        .join(mean_dst, "dst_id")
+        .withColumn(
+            "margin",
+            F.col("cosine")
+            / (F.col("mean_src") / 2.0 + F.col("mean_dst") / 2.0),
+        )
+        .filter(F.col("margin") >= threshold)
+        .select("src_id", "dst_id", "cosine", "margin")
+    )
+
+
 def hyperplane_lsh_buckets(
     vectors: DataFrame,
     dim: int,

@@ -1732,3 +1732,110 @@ def test_tfidf_cosine_pairs_partition_invariance(spark):
         for r in tfidf_cosine_pairs(df.repartition(11), threshold=0.3).collect()
     )
     assert a == b and a
+
+
+# ---------- margin-based cross-corpus alignment (r5) ----------
+
+
+def _rand_vectors(spark, n, dim, seed, start_id=0):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    rows = [
+        (int(start_id + i), [float(x) for x in rng.randn(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cross_knn_exact_vs_replay(spark):
+    """Grid-blocked distributed kNN == single-matrix numpy replay,
+    including the (cosine DESC, id ASC) tie-break, on every grid."""
+    import numpy as np
+
+    left = _rand_vectors(spark, 40, 16, seed=1)
+    right = _rand_vectors(spark, 55, 16, seed=2, start_id=100)
+    lp, rp = left.toPandas(), right.toPandas()
+    lm = np.stack([np.asarray(v, np.float64) for v in lp.embedding])
+    rm = np.stack([np.asarray(v, np.float64) for v in rp.embedding])
+    lm /= np.linalg.norm(lm, axis=1, keepdims=True)
+    rm /= np.linalg.norm(rm, axis=1, keepdims=True)
+    S = lm @ rm.T
+    rid = rp.vec_id.to_numpy()
+    expect = set()
+    for i in range(S.shape[0]):
+        order = np.lexsort((rid, -S[i]))[:3]
+        for j in order:
+            expect.add((int(lp.vec_id[i]), int(rid[j])))
+    from codeindex_spark.ops.similarity import cross_knn
+
+    for grid in [(1, 1), (3, 2), (8, 8)]:
+        got = cross_knn(left, right, k=3, grid=grid).collect()
+        assert len(got) == 40 * 3
+        assert {(r.src_id, r.dst_id) for r in got} == expect, grid
+
+
+def test_margin_align_hubness_and_replay(spark):
+    """margin_knn_align == the Artetxe & Schwenk ratio-margin replay;
+    a hub vector (uniformly close to everything) must rank BELOW a
+    mutually-specific pair on margin even when its raw cosine wins."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    dim = 12
+    # specific pair: near-duplicate vectors, unique direction
+    u = rng.randn(dim)
+    # hub: the mean direction of the right corpus — high cosine to many
+    base = rng.randn(6, dim) + 3.0 * np.ones(dim)
+    rows_l = [(0, [float(x) for x in u]), (1, [float(x) for x in np.ones(dim)])]
+    rows_r = [(100, [float(x) for x in (u + 0.01 * rng.randn(dim))])] + [
+        (101 + i, [float(x) for x in base[i]]) for i in range(6)
+    ]
+    left = spark.createDataFrame(rows_l, "vec_id long, embedding array<float>")
+    right = spark.createDataFrame(rows_r, "vec_id long, embedding array<float>")
+    from codeindex_spark.ops.similarity import margin_knn_align
+
+    out = {
+        (r.src_id, r.dst_id): r
+        for r in margin_knn_align(
+            left, right, k=3, threshold=0.0, grid=(2, 2)
+        ).collect()
+    }
+    spec = out[(0, 100)]
+    hub_margins = [v.margin for kk, v in out.items() if kk[0] == 1]
+    assert spec.margin > max(hub_margins)
+    # full replay
+    lp = left.toPandas().sort_values("vec_id")
+    rp = right.toPandas().sort_values("vec_id")
+    lm = np.stack([np.asarray(v, np.float64) for v in lp.embedding])
+    rm = np.stack([np.asarray(v, np.float64) for v in rp.embedding])
+    lm /= np.linalg.norm(lm, axis=1, keepdims=True)
+    rm /= np.linalg.norm(rm, axis=1, keepdims=True)
+    S = lm @ rm.T
+    rid, lid = rp.vec_id.to_numpy(), lp.vec_id.to_numpy()
+    k = 3
+    ma = {
+        int(lid[i]): np.sort(S[i])[::-1][:k].mean() for i in range(len(lid))
+    }
+    mb = {
+        int(rid[j]): np.sort(S[:, j])[::-1][:k].mean()
+        for j in range(len(rid))
+    }
+    for (a, b), r in out.items():
+        i = int(np.flatnonzero(lid == a)[0])
+        j = int(np.flatnonzero(rid == b)[0])
+        m = S[i, j] / (ma[a] / 2 + mb[b] / 2)
+        assert abs(r.margin - m) < 1e-10, (a, b)
+
+
+def test_margin_align_threshold_and_schema(spark):
+    left = _rand_vectors(spark, 30, 8, seed=3)
+    right = _rand_vectors(spark, 30, 8, seed=4, start_id=500)
+    from codeindex_spark.ops.similarity import margin_knn_align
+
+    all_pairs = margin_knn_align(left, right, k=4, threshold=0.0)
+    kept = margin_knn_align(left, right, k=4, threshold=1.05)
+    ap = {(r.src_id, r.dst_id): r.margin for r in all_pairs.collect()}
+    kp = {(r.src_id, r.dst_id) for r in kept.collect()}
+    assert kp == {p for p, m in ap.items() if m >= 1.05}
+    assert all_pairs.columns == ["src_id", "dst_id", "cosine", "margin"]
