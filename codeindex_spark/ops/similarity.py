@@ -129,13 +129,26 @@ def batch_cosine_topk(
     )
 
 
+def _auto_grid(
+    left: DataFrame, right: DataFrame, rows_per_block: int
+) -> tuple[int, int]:
+    """Grid from corpus sizes: enough blocks per side that one task's
+    slice stays under ``rows_per_block`` vectors (two cheap count
+    jobs — metadata-only for parquet sources)."""
+    nl, nr = left.count(), right.count()
+    pa = max(1, -(-nl // rows_per_block))
+    pb = max(1, -(-nr // rows_per_block))
+    return int(pa), int(pb)
+
+
 def cross_knn(
     left: DataFrame,
     right: DataFrame,
     k: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    grid: tuple[int, int] = (4, 4),
+    grid: tuple[int, int] | str = (4, 4),
+    rows_per_block: int = 100_000,
 ) -> DataFrame:
     """Exact k-nearest-neighbors of every LEFT vector within RIGHT by
     cosine, distributed as a block matrix product.
@@ -153,8 +166,15 @@ def cross_knn(
     Returns (src_id, dst_id, cosine) with exactly min(k, |R|) rows per
     source. For corpus sizes where |L|*|R| compute is prohibitive, use
     ivf_ann_topk as the approximate candidate generator instead.
+
+    ``grid="auto"`` sizes the grid from two count jobs so each task
+    holds at most ``rows_per_block`` vectors per side (100k 64-dim
+    float64 vectors ≈ 50 MB) — the hand-tuned tuple stays available
+    for tests and skew control.
     """
-    pa, pb = grid
+    pa, pb = (
+        _auto_grid(left, right, rows_per_block) if grid == "auto" else grid
+    )
     la = left.select(
         F.col(id_col).alias("src_id"), F.col(vec_col).alias("v")
     ).withColumn("ab", F.pmod(F.xxhash64("src_id"), F.lit(pa)))
@@ -217,7 +237,7 @@ def margin_knn_align(
     threshold: float = 1.05,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    grid: tuple[int, int] = (4, 4),
+    grid: tuple[int, int] | str = (4, 4),
 ) -> DataFrame:
     """Margin-based cross-corpus alignment mining (Artetxe & Schwenk
     2019, arXiv:1811.01136 — the CCMatrix/LASER bitext-mining
@@ -240,7 +260,8 @@ def margin_knn_align(
     k*|R| candidate rows). Returns (src_id, dst_id, cosine, margin).
     """
     fwd = cross_knn(left, right, k, id_col, vec_col, grid)
-    bwd = cross_knn(right, left, k, id_col, vec_col, (grid[1], grid[0]))
+    bwd_grid = grid if grid == "auto" else (grid[1], grid[0])
+    bwd = cross_knn(right, left, k, id_col, vec_col, bwd_grid)
     mean_src = fwd.groupBy("src_id").agg(F.avg("cosine").alias("mean_src"))
     mean_dst = bwd.groupBy("src_id").agg(
         F.avg("cosine").alias("mean_dst")

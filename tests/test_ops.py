@@ -1839,3 +1839,21 @@ def test_margin_align_threshold_and_schema(spark):
     kp = {(r.src_id, r.dst_id) for r in kept.collect()}
     assert kp == {p for p, m in ap.items() if m >= 1.05}
     assert all_pairs.columns == ["src_id", "dst_id", "cosine", "margin"]
+
+
+def test_cross_knn_auto_grid(spark):
+    """grid="auto" must produce the same exact result as an explicit
+    grid and derive block counts from rows_per_block."""
+    from codeindex_spark.ops.similarity import _auto_grid, cross_knn
+
+    left = _rand_vectors(spark, 25, 8, seed=11)
+    right = _rand_vectors(spark, 60, 8, seed=12, start_id=300)
+    assert _auto_grid(left, right, rows_per_block=20) == (2, 3)
+    a = {(r.src_id, r.dst_id) for r in cross_knn(left, right, k=3).collect()}
+    b = {
+        (r.src_id, r.dst_id)
+        for r in cross_knn(
+            left, right, k=3, grid="auto", rows_per_block=20
+        ).collect()
+    }
+    assert a == b and len(a) == 25 * 3
