@@ -230,6 +230,116 @@ def cross_knn(
     )
 
 
+def ivf_cross_knn(
+    left: DataFrame,
+    right_index: "IvfIndex",
+    k: int = 4,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate cross_knn against an IVF-indexed right corpus —
+    the margin-mining scale path when the exact |L|x|R| product is
+    prohibitive.
+
+    Every left vector is routed to its ``n_probe`` nearest coarse
+    centroids (broadcast kernel, one Arrow pass, explode), then a
+    centroid-keyed cogroup runs the exact cosine matmul of that
+    probe's left slice against that CELL's vectors only — compute
+    drops from |L|*|R| to |L|*n_probe*|R|/C, shuffle is bounded by
+    n_probe*|L| + |R| rows on the centroid key, and the per-cell
+    task never holds more than one cell plus its probes. Window
+    merge (cosine DESC, id ASC) returns up to min(k, candidates)
+    rows per source; recall follows IVF semantics (exact when
+    n_probe = n_centroids).
+    """
+    cents = right_index.centroids  # (C, dim), L2-normalized rows
+    n_probe = min(n_probe, cents.shape[0])
+    vec_col = right_index.vec_col
+
+    probe_schema = T.StructType(
+        [
+            T.StructField("src_id", T.LongType(), False),
+            T.StructField("v", T.ArrayType(T.DoubleType()), False),
+            T.StructField("centroid", T.IntegerType(), False),
+        ]
+    )
+
+    def probes(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf["v"]]
+            )
+            mat = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )
+            sims = mat @ cents.T
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+            yield pd.DataFrame(
+                {
+                    "src_id": np.repeat(pdf["src_id"].to_numpy(), n_probe),
+                    "v": [
+                        list(row)
+                        for row in np.repeat(mat, n_probe, axis=0)
+                    ],
+                    "centroid": top.ravel().astype(np.int32),
+                }
+            )
+
+    lq = ensure_parallelism(
+        left.select(
+            F.col(id_col).alias("src_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+    ).mapInPandas(probes, schema=probe_schema)
+
+    cells = right_index.cells.select(
+        F.col(right_index.id_col).alias("dst_id"),
+        F.col(vec_col).alias("rv"),
+        "centroid",
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("src_id", T.LongType(), False),
+            T.StructField("dst_id", T.LongType(), False),
+            T.StructField("cosine", T.DoubleType(), False),
+        ]
+    )
+
+    def cell_knn(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame({"src_id": [], "dst_id": [], "cosine": []})
+        lm = np.stack([np.asarray(x, dtype=np.float64) for x in lpdf["v"]])
+        rm = np.stack([np.asarray(x, dtype=np.float64) for x in rpdf["rv"]])
+        rm = rm / np.maximum(np.linalg.norm(rm, axis=1, keepdims=True), 1e-12)
+        sims = lm @ rm.T
+        kk = min(k, sims.shape[1])
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        return pd.DataFrame(
+            {
+                "src_id": np.repeat(lpdf["src_id"].to_numpy(), kk),
+                "dst_id": rpdf["dst_id"].to_numpy()[idx.ravel()],
+                "cosine": np.take_along_axis(sims, idx, 1).ravel(),
+            }
+        )
+
+    from pyspark.sql import Window
+
+    partial = (
+        lq.groupBy("centroid")
+        .cogroup(cells.groupBy("centroid"))
+        .applyInPandas(lambda lg, rg: cell_knn(lg, rg), schema=out_schema)
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("cosine"), F.asc("dst_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
 def margin_knn_align(
     left: DataFrame,
     right: DataFrame,
@@ -238,6 +348,10 @@ def margin_knn_align(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     grid: tuple[int, int] | str = (4, 4),
+    method: str = "exact",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
 ) -> DataFrame:
     """Margin-based cross-corpus alignment mining (Artetxe & Schwenk
     2019, arXiv:1811.01136 — the CCMatrix/LASER bitext-mining
@@ -254,14 +368,36 @@ def margin_knn_align(
     highly, which is the point: raw-cosine thresholds break down
     under hubness, margins don't.
 
-    Pairs with margin >= threshold survive. Both kNN passes are
-    exact grid-blocked products (cross_knn); the two per-node mean
-    joins are on the pair's endpoints (shuffle bounded by k*|L| +
-    k*|R| candidate rows). Returns (src_id, dst_id, cosine, margin).
+    Pairs with margin >= threshold survive. With method="exact"
+    (default) both kNN passes are exact grid-blocked products
+    (cross_knn); with method="ivf" each side is IVF-indexed once and
+    kNN runs cell-pruned (ivf_cross_knn) — compute drops to
+    |L|*n_probe*|R|/n_centroids, the scale path when the exact
+    product is prohibitive (exact again at n_probe=n_centroids).
+    The two per-node mean joins are on the pair's endpoints (shuffle
+    bounded by k*|L| + k*|R| candidate rows). Returns
+    (src_id, dst_id, cosine, margin).
     """
-    fwd = cross_knn(left, right, k, id_col, vec_col, grid)
-    bwd_grid = grid if grid == "auto" else (grid[1], grid[0])
-    bwd = cross_knn(right, left, k, id_col, vec_col, bwd_grid)
+    if method == "ivf":
+        dim = len(left.select(vec_col).first()[0])
+        ridx = ivf_build(
+            right, dim, n_centroids, seed=seed, id_col=id_col,
+            vec_col=vec_col,
+        )
+        lidx = ivf_build(
+            left, dim, n_centroids, seed=seed, id_col=id_col,
+            vec_col=vec_col,
+        )
+        fwd = ivf_cross_knn(left, ridx, k, n_probe, id_col)
+        bwd = ivf_cross_knn(right, lidx, k, n_probe, id_col)
+    elif method == "exact":
+        fwd = cross_knn(left, right, k, id_col, vec_col, grid)
+        bwd_grid = grid if grid == "auto" else (grid[1], grid[0])
+        bwd = cross_knn(right, left, k, id_col, vec_col, bwd_grid)
+    else:
+        raise ValueError(
+            f"unknown method: {method!r} (expected 'exact' or 'ivf')"
+        )
     mean_src = fwd.groupBy("src_id").agg(F.avg("cosine").alias("mean_src"))
     mean_dst = bwd.groupBy("src_id").agg(
         F.avg("cosine").alias("mean_dst")

@@ -1857,3 +1857,94 @@ def test_cross_knn_auto_grid(spark):
         ).collect()
     }
     assert a == b and len(a) == 25 * 3
+
+
+def test_ivf_cross_knn_full_probe_equals_exact(spark):
+    """n_probe == n_centroids visits every cell: ivf_cross_knn must
+    reproduce cross_knn exactly (pairs AND cosines)."""
+    import numpy as np
+
+    from codeindex_spark.ops.similarity import (
+        cross_knn,
+        ivf_build,
+        ivf_cross_knn,
+    )
+
+    left = _rand_vectors(spark, 30, 12, seed=21)
+    right = _rand_vectors(spark, 45, 12, seed=22, start_id=200)
+    exact = {
+        (r.src_id, r.dst_id): r.cosine
+        for r in cross_knn(left, right, k=3).collect()
+    }
+    idx = ivf_build(right, dim=12, n_centroids=4, seed=5)
+    approx = {
+        (r.src_id, r.dst_id): r.cosine
+        for r in ivf_cross_knn(left, idx, k=3, n_probe=4).collect()
+    }
+    assert set(approx) == set(exact)
+    for p, c in approx.items():
+        assert abs(c - exact[p]) < 1e-12
+
+
+def test_ivf_cross_knn_clustered_recall(spark):
+    """On well-separated clusters a single probe already recovers the
+    true neighbors — the cell join prunes without losing recall."""
+    import numpy as np
+
+    from codeindex_spark.ops.similarity import (
+        cross_knn,
+        ivf_build,
+        ivf_cross_knn,
+    )
+
+    rng = np.random.RandomState(31)
+    centers = rng.randn(3, 16) * 10
+    def clustered(n, start):
+        rows = []
+        for i in range(n):
+            c = centers[i % 3] + 0.1 * rng.randn(16)
+            rows.append((start + i, [float(x) for x in c]))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    left = clustered(30, 0)
+    right = clustered(60, 1000)
+    exact = {
+        (r.src_id, r.dst_id) for r in cross_knn(left, right, k=3).collect()
+    }
+    idx = ivf_build(right, dim=16, n_centroids=3, seed=7)
+    approx = {
+        (r.src_id, r.dst_id)
+        for r in ivf_cross_knn(left, idx, k=3, n_probe=1).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.95, recall
+
+
+def test_margin_align_ivf_method(spark):
+    """method='ivf' at full probes == method='exact' pair-for-pair."""
+    from codeindex_spark.ops.similarity import margin_knn_align
+
+    left = _rand_vectors(spark, 25, 10, seed=41)
+    right = _rand_vectors(spark, 35, 10, seed=42, start_id=700)
+    ex = {
+        (r.src_id, r.dst_id): r.margin
+        for r in margin_knn_align(
+            left, right, k=3, threshold=0.0
+        ).collect()
+    }
+    iv = {
+        (r.src_id, r.dst_id): r.margin
+        for r in margin_knn_align(
+            left, right, k=3, threshold=0.0, method="ivf",
+            n_centroids=4, n_probe=4,
+        ).collect()
+    }
+    assert set(iv) == set(ex)
+    for p, m in iv.items():
+        assert abs(m - ex[p]) < 1e-10
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown method"):
+        margin_knn_align(left, right, method="hnsw").collect()
