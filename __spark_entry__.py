@@ -1487,6 +1487,47 @@ def _q_kmv_stream(spark, sf_dir):
     )
 
 
+def _q_dedup_registry_stream(spark, sf_dir):
+    """Streaming exact-dedup registry, driver-pinned: documents
+    replayed through a file-source readStream (one file per trigger)
+    -> hash-bucketed keyed state holding (min doc_id, count) per
+    content hash (applyInPandasWithState) -> final max-seq snapshot
+    per hash. min/count merges are order-insensitive, so the final
+    registry is BIT-equal to the batch exact-dedup op no matter how
+    the micro-batches were ordered — the oracle is dd_exact's SQL
+    verbatim. The first-seen-emission variant (streaming/dedup.py
+    streaming_exact_dedup) stays pytest-pinned because its output is
+    inherently arrival-order-dependent."""
+    import hashlib
+    import uuid
+
+    from codeindex_spark.streaming.dedup import stream_dedup_registry
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    base = f"/tmp/codeindex_entry/stream_dedup_{tag}"
+    docs_dir = os.path.join(base, "docs")
+    if not os.path.exists(os.path.join(docs_dir, "_SUCCESS")):
+        (
+            _load(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .repartition(4)
+            .write.mode("overwrite")
+            .json(docs_dir)
+        )
+    out = stream_dedup_registry(
+        spark,
+        docs_dir,
+        os.path.join(base, f"ckpt_{uuid.uuid4().hex}"),
+        n_buckets=8,
+        query_name=f"dedupreg_{tag}_{uuid.uuid4().hex[:8]}",
+    )
+    return out.select(
+        "text_hash",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "keep_doc_id",
+    )
+
+
 def _q_sessions_stream(spark, sf_dir):
     """Native Structured Streaming session windows (ST2's gap-session
     twin, r4): the events table replayed through a file-source
@@ -2925,6 +2966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- WINDOW (first 50 = the driver's CORRECTNESS cap) ---
         # r5 additions (never externally checked):
+        "st_dedup_registry": _q_dedup_registry_stream,
         "q42_regexp_extended": _q_regexp_extended,
         "q43_span_near_or": _q_span_near_or,
         "q44_bool_filter": _q_bool_filter,
@@ -5660,6 +5702,17 @@ def oracle_sql() -> dict[str, str]:
                    round(arg_max(value, ts), 6) AS last_value,
                    count(*)::BIGINT AS n_events
             FROM events GROUP BY user_id""",
+        # streaming dedup registry: per-hash (min doc_id, count)
+        # state merges are order-insensitive, so the stream's final
+        # snapshot equals the batch exact-dedup groups — dd_exact's
+        # oracle verbatim, modulo the null-text coalesce the stream
+        # applies (documents.text has no NULLs in the testdata, and
+        # the coalesce makes the SQL robust if that ever changes)
+        "st_dedup_registry": """
+            SELECT md5(coalesce(text, '')) AS text_hash,
+                   count(*)::BIGINT AS n_docs,
+                   min(doc_id) AS keep_doc_id
+            FROM documents GROUP BY 1""",
         # streaming KMV: the stream's bucketed bottom-k merge equals
         # the single-pass sketch exactly (KMV composes), so the
         # oracle is the same deterministic replay as rel_kmv_distinct

@@ -674,6 +674,79 @@ def test_streaming_exact_dedup(spark, tmp_path):
     assert rows[1]["text_hash"] == _h.md5(b"alpha").hexdigest()
 
 
+def test_streaming_dedup_registry_equals_batch(spark, tmp_path):
+    """The order-insensitive registry stream: final (text_hash,
+    n_docs, keep_doc_id) is BIT-equal to batch exact_duplicates over
+    the same rows, with duplicate groups split ACROSS micro-batches
+    (one file per trigger) so the min/count merges in keyed state —
+    not batch-local grouping — produce the totals. Also pins the
+    delta-emission contract: a trigger emits only touched hashes."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from codeindex_spark.ops.dedup import exact_duplicates
+    from codeindex_spark.streaming.dedup import (
+        stream_dedup_registry,
+        streaming_dedup_registry,
+    )
+
+    docs_dir = tmp_path / "regstream"
+    docs_dir.mkdir()
+    # 'alpha' spans all 3 batches (keeper arrives LAST — the arrival-
+    # order trap the registry must not fall into); 'gamma' duplicates
+    # within one batch; 'delta'/'beta' are singletons in different
+    # batches
+    batches = [
+        [(5, "alpha"), (2, "beta")],
+        [(3, "alpha"), (8, "gamma"), (4, "gamma")],
+        [(1, "alpha"), (7, "delta")],
+    ]
+    base = _time.time() - 100
+    for i, batch in enumerate(batches):
+        p = docs_dir / f"b{i}.json"
+        with open(p, "w") as f:
+            for doc_id, text in batch:
+                f.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        _os.utime(p, (base + 10 * i, base + 10 * i))
+    out = stream_dedup_registry(
+        spark,
+        str(docs_dir),
+        str(tmp_path / "reg_ckpt"),
+        n_buckets=4,
+        query_name="dedup_registry_test",
+    )
+    got = {
+        r["text_hash"]: (r["n_docs"], r["keep_doc_id"]) for r in out.collect()
+    }
+    batch_df = spark.createDataFrame(
+        [(d, t) for rows in batches for d, t in rows], "doc_id long, text string"
+    )
+    want = {
+        r["text_hash"]: (r["n_docs"], r["keep_doc_id"])
+        for r in exact_duplicates(batch_df).collect()
+    }
+    assert got == want
+    import hashlib as _h
+
+    assert got[_h.md5(b"alpha").hexdigest()] == (3, 1)  # last batch won
+    assert got[_h.md5(b"gamma").hexdigest()] == (2, 4)
+    # delta emission: the append-sink history holds one row per
+    # (trigger, touched hash), never a full-state snapshot — 'delta'
+    # (touched once) appears exactly once across the whole history
+    hist = spark.table("dedup_registry_test")
+    per_hash = {
+        r["text_hash"]: r["n"]
+        for r in hist.groupBy("text_hash").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    assert per_hash[_h.md5(b"delta").hexdigest()] == 1
+    assert per_hash[_h.md5(b"alpha").hexdigest()] == 3
+    with pytest.raises(ValueError):
+        streaming_dedup_registry(batch_df, n_buckets=0)
+
+
 def test_compact_events_repo_root_move_scale(spark):
     """A repo-root move (12k renames in one batch) compacts with the
     join-based pass 1 — the old driver pull hard-failed above 10k.
