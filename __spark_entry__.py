@@ -526,6 +526,29 @@ def _q_bool_filter(spark, sf_dir):
     return _orig_ids(eng, eng.score(node), extra=_SCORE())
 
 
+def _q_count(spark, sf_dir):
+    # IndexSearcher.count() surface (TotalHitCountCollector; the
+    # reference surfaces TotalHits through CodeIndexSearcher): total
+    # hit counts without any top-k collection. The lone Term takes
+    # the dictionary-df short circuit (one point lookup, zero posting
+    # decode — the reader here has no tombstones); the other shapes
+    # count the match stream (one decode pass, no sort, no driver
+    # materialization of matches).
+    from codeindex_spark.query import ast
+
+    eng = _engine(spark, sf_dir)
+    rows = [
+        ("term_merge", eng.count(ast.Term("merge"))),
+        ("bool_and", eng.count("merge AND batch")),
+        ("bool_or_not", eng.count("sort OR merge NOT spark")),
+        (
+            "phrase_fast_sort",
+            eng.count(ast.parse_phrase_query("fast sort")),
+        ),
+    ]
+    return spark.createDataFrame(rows, "q string, n_hits long")
+
+
 def _q_span_near_or(spark, sf_dir):
     # nested span composition — Lucene SpanNearQuery over a SpanOr
     # clause (SpanNearQuery.java; clause trees are how Lucene users
@@ -2971,6 +2994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_span_near_or": _q_span_near_or,
         "q44_bool_filter": _q_bool_filter,
         "q45_forpack_phrase": _q_forpack_phrase,
+        "q46_count": _q_count,
         "ann_margin_align": _q_margin_align,
         "px_html_extract": _q_html_extract,
         "px_extract_links": _q_extract_links,
@@ -4604,6 +4628,29 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(sum(sp.c), 0.0::DOUBLE), 6) AS score
             FROM fl f LEFT JOIN sp USING (doc_id)
             GROUP BY f.doc_id""",
+        # IndexSearcher.count(): total hits per query shape — the
+        # oracle counts the same match sets the scoring oracles
+        # (q01/q02/q03/q04) gate on, without scores
+        "q46_count": f"""WITH {_TOK}
+            SELECT 'term_merge' AS q,
+                   count(DISTINCT doc_id)::BIGINT AS n_hits
+            FROM tok WHERE term = 'merge'
+            UNION ALL
+            SELECT 'bool_and', count(*)::BIGINT FROM (
+              SELECT doc_id FROM tok WHERE term IN ('merge', 'batch')
+              GROUP BY doc_id HAVING count(DISTINCT term) = 2)
+            UNION ALL
+            SELECT 'bool_or_not', count(*)::BIGINT FROM (
+              SELECT DISTINCT doc_id FROM tok WHERE term = 'sort'
+              UNION
+              SELECT DISTINCT doc_id FROM tok WHERE term = 'merge'
+                AND doc_id NOT IN
+                  (SELECT doc_id FROM tok WHERE term = 'spark'))
+            UNION ALL
+            SELECT 'phrase_fast_sort', count(*)::BIGINT FROM (
+              SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
+                ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+              WHERE a.term = 'fast' AND b.term = 'sort')""",
         # SpanNear over a SpanOr clause: adjacency where slot 0 is
         # bound by EITHER member; score = sum of all member + term
         # contributions in matched docs (same convention as q04)

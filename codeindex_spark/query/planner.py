@@ -1249,6 +1249,53 @@ class SearchEngine:
             )
         return top
 
+    def count(
+        self,
+        query: ast.Node | str,
+        filters: Filters | None = None,
+        case_sensitive: bool = False,
+    ) -> int:
+        """Total hit count without top-k collection — the
+        IndexSearcher.count() surface (Lucene's
+        TotalHitCountCollector; the reference reports
+        TopDocs.TotalHits through CodeIndexSearcher, which this also
+        serves without materializing any top list).
+
+        Short circuits, mirroring Lucene's public count() behavior:
+        - a lone TermQuery with no tombstones and no filters answers
+          straight from the term dictionary's df — zero posting
+          decode, one dictionary point lookup (Lucene reads
+          TermStates.docFreq when liveDocs is null);
+        - a lone match-all (None query) with no tombstones/filters is
+          the doc count;
+        - everything else counts the match stream: one posting decode
+          pass, an AQE-sized count aggregate, no sort and no driver
+          materialization of matches.
+        """
+        root = (
+            ast.parse_query(query, case_sensitive)
+            if isinstance(query, str)
+            else query
+        )
+        live = getattr(self.reader, "live_doc_ids", lambda: None)()
+        unfiltered = (filters is None or filters.empty) and live is None
+        if unfiltered and isinstance(root, ast.Term):
+            # boost never changes the match set, so any boost value
+            # still short-circuits; df in a plain reader counts each
+            # doc once (segments are doc-disjoint after merge)
+            pairs = self._expand(root.field, root)
+            return int(sum(df for _, df in pairs))
+        candidates, kernel, _ = self._candidates(root)
+        if candidates is None:
+            return 0
+        matches = self._score_stream(candidates, kernel)
+        if live is not None:
+            matches = matches.join(live, "doc_id", "left_semi")
+        if filters is not None and not filters.empty:
+            allowed = filters.apply(self.reader.docs).select("doc_id")
+            matches = matches.join(allowed, "doc_id", "left_semi")
+        return matches.count()
+
     # AND only the rarest trigrams of a needle (Zoekt / Cox codesearch
     # practice): every additional gram shrinks the candidate set less
     # but costs a full posting-list scan; hot grams ("ing", "er ")

@@ -681,3 +681,50 @@ def test_q_span_near_nested(engine, oracle):
         ast.SpanNear(["only_one"])
     with pytest.raises(ValueError):
         ast.SpanNear([(), "b"])
+
+
+def test_count_total_hits(engine, oracle):
+    """IndexSearcher.count analog: engine.count == the oracle's full
+    match-set size, on both the dictionary-df short circuit (lone
+    Term, no tombstones/filters) and the match-stream fallback
+    (bool/phrase/wildcard and filtered counts)."""
+    # dictionary short circuit — and it must agree with the stream
+    # path (count of score() rows) on the same query
+    t = ast.Term("get")
+    exp_get = len(oracle.eval(t))
+    assert engine.count(t) == exp_get > 0
+    assert engine.score(t).count() == exp_get
+    # boost never changes the match set
+    assert engine.count(ast.Term("get", boost=7.0)) == exp_get
+
+    # match-stream fallback across query shapes
+    for q in [
+        "index AND writer",
+        "string OR return NOT get",
+        '"index writer"~2',
+        "stri*",
+    ]:
+        assert engine.count(q) == len(oracle.eval(ast.parse_query(q, False)))
+
+    # no-match and empty-expansion edges
+    assert engine.count("zzznope_not_a_term") == 0
+
+    # filters restrict the count like they restrict search
+    f = Filters(lang="python", path_prefix="src/")
+    docs = pd.DataFrame(generate_documents(SPEC))
+    allowed = set(
+        docs.loc[
+            (docs["lang"] == "python") & docs["path"].str.startswith("src/"),
+        ].index
+    )
+    # oracle doc ids are positional build order — recompute via the
+    # oracle's own filtered search at k = corpus size
+    exp_filtered = len(
+        oracle.search(
+            "get",
+            k=SPEC.n_docs,
+            doc_filter=lambda d: (d["lang"] == "python")
+            & d["path"].str.startswith("src/"),
+        )
+    )
+    assert engine.count("get", filters=f) == exp_filtered < exp_get

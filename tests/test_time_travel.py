@@ -118,3 +118,18 @@ def test_live_doc_counts_per_epoch(tt):
     assert (n0, n1) == (snap0["live"], snap1["live"])
     assert n1 == n0 + 1  # replacement stays 1:1, one brand-new doc
     assert n2 == n1 - 1  # one delete
+
+
+def test_count_respects_tombstones(tt):
+    """engine.count must route a lone Term through the match stream
+    (not the dictionary df) when the reader carries tombstones: the
+    stacked reader's summed df counts replaced/deleted versions, so
+    the short circuit would overcount. Pin count == search row count
+    at every epoch."""
+    inc, _s0, _s1 = tt
+    from codeindex_spark.query.ast import Term
+
+    for epoch in (0, 1, 2):
+        eng = SearchEngine(inc.reader(as_of=epoch))
+        n = eng.count(Term(QUERY))
+        assert n == eng.search(QUERY, k=10_000).count()
