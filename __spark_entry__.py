@@ -526,6 +526,28 @@ def _q_bool_filter(spark, sf_dir):
     return _orig_ids(eng, eng.score(node), extra=_SCORE())
 
 
+def _q_check_index(spark, sf_dir):
+    # CheckIndex analog (index/check.py): verify every posting-stream
+    # and dictionary invariant of the standard entry index — decoded
+    # docIDs sorted and in-block, stream lengths exact for both
+    # codecs, tf>=1, row cf == sum(tf), block_max_tfnorm bit-equal to
+    # the recomputed max (an understated max silently breaks WAND),
+    # positions consistent with tf (or absent on positionless
+    # fields), and term_dict df/cf == posting aggregates. The oracle
+    # is the full (check x field) grid at zero violations — n_checked
+    # is index-geometry-dependent (blocks), so the entry projects it
+    # away and pytest (test_check_index.py) pins that each check
+    # actually exercises work and detects seeded corruption.
+    eng = _engine(spark, sf_dir)
+    from codeindex_spark.index.check import check_index
+
+    return check_index(eng.reader).select(
+        "check", "field", F.col("n_violations").cast("long").alias(
+            "n_violations"
+        )
+    )
+
+
 def _q_count(spark, sf_dir):
     # IndexSearcher.count() surface (TotalHitCountCollector; the
     # reference surfaces TotalHits through CodeIndexSearcher): total
@@ -2995,6 +3017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_bool_filter": _q_bool_filter,
         "q45_forpack_phrase": _q_forpack_phrase,
         "q46_count": _q_count,
+        "ix_check": _q_check_index,
         "ann_margin_align": _q_margin_align,
         "px_html_extract": _q_html_extract,
         "px_extract_links": _q_extract_links,
@@ -4628,6 +4651,20 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(sum(sp.c), 0.0::DOUBLE), 6) AS score
             FROM fl f LEFT JOIN sp USING (doc_id)
             GROUP BY f.doc_id""",
+        # CheckIndex: the verifier must find ZERO violations on the
+        # freshly built standard index for every (check, field) cell;
+        # the grid itself is deterministic (8 posting checks + 3
+        # dictionary checks x the 7 configured fields)
+        "ix_check": """
+            WITH checks(c) AS (VALUES ('stream_len'), ('docs_sorted'),
+              ('docs_in_block'), ('tf_positive'), ('cf_agree'),
+              ('block_max'), ('tf_pos_agree'), ('pos_sorted'),
+              ('dict_df'), ('dict_cf'), ('dict_terms')),
+            fields(f) AS (VALUES ('content'), ('content_cs'),
+              ('file_name'), ('file_path'), ('content_camel'),
+              ('path_trigram'), ('content_trigram'))
+            SELECT c AS "check", f AS field, 0::BIGINT AS n_violations
+            FROM checks CROSS JOIN fields""",
         # IndexSearcher.count(): total hits per query shape — the
         # oracle counts the same match sets the scoring oracles
         # (q01/q02/q03/q04) gate on, without scores
