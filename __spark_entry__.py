@@ -173,6 +173,62 @@ def _engine_forpack(spark: SparkSession, sf_dir: str):
     return eng
 
 
+def _engine_merged(spark: SparkSession, sf_dir: str):
+    """Two shard indexes built independently over a disjoint doc_id
+    split of the corpus, combined by index/merge.py — the
+    IndexWriter.addIndexes analog (public Lucene.NET API the
+    reference inherits; the distributed-build pattern at scale:
+    shard the corpus, build each shard as its own job, merge without
+    re-tokenizing). Scores over the merged index are exactly the
+    single-build scores: stats merge by exact integer sums (same
+    avgdl float op), dictionary df/cf by sums over doc-disjoint
+    sources, and block-max tfnorms are rescaled under the merged
+    avgdl — so the q01 oracle applies verbatim."""
+    key = os.path.abspath(sf_dir) + "#merged"
+    if key in _ENGINES:
+        return _ENGINES[key]
+    _ensure_pkg(spark)
+    from codeindex_spark.index.build import (
+        CONTENT_TRIGRAM_FIELDS,
+        IndexParams,
+    )
+    from codeindex_spark.index.merge import merge_indexes
+    from codeindex_spark.index.segments import IndexBuilder, IndexReader
+    from codeindex_spark.query.planner import SearchEngine
+
+    tag = hashlib.sha256(key.encode()).hexdigest()[:12]
+    base = f"/tmp/codeindex_entry/{os.path.basename(os.path.abspath(sf_dir))}_{tag}_mg1"
+    merged_dir = os.path.join(base, "m")
+    if not os.path.exists(
+        os.path.join(merged_dir, "manifest", "_finalized.json")
+    ):
+        params = IndexParams(
+            num_buckets=16, block_size=128, fields=CONTENT_TRIGRAM_FIELDS
+        )
+        docs = _load(spark, sf_dir, "documents")
+        # deliberately unequal shards (1/3 vs 2/3) so the docID spans
+        # and block-aligned offsets differ between sources
+        for name, shard in (
+            ("a", docs.filter(F.col("doc_id") % 3 == 0)),
+            ("b", docs.filter(F.col("doc_id") % 3 != 0)),
+        ):
+            b = IndexBuilder(
+                spark, os.path.join(base, name), params, n_groups=1
+            )
+            try:
+                b.build(_as_corpus(shard), resume=True)
+            except ValueError:
+                b.build(_as_corpus(shard), resume=False)
+        merge_indexes(
+            spark,
+            [os.path.join(base, "a"), os.path.join(base, "b")],
+            merged_dir,
+        )
+    eng = SearchEngine(IndexReader(spark, merged_dir))
+    _ENGINES[key] = eng
+    return eng
+
+
 def _orig_ids(eng, result: DataFrame, extra=()) -> DataFrame:
     """Map engine doc_ids back to the driver's documents.doc_id."""
     docs = eng.reader.docs.select(
@@ -546,6 +602,18 @@ def _q_check_index(spark, sf_dir):
             "n_violations"
         )
     )
+
+
+def _q_merged_search(spark, sf_dir):
+    # addIndexes analog (index/merge.py): the corpus is split 1/3 vs
+    # 2/3 on doc_id, each shard indexed as its own job, the two
+    # indexes merged WITHOUT re-tokenizing (block-aligned docID
+    # shift + exact stats/df merge + block-max rescale under merged
+    # avgdl), and BM25 top-10 served from the merged index. The
+    # oracle is q01's verbatim — merged-index scores must equal
+    # single-build scores bit-for-bit after round(,6), and the
+    # tie-break is on ORIGINAL doc_id, which survives the merge.
+    return _bm25_topk_orig(_engine_merged(spark, sf_dir), "spark", 10)
 
 
 def _q_count(spark, sf_dir):
@@ -3018,6 +3086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_forpack_phrase": _q_forpack_phrase,
         "q46_count": _q_count,
         "ix_check": _q_check_index,
+        "ix_merge": _q_merged_search,
         "ann_margin_align": _q_margin_align,
         "px_html_extract": _q_html_extract,
         "px_extract_links": _q_extract_links,
@@ -4371,6 +4440,9 @@ def oracle_sql() -> dict[str, str]:
                    (nb_logodds >= 0) AS kept
             FROM fin""",
         "q01_bm25_topk": "WITH " + _BM25.format(term="spark", k=10),
+        # addIndexes merge: the merged index must score EXACTLY like
+        # the single-build index, so the oracle is q01's verbatim
+        "ix_merge": "WITH " + _BM25.format(term="spark", k=10),
         # exact bigram heavy hitters: brute-force count + the same
         # max(1, ceil(phi*total)) threshold the engine computes
         "tx_heavy_hitters": f"""WITH {_TOK},
