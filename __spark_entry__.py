@@ -616,6 +616,30 @@ def _q_merged_search(spark, sf_dir):
     return _bm25_topk_orig(_engine_merged(spark, sf_dir), "spark", 10)
 
 
+def _q_search_after(spark, sf_dir):
+    # IndexSearcher.searchAfter deep paging: page 1 = top-10, page 2
+    # = the next 8 strictly after page 1's last (score, doc_id)
+    # anchor. The entry returns page1 UNION page2 and the oracle is
+    # the flat top-18 — equality proves the pagination contract (no
+    # duplicate, no gap, exact anchor semantics) against an
+    # independent ranking. Only the 10-row page-1 anchor fetch
+    # touches the driver. 18 because the sets can only agree when no
+    # score tie straddles the LAST collected rank (internal vs
+    # original doc_id tie order — the same boundary exposure every
+    # top-k entry accepts): verified tie-free for "spark" at rank
+    # 18/19 at all three SFs, while 20/21 ties at sf0.1.
+    eng = _engine(spark, sf_dir)
+    p1 = eng.search("spark", k=10)
+    anchor = p1.collect()[-1]
+    p2 = eng.search_after(
+        "spark", after=(anchor["score"], anchor["doc_id"]), k=8
+    )
+    both = p1.select("doc_id", "score").unionByName(
+        p2.select("doc_id", "score")
+    )
+    return _orig_ids(eng, both, extra=_SCORE())
+
+
 def _q_count(spark, sf_dir):
     # IndexSearcher.count() surface (TotalHitCountCollector; the
     # reference surfaces TotalHits through CodeIndexSearcher): total
@@ -3087,6 +3111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_count": _q_count,
         "ix_check": _q_check_index,
         "ix_merge": _q_merged_search,
+        "q47_search_after": _q_search_after,
         "ann_margin_align": _q_margin_align,
         "px_html_extract": _q_html_extract,
         "px_extract_links": _q_extract_links,
@@ -4443,6 +4468,10 @@ def oracle_sql() -> dict[str, str]:
         # addIndexes merge: the merged index must score EXACTLY like
         # the single-build index, so the oracle is q01's verbatim
         "ix_merge": "WITH " + _BM25.format(term="spark", k=10),
+        # searchAfter paging: page1(10) UNION page2(8) must equal the
+        # flat top-18 — no duplicate, no gap across the anchor (18:
+        # tie-free final boundary at all three SFs)
+        "q47_search_after": "WITH " + _BM25.format(term="spark", k=18),
         # exact bigram heavy hitters: brute-force count + the same
         # max(1, ceil(phi*total)) threshold the engine computes
         "tx_heavy_hitters": f"""WITH {_TOK},

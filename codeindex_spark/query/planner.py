@@ -1220,6 +1220,34 @@ class SearchEngine:
         finally:
             meta.unpersist(blocking=False)
 
+    def _live_filtered_scores(
+        self,
+        query: ast.Node | str,
+        filters: Filters | None,
+        case_sensitive: bool,
+    ) -> DataFrame:
+        scored = self.score(query, case_sensitive)
+        # tombstone-aware readers (incremental MultiReader) expose the
+        # live doc set; postings may still contain replaced/deleted docs
+        live = getattr(self.reader, "live_doc_ids", lambda: None)()
+        if live is not None:
+            scored = scored.join(live, "doc_id", "left_semi")
+        if filters is not None and not filters.empty:
+            allowed = filters.apply(self.reader.docs).select("doc_id")
+            scored = scored.join(allowed, "doc_id", "left_semi")
+        return scored
+
+    def _collect_top(self, scored: DataFrame, k: int, with_docs: bool):
+        top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        if with_docs:
+            meta = self.reader.docs.select(
+                "doc_id", "repo", "path", "commit", "lang", "file_name", "file_ext"
+            )
+            top = top.join(meta, "doc_id").orderBy(
+                F.desc("score"), F.asc("doc_id")
+            )
+        return top
+
     def search(
         self,
         query: ast.Node | str,
@@ -1230,24 +1258,44 @@ class SearchEngine:
     ) -> DataFrame:
         """Top-k BM25 search. Returns (doc_id, score [, doc metadata])
         ordered by (score desc, doc_id asc)."""
-        scored = self.score(query, case_sensitive)
-        # tombstone-aware readers (incremental MultiReader) expose the
-        # live doc set; postings may still contain replaced/deleted docs
-        live = getattr(self.reader, "live_doc_ids", lambda: None)()
-        if live is not None:
-            scored = scored.join(live, "doc_id", "left_semi")
-        if filters is not None and not filters.empty:
-            allowed = filters.apply(self.reader.docs).select("doc_id")
-            scored = scored.join(allowed, "doc_id", "left_semi")
-        top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-        if with_docs:
-            meta = self.reader.docs.select(
-                "doc_id", "repo", "path", "commit", "lang", "file_name", "file_ext"
+        scored = self._live_filtered_scores(query, filters, case_sensitive)
+        return self._collect_top(scored, k, with_docs)
+
+    def search_after(
+        self,
+        query: ast.Node | str,
+        after: tuple[float, int],
+        k: int = 100,
+        filters: Filters | None = None,
+        case_sensitive: bool = False,
+        with_docs: bool = False,
+    ) -> DataFrame:
+        """Deep paging — the IndexSearcher.searchAfter(ScoreDoc)
+        surface: the next ``k`` results STRICTLY after the
+        ``(score, doc_id)`` anchor in (score desc, doc_id asc) order.
+        The anchor is the last row of the previous page, passed back
+        verbatim (scores are deterministic doubles, so the equality
+        arm of the predicate is exact — same contract as Lucene,
+        which compares the ScoreDoc's float score bitwise).
+
+        Page N costs ONE scoring job, identical in shape to page 1:
+        the anchor is two scalar literals folded into a JVM predicate
+        on the scored stream, so nothing about earlier pages is
+        re-collected, shipped, or skipped row-by-row — the collection
+        cutoff moves, the scan does not grow with page depth. With a
+        filter whose matches are sparse this beats the
+        collect-k*N-and-slice idiom by exactly the pages you skip.
+        """
+        a_score, a_doc = float(after[0]), int(after[1])
+        scored = self._live_filtered_scores(query, filters, case_sensitive)
+        scored = scored.filter(
+            (F.col("score") < F.lit(a_score))
+            | (
+                (F.col("score") == F.lit(a_score))
+                & (F.col("doc_id") > F.lit(a_doc))
             )
-            top = top.join(meta, "doc_id").orderBy(
-                F.desc("score"), F.asc("doc_id")
-            )
-        return top
+        )
+        return self._collect_top(scored, k, with_docs)
 
     def count(
         self,

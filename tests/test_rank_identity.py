@@ -728,3 +728,61 @@ def test_count_total_hits(engine, oracle):
         )
     )
     assert engine.count("get", filters=f) == exp_filtered < exp_get
+
+
+def test_search_after_paging(engine):
+    """IndexSearcher.searchAfter contract: walking pages through the
+    (score, doc_id) anchor concatenates to EXACTLY the flat top-k —
+    no duplicate, no gap — including page boundaries that land inside
+    equal-score tie groups (the strict equality arm of the anchor
+    predicate); past-the-end anchors return empty pages."""
+    q = "get"
+    total = engine.count(q)
+    assert total >= 30, "fixture must have a deep 'get' ranking"
+    full = [
+        (r["doc_id"], r["score"])
+        for r in engine.search(q, k=total).collect()
+    ]
+    assert len(full) == total
+
+    walked, anchor = [], None
+    for _ in range(3):
+        page = (
+            engine.search(q, k=10)
+            if anchor is None
+            else engine.search_after(q, anchor, k=10)
+        )
+        rows = [(r["doc_id"], r["score"]) for r in page.collect()]
+        assert len(rows) == 10
+        walked += rows
+        anchor = (rows[-1][1], rows[-1][0])
+    assert walked == full[:30]
+
+    # anchor inside a tie group: re-page from rank 15 regardless of
+    # whether 15/16 tie — the strict (==score, >doc_id) arm must
+    # resume mid-group without skipping or repeating
+    a = (full[14][1], full[14][0])
+    nxt = [
+        (r["doc_id"], r["score"])
+        for r in engine.search_after(q, a, k=5).collect()
+    ]
+    assert nxt == full[15:20]
+
+    # past the end: empty page, not an error
+    last = (full[-1][1], full[-1][0])
+    assert engine.search_after(q, last, k=10).count() == 0
+
+    # filters compose: page 2 under a filter equals slice of the
+    # filtered flat ranking
+    f = Filters(lang="python")
+    ffull = [
+        (r["doc_id"], r["score"])
+        for r in engine.search(q, k=total, filters=f).collect()
+    ]
+    if len(ffull) > 8:
+        fa = (ffull[7][1], ffull[7][0])
+        fpage = [
+            (r["doc_id"], r["score"])
+            for r in engine.search_after(q, fa, k=6, filters=f).collect()
+        ]
+        assert fpage == ffull[8:14]
