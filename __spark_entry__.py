@@ -467,6 +467,34 @@ def _q_span_first(spark, sf_dir):
     return _orig_ids(eng, eng.score(ast.SpanFirst("sort", 30)), extra=_SCORE())
 
 
+def _q_span_first_or(spark, sf_dir):
+    # SpanFirstQuery over a SpanOr inner span (r5 nested span
+    # composition, SpanFirstQuery.java + SpanOrQuery.java public
+    # semantics): either member binds a restricted position; freq =
+    # the union count of 0-based positions < 25, saturated once;
+    # idf = SUM of the present members' FULL-df idfs (SpanWeight
+    # gathers every term's statistics; BM25 sums idfExplain terms).
+    from codeindex_spark.query import ast
+
+    eng = _engine(spark, sf_dir)
+    node = ast.SpanFirst(("fast", "slow"), 25)
+    return _orig_ids(eng, eng.score(node), extra=_SCORE())
+
+
+def _q_span_not_or(spark, sf_dir):
+    # SpanNotQuery with SpanOr clauses on BOTH sides (r5): an
+    # include occurrence of 'sort' or 'merge' at position p survives
+    # iff neither 'fast' nor 'slow' occurs in [p-1, p+2]; freq = the
+    # surviving union count saturated once; idf = SUM of the include
+    # members' FULL-df idfs (exclude gates, never contributes
+    # statistics).
+    from codeindex_spark.query import ast
+
+    eng = _engine(spark, sf_dir)
+    node = ast.SpanNot(("sort", "merge"), ("fast", "slow"), pre=1, post=2)
+    return _orig_ids(eng, eng.score(node), extra=_SCORE())
+
+
 def _q_dismax(spark, sf_dir):
     # Lucene DisjunctionMaxQuery (DisjunctionMaxQuery.java public
     # semantics): score = max child + tie_breaker * (sum of the other
@@ -3112,6 +3140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ix_check": _q_check_index,
         "ix_merge": _q_merged_search,
         "q47_search_after": _q_search_after,
+        "q48_span_first_or": _q_span_first_or,
+        "q49_span_not_or": _q_span_not_or,
         "ann_margin_align": _q_margin_align,
         "px_html_extract": _q_html_extract,
         "px_extract_links": _q_extract_links,
@@ -4472,6 +4502,59 @@ def oracle_sql() -> dict[str, str]:
         # flat top-18 — no duplicate, no gap across the anchor (18:
         # tie-free final boundary at all three SFs)
         "q47_search_after": "WITH " + _BM25.format(term="spark", k=18),
+        # SpanFirst over SpanOr: union tf restricted to pos <= 25
+        # (1-based == engine 0-based < 25), saturated once, Σ-idf
+        "q48_span_first_or": f"""WITH {_TOK},
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+            nn AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+            ad AS (SELECT sum(dl)::DOUBLE / (SELECT n_docs FROM nn) AS avgdl
+                   FROM dl),
+            tf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tok
+                   WHERE term IN ('fast', 'slow') AND pos <= 25
+                   GROUP BY doc_id),
+            dfm AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+                    FROM tok WHERE term IN ('fast', 'slow') GROUP BY term),
+            idfs AS (SELECT sum(
+                       ln(1.0::DOUBLE + ((SELECT n_docs FROM nn)
+                            - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+                     ) AS idf FROM dfm)
+            SELECT tf.doc_id,
+                   round(
+                     (SELECT idf FROM idfs)
+                     * (tf.tf * (1.2::DOUBLE + 1.0::DOUBLE)
+                        / (tf.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+                           + 0.75::DOUBLE * dl.dl / (SELECT avgdl FROM ad)))),
+                   6) AS score
+            FROM tf JOIN dl USING (doc_id)""",
+        # SpanNot with SpanOr on both sides: include union position p
+        # survives iff no exclude-member position in [p-1, p+2];
+        # surviving union count saturated once, Σ include-idf only
+        "q49_span_not_or": f"""WITH {_TOK},
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+            nn AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+            ad AS (SELECT sum(dl)::DOUBLE / (SELECT n_docs FROM nn) AS avgdl
+                   FROM dl),
+            tf AS (SELECT a.doc_id, count(*)::DOUBLE AS tf FROM tok a
+                   WHERE a.term IN ('sort', 'merge') AND NOT EXISTS (
+                     SELECT 1 FROM tok b
+                     WHERE b.doc_id = a.doc_id
+                       AND b.term IN ('fast', 'slow')
+                       AND b.pos BETWEEN a.pos - 1 AND a.pos + 2)
+                   GROUP BY a.doc_id),
+            dfm AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+                    FROM tok WHERE term IN ('sort', 'merge') GROUP BY term),
+            idfs AS (SELECT sum(
+                       ln(1.0::DOUBLE + ((SELECT n_docs FROM nn)
+                            - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+                     ) AS idf FROM dfm)
+            SELECT tf.doc_id,
+                   round(
+                     (SELECT idf FROM idfs)
+                     * (tf.tf * (1.2::DOUBLE + 1.0::DOUBLE)
+                        / (tf.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+                           + 0.75::DOUBLE * dl.dl / (SELECT avgdl FROM ad)))),
+                   6) AS score
+            FROM tf JOIN dl USING (doc_id)""",
         # exact bigram heavy hitters: brute-force count + the same
         # max(1, ceil(phi*total)) threshold the engine computes
         "tx_heavy_hitters": f"""WITH {_TOK},

@@ -102,18 +102,23 @@ class Synonyms:
 
 @dataclass(frozen=True)
 class SpanFirst:
-    """Lucene SpanFirstQuery over a single-term span (public
-    semantics, lucene SpanFirstQuery.java + SpanScorer): matches
-    docs where the term occurs with span end <= ``end`` — a
-    single-term span at 0-based position p has end p+1, so the match
-    condition is p < end. The restricted occurrence count is the
-    span freq (single-term spans have matchLength 0, slop factor 1),
-    scored BM25 with the term's FULL docFreq for idf (SpanWeight
-    builds idf from term statistics, not from the restricted match
-    set). Like Synonyms there is no query-string form — Lucene span
+    """Lucene SpanFirstQuery over a single-term span OR a SpanOr of
+    terms (public semantics, lucene SpanFirstQuery.java +
+    SpanScorer): matches docs where the inner span occurs with span
+    end <= ``end`` — a single-position span at 0-based position p
+    has end p+1, so the match condition is p < end. ``term`` may be
+    a plain string (single-term span, the r4 surface) or a tuple of
+    strings (SpanFirst over SpanOr: the union of the member spans —
+    distinct terms never share a position, so the restricted freq is
+    the summed member count of positions < end, saturated ONCE).
+    Scored BM25 with idf = SUM of the present members' FULL-df idfs
+    (SpanWeight gathers every term's TermStatistics from the span
+    tree; BM25Similarity sums idfExplain terms — the same convention
+    SpanOr documents; one member degenerates to the single idf).
+    Like Synonyms there is no query-string form — Lucene span
     queries are built programmatically."""
 
-    term: str
+    term: str | tuple[str, ...]
     end: int
     field: str = DEFAULT_FIELD
     boost: float = 1.0
@@ -141,29 +146,43 @@ class SpanOr:
 
 @dataclass(frozen=True)
 class SpanNot:
-    """Lucene SpanNotQuery over single-term spans (public semantics,
-    lucene SpanNotQuery.java ctor ``SpanNotQuery(include, exclude,
-    pre, post)``): matches occurrences of ``include`` whose span does
-    not overlap any ``exclude`` span, with the forbidden window
-    widened ``pre`` tokens before and ``post`` tokens after the
-    include span. For single-term spans that reduces to: include
-    position p survives iff no exclude position q has
-    p - pre <= q <= p + post (pre = post = 0 is "not at the same
-    position", useful with multi-term fields; the classic use is
-    pre/post windows, e.g. "new not within 2 tokens of york").
-    freq = the surviving occurrence count; BM25-scored with the
-    include term's FULL docFreq for idf (SpanWeight builds idf from
-    term statistics, not the restricted match set — same contract as
-    SpanFirst). Docs where ``exclude`` never occurs keep every
-    occurrence. Programmatic only — Lucene span queries have no
-    parser syntax."""
+    """Lucene SpanNotQuery over single-term spans or SpanOr clauses
+    (public semantics, lucene SpanNotQuery.java ctor
+    ``SpanNotQuery(include, exclude, pre, post)``): matches
+    occurrences of ``include`` whose span does not overlap any
+    ``exclude`` span, with the forbidden window widened ``pre``
+    tokens before and ``post`` tokens after the include span. For
+    single-position spans that reduces to: include position p
+    survives iff no exclude position q has p - pre <= q <= p + post
+    (pre = post = 0 is "not at the same position", useful with
+    multi-term fields; the classic use is pre/post windows, e.g.
+    "new not within 2 tokens of york"). ``include`` and ``exclude``
+    each accept a plain string or a tuple of strings (a SpanOr
+    clause: the union of the member spans — distinct terms never
+    share a position). freq = the surviving include-occurrence
+    count, saturated once; BM25-scored with idf = SUM of the present
+    INCLUDE members' FULL-df idfs (the SpanOr convention; the
+    exclude side gates matches but never contributes statistics —
+    same contract the r4 single-term node documented). Docs where no
+    ``exclude`` member occurs keep every occurrence. Programmatic
+    only — Lucene span queries have no parser syntax."""
 
-    include: str
-    exclude: str
+    include: str | tuple[str, ...]
+    exclude: str | tuple[str, ...]
     pre: int = 0
     post: int = 0
     field: str = DEFAULT_FIELD
     boost: float = 1.0
+
+
+def span_member_terms(spec) -> tuple[str, ...]:
+    """Normalize a span clause spec — a plain term string, a tuple/
+    list of terms, or a SpanOr node — to the member-term tuple."""
+    if isinstance(spec, str):
+        return (spec,)
+    if isinstance(spec, SpanOr):
+        return tuple(spec.terms)
+    return tuple(spec)
 
 
 def SpanNear(

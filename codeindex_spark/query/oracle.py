@@ -223,6 +223,26 @@ class OracleIndex:
             tf + self.k1 * (1.0 - self.b + self.b * dl / avgdl)
         )
 
+    def _span_union(self, fld: str, spec, boost):
+        """Union the member spans of a term-or-tuple span clause:
+        per-doc sorted position lists merged across present members
+        (distinct terms never share a position), plus the blended
+        idf = Σ present members' FULL-df idfs * boost. Returns
+        (None, 0.0) when no member is in the dictionary."""
+        members = ast.span_member_terms(spec)
+        present = [t for t in members if t in self.postings[fld]]
+        if not present:
+            return None, 0.0
+        n, _ = self.stats[fld]
+        idf = sum(
+            idf_bm25(n, len(self.postings[fld][t])) for t in present
+        ) * float(boost)
+        union: dict[int, list[int]] = {}
+        for t in present:
+            for d, pos in self.postings[fld][t].items():
+                union.setdefault(d, []).extend(pos)
+        return {d: sorted(ps) for d, ps in union.items()}, idf
+
     def _term_scores(self, fld: str, term: str) -> dict[int, float]:
         post = self.postings[fld].get(term, {})
         n, _ = self.stats[fld]
@@ -347,31 +367,31 @@ class OracleIndex:
             }
         if isinstance(node, ast.SpanFirst):
             # Lucene SpanFirstQuery: span end <= end, i.e. 0-based
-            # position < end; freq = restricted occurrence count,
-            # idf from the term's FULL docFreq (SpanWeight term stats)
+            # position < end; member positions union (SpanOr inner;
+            # one member = the plain single-term span), freq =
+            # restricted union count saturated once, idf = Σ present
+            # members' FULL-df idfs (SpanWeight term stats)
             fld = node.field
-            post = self.postings[fld].get(node.term, {})
-            if not post:
+            union, idf = self._span_union(fld, node.term, node.boost)
+            if union is None:
                 return {}
-            n, _ = self.stats[fld]
-            idf = idf_bm25(n, len(post)) * float(getattr(node, "boost", 1.0))
             out = {}
-            for d, pos in post.items():
+            for d, pos in union.items():
                 tf = sum(1 for p in pos if p < node.end)
                 if tf:
                     out[d] = idf * self._tfnorm(fld, d, tf)
             return out
         if isinstance(node, ast.SpanNot):
             # Lucene SpanNotQuery: include position p survives iff no
-            # exclude position q in [p-pre, p+post]; freq = surviving
-            # count, idf from the include term's FULL docFreq
+            # exclude position q in [p-pre, p+post]; both sides are
+            # member unions; freq = surviving count, idf = Σ present
+            # INCLUDE members' FULL-df idfs (exclude gates only)
             fld = node.field
-            inc = self.postings[fld].get(node.include, {})
-            if not inc:
+            inc, idf = self._span_union(fld, node.include, node.boost)
+            if inc is None:
                 return {}
-            exc = self.postings[fld].get(node.exclude, {})
-            n, _ = self.stats[fld]
-            idf = idf_bm25(n, len(inc)) * float(getattr(node, "boost", 1.0))
+            exc, _ = self._span_union(fld, node.exclude, 1.0)
+            exc = exc or {}
             out = {}
             for d, pos in inc.items():
                 bad = exc.get(d, ())

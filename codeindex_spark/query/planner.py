@@ -712,25 +712,40 @@ class SearchEngine:
                 for t in leaf.terms:
                     exact_terms.setdefault(fld, set()).add(t)
             elif isinstance(leaf, ast.SpanFirst):
-                # slot=-3: exact-term posting row whose kernel pass
-                # counts only positions < end; idf stays the term's
-                # FULL-df idf (SpanWeight term statistics)
+                # slot=-3 member rows (one per present member; a
+                # plain-string term is the one-member degenerate):
+                # the kernel unions member positions per doc, counts
+                # only positions < end and saturates ONCE; every row
+                # carries the group's blended idf = Σ member FULL-df
+                # idfs (the SpanOr statistics convention)
                 if leaf.end < 1:
                     raise ValueError("SpanFirst end must be >= 1")
-                wants.append((lid, fld, -3, leaf.term, True))
-                exact_terms.setdefault(fld, set()).add(leaf.term)
+                members = ast.span_member_terms(leaf.term)
+                if not members:
+                    raise ValueError("SpanFirst needs at least one term")
+                wants.append((lid, fld, -3, members, True))
+                for t in members:
+                    exact_terms.setdefault(fld, set()).add(t)
             elif isinstance(leaf, ast.SpanNot):
-                # slot=-4 include / slot=-5 exclude posting rows; the
-                # kernel counts include positions with no exclude
-                # position in [p-pre, p+post]. Include idf = FULL-df
-                # idf; the exclude row's idf is zeroed below so the
-                # WAND block bound (Σ idf*block_max) stays tight.
+                # slot=-4 include / slot=-5 exclude member rows; the
+                # kernel unions each side's member positions per doc
+                # and counts include positions with no exclude
+                # position in [p-pre, p+post]. Include rows carry the
+                # blended Σ include-idf; exclude rows' idf is zeroed
+                # below so the WAND block bound (Σ idf*block_max)
+                # stays tight.
                 if leaf.pre < 0 or leaf.post < 0:
                     raise ValueError("SpanNot pre/post must be >= 0")
-                wants.append((lid, fld, -4, leaf.include, True))
-                wants.append((lid, fld, -5, leaf.exclude, True))
-                exact_terms.setdefault(fld, set()).add(leaf.include)
-                exact_terms.setdefault(fld, set()).add(leaf.exclude)
+                inc = ast.span_member_terms(leaf.include)
+                exc = ast.span_member_terms(leaf.exclude)
+                if not inc or not exc:
+                    raise ValueError(
+                        "SpanNot include/exclude need at least one term"
+                    )
+                wants.append((lid, fld, -4, inc, True))
+                wants.append((lid, fld, -5, exc, True))
+                for t in (*inc, *exc):
+                    exact_terms.setdefault(fld, set()).add(t)
             else:
                 wants.append((lid, fld, -1, leaf, False))
 
@@ -741,13 +756,16 @@ class SearchEngine:
         for lid, fld, slot_idx, spec, exact in wants:
             leaf_boost = boost_by_id[lid]
             n_docs, _ = self.reader.field_stats(fld)
-            if slot_idx in (-2, -6):
+            if slot_idx in (-2, -6, -3, -4, -5):
                 # blended-group rows (one posting row per member, all
-                # carrying the same blended idf; tf sums in-kernel):
+                # carrying the same blended idf; tf merges in-kernel):
                 # slot -2 = SynonymQuery, docFreq = MAX over present
-                # members -> one idf; slot -6 = SpanOrQuery, idf =
-                # SUM of the present members' idfs (BM25Similarity
-                # over multiple TermStatistics sums idfExplain terms)
+                # members -> one idf; slot -6 = SpanOrQuery and
+                # slot -3/-4 = SpanFirst/SpanNot-include members,
+                # idf = SUM of the present members' idfs
+                # (BM25Similarity over multiple TermStatistics sums
+                # idfExplain terms); slot -5 = SpanNot-exclude
+                # members, idf 0 (gate only, WAND bound stays tight)
                 present = [
                     (t, exact_df.get((fld, t)))
                     for t in spec
@@ -759,18 +777,21 @@ class SearchEngine:
                     idf_blend = idf_bm25(
                         n_docs, max(d for _, d in present)
                     ) * leaf_boost
+                elif slot_idx == -5:
+                    idf_blend = 0.0
                 else:
                     idf_blend = (
                         sum(idf_bm25(n_docs, d) for _, d in present)
                         * leaf_boost
                     )
+                out_slot = -2 if slot_idx == -6 else slot_idx
                 for term, _ in present:
                     rows.append(
                         {
                             "field": fld,
                             "term": term,
                             "leaf_id": lid,
-                            "slot": -2,
+                            "slot": out_slot,
                             "idf": idf_blend,
                         }
                     )
@@ -997,10 +1018,14 @@ class SearchEngine:
                     for t in leaf.terms:
                         all_exact.setdefault(leaf.field, set()).add(t)
                 elif isinstance(leaf, ast.SpanFirst):
-                    all_exact.setdefault(leaf.field, set()).add(leaf.term)
+                    for t in ast.span_member_terms(leaf.term):
+                        all_exact.setdefault(leaf.field, set()).add(t)
                 elif isinstance(leaf, ast.SpanNot):
-                    all_exact.setdefault(leaf.field, set()).add(leaf.include)
-                    all_exact.setdefault(leaf.field, set()).add(leaf.exclude)
+                    for t in (
+                        *ast.span_member_terms(leaf.include),
+                        *ast.span_member_terms(leaf.exclude),
+                    ):
+                        all_exact.setdefault(leaf.field, set()).add(t)
         shared_df = self._lookup_exact_df(all_exact)
         for qname, root in roots.items():
             rows, leaf_ids = self._plan_rows(root, exact_df=shared_df)
@@ -2099,9 +2124,12 @@ def _leaf_label(leaf) -> str:
     if isinstance(leaf, ast.SpanOr):
         return f"{f}:spanOr({'|'.join(leaf.terms)})"
     if isinstance(leaf, ast.SpanFirst):
-        return f"{f}:spanFirst({leaf.term},{leaf.end})"
+        t = "|".join(ast.span_member_terms(leaf.term))
+        return f"{f}:spanFirst({t},{leaf.end})"
     if isinstance(leaf, ast.SpanNot):
-        return f"{f}:spanNot({leaf.include}!{leaf.exclude})"
+        i = "|".join(ast.span_member_terms(leaf.include))
+        e = "|".join(ast.span_member_terms(leaf.exclude))
+        return f"{f}:spanNot({i}!{e})"
     return repr(leaf)  # pragma: no cover — every leaf type is above
 
 
@@ -2225,6 +2253,32 @@ def _make_disjunctive_batch_kernel(
 
 _EMPTY_D = np.empty(0, dtype=np.int64)
 _EMPTY_S = np.empty(0, dtype=np.float64)
+
+
+def _merge_span_entries(parts):
+    """Union the member (docs, pcounts, flat_positions[, norms])
+    entries of one span group within a block run. Docs ascend within
+    each entry and positions ascend within each doc; distinct terms
+    never share a position, so the union is a (doc, position)
+    lexsort with no dedup pass. Returns (docs, pcounts, flat,
+    norms_or_None) in the same doc-ascending / position-ascending
+    layout the single-member path already produces."""
+    if len(parts) == 1:
+        p = parts[0]
+        return p[0], p[1], p[2], (p[3] if len(p) > 3 else None)
+    doc_rep = np.concatenate([np.repeat(p[0], p[1]) for p in parts])
+    pos_cat = np.concatenate([p[2] for p in parts])
+    order = np.lexsort((pos_cat, doc_rep))
+    di, pci = np.unique(doc_rep[order], return_counts=True)
+    flat = pos_cat[order]
+    normi = None
+    if len(parts[0]) > 3:
+        # same doc -> same dl -> same norm, whichever member row
+        cat_d = np.concatenate([p[0] for p in parts])
+        cat_n = np.concatenate([p[3] for p in parts])
+        normi = np.empty(di.size, dtype=np.float64)
+        normi[np.searchsorted(di, cat_d)] = cat_n
+    return di, pci, flat, normi
 
 
 def _make_tree_batch_kernel(
@@ -2430,8 +2484,9 @@ def _make_tree_batch_kernel(
             simple: dict[int, list] = {}
             phrase: dict[int, list] = {}
             syn: dict[int, list] = {}
-            snot_inc: dict[int, tuple] = {}
-            snot_exc: dict[int, tuple] = {}
+            sfirst: dict[int, list] = {}
+            snot_inc: dict[int, list] = {}
+            snot_exc: dict[int, list] = {}
             for row in range(rs, re_):
                 es, ee = es_r[row], ee_r[row]
                 docs = docs_all[es:ee]
@@ -2448,43 +2503,38 @@ def _make_tree_batch_kernel(
                         )
                     )
                 elif slot_r[row] == -3:
-                    # span-first row: count only positions < end,
-                    # re-saturate on the restricted tf (idf row value
-                    # is already the full-df idf)
-                    end = spanfirst_end[leaf_r[row]]
-                    pc = dec["pcounts"][es:ee]
-                    flat = dec["pos_all"][dec["p_cum"][es] : dec["p_cum"][ee]]
-                    hit = np.concatenate(
-                        ([0], np.cumsum((flat < end).astype(np.int64)))
+                    # span-first member row: positions + norms + the
+                    # group's blended idf; members union after the
+                    # loop so the restricted tf saturates ONCE
+                    sfirst.setdefault(leaf_r[row], []).append(
+                        (
+                            docs,
+                            dec["pcounts"][es:ee],
+                            dec["pos_all"][dec["p_cum"][es] : dec["p_cum"][ee]],
+                            dec["norms"][es:ee],
+                            idf_r[row],
+                        )
                     )
-                    ends = np.cumsum(pc)
-                    tf = (hit[ends] - hit[ends - pc]).astype(np.float64)
-                    keep = tf > 0
-                    if keep.any():
-                        norm = dec["norms"][es:ee][keep]
-                        sc = idf_r[row] * (
-                            tf[keep] * (k1 + 1.0) / (tf[keep] + norm)
-                        )
-                        simple.setdefault(leaf_r[row], []).append(
-                            (docs[keep], sc)
-                        )
-                    # no-hit rows add nothing: leaf_data.get() already
-                    # defaults the leaf to empty
                 elif slot_r[row] == -4:
-                    # span-not include row: positions + norms + idf,
-                    # resolved against the exclude row after the loop
-                    snot_inc[leaf_r[row]] = (
-                        docs,
-                        dec["pcounts"][es:ee],
-                        dec["pos_all"][dec["p_cum"][es] : dec["p_cum"][ee]],
-                        dec["norms"][es:ee],
-                        idf_r[row],
+                    # span-not include member row: positions + norms
+                    # + blended idf, unioned and resolved against the
+                    # exclude union after the loop
+                    snot_inc.setdefault(leaf_r[row], []).append(
+                        (
+                            docs,
+                            dec["pcounts"][es:ee],
+                            dec["pos_all"][dec["p_cum"][es] : dec["p_cum"][ee]],
+                            dec["norms"][es:ee],
+                            idf_r[row],
+                        )
                     )
                 elif slot_r[row] == -5:
-                    snot_exc[leaf_r[row]] = (
-                        docs,
-                        dec["pcounts"][es:ee],
-                        dec["pos_all"][dec["p_cum"][es] : dec["p_cum"][ee]],
+                    snot_exc.setdefault(leaf_r[row], []).append(
+                        (
+                            docs,
+                            dec["pcounts"][es:ee],
+                            dec["pos_all"][dec["p_cum"][es] : dec["p_cum"][ee]],
+                        )
                     )
                 elif slot_r[row] < 0:
                     simple.setdefault(leaf_r[row], []).append((docs, contrib))
@@ -2515,18 +2565,48 @@ def _make_tree_batch_kernel(
                 leaf_data[lid] = (
                     docs, idf * (tf * (k1 + 1.0) / (tf + norm))
                 )
-            for lid, (di, pci, flati, normi, idf) in snot_inc.items():
+            for lid, parts in sfirst.items():
+                # SpanFirst: union the member positions (SpanOr
+                # inner; one member = the plain single-term span),
+                # count only positions < end, saturate once on the
+                # restricted tf under the blended Σ-idf
+                di, pci, flat, normi = _merge_span_entries(
+                    [p[:4] for p in parts]
+                )
+                end = spanfirst_end[lid]
+                hit = np.concatenate(
+                    ([0], np.cumsum((flat < end).astype(np.int64)))
+                )
+                ends = np.cumsum(pci)
+                tf = (hit[ends] - hit[ends - pci]).astype(np.float64)
+                keep = tf > 0
+                if keep.any():
+                    idf = parts[0][4]
+                    tfk = tf[keep]
+                    leaf_data[lid] = (
+                        di[keep],
+                        idf * (tfk * (k1 + 1.0) / (tfk + normi[keep])),
+                    )
+                # no-hit groups add nothing: leaf_data.get() already
+                # defaults the leaf to empty
+            for lid, parts in snot_inc.items():
                 # SpanNot: include position p survives iff no exclude
-                # position in [p-pre, p+post]. Fully vectorized via a
+                # position in [p-pre, p+post]. Both sides are member
+                # unions (SpanOr clauses; one member = the r4
+                # single-term shape). Fully vectorized via a
                 # combined (doc_rank, position) key: docs and positions
                 # are ascending within a posting row, so one global
                 # searchsorted pair bounds each forbidden window.
+                di, pci, flati, normi = _merge_span_entries(
+                    [p[:4] for p in parts]
+                )
+                idf = parts[0][4]
                 pre, post = spannot_pp[lid]
-                exc = snot_exc.get(lid)
-                if exc is None or exc[0].size == 0:
+                exc_parts = snot_exc.get(lid)
+                if not exc_parts:
                     tf = pci.astype(np.float64)
                 else:
-                    de, pce, flate = exc
+                    de, pce, flate, _ = _merge_span_entries(exc_parts)
                     rank = np.searchsorted(de, di)
                     safe = np.minimum(rank, de.size - 1)
                     has_exc = (rank < de.size) & (de[safe] == di)

@@ -224,3 +224,86 @@ def test_explain_unmatched_leaf_has_no_row(engine, oracle):
     tot = oracle.eval(q)
     for r in rows:
         assert r["total"] == pytest.approx(tot[r["doc_id"]], rel=1e-9)
+
+
+# ---- SpanOr members inside SpanFirst / SpanNot (r5) ----
+
+SNOT_TUPLE_CASES = [
+    ast.SpanNot(("get", "return"), "string", pre=2, post=2),
+    ast.SpanNot("index", ("writer", "reader"), pre=1, post=1),
+    ast.SpanNot(("get", "string"), ("index", "writer"), pre=0, post=3),
+    ast.SpanNot(("get", "zzq_not_a_token"), ("string",), pre=1, post=1),
+]
+
+
+def _tids(n):
+    i = "|".join(ast.span_member_terms(n.include))
+    e = "|".join(ast.span_member_terms(n.exclude))
+    return f"{i}!{e}~{n.pre},{n.post}"
+
+
+@pytest.mark.parametrize("node", SNOT_TUPLE_CASES, ids=_tids)
+def test_spannot_spanor_members_rank_identity(engine, oracle, node):
+    """Numpy kernel vs pure-Python oracle on SpanNot over member
+    unions — two independent implementations of the same public
+    semantics (SpanNotQuery(SpanOr, SpanOr, pre, post))."""
+    assert_rank_identical(engine.search(node, k=K), oracle.search(node, k=K))
+
+
+def test_spanfirst_spanor_members(engine, oracle):
+    node = ast.SpanFirst(("get", "string"), end=8)
+    assert_rank_identical(engine.search(node, k=K), oracle.search(node, k=K))
+    # the restriction must bite: fewer docs than the unrestricted
+    # union somewhere in the corpus
+    unrestricted = dict(oracle.search(ast.SpanOr(("get", "string")), k=10_000))
+    restricted = dict(oracle.search(node, k=10_000))
+    assert restricted and set(restricted) < set(unrestricted)
+
+
+def test_spanfirst_single_member_degenerates(engine):
+    """A one-member tuple is bit-identical to the plain-string node
+    (same rows, same idf, same kernel path)."""
+    a = _ranked(engine.search(ast.SpanFirst(("get",), end=6), k=K))
+    b = _ranked(engine.search(ast.SpanFirst("get", end=6), k=K))
+    assert a == b
+
+
+def test_spanfirst_unbounded_equals_spanor(engine):
+    """end beyond every document degenerates SpanFirst(SpanOr) to
+    SpanOr itself: same union freq, same Σ-idf — scores bit-equal."""
+    big = _ranked(
+        engine.search(ast.SpanFirst(("get", "string"), end=10**6), k=K)
+    )
+    spanor = _ranked(engine.search(ast.SpanOr(("get", "string")), k=K))
+    assert big == spanor
+
+
+def test_spannot_absent_exclude_members_keep_all(engine):
+    """Exclude members missing from the dictionary gate nothing: the
+    node degenerates to the include union (== SpanOr scores)."""
+    got = _ranked(
+        engine.search(
+            ast.SpanNot(("get", "string"), ("zzq_not_a_token",), pre=3, post=3),
+            k=K,
+        )
+    )
+    ref = _ranked(engine.search(ast.SpanOr(("get", "string")), k=K))
+    assert got == ref
+
+
+def test_span_tuple_composition(engine, oracle):
+    """Tuple-member span nodes compose under booleans like any leaf."""
+    node = ast.And(
+        (
+            ast.SpanNot(("get", "return"), "string", pre=1, post=1),
+            ast.Term("index"),
+        )
+    )
+    assert_rank_identical(engine.search(node, k=K), oracle.search(node, k=K))
+
+
+def test_span_tuple_validation(engine):
+    with pytest.raises(ValueError, match="at least one"):
+        engine.search(ast.SpanFirst((), end=3), k=5).collect()
+    with pytest.raises(ValueError, match="at least one"):
+        engine.search(ast.SpanNot(("get",), (), pre=0, post=0), k=5).collect()
