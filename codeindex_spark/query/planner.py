@@ -1147,10 +1147,17 @@ class SearchEngine:
         query: ast.Node | str,
         k: int = 100,
         case_sensitive: bool = False,
+        after: tuple[float, int] | None = None,
     ) -> DataFrame:
         """Block-max WAND top-k: prune posting blocks by score upper
         bound BEFORE decoding (the Lucene impacts/BlockMaxWAND analog,
         distributed).
+
+        ``after`` pages like search_after under the same pruning:
+        the anchor predicate filters each scored stream, so θ is the
+        k-th best ELIGIBLE doc — deeper pages raise no extra decode
+        cost (θ only drops as far as the page's true cutoff, and
+        UB < θ still can never evict an eligible doc).
 
         Correctness: for any doc d in block B,
         score(d) <= UB(B) = Σ_leaf-rows idf * block_max_tfnorm, because
@@ -1177,11 +1184,24 @@ class SearchEngine:
         spark = self.reader.spark
         if candidates is None:
             return spark.createDataFrame([], SCORE_SCHEMA)
+
+        def page(df):
+            if after is None:
+                return df
+            a_s, a_d = float(after[0]), int(after[1])
+            return df.filter(
+                (F.col("score") < F.lit(a_s))
+                | (
+                    (F.col("score") == F.lit(a_s))
+                    & (F.col("doc_id") > F.lit(a_d))
+                )
+            )
+
         if _contains_constant_score(root):
             # a ConstantScore boost is not bounded by the BM25 block
             # maxima, so block pruning is unsound — score exactly
             rows = (
-                self._score_stream(candidates, kernel)
+                page(self._score_stream(candidates, kernel))
                 .orderBy(F.desc("score"), F.asc("doc_id"))
                 .limit(k)
                 .collect()
@@ -1213,8 +1233,11 @@ class SearchEngine:
                 for r in meta.orderBy(F.desc("ub")).limit(n_seed).collect()
             ]
             seed_scored = (
-                self._score_stream(
-                    candidates.filter(F.col("block_id").isin(seed_ids)), kernel
+                page(
+                    self._score_stream(
+                        candidates.filter(F.col("block_id").isin(seed_ids)),
+                        kernel,
+                    )
                 )
                 .orderBy(F.desc("score"), F.asc("doc_id"))
                 .limit(k)
@@ -1223,7 +1246,7 @@ class SearchEngine:
             if len(seed_scored) < k:
                 # not enough docs to establish θ — fall back to exact
                 rows = (
-                    self._score_stream(candidates, kernel)
+                    page(self._score_stream(candidates, kernel))
                     .orderBy(F.desc("score"), F.asc("doc_id"))
                     .limit(k)
                     .collect()
@@ -1232,9 +1255,13 @@ class SearchEngine:
                 theta = seed_scored[-1]["score"]
                 keep = meta.filter(F.col("ub") >= theta).select("block_id")
                 rows = (
-                    self._score_stream(
-                        candidates.join(F.broadcast(keep), "block_id", "left_semi"),
-                        kernel,
+                    page(
+                        self._score_stream(
+                            candidates.join(
+                                F.broadcast(keep), "block_id", "left_semi"
+                            ),
+                            kernel,
+                        )
                     )
                     .orderBy(F.desc("score"), F.asc("doc_id"))
                     .limit(k)

@@ -786,3 +786,33 @@ def test_search_after_paging(engine):
             for r in engine.search_after(q, fa, k=6, filters=f).collect()
         ]
         assert fpage == ffull[8:14]
+
+
+def test_wand_search_after_equals_exact(engine):
+    """Deep paging under block-max pruning: search_wand(after=...)
+    must return exactly the exact-path search_after page — pruning
+    with θ drawn from the anchor-filtered seed is invisible in
+    results — across page depths, including the last partial page."""
+    q = "get"
+    total = engine.count(q)
+    assert total >= 25
+    full = [
+        (r["doc_id"], r["score"])
+        for r in engine.search(q, k=total).collect()
+    ]
+    for start in (10, 20, total - 5):
+        anchor = (full[start - 1][1], full[start - 1][0])
+        exact = [
+            (r["doc_id"], r["score"])
+            for r in engine.search_after(q, anchor, k=10).collect()
+        ]
+        wand = [
+            (r["doc_id"], r["score"])
+            for r in engine.search_wand(q, k=10, after=anchor).collect()
+        ]
+        assert [d for d, _ in wand] == [d for d, _ in exact], start
+        for (_, sw), (_, se) in zip(wand, exact):
+            assert sw == pytest.approx(se, rel=1e-12)
+    # past the end
+    last = (full[-1][1], full[-1][0])
+    assert engine.search_wand(q, k=10, after=last).count() == 0
