@@ -691,6 +691,60 @@ def _q_count(spark, sf_dir):
     return spark.createDataFrame(rows, "q string, n_hits long")
 
 
+def _q_collapse_lang(spark, sf_dir):
+    # Lucene field-collapse / grouping (grouping module TopGroups;
+    # CollapsingTopDocsCollector for one-per-group): best 2 hits per
+    # lang for 'merge OR sort', global top-12 by (score desc, path
+    # asc). The tie field is the stored path (unique per doc) so
+    # ranking is reproducible across rebuilds; orig doc_id is
+    # recovered from it. Collapse runs as per-partition partial
+    # top-n (map-side combine) + a bounded row_number window — never
+    # a full-match-set shuffle into #langs tasks.
+    eng = _engine(spark, sf_dir)
+    out = eng.search_collapse("merge OR sort", "lang", k=12, per_group=2)
+    return out.select(
+        F.regexp_extract("path", r"/(\d+)\.txt$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "lang",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _q_sort_fields(spark, sf_dir):
+    # Lucene Sort / SortField (IndexSearcher.search(query, n, sort);
+    # TopFieldCollector): the query defines the match set, stored
+    # fields define the order — (lang asc, path desc), top-15.
+    # Lowers to TakeOrderedAndProject: per-partition bounded heap,
+    # no global sort. path is doc-unique so the trailing internal
+    # docID tie-break is never reached and the oracle replays the
+    # ordering exactly.
+    eng = _engine(spark, sf_dir)
+    out = eng.search_sorted(
+        "merge AND batch", [("lang", "asc"), ("path", "desc")], k=15
+    )
+    return out.select(
+        F.regexp_extract("path", r"/(\d+)\.txt$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "lang",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _q_top_terms(spark, sf_dir):
+    # Lucene HighFreqTerms (misc module; Luke's "top terms"): the 25
+    # highest-df terms of the content field with (df, cf), answered
+    # straight from the term dictionary parquet — field directory
+    # pruned, zero posting decode.
+    eng = _engine(spark, sf_dir)
+    return eng.top_terms("content", n=25).select(
+        "term",
+        F.col("df").cast("long").alias("df"),
+        F.col("cf").cast("long").alias("cf"),
+    )
+
+
 def _q_span_near_or(spark, sf_dir):
     # nested span composition — Lucene SpanNearQuery over a SpanOr
     # clause (SpanNearQuery.java; clause trees are how Lucene users
@@ -3131,6 +3185,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- WINDOW (first 50 = the driver's CORRECTNESS cap) ---
         # r5 additions (never externally checked):
+        "q50_collapse_lang": _q_collapse_lang,
+        "q51_sort_fields": _q_sort_fields,
+        "q52_top_terms": _q_top_terms,
         "st_dedup_registry": _q_dedup_registry_stream,
         "q42_regexp_extended": _q_regexp_extended,
         "q43_span_near_or": _q_span_near_or,
@@ -4872,6 +4929,40 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
                 ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
               WHERE a.term = 'fast' AND b.term = 'sort')""",
+        # field collapse: best per_group=2 hits per lang for the OR
+        # match set, global top-12 by (score desc, path asc); path is
+        # reconstructed exactly as _as_corpus builds it so both sides
+        # order on the same doc-unique string
+        "q50_collapse_lang": f"""WITH {_CONTRIB},
+            u AS (SELECT doc_id, sum(c) AS score FROM contrib
+                  WHERE term IN ('merge', 'sort') GROUP BY doc_id),
+            j AS (SELECT u.doc_id, d.lang, u.score,
+                         d.source || '/' || u.doc_id || '.txt' AS path
+                  FROM u JOIN documents d USING (doc_id)),
+            r AS (SELECT *, row_number() OVER (
+                    PARTITION BY lang ORDER BY score DESC, path) AS rn
+                  FROM j)
+            SELECT doc_id, lang, round(score, 6) AS score
+            FROM r WHERE rn <= 2
+            ORDER BY score DESC, path LIMIT 12""",
+        # Sort/SortField: AND match set ordered by stored fields
+        # (lang asc, path desc), not relevance; score still reported
+        "q51_sort_fields": f"""WITH {_CONTRIB},
+            m AS (SELECT doc_id, sum(c) AS score FROM contrib
+                  WHERE term IN ('merge', 'batch') GROUP BY doc_id
+                  HAVING count(DISTINCT term) = 2),
+            j AS (SELECT m.doc_id, d.lang, m.score,
+                         d.source || '/' || m.doc_id || '.txt' AS path
+                  FROM m JOIN documents d USING (doc_id))
+            SELECT doc_id, lang, round(score, 6) AS score
+            FROM j ORDER BY lang ASC, path DESC LIMIT 15""",
+        # HighFreqTerms: top-25 dictionary terms by df (tie: term
+        # asc); df = docs containing, cf = total occurrences
+        "q52_top_terms": f"""WITH {_TOK}
+            SELECT term, count(DISTINCT doc_id)::BIGINT AS df,
+                   count(*)::BIGINT AS cf
+            FROM tok GROUP BY term
+            ORDER BY df DESC, term LIMIT 25""",
         # SpanNear over a SpanOr clause: adjacency where slot 0 is
         # bound by EITHER member; score = sum of all member + term
         # contributions in matched docs (same convention as q04)

@@ -1396,6 +1396,113 @@ class SearchEngine:
             matches = matches.join(allowed, "doc_id", "left_semi")
         return matches.count()
 
+    def search_collapse(
+        self,
+        query: ast.Node | str,
+        group_field: str,
+        k: int = 100,
+        per_group: int = 1,
+        filters: Filters | None = None,
+        case_sensitive: bool = False,
+        tie_field: str = "path",
+    ) -> DataFrame:
+        """Collapsed top-k — Lucene's field-collapse / grouping
+        surface (grouping module TopGroups; one-per-group is
+        CollapsingTopDocsCollector): at most ``per_group`` hits per
+        value of ``group_field`` (a stored doc column: repo / lang /
+        file_ext), globally ordered by (score desc, ``tie_field``
+        asc) and capped at ``k``. The tie-break is a stored field
+        (default ``path``, unique per doc) so the ordering is
+        deterministic and reproducible across index rebuilds, whose
+        internal docIDs may differ.
+
+        Scale shape: the match stream joins the 3-column stored-field
+        projection, then reduces in TWO phases so a low-cardinality
+        group (lang has dozens of values at web scale) never funnels
+        the whole match set through one task: (1) per-partition
+        partial top-n — an Arrow pass holding at most
+        groups-in-partition x per_group rows, the map-side combine of
+        top-n; (2) a row_number window over the surviving slice,
+        bounded by #partitions x groups x per_group rows. The final
+        global order is TakeOrderedAndProject.
+        """
+        scored = self._live_filtered_scores(query, filters, case_sensitive)
+        cols = ["doc_id", group_field]
+        if tie_field not in cols:
+            cols.append(tie_field)
+        joined = scored.join(self.reader.docs.select(*cols), "doc_id")
+        gf, tf, pg = group_field, tie_field, int(per_group)
+        schema = joined.schema
+
+        def partial_topn(batches):
+            acc = None
+            for b in batches:
+                cur = b if acc is None else pd.concat((acc, b))
+                cur = cur.sort_values(
+                    ["score", tf], ascending=[False, True], kind="mergesort"
+                )
+                acc = cur.groupby(gf, sort=False).head(pg)
+            if acc is not None and len(acc):
+                yield acc
+
+        part = joined.mapInPandas(partial_topn, schema)
+        w = Window.partitionBy(gf).orderBy(F.desc("score"), F.asc(tf))
+        best = (
+            part.withColumn("_grp_rank", F.row_number().over(w))
+            .filter(F.col("_grp_rank") <= pg)
+            .drop("_grp_rank")
+        )
+        return best.orderBy(F.desc("score"), F.asc(tf)).limit(k)
+
+    def search_sorted(
+        self,
+        query: ast.Node | str,
+        sort: list[tuple[str, str]],
+        k: int = 100,
+        filters: Filters | None = None,
+        case_sensitive: bool = False,
+        with_score: bool = True,
+    ) -> DataFrame:
+        """Field-sorted top-k — the Lucene Sort / SortField surface
+        (IndexSearcher.search(query, n, sort); TopFieldCollector):
+        the query defines the MATCH SET, the ordering comes from
+        stored doc columns instead of relevance. ``sort`` is a list
+        of (field, "asc"|"desc") pairs; "score" is accepted as a
+        field name for mixed relevance+field sorts. A trailing
+        doc-unique tie-break (doc_id asc) is always appended, like
+        Lucene's implicit docID tie.
+
+        Scale shape: matches semi-join the stored projection, then
+        orderBy(...).limit(k) lowers to TakeOrderedAndProject — a
+        per-partition bounded heap plus a driver merge of k-row
+        slices; no global sort materializes.
+        """
+        scored = self._live_filtered_scores(query, filters, case_sensitive)
+        fields = [f for f, _ in sort if f != "score"]
+        meta = self.reader.docs.select("doc_id", *dict.fromkeys(fields))
+        joined = scored.join(meta, "doc_id")
+        order = [
+            F.asc(f) if d.lower() == "asc" else F.desc(f) for f, d in sort
+        ]
+        out = joined.orderBy(*order, F.asc("doc_id")).limit(k)
+        return out if with_score else out.drop("score")
+
+    def top_terms(self, field: str = "content", n: int = 100) -> DataFrame:
+        """Highest-document-frequency dictionary slice — Lucene's
+        HighFreqTerms utility (misc module; Luke's "top terms" tab):
+        (term, df, cf) for the ``n`` most frequent terms of a field,
+        ordered by (df desc, term asc). Answers straight from the
+        term dictionary parquet — field directory pruned, no posting
+        decode; at corpus scale this is a top-k over the dictionary,
+        not the postings.
+        """
+        return (
+            self.reader.term_dict.filter(F.col("field") == field)
+            .select("term", "df", "cf")
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(int(n))
+        )
+
     # AND only the rarest trigrams of a needle (Zoekt / Cox codesearch
     # practice): every additional gram shrinks the candidate set less
     # but costs a full posting-list scan; hot grams ("ing", "er ")

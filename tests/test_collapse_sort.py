@@ -1,0 +1,176 @@
+"""Collapsed (grouped) search, field-sorted search, and top-terms —
+the Lucene grouping / Sort / HighFreqTerms surfaces — pinned against
+brute-force pandas oracles over the same scored stream and against
+the pure-Python OracleIndex term stats."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from codeindex_spark.corpus import (
+    CorpusSpec,
+    generate_documents,
+    spark_documents,
+)
+from codeindex_spark.index.build import IndexParams
+from codeindex_spark.index.segments import IndexBuilder, IndexReader
+from codeindex_spark.query.oracle import OracleIndex
+from codeindex_spark.query.planner import Filters, SearchEngine
+
+SPEC = CorpusSpec(n_docs=150)
+PARAMS = IndexParams(num_buckets=16, block_size=32)
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("csidx"))
+    docs = spark_documents(spark, SPEC, partitions=4)
+    IndexBuilder(spark, d, PARAMS, n_groups=2).build(docs, resume=False)
+    return SearchEngine(IndexReader(spark, d))
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    return OracleIndex.build(
+        generate_documents(SPEC),
+        num_buckets=PARAMS.num_buckets,
+        block_size=PARAMS.block_size,
+        k1=PARAMS.k1,
+        b=PARAMS.b,
+    )
+
+
+def _scored_with_meta(engine, query, fields):
+    scored = engine.score(query).toPandas()
+    meta = engine.reader.docs.select("doc_id", *fields).toPandas()
+    return scored.merge(meta, on="doc_id")
+
+
+def _brute_collapse(df, group, tie, per_group, k):
+    df = df.sort_values(
+        ["score", tie], ascending=[False, True], kind="mergesort"
+    )
+    best = df.groupby(group, sort=False).head(per_group)
+    return best.sort_values(
+        ["score", tie], ascending=[False, True], kind="mergesort"
+    ).head(k)
+
+
+@pytest.mark.parametrize("per_group", [1, 2, 3])
+def test_collapse_matches_bruteforce(engine, per_group):
+    q = "string OR return"
+    got = engine.search_collapse(
+        q, "lang", k=25, per_group=per_group
+    ).toPandas()
+    exp = _brute_collapse(
+        _scored_with_meta(engine, q, ["lang", "path"]),
+        "lang",
+        "path",
+        per_group,
+        25,
+    )
+    assert list(got["path"]) == list(exp["path"])
+    for g, e in zip(got["score"], exp["score"]):
+        assert g == pytest.approx(e, rel=1e-12)
+    # the collapse invariant itself
+    assert got.groupby("lang").size().max() <= per_group
+
+
+def test_collapse_group_by_repo_tie_by_path(engine):
+    q = "index AND writer"
+    got = engine.search_collapse(q, "repo", k=10, per_group=1).toPandas()
+    exp = _brute_collapse(
+        _scored_with_meta(engine, q, ["repo", "path"]),
+        "repo",
+        "path",
+        1,
+        10,
+    )
+    assert list(got["path"]) == list(exp["path"])
+    assert got["repo"].is_unique
+
+
+def test_collapse_respects_filters(engine):
+    q = "string OR return"
+    flt = Filters(lang="csharp")
+    got = engine.search_collapse(
+        q, "repo", k=20, per_group=2, filters=flt
+    ).toPandas()
+    df = _scored_with_meta(engine, q, ["repo", "path", "lang"])
+    exp = _brute_collapse(
+        df[df["lang"] == "csharp"], "repo", "path", 2, 20
+    )
+    assert list(got["path"]) == list(exp["path"])
+
+
+def test_collapse_k_caps_output(engine):
+    got = engine.search_collapse("string", "lang", k=3, per_group=5)
+    assert got.count() == 3
+
+
+def test_search_sorted_matches_bruteforce(engine):
+    q = "index AND writer"
+    sort = [("lang", "asc"), ("path", "desc")]
+    got = engine.search_sorted(q, sort, k=20).toPandas()
+    df = _scored_with_meta(engine, q, ["lang", "path"])
+    exp = df.sort_values(
+        ["lang", "path", "doc_id"],
+        ascending=[True, False, True],
+        kind="mergesort",
+    ).head(20)
+    assert list(got["doc_id"]) == list(exp["doc_id"])
+    for g, e in zip(got["score"], exp["score"]):
+        assert g == pytest.approx(e, rel=1e-12)
+
+
+def test_search_sorted_score_field_equals_search(engine):
+    """sort=[("score","desc")] reproduces the default relevance
+    ranking exactly (same implicit docID tie-break as search())."""
+    q = "string OR return"
+    got = [
+        (r["doc_id"], r["score"])
+        for r in engine.search_sorted(q, [("score", "desc")], k=30).collect()
+    ]
+    exp = [
+        (r["doc_id"], r["score"]) for r in engine.search(q, k=30).collect()
+    ]
+    assert got == exp
+
+
+def test_search_sorted_without_score(engine):
+    got = engine.search_sorted(
+        "string", [("path", "asc")], k=5, with_score=False
+    )
+    assert "score" not in got.columns
+    assert got.count() == 5
+
+
+def test_top_terms_matches_oracle(engine, oracle):
+    got = [
+        (r["term"], r["df"], r["cf"])
+        for r in engine.top_terms("content", n=30).collect()
+    ]
+    post = oracle.postings["content"]
+    exp = sorted(
+        (
+            (t, len(docs), sum(len(p) for p in docs.values()))
+            for t, docs in post.items()
+        ),
+        key=lambda r: (-r[1], r[0]),
+    )[:30]
+    assert got == exp
+
+
+def test_top_terms_field_scoped(engine, oracle):
+    """file_name field stats differ from content — directory pruning
+    must scope the slice to the requested field."""
+    got = [
+        (r["term"], r["df"]) for r in engine.top_terms("file_name", n=10).collect()
+    ]
+    post = oracle.postings["file_name"]
+    exp = sorted(
+        ((t, len(docs)) for t, docs in post.items()),
+        key=lambda r: (-r[1], r[0]),
+    )[:10]
+    assert got == exp
