@@ -745,6 +745,29 @@ def _q_top_terms(spark, sf_dir):
     )
 
 
+def _q_percolate(spark, sf_dir):
+    # Percolation — reverse search (Lucene Monitor / Luwak;
+    # Elasticsearch percolate): 6 registered query shapes matched
+    # against every document in one stateless mapInPandas pass.
+    # Matching is document-centric and corpus-stat-free, so the
+    # per-Arrow-batch in-memory index (Monitor's MemoryIndex-per-
+    # batch pattern) is exact; a presearcher term filter skips
+    # queries whose required terms miss the batch vocabulary.
+    from codeindex_spark.query import ast as qast
+    from codeindex_spark.query.percolate import percolate
+
+    registry = {
+        "t": "merge",
+        "a": "merge AND batch",
+        "on": "sort OR merge NOT spark",
+        "ph": qast.parse_phrase_query("fast sort"),
+        "w": "sc*",
+        "fz": "spak~1",
+    }
+    docs = _load(spark, sf_dir, "documents")
+    return percolate(docs, registry, id_col="doc_id", text_col="text")
+
+
 def _q_span_near_or(spark, sf_dir):
     # nested span composition — Lucene SpanNearQuery over a SpanOr
     # clause (SpanNearQuery.java; clause trees are how Lucene users
@@ -3185,6 +3208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- WINDOW (first 50 = the driver's CORRECTNESS cap) ---
         # r5 additions (never externally checked):
+        "pc_percolate": _q_percolate,
         "q50_collapse_lang": _q_collapse_lang,
         "q51_sort_fields": _q_sort_fields,
         "q52_top_terms": _q_top_terms,
@@ -4929,6 +4953,36 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
                 ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
               WHERE a.term = 'fast' AND b.term = 'sort')""",
+        # percolation: 6 registered query shapes -> (doc, query)
+        # match pairs; each shape's match set replays in SQL exactly
+        # as its forward-search twin does (q01/q02/q03/q04/q06/q07)
+        "pc_percolate": f"""WITH {_TOK}
+            SELECT 't' AS query_id, doc_id FROM
+              (SELECT DISTINCT doc_id FROM tok WHERE term = 'merge')
+            UNION ALL
+            SELECT 'a', doc_id FROM
+              (SELECT doc_id FROM tok WHERE term IN ('merge', 'batch')
+               GROUP BY doc_id HAVING count(DISTINCT term) = 2)
+            UNION ALL
+            SELECT 'on', doc_id FROM
+              (SELECT DISTINCT doc_id FROM tok WHERE term = 'sort'
+               UNION
+               SELECT DISTINCT doc_id FROM tok WHERE term = 'merge'
+                 AND doc_id NOT IN
+                   (SELECT doc_id FROM tok WHERE term = 'spark'))
+            UNION ALL
+            SELECT 'ph', doc_id FROM
+              (SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
+                 ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+               WHERE a.term = 'fast' AND b.term = 'sort')
+            UNION ALL
+            SELECT 'w', doc_id FROM
+              (SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'sc%')
+            UNION ALL
+            SELECT 'fz', doc_id FROM
+              (SELECT DISTINCT doc_id FROM tok
+               WHERE damerau_levenshtein(term, 'spak') <= 1
+                 AND abs(length(term) - 4) <= 1)""",
         # field collapse: best per_group=2 hits per lang for the OR
         # match set, global top-12 by (score desc, path asc); path is
         # reconstructed exactly as _as_corpus builds it so both sides

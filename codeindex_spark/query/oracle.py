@@ -177,7 +177,11 @@ class OracleIndex:
         block_size: int = 128,
         k1: float = 1.2,
         b: float = 0.75,
+        fields: tuple[str, ...] | None = None,
     ) -> "OracleIndex":
+        # fields=None builds every field (the rank-identity default);
+        # the percolator passes only the fields its registry
+        # references so per-batch tokenization stays one pass
         idx = OracleIndex(num_buckets, block_size, k1, b)
         docs = assign_doc_ids_pandas(documents, num_buckets, block_size)
         docs["file_name"] = docs["path"].str.split("/").str[-1]
@@ -198,6 +202,13 @@ class OracleIndex:
                 for i in range(max(len(r.path) - 2, 0))
             ],
         }
+        if fields is not None:
+            unknown = set(fields) - set(field_sources)
+            if unknown:
+                raise ValueError(f"unknown index fields: {sorted(unknown)}")
+            field_sources = {
+                f: field_sources[f] for f in field_sources if f in fields
+            }
         for fld, fn in field_sources.items():
             post: dict[str, dict[int, list[int]]] = {}
             dls: dict[int, int] = {}

@@ -1,0 +1,253 @@
+"""Percolation — reverse search: REGISTER queries once, then match
+every incoming document against the registry (the Lucene Monitor /
+Luwak operation; Elasticsearch exposes the same thing as percolate
+queries). The reference's watcher loop re-runs user searches against
+changed files (IndexMaintainer.cs:84-134 rebuilds, then users re-query)
+— percolation packages that "which saved searches does this new doc
+hit?" step as a single operator, usable batch or streaming.
+
+Design (Monitor's, re-expressed for Spark):
+
+- Queries are parsed ONCE on the driver into the engine-neutral AST
+  and shipped in the task closure (registries are tiny next to
+  corpora — 10^3..10^5 entries; see the scale note below for more).
+- Documents flow through ``mapInPandas``; each Arrow batch becomes an
+  in-memory index (the MemoryIndex-per-doc-batch pattern Lucene
+  Monitor's batch CandidateMatcher uses) and every surviving
+  registered query is evaluated against it. The evaluator is the
+  pure-Python ``OracleIndex`` — the same one the rank-identity suite
+  pins against the Spark engine — restricted to the fields the
+  registry references, so the per-batch cost is one tokenize pass.
+- Matching is document-centric and corpus-stat-free: whether a
+  term / boolean / phrase / span / wildcard / fuzzy / regexp query
+  matches doc d depends only on d's own tokens, so per-batch
+  evaluation is EXACT. Scores are corpus-stat-dependent and are NOT
+  reported — percolation answers "which (doc, query) pairs match",
+  like Monitor's QueryMatch default. Multi-term expansion happens
+  against the document's own vocabulary (MemoryIndex semantics), so
+  the engine's global MAX_EXPANSIONS dictionary cap does not apply.
+- A presearcher term filter (Monitor's TermFilteredPresearcher idea)
+  skips queries that cannot match anything in the batch: each query
+  publishes a set S of (field, term) pairs such that any matching
+  doc must contain AT LEAST ONE member of S; the query is evaluated
+  only when S intersects the batch vocabulary. Pattern-only queries
+  (wildcard / fuzzy / regexp / range in every conjunct) publish no
+  filter and are always evaluated.
+
+Scale shape: documents partition freely — the kernel is a stateless
+map, so the same call works unchanged on a Structured Streaming
+DataFrame (percolate-on-ingest; see tests). Per batch the work is
+one tokenize pass plus |surviving queries| postings-dict probes. At
+10^6+ registered queries, shard the registry by presearcher term
+into a DataFrame and semi-join batch vocabularies instead of
+broadcasting — this kernel is the per-shard unit.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from codeindex_spark.query import ast
+
+__all__ = ["QueryRegistry", "percolate", "required_any"]
+
+
+def _pattern_slot(s: str) -> bool:
+    return "*" in s or "?" in s
+
+
+def required_any(node: ast.Node) -> frozenset | None:
+    """Presearcher filter: a set of (field, term) pairs such that any
+    document matching ``node`` contains at least one of them; None
+    when no such finite set exists (pattern leaves in every
+    conjunct). Soundness is what matters — a superset-matching filter
+    only costs evaluations, a wrong one loses matches:
+
+    - AND-like nodes may return ANY child's set (every child must
+      match); the smallest is chosen.
+    - OR-like nodes must union ALL children's sets; one None child
+      poisons the union.
+    - NOT / SpanNot filter on the positive / include side only.
+    - Bool follows its documented matching set: must+filter anchor if
+      present, otherwise at least one should must match.
+    """
+    if isinstance(node, ast.Term):
+        return frozenset({(node.field, node.term)})
+    if isinstance(node, (ast.Synonyms, ast.SpanOr)):
+        return frozenset((node.field, t) for t in node.terms)
+    if isinstance(node, (ast.Wildcard, ast.Fuzzy, ast.Regexp, ast.Range)):
+        return None
+    if isinstance(node, ast.Phrase):
+        best = None
+        for s in node.slots:
+            if isinstance(s, str) and not _pattern_slot(s):
+                cand = frozenset({(node.field, s)})
+            elif isinstance(s, tuple):
+                cand = frozenset((node.field, t) for t in s)
+            else:
+                continue
+            if best is None or len(cand) < len(best):
+                best = cand
+        return best
+    if isinstance(node, ast.SpanFirst):
+        return frozenset(
+            (node.field, t) for t in ast.span_member_terms(node.term)
+        )
+    if isinstance(node, ast.SpanNot):
+        return frozenset(
+            (node.field, t) for t in ast.span_member_terms(node.include)
+        )
+    if isinstance(node, ast.ConstantScore):
+        return required_any(node.child)
+    if isinstance(node, ast.Not):
+        return required_any(node.positive)
+    if isinstance(node, ast.And):
+        best = None
+        for c in node.children:
+            s = required_any(c)
+            if s is not None and (best is None or len(s) < len(best)):
+                best = s
+        return best
+    if isinstance(node, (ast.Or, ast.DisMax)):
+        out: set = set()
+        for c in node.children:
+            s = required_any(c)
+            if s is None:
+                return None
+            out |= s
+        return frozenset(out)
+    if isinstance(node, ast.Bool):
+        anchors = tuple(node.must) + tuple(node.filter)
+        if anchors:
+            best = None
+            for c in anchors:
+                s = required_any(c)
+                if s is not None and (best is None or len(s) < len(best)):
+                    best = s
+            return best
+        out = set()
+        for c in node.should:
+            s = required_any(c)
+            if s is None:
+                return None
+            out |= s
+        # no positives at all -> Lucene's match-nothing pure-negative
+        # BooleanQuery; the empty set correctly never intersects
+        return frozenset(out)
+    return None
+
+
+def _node_fields(node: ast.Node, out: set) -> None:
+    f = getattr(node, "field", None)
+    if f is not None:
+        out.add(f)
+    for attr in ("children", "must", "should", "must_not", "filter"):
+        for c in getattr(node, attr, ()) or ():
+            _node_fields(c, out)
+    for attr in ("child", "positive", "negative"):
+        c = getattr(node, attr, None)
+        if c is not None:
+            _node_fields(c, out)
+
+
+class QueryRegistry:
+    """Parsed, presearcher-annotated query set. ``queries`` maps a
+    query id to a query string (classic-parser syntax) or a
+    programmatic AST node; strings parse with ``case_sensitive``
+    routing the default field to the cased twin, exactly like
+    SearchEngine.score."""
+
+    def __init__(
+        self,
+        queries: dict[str, ast.Node | str],
+        case_sensitive: bool = False,
+    ):
+        if not queries:
+            raise ValueError("empty query registry")
+        self.entries: dict[str, tuple[ast.Node, frozenset | None]] = {}
+        flds: set = set()
+        for qid, q in queries.items():
+            node = (
+                ast.parse_query(q, case_sensitive) if isinstance(q, str) else q
+            )
+            self.entries[str(qid)] = (node, required_any(node))
+            _node_fields(node, flds)
+        self.fields: tuple[str, ...] = tuple(sorted(flds))
+
+
+def percolate(
+    docs: DataFrame,
+    registry: QueryRegistry | dict,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    path_col: str | None = None,
+) -> DataFrame:
+    """(id_col, query_id) pairs: which registered queries match which
+    documents. ``path_col`` feeds the file_name / file_path /
+    path_trigram fields when the registry references them; without
+    it, those fields see a synthetic per-row path and only
+    content-family queries are meaningful. Works on batch AND
+    streaming DataFrames (stateless map)."""
+    if isinstance(registry, dict):
+        registry = QueryRegistry(registry)
+    entries = registry.entries
+    flds = registry.fields
+    needs_path = bool(
+        {"file_name", "file_path", "path_trigram"} & set(flds)
+    )
+    if needs_path and path_col is None:
+        raise ValueError(
+            "registry references path-derived fields; pass path_col"
+        )
+    id_type = docs.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField(id_col, id_type, True),
+            T.StructField("query_id", T.StringType(), False),
+        ]
+    )
+    cols = [id_col, text_col] + ([path_col] if path_col else [])
+    src = docs.select(*dict.fromkeys(cols))
+
+    def kernel(batches):
+        from codeindex_spark.query.oracle import OracleIndex
+
+        for b in batches:
+            if not len(b):
+                continue
+            frame = pd.DataFrame(
+                {
+                    "repo": "r",
+                    "path": (
+                        b[path_col].astype(str)
+                        if path_col
+                        else b[id_col].astype(str) + ".d"
+                    ),
+                    "commit": "c",
+                    "content": b[text_col].fillna("").astype(str),
+                    "_orig": b[id_col].values,
+                }
+            )
+            idx = OracleIndex.build(
+                frame, num_buckets=1, block_size=128, fields=flds
+            )
+            orig = dict(zip(idx.docs["doc_id"], idx.docs["_orig"]))
+            vocab = {
+                (f, t) for f, post in idx.postings.items() for t in post
+            }
+            out_ids, out_qids = [], []
+            for qid, (node, req) in entries.items():
+                if req is not None and not (req & vocab):
+                    continue
+                for d in idx.eval(node):
+                    out_ids.append(orig[d])
+                    out_qids.append(qid)
+            if out_ids:
+                yield pd.DataFrame(
+                    {id_col: out_ids, "query_id": out_qids}
+                )
+
+    return src.mapInPandas(kernel, schema)
