@@ -745,6 +745,21 @@ def _q_top_terms(spark, sf_dir):
     )
 
 
+def _q_parent_join(spark, sf_dir):
+    # ToParentBlockJoinQuery ScoreMode semantics (Lucene join
+    # module): the query matches child docs (files), results are
+    # parents (repos) scored by aggregating their matching children
+    # — ScoreMode.Total here, with the child count alongside. All 20
+    # repos returned (k = #parents) so no tie can straddle the cut.
+    eng = _engine(spark, sf_dir)
+    out = eng.join_to_parent("merge OR sort", "repo", score_mode="total", k=50)
+    return out.select(
+        "repo",
+        F.round("score", 6).alias("score"),
+        F.col("n_children").cast("long").alias("n_children"),
+    )
+
+
 def _q_percolate(spark, sf_dir):
     # Percolation — reverse search (Lucene Monitor / Luwak;
     # Elasticsearch percolate): 6 registered query shapes matched
@@ -3209,6 +3224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- WINDOW (first 50 = the driver's CORRECTNESS cap) ---
         # r5 additions (never externally checked):
         "pc_percolate": _q_percolate,
+        "q53_parent_join": _q_parent_join,
         "q50_collapse_lang": _q_collapse_lang,
         "q51_sort_fields": _q_sort_fields,
         "q52_top_terms": _q_top_terms,
@@ -4953,6 +4969,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
                 ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
               WHERE a.term = 'fast' AND b.term = 'sort')""",
+        # block-join-to-parent: child (file) match scores aggregate
+        # to parents (repos) under ScoreMode.Total; repo is the
+        # documents.source column on the engine side
+        "q53_parent_join": f"""WITH {_CONTRIB},
+            u AS (SELECT doc_id, sum(c) AS s FROM contrib
+                  WHERE term IN ('merge', 'sort') GROUP BY doc_id)
+            SELECT d.source AS repo, round(sum(u.s), 6) AS score,
+                   count(*)::BIGINT AS n_children
+            FROM u JOIN documents d USING (doc_id)
+            GROUP BY d.source""",
         # percolation: 6 registered query shapes -> (doc, query)
         # match pairs; each shape's match set replays in SQL exactly
         # as its forward-search twin does (q01/q02/q03/q04/q06/q07)

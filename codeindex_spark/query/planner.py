@@ -1487,6 +1487,58 @@ class SearchEngine:
         out = joined.orderBy(*order, F.asc("doc_id")).limit(k)
         return out if with_score else out.drop("score")
 
+    def join_to_parent(
+        self,
+        query: ast.Node | str,
+        parent_field: str,
+        score_mode: str = "max",
+        k: int = 100,
+        filters: Filters | None = None,
+        case_sensitive: bool = False,
+    ) -> DataFrame:
+        """Child-hits-to-parent score aggregation — the semantics of
+        Lucene's ToParentBlockJoinQuery ScoreMode (join module,
+        ToParentBlockJoinQuery.java: Max / Total / Avg / Min / None):
+        the query matches CHILD docs (files), results are PARENTS
+        (values of a stored field: repo, directory, lang) scored by
+        aggregating their matching children. Returns (parent_field,
+        score, n_children) ordered (score desc, parent asc), cap k.
+        Lucene requires parent/child in one index block; with a
+        columnar docs table the parent key is just a stored field,
+        so the join is a groupBy — no block layout needed.
+
+        Scale shape: every ScoreMode is an algebraic aggregate
+        (max/sum/min/count; avg = sum/count partials), so the groupBy
+        is map-side combinable — partials shrink to one row per
+        (task, parent) before the shuffle; the final order is
+        TakeOrderedAndProject.
+        """
+        aggs = {
+            "max": F.max,
+            "total": F.sum,
+            "avg": F.avg,
+            "min": F.min,
+            "none": None,
+        }
+        if score_mode not in aggs:
+            raise ValueError(
+                f"score_mode must be one of {sorted(aggs)}: {score_mode!r}"
+            )
+        scored = self._live_filtered_scores(query, filters, case_sensitive)
+        joined = scored.join(
+            self.reader.docs.select("doc_id", parent_field), "doc_id"
+        )
+        fn = aggs[score_mode]
+        score_col = (
+            F.lit(0.0) if fn is None else fn("score")
+        ).alias("score")
+        out = joined.groupBy(parent_field).agg(
+            score_col, F.count("*").alias("n_children")
+        )
+        return out.orderBy(
+            F.desc("score"), F.asc(parent_field)
+        ).limit(k)
+
     def top_terms(self, field: str = "content", n: int = 100) -> DataFrame:
         """Highest-document-frequency dictionary slice — Lucene's
         HighFreqTerms utility (misc module; Luke's "top terms" tab):

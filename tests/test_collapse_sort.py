@@ -174,3 +174,32 @@ def test_top_terms_field_scoped(engine, oracle):
         key=lambda r: (-r[1], r[0]),
     )[:10]
     assert got == exp
+
+
+@pytest.mark.parametrize("mode", ["max", "total", "avg", "min"])
+def test_join_to_parent_matches_bruteforce(engine, mode):
+    q = "string OR return"
+    got = engine.join_to_parent(q, "repo", score_mode=mode, k=50).toPandas()
+    df = _scored_with_meta(engine, q, ["repo"])
+    agg = {"max": "max", "total": "sum", "avg": "mean", "min": "min"}[mode]
+    exp = (
+        df.groupby("repo")
+        .agg(score=("score", agg), n_children=("doc_id", "size"))
+        .reset_index()
+        .sort_values(["score", "repo"], ascending=[False, True])
+    )
+    assert list(got["repo"]) == list(exp["repo"])
+    for g, e in zip(got["score"], exp["score"]):
+        assert g == pytest.approx(e, rel=1e-9)
+    assert list(got["n_children"]) == list(exp["n_children"])
+
+
+def test_join_to_parent_none_mode_and_validation(engine):
+    got = engine.join_to_parent(
+        "string", "lang", score_mode="none", k=10
+    ).toPandas()
+    assert (got["score"] == 0.0).all()
+    # none-mode order degenerates to parent asc (all scores equal)
+    assert list(got["lang"]) == sorted(got["lang"])
+    with pytest.raises(ValueError, match="score_mode"):
+        engine.join_to_parent("string", "lang", score_mode="bogus")
