@@ -3214,9 +3214,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Declaration order matters: the driver's CORRECTNESS artifact
     # caps at the FIRST 50 entries. The window policy (explicit per
     # VERDICT r4 task 8) is encoded in the section comments below:
-    # (1) entries never yet externally checked lead, (2) a fixed set
-    # of ~14 PINNED core sentinels appears in EVERY window so core
-    # regressions are always externally visible, (3) the remaining
+    # (1) entries never yet externally checked lead (36 in r5), (2) a
+    # fixed set of PINNED core sentinels (13 in r5) appears in EVERY
+    # window so core regressions are always externally visible, (3) the
     # slots rotate through the least-recently-checked entries.
     # Everything below the cap was checked in the most recent rounds
     # and stays covered locally by tools/check_entry.py.

@@ -270,6 +270,64 @@ def main() -> None:
                    lambda: eng.suggest("custmer", k=5).collect()), 3
     )
 
+    # r5 session-12 query surfaces: collapse / field sort / top terms
+    # / block-join-to-parent / percolation
+    queries["q_collapse"] = round(
+        pooled_p50(
+            "q_collapse",
+            lambda: eng.search_collapse(
+                "merge OR sort", "lang", k=20, per_group=2
+            ).collect(),
+        ),
+        3,
+    )
+    queries["q_sorted"] = round(
+        pooled_p50(
+            "q_sorted",
+            lambda: eng.search_sorted(
+                "merge AND batch", [("lang", "asc"), ("path", "desc")], k=100
+            ).collect(),
+        ),
+        3,
+    )
+    queries["q_top_terms"] = round(
+        pooled_p50(
+            "q_top_terms", lambda: eng.top_terms("content", 100).collect()
+        ),
+        3,
+    )
+    queries["q_parent_join"] = round(
+        pooled_p50(
+            "q_parent_join",
+            lambda: eng.join_to_parent(
+                "merge OR sort", "repo", score_mode="total", k=100
+            ).collect(),
+        ),
+        3,
+    )
+    from codeindex_spark.query.percolate import QueryRegistry, percolate
+
+    _perc_reg = QueryRegistry(
+        {
+            "t": "merge",
+            "a": "merge AND batch",
+            "on": "sort OR merge NOT spark",
+            "ph": ast.parse_phrase_query("fast sort"),
+            "w": "sc*",
+            "fz": "spak~1",
+        }
+    )
+    _perc_docs = entrymod._load(spark, sf_dir, "documents")
+    queries["op_percolate"] = round(
+        pooled_p50(
+            "op_percolate",
+            lambda: percolate(
+                _perc_docs, _perc_reg, id_col="doc_id", text_col="text"
+            ).count(),
+        ),
+        3,
+    )
+
     # ---- phase 3b: trigram substring/regex search (r2) ----
     # separate index: content_trigram is opt-in and must not perturb
     # the round-comparable build_sf_docs key

@@ -49,6 +49,8 @@ from codeindex_spark.ops.sketch import heavy_hitters, kmv_distinct, gram_stream
 from codeindex_spark.ops.graph import pagerank
 from codeindex_spark.ops.web import (normalize_urls, url_dedup_keep,
                                      extract_links, anchor_stats)
+from codeindex_spark.query import ast as qast
+from codeindex_spark.query.percolate import QueryRegistry, percolate
 from pyspark.sql import functions as F
 
 cpus = {cpus}
@@ -169,6 +171,30 @@ OPS = {{
             F.substring("text", 80, 200),
             F.lit(" <a href='#frag'>f</a></p>"),
         ).alias("html"))), k=2).filter(F.col("n_links") >= 1),
+    # percolate: reverse search — an 8-shape registry (term, bool,
+    # phrase, wildcard, fuzzy, regexp, msm) matched against every
+    # doc in one stateless mapInPandas pass (the Lucene Monitor
+    # MemoryIndex-per-batch kernel). Pure map, zero shuffle — the
+    # tokenize+evaluate CPU contrast for the query-side op family;
+    # count() cannot prune an opaque mapInPandas.
+    "percolate": lambda d: percolate(
+        d,
+        QueryRegistry({{
+            "t": "get",
+            "band": "index AND writer",
+            "bor": "string OR return NOT get",
+            "ph": qast.parse_phrase_query("add documents"),
+            "w": "stri*",
+            "fz": "strng~2",
+            "rx": "/st.*/",
+            "msm": qast.Bool(
+                should=(qast.Term("string"), qast.Term("return"),
+                        qast.Term("get")),
+                min_should_match=2,
+            ),
+        }}),
+        id_col="doc_id", text_col="text",
+    ),
 }}
 OP = OPS[{op!r}]
 # untimed warmup: compile the plan shapes on a small slice
@@ -207,7 +233,7 @@ def main() -> None:
     ap.add_argument("--op", default="minhash",
                     choices=["minhash", "repetition", "dsir", "spans",
                              "semdedup", "heavy", "kmv", "pagerank",
-                             "url", "linkgraph"])
+                             "url", "linkgraph", "percolate"])
     args = ap.parse_args()
     levels = [int(x) for x in args.levels.split(",")]
     if len(levels) != 2 or levels[0] == levels[1]:
@@ -287,7 +313,8 @@ def main() -> None:
                "kmv": "kmv_distinct(text, k=1024)",
                "pagerank": "pagerank(8-out-regular + hub tail, iters=5)",
                "url": "normalize_urls+url_dedup_keep",
-               "linkgraph": "extract_links+anchor_stats(k=2)"}[args.op],
+               "linkgraph": "extract_links+anchor_stats(k=2)",
+               "percolate": "percolate(8-shape registry)"}[args.op],
         "n_docs": args.docs,
         "protocol": (
             f"{args.runs} independent runs per level on the same "
