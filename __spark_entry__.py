@@ -760,6 +760,23 @@ def _q_parent_join(spark, sf_dir):
     )
 
 
+def _q_index_stats(spark, sf_dir):
+    # CollectionStatistics / Terms surface (Terms.getDocCount,
+    # getSumDocFreq, getSumTotalTermFreq; Luke's overview tab):
+    # content-field stats from the build-time sidecar + ONE
+    # dictionary groupBy — postings never touched.
+    eng = _engine(spark, sf_dir)
+    out = eng.index_stats(["content"])
+    return out.select(
+        "field",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round("avgdl", 6).alias("avgdl"),
+        F.col("n_terms").cast("long").alias("n_terms"),
+        F.col("sum_df").cast("long").alias("sum_df"),
+        F.col("sum_cf").cast("long").alias("sum_cf"),
+    )
+
+
 def _q_percolate(spark, sf_dir):
     # Percolation — reverse search (Lucene Monitor / Luwak;
     # Elasticsearch percolate): 6 registered query shapes matched
@@ -3225,6 +3242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 additions (never externally checked):
         "pc_percolate": _q_percolate,
         "q53_parent_join": _q_parent_join,
+        "ix_stats": _q_index_stats,
         "q50_collapse_lang": _q_collapse_lang,
         "q51_sort_fields": _q_sort_fields,
         "q52_top_terms": _q_top_terms,
@@ -4969,6 +4987,20 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
                 ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
               WHERE a.term = 'fast' AND b.term = 'sort')""",
+        # index overview stats: n_docs/avgdl from the build sidecar,
+        # dictionary aggregates replayed from the token stream
+        "ix_stats": f"""WITH {_TOK},
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id)
+            SELECT 'content' AS field,
+                   (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+                   round((SELECT sum(dl) FROM dl)::DOUBLE
+                         / (SELECT count(*) FROM documents), 6) AS avgdl,
+                   count(DISTINCT term)::BIGINT AS n_terms,
+                   (SELECT count(*) FROM
+                      (SELECT DISTINCT doc_id, term FROM tok))::BIGINT
+                     AS sum_df,
+                   count(*)::BIGINT AS sum_cf
+            FROM tok""",
         # block-join-to-parent: child (file) match scores aggregate
         # to parents (repos) under ScoreMode.Total; repo is the
         # documents.source column on the engine side

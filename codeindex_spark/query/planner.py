@@ -1555,6 +1555,30 @@ class SearchEngine:
             .limit(int(n))
         )
 
+    def index_stats(self, fields: list[str] | None = None) -> DataFrame:
+        """Per-field index statistics — the Lucene CollectionStatistics
+        / Terms surface (Terms.getDocCount, getSumDocFreq,
+        getSumTotalTermFreq; Luke's overview tab): (field, n_docs,
+        avgdl, n_terms, sum_df, sum_cf) ordered by field. n_docs and
+        avgdl come from the stats sidecar written at build time; the
+        dictionary aggregates are ONE map-side-combinable groupBy over
+        the term-dict parquet (field directory pruned when ``fields``
+        narrows it) — postings are never touched.
+        """
+        td = self.reader.term_dict
+        if fields:
+            td = td.filter(F.col("field").isin(list(fields)))
+        agg = td.groupBy("field").agg(
+            F.count("*").alias("n_terms"),
+            F.sum("df").alias("sum_df"),
+            F.sum("cf").alias("sum_cf"),
+        )
+        stats = self.reader.stats
+        sdf = self.reader.spark.createDataFrame(
+            stats[["field", "n_docs", "avgdl"]]
+        )
+        return sdf.join(agg, "field").orderBy("field")
+
     # AND only the rarest trigrams of a needle (Zoekt / Cox codesearch
     # practice): every additional gram shrinks the candidate set less
     # but costs a full posting-list scan; hot grams ("ing", "er ")

@@ -203,3 +203,21 @@ def test_join_to_parent_none_mode_and_validation(engine):
     assert list(got["lang"]) == sorted(got["lang"])
     with pytest.raises(ValueError, match="score_mode"):
         engine.join_to_parent("string", "lang", score_mode="bogus")
+
+
+def test_index_stats_matches_oracle(engine, oracle):
+    rows = {
+        r["field"]: r
+        for r in engine.index_stats(["content", "file_name"]).collect()
+    }
+    assert set(rows) == {"content", "file_name"}
+    for fld, r in rows.items():
+        n_docs, avgdl = oracle.stats[fld]
+        post = oracle.postings[fld]
+        assert r["n_docs"] == n_docs
+        assert r["avgdl"] == pytest.approx(avgdl, rel=1e-12)
+        assert r["n_terms"] == len(post)
+        assert r["sum_df"] == sum(len(d) for d in post.values())
+        assert r["sum_cf"] == sum(
+            len(p) for d in post.values() for p in d.values()
+        )
