@@ -760,6 +760,16 @@ def _q_parent_join(spark, sf_dir):
     )
 
 
+def _q_mlt_text(spark, sf_dir):
+    # MoreLikeThis.like(Reader): similarity query from ARBITRARY text
+    # (no stored source doc, so nothing is excluded). The literal's
+    # term freqs (merge 3, batch 2, sort 2; fast/table/scan fall
+    # below minTermFreq=2) are what the oracle's VALUES list pins.
+    eng = _engine(spark, sf_dir)
+    text = "merge batch merge sort fast table scan merge batch sort"
+    return _orig_ids(eng, eng.more_like_text(text, k=10), extra=_SCORE())
+
+
 def _q_index_stats(spark, sf_dir):
     # CollectionStatistics / Terms surface (Terms.getDocCount,
     # getSumDocFreq, getSumTotalTermFreq; Luke's overview tab):
@@ -3243,6 +3253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pc_percolate": _q_percolate,
         "q53_parent_join": _q_parent_join,
         "ix_stats": _q_index_stats,
+        "q54_mlt_text": _q_mlt_text,
         "q50_collapse_lang": _q_collapse_lang,
         "q51_sort_fields": _q_sort_fields,
         "q52_top_terms": _q_top_terms,
@@ -4987,6 +4998,28 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
                 ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
               WHERE a.term = 'fast' AND b.term = 'sort')""",
+        # MoreLikeThis.like(Reader): the literal text's tf table (the
+        # >= minTermFreq=2 slice) as a VALUES list; term selection,
+        # scoring and the top-10 replay q30's oracle without the
+        # source-doc exclusion
+        "q54_mlt_text": f"""WITH {_CONTRIB},
+            srctf AS (SELECT * FROM (VALUES
+                ('merge', 3.0::DOUBLE), ('batch', 2.0::DOUBLE),
+                ('sort', 2.0::DOUBLE)) v(term, tf)),
+            mlt AS (
+              SELECT s.term,
+                     s.tf * ln(1.0::DOUBLE
+                         + ((SELECT n_docs FROM nn) - d.df + 0.5::DOUBLE)
+                           / (d.df + 0.5::DOUBLE)) AS tscore
+              FROM srctf s JOIN dfa d USING (term)
+              WHERE d.df >= 5.0::DOUBLE),
+            chosen AS (
+              SELECT term FROM mlt ORDER BY tscore DESC, term ASC LIMIT 25),
+            sc AS (
+              SELECT doc_id, round(sum(c), 6) AS score
+              FROM contrib JOIN chosen USING (term) GROUP BY doc_id)
+            SELECT doc_id, score FROM sc
+            ORDER BY score DESC, doc_id LIMIT 10""",
         # index overview stats: n_docs/avgdl from the build sidecar,
         # dictionary aggregates replayed from the token stream
         "ix_stats": f"""WITH {_TOK},

@@ -2240,6 +2240,71 @@ class SearchEngine:
             if field == "content_cs"
             else tokenize_lower(src[0]["content"] or "")
         )
+        return self._mlt_from_tokens(
+            toks,
+            src_id,
+            k,
+            field,
+            max_query_terms,
+            min_term_freq,
+            min_doc_freq,
+            max_num_tokens_parsed,
+            filters,
+        )
+
+    def more_like_text(
+        self,
+        text: str,
+        k: int = 10,
+        field: str = "content",
+        max_query_terms: int = 25,
+        min_term_freq: int = 2,
+        min_doc_freq: int = 5,
+        max_num_tokens_parsed: int = 5000,
+        filters: "Filters | None" = None,
+    ) -> DataFrame:
+        """Find documents similar to ARBITRARY text — the
+        MoreLikeThis.like(Reader) overload (lucene/queries
+        MoreLikeThis.java: like() accepts Readers, not just stored
+        docIDs): analyze the given text, rank its terms by tf·idf
+        against the index's dictionary stats, OR-query the top
+        ``max_query_terms``. No source doc exists, so nothing is
+        excluded from the results. Same bounded-driver scale shape as
+        more_like_this: the text's term table is clipped at
+        ``max_num_tokens_parsed``, the dictionary slice is
+        isin/range-pruned, and the query runs block-max WAND when no
+        tombstones/filters apply."""
+        from codeindex_spark.tokenizer import tokenize, tokenize_lower
+
+        toks = (
+            tokenize(text or "")
+            if field == "content_cs"
+            else tokenize_lower(text or "")
+        )
+        return self._mlt_from_tokens(
+            toks,
+            None,
+            k,
+            field,
+            max_query_terms,
+            min_term_freq,
+            min_doc_freq,
+            max_num_tokens_parsed,
+            filters,
+        )
+
+    def _mlt_from_tokens(
+        self,
+        toks: list,
+        exclude_id: int | None,
+        k: int,
+        field: str,
+        max_query_terms: int,
+        min_term_freq: int,
+        min_doc_freq: int,
+        max_num_tokens_parsed: int,
+        filters: "Filters | None",
+    ) -> DataFrame:
         # Lucene MLT maxNumTokensParsed: bound the driver-side term
         # table by the doc PREFIX, so a pathological multi-MB source
         # doc can't explode the tf map or the dictionary slice
@@ -2283,15 +2348,14 @@ class SearchEngine:
         # (they drop rows AFTER scoring, which would starve a
         # pre-limited WAND result).
         live = getattr(self.reader, "live_doc_ids", lambda: None)()
+        extra = 1 if exclude_id is not None else 0
         if filters is None and live is None:
-            top = self.search_wand(node, k=k + 1)
+            top = self.search_wand(node, k=k + extra)
         else:
-            top = self.search(node, k=k + 1, filters=filters)
-        return (
-            top.filter(F.col("doc_id") != src_id)
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
-        )
+            top = self.search(node, k=k + extra, filters=filters)
+        if exclude_id is not None:
+            top = top.filter(F.col("doc_id") != exclude_id)
+        return top.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def hints(self, prefix: str, case_sensitive: bool = False, limit: int = 20) -> DataFrame:
         """Autocomplete: term-or-prefix on the hint words, limit 20

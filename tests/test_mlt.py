@@ -222,3 +222,31 @@ def test_suggest_ngram_index_identical(engine):
     finally:
         # keep other tests on the fallback path regardless of order
         engine._suggest_idx = None
+
+
+def test_mlt_text_equals_mlt_doc_on_same_content(engine):
+    """more_like_text(stored content) must reproduce
+    more_like_this(doc_key) exactly once the source doc (which only
+    the doc variant excludes) is dropped: same tokens -> same tf ->
+    same chosen terms -> same scored stream."""
+    row = (
+        engine.reader.docs.select("doc_id", "doc_key", "content")
+        .orderBy("doc_id")
+        .collect()[3]
+    )
+    by_doc = [
+        (r["doc_id"], r["score"])
+        for r in engine.more_like_this(row["doc_key"], k=10).collect()
+    ]
+    by_text = [
+        (r["doc_id"], r["score"])
+        for r in engine.more_like_text(row["content"], k=11).collect()
+        if r["doc_id"] != row["doc_id"]
+    ][:10]
+    assert by_doc == by_text and by_doc
+
+
+def test_mlt_text_empty_and_rare(engine):
+    assert engine.more_like_text("").count() == 0
+    # every token below min_term_freq=2 -> no candidate terms
+    assert engine.more_like_text("unique words only once").count() == 0
