@@ -83,6 +83,31 @@ def cmd_search(args) -> int:
         repo=args.repo, lang=args.lang, file_ext=args.ext,
         path_prefix=args.path_prefix,
     )
+    if args.collapse:
+        out = eng.search_collapse(
+            q, args.collapse, k=args.k, per_group=args.per_group,
+            filters=filters, case_sensitive=args.case_sensitive,
+        )
+        for r in out.collect():
+            d = r.asDict()
+            d["score"] = round(d["score"], 6)
+            print(json.dumps(d))
+        return 0
+    if args.sort_by:
+        sort = []
+        for part in args.sort_by.split(","):
+            fld, _, direction = part.partition(":")
+            sort.append((fld.strip(), direction.strip() or "asc"))
+        out = eng.search_sorted(
+            q, sort, k=args.k, filters=filters,
+            case_sensitive=args.case_sensitive,
+        )
+        for r in out.collect():
+            d = r.asDict()
+            if "score" in d:
+                d["score"] = round(d["score"], 6)
+            print(json.dumps(d))
+        return 0
     if args.wand and filters.empty:
         top = eng.search_wand(q, k=args.k, case_sensitive=args.case_sensitive)
         rows = top.collect()
@@ -460,6 +485,48 @@ def cmd_select(args) -> int:
     return 0
 
 
+def cmd_topterms(args) -> int:
+    """HighFreqTerms: top-n dictionary terms of a field by df."""
+    from codeindex_spark.index.segments import IndexReader
+    from codeindex_spark.query.planner import SearchEngine
+
+    spark = _get_spark(args)
+    eng = SearchEngine(IndexReader(spark, args.index))
+    for r in eng.top_terms(args.field, n=args.n).collect():
+        print(
+            json.dumps(
+                {"term": r["term"], "df": int(r["df"]), "cf": int(r["cf"])}
+            )
+        )
+    return 0
+
+
+def cmd_percolate(args) -> int:
+    """Reverse search: match every doc in --input against the
+    registered queries (a JSON file {query_id: query_string}); prints
+    (id, query_id) pairs, optionally capped with --limit."""
+    from codeindex_spark.query.percolate import QueryRegistry, percolate
+
+    with open(args.queries) as f:
+        registry = QueryRegistry(
+            json.load(f), case_sensitive=args.case_sensitive
+        )
+    spark = _get_spark(args)
+    docs = spark.read.parquet(args.input)
+    out = percolate(
+        docs,
+        registry,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        path_col=args.path_col,
+    )
+    rows = out.limit(args.limit).collect() if args.limit else out.collect()
+    for r in rows:
+        print(json.dumps({args.id_col: r[args.id_col],
+                          "query_id": r["query_id"]}))
+    return 0
+
+
 def cmd_package(args) -> int:
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
@@ -521,6 +588,19 @@ def main(argv=None) -> int:
     s.add_argument("--lang")
     s.add_argument("--ext")
     s.add_argument("--path-prefix")
+    s.add_argument(
+        "--collapse",
+        metavar="FIELD",
+        help="field collapse: best --per-group hits per value of a "
+        "stored field (repo/lang/file_ext)",
+    )
+    s.add_argument("--per-group", type=int, default=1)
+    s.add_argument(
+        "--sort-by",
+        metavar="F[:asc|desc],...",
+        help="order the match set by stored fields instead of "
+        "relevance (Lucene Sort); 'score' is accepted as a field",
+    )
     s.set_defaults(fn=cmd_search)
 
     g = sub.add_parser(
@@ -631,6 +711,30 @@ def main(argv=None) -> int:
     se.add_argument("--seed", default="dsir")
     se.add_argument("--temperature", type=float, default=1.0)
     se.set_defaults(fn=cmd_select)
+
+    tt = sub.add_parser(
+        "topterms", help="top dictionary terms by df (HighFreqTerms)"
+    )
+    tt.add_argument("--index", required=True)
+    tt.add_argument("--field", default="content")
+    tt.add_argument("-n", type=int, default=50)
+    tt.set_defaults(fn=cmd_topterms)
+
+    pc = sub.add_parser(
+        "percolate",
+        help="reverse search: match docs against registered queries",
+    )
+    pc.add_argument("--input", required=True, help="docs parquet")
+    pc.add_argument(
+        "--queries", required=True,
+        help="JSON file {query_id: query_string}",
+    )
+    pc.add_argument("--id-col", default="doc_id")
+    pc.add_argument("--text-col", default="content")
+    pc.add_argument("--path-col")
+    pc.add_argument("--case-sensitive", action="store_true")
+    pc.add_argument("--limit", type=int, default=0)
+    pc.set_defaults(fn=cmd_percolate)
 
     p = sub.add_parser("package", help="zip the package for --py-files")
     p.add_argument("--out", default="codeindex_spark.zip")

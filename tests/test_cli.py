@@ -185,3 +185,51 @@ def test_cli_select(spark, tmp_path, capsys):
     # cold temperature = deterministic top-2 by weight = the code docs
     picked = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert picked == [1, 3]
+
+
+def test_cli_search_collapse_and_sort(idx, capsys):
+    assert main(
+        ["search", "--index", idx, "--query", "get OR string",
+         "--collapse", "lang", "--per-group", "2", "-k", "8"]
+    ) == 0
+    rows = _lines(capsys)
+    assert rows and all({"doc_id", "score", "lang", "path"} <= set(r) for r in rows)
+    langs = {}
+    for r in rows:
+        langs[r["lang"]] = langs.get(r["lang"], 0) + 1
+    assert max(langs.values()) <= 2
+    assert main(
+        ["search", "--index", idx, "--query", "get AND string",
+         "--sort-by", "lang,path:desc", "-k", "6"]
+    ) == 0
+    rows = _lines(capsys)
+    assert rows
+    keys = [(r["lang"], tuple(-ord(c) for c in r["path"])) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_cli_topterms(idx, capsys):
+    assert main(["topterms", "--index", idx, "-n", "7"]) == 0
+    rows = _lines(capsys)
+    assert len(rows) == 7
+    dfs = [r["df"] for r in rows]
+    assert dfs == sorted(dfs, reverse=True)
+
+
+def test_cli_percolate(spark, tmp_path, capsys):
+    docs_pq = str(tmp_path / "pdocs")
+    spark_documents(spark, CorpusSpec(n_docs=40), partitions=2).write.parquet(
+        docs_pq
+    )
+    qf = tmp_path / "queries.json"
+    qf.write_text(json.dumps({"g": "get", "gs": "get AND string"}))
+    assert main(
+        ["percolate", "--input", docs_pq, "--queries", str(qf),
+         "--id-col", "path", "--text-col", "content"]
+    ) == 0
+    rows = _lines(capsys)
+    assert rows and {r["query_id"] for r in rows} <= {"g", "gs"}
+    # AND matches are a subset of the single-term matches
+    g = {r["path"] for r in rows if r["query_id"] == "g"}
+    gs = {r["path"] for r in rows if r["query_id"] == "gs"}
+    assert gs <= g and g
