@@ -760,6 +760,31 @@ def _q_parent_join(spark, sf_dir):
     )
 
 
+def _q_best_fragments(spark, sf_dir):
+    # Lucene Highlighter getBestFragments (SimpleFragmenter +
+    # QueryTermScorer): best 2 sixteen-token windows per matching doc
+    # ranked by matched-term count. k covers the whole match set so
+    # no top-k tie can straddle a cut; the oracle replays window
+    # arithmetic from token positions. Fragment text is exercised by
+    # pytest (the sf corpus's content is deterministically re-cased,
+    # so the hash compares the position/count contract instead).
+    from codeindex_spark.query.present import best_fragments
+
+    eng = _engine(spark, sf_dir)
+    out = best_fragments(
+        eng, "merge AND batch", k=1_000_000,
+        fragment_tokens=16, n_fragments=2,
+    )
+    return _orig_ids(
+        eng,
+        out,
+        extra=[
+            F.col("frag_idx").cast("long").alias("frag_idx"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+        ],
+    )
+
+
 def _q_mlt_text(spark, sf_dir):
     # MoreLikeThis.like(Reader): similarity query from ARBITRARY text
     # (no stored source doc, so nothing is excluded). The literal's
@@ -3241,9 +3266,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Declaration order matters: the driver's CORRECTNESS artifact
     # caps at the FIRST 50 entries. The window policy (explicit per
     # VERDICT r4 task 8) is encoded in the section comments below:
-    # (1) entries never yet externally checked lead (36 in r5), (2) a
-    # fixed set of PINNED core sentinels (13 in r5) appears in EVERY
-    # window so core regressions are always externally visible, (3) the
+    # (1) entries never yet externally checked lead (40 in r5), (2) a
+    # fixed set of PINNED core sentinels (10 in r5 — the floor; no
+    # further head insertions without widening the window) appears in
+    # EVERY window so core regressions stay externally visible, (3) the
     # slots rotate through the least-recently-checked entries.
     # Everything below the cap was checked in the most recent rounds
     # and stays covered locally by tools/check_entry.py.
@@ -3254,6 +3280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_parent_join": _q_parent_join,
         "ix_stats": _q_index_stats,
         "q54_mlt_text": _q_mlt_text,
+        "pv_fragments": _q_best_fragments,
         "q50_collapse_lang": _q_collapse_lang,
         "q51_sort_fields": _q_sort_fields,
         "q52_top_terms": _q_top_terms,
@@ -4998,6 +5025,22 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
                 ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
               WHERE a.term = 'fast' AND b.term = 'sort')""",
+        # best-fragment selection: window arithmetic replayed from
+        # token positions over the AND match set (no top-k cut)
+        "pv_fragments": f"""WITH {_TOK},
+            m AS (SELECT doc_id FROM tok WHERE term IN ('merge', 'batch')
+                  GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+            fr AS (SELECT t.doc_id, (t.pos - 1) // 16 AS frag_idx,
+                          count(*)::BIGINT AS n_hits
+                   FROM tok t JOIN m USING (doc_id)
+                   WHERE t.term IN ('merge', 'batch')
+                   GROUP BY t.doc_id, frag_idx),
+            rk AS (SELECT *, row_number() OVER (
+                     PARTITION BY doc_id
+                     ORDER BY n_hits DESC, frag_idx) AS rn
+                   FROM fr)
+            SELECT doc_id, frag_idx::BIGINT AS frag_idx, n_hits
+            FROM rk WHERE rn <= 2""",
         # MoreLikeThis.like(Reader): the literal text's tf table (the
         # >= minTermFreq=2 slice) as a VALUES list; term selection,
         # scoring and the top-10 replay q30's oracle without the

@@ -138,6 +138,84 @@ def search_with_preview(
     )
 
 
+def best_fragments(
+    engine: SearchEngine,
+    query: ast.Node | str,
+    k: int = 100,
+    case_sensitive: bool = False,
+    fragment_tokens: int = 20,
+    n_fragments: int = 2,
+) -> DataFrame:
+    """Best-fragment selection — the Lucene Highlighter
+    getBestFragments surface (lucene/highlighter Highlighter.java
+    with SimpleFragmenter + QueryTermScorer): each top-k doc splits
+    into fixed ``fragment_tokens``-token windows, a window scores by
+    its matched-term occurrence count, and the best ``n_fragments``
+    windows per doc come back as (doc_id, score, frag_idx, n_hits,
+    fragment) — fragment is the window's tokens rejoined. Windows
+    with zero hits never rank (Lucene skips fragments the scorer
+    leaves at 0). Order: (score desc, doc_id asc, n_hits desc,
+    frag_idx asc).
+
+    Scale shape: the kernel runs on <= k joined rows (one Arrow pass;
+    per-row work is one tokenize + one windowed count), never the
+    corpus — same contract as the other presentation ops."""
+    from codeindex_spark.tokenizer import tokenize
+
+    terms, cased = matched_content_terms(engine, query, case_sensitive)
+    top = engine.search(query, k=k, case_sensitive=case_sensitive)
+    docs = engine.reader.docs.select("doc_id", "content")
+    joined = top.join(docs, "doc_id")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("score", T.DoubleType(), False),
+            T.StructField("frag_idx", T.LongType(), False),
+            T.StructField("n_hits", T.LongType(), False),
+            T.StructField("fragment", T.StringType(), False),
+        ]
+    )
+    ft, nf = int(fragment_tokens), int(n_fragments)
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, score, content in zip(
+                pdf["doc_id"], pdf["score"], pdf["content"]
+            ):
+                toks = tokenize(content or "")
+                hits = [
+                    1 if _token_match(t, terms, cased) else 0 for t in toks
+                ]
+                frags = []
+                for i0 in range(0, len(toks), ft):
+                    n = sum(hits[i0 : i0 + ft])
+                    if n:
+                        frags.append((i0 // ft, n))
+                frags.sort(key=lambda f: (-f[1], f[0]))
+                for fi, n in frags[:nf]:
+                    rows.append(
+                        (
+                            doc_id,
+                            score,
+                            fi,
+                            n,
+                            " ".join(toks[fi * ft : (fi + 1) * ft]),
+                        )
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "doc_id", "score", "frag_idx", "n_hits", "fragment",
+                    ],
+                )
+
+    return joined.mapInPandas(kernel, schema=schema).orderBy(
+        F.desc("score"), F.asc("doc_id"), F.desc("n_hits"), F.asc("frag_idx")
+    )
+
+
 def search_with_matched_lines(
     engine: SearchEngine,
     query: ast.Node | str,

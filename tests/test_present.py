@@ -87,3 +87,55 @@ def test_preview_wildcard_expansion(engine):
     rows = search_with_preview(engine, "stri*", k=3).collect()
     assert rows
     assert any("highlight" in r["preview_html"] for r in rows)
+
+
+def test_best_fragments_matches_bruteforce(engine):
+    from codeindex_spark.query.present import (
+        best_fragments,
+        matched_content_terms,
+        _token_match,
+    )
+    from codeindex_spark.tokenizer import tokenize
+
+    q = "get OR string"
+    got = best_fragments(
+        engine, q, k=10, fragment_tokens=8, n_fragments=2
+    ).toPandas()
+    terms, cased = matched_content_terms(engine, q)
+    top = engine.search(q, k=10).toPandas()
+    content = {
+        r["doc_id"]: r["content"]
+        for r in engine.reader.docs.select("doc_id", "content").collect()
+    }
+    exp = []
+    for doc_id, score in zip(top["doc_id"], top["score"]):
+        toks = tokenize(content[doc_id] or "")
+        hits = [1 if _token_match(t, terms, cased) else 0 for t in toks]
+        frags = []
+        for i0 in range(0, len(toks), 8):
+            n = sum(hits[i0 : i0 + 8])
+            if n:
+                frags.append((i0 // 8, n))
+        frags.sort(key=lambda f: (-f[1], f[0]))
+        for fi, n in frags[:2]:
+            exp.append((doc_id, fi, n, " ".join(toks[fi * 8 : (fi + 1) * 8])))
+    exp.sort()
+    got_rows = sorted(
+        zip(got["doc_id"], got["frag_idx"], got["n_hits"], got["fragment"])
+    )
+    assert [tuple(r) for r in got_rows] == exp and exp
+    # every returned fragment contains at least one matched token
+    for f in got["fragment"]:
+        assert any(_token_match(t, terms, cased) for t in tokenize(f))
+
+
+def test_best_fragments_ordering_and_cap(engine):
+    from codeindex_spark.query.present import best_fragments
+
+    got = best_fragments(
+        engine, "get", k=5, fragment_tokens=6, n_fragments=1
+    ).toPandas()
+    assert got.groupby("doc_id").size().max() <= 1
+    scores = list(got["score"])
+    assert scores == sorted(scores, reverse=True)
+    assert (got["n_hits"] >= 1).all()
