@@ -160,3 +160,27 @@ def test_percolate_streaming_equals_batch(spark, corpus, tmp_path):
         ).collect()
     }
     assert got == exp and got
+
+
+def test_percolate_case_sensitive_registry(engine, corpus):
+    """A case_sensitive registry routes to the content_cs twin field
+    — match sets must equal the engine's case-sensitive search, and
+    differ from the lowercase route where casing matters."""
+    reg = QueryRegistry({"cs": "LucenePool"}, case_sensitive=True)
+    got = {
+        r["path"]
+        for r in percolate(
+            corpus, reg, id_col="path", text_col="content", path_col="path"
+        ).collect()
+    }
+    exp_node = ast.parse_query("LucenePool", case_sensitive=True)
+    exp = _engine_match_paths(engine, exp_node)
+    assert got == exp and got
+    # lowercase query against the cased field matches nothing here
+    reg2 = QueryRegistry({"cs": "lucenepool"}, case_sensitive=True)
+    assert (
+        percolate(
+            corpus, reg2, id_col="path", text_col="content", path_col="path"
+        ).count()
+        == 0
+    )
