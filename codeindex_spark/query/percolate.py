@@ -47,11 +47,17 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from codeindex_spark.query import ast
 
-__all__ = ["QueryRegistry", "percolate", "required_any"]
+__all__ = [
+    "QueryRegistry",
+    "percolate",
+    "percolate_indexed",
+    "required_any",
+]
 
 
 def _pattern_slot(s: str) -> bool:
@@ -251,3 +257,224 @@ def percolate(
                 )
 
     return src.mapInPandas(kernel, schema)
+
+
+# doc-side tokenizers for the query-index join: field -> fn(text, path)
+def _field_terms(field: str, text: str, path: str) -> set:
+    from codeindex_spark.tokenizer import tokenize, tokenize_lower
+
+    if field == "content":
+        return set(tokenize_lower(text))
+    if field == "content_cs":
+        return set(tokenize(text))
+    if field == "content_camel":
+        from codeindex_spark.tokenizer import camel_token_stream
+
+        return set(camel_token_stream(text))
+    if field == "file_name":
+        name = path.rsplit("/", 1)[-1]
+        return set(tokenize_lower(name))
+    if field == "file_path":
+        return set(tokenize_lower(path))
+    if field == "path_trigram":
+        p = path.lower()
+        return {p[i : i + 3] for i in range(max(len(p) - 2, 0))}
+    raise ValueError(f"unknown index field: {field!r}")
+
+
+def percolate_indexed(
+    docs: DataFrame,
+    queries_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    path_col: str | None = None,
+    case_sensitive: bool = False,
+) -> DataFrame:
+    """The SCALE path for percolation: instead of broadcasting the
+    registry, build an INDEX OF QUERIES — the full Lucene Monitor /
+    Elasticsearch-percolator design. ``queries_df`` is a DataFrame
+    (query_id string, query string) of classic-parser query strings
+    (the distributed variant is strings-only; programmatic AST nodes
+    stay on the broadcast path). Works at 10^6+ registered queries:
+    the registry is never collected to the driver or shipped whole to
+    any task.
+
+    Plan shape:
+    1. Queries parse on executors (mapInPandas); each emits its
+       presearcher anchor terms — the required_any set (rows
+       (query_id, query, field, term)) — or one NULL-term row when no
+       finite filter exists. A query whose anchor set is EMPTY
+       (Lucene's match-nothing pure-negative bool) emits nothing and
+       is correctly never evaluated.
+    2. Docs emit their distinct (field, term) vocabulary for exactly
+       the fields the registry references (one tokenize pass).
+    3. Candidate (doc, query) pairs = vocabulary ⋈ anchors on
+       (field, term) — the inverted-index-of-queries join; NULL-anchor
+       queries cross-join in via broadcast (they must always be
+       evaluated; keep them rare, as Monitor does).
+    4. Candidates reduce to one query LIST per doc (collect_set — the
+       doc's text is joined ONCE, never fanned out per candidate),
+       then a final Arrow pass builds each doc's single-doc index and
+       evaluates just its candidate queries (parse memoized per
+       executor).
+
+    Presearcher soundness (tests + the hypothesis sweep) is what
+    makes step 3 lossless: a doc that matches a query always contains
+    at least one anchor term. Skew note: a stopword-grade anchor term
+    produces a hot join key; anchors already pick each query's
+    SMALLEST safe set, and at Monitor scale you additionally bias
+    anchor selection toward rare terms (df-aware anchor choice is a
+    straightforward extension — the join itself is AQE-skew-eligible).
+    """
+    id_type = docs.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type, True),
+            T.StructField("query_id", T.StringType(), False),
+        ]
+    )
+    anchor_schema = T.StructType(
+        [
+            T.StructField("query_id", T.StringType(), False),
+            T.StructField("query", T.StringType(), False),
+            T.StructField("field", T.StringType(), True),
+            T.StructField("term", T.StringType(), True),
+        ]
+    )
+    cs = bool(case_sensitive)
+
+    def parse_kernel(batches):
+        for b in batches:
+            rows = []
+            for qid, qs in zip(b["query_id"], b["query"]):
+                node = ast.parse_query(qs, cs)
+                req = required_any(node)
+                if req is None:
+                    rows.append((str(qid), qs, None, None))
+                else:
+                    for f, t in sorted(req):
+                        rows.append((str(qid), qs, f, t))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["query_id", "query", "field", "term"]
+                )
+
+    qanchors = queries_df.select("query_id", "query").mapInPandas(
+        parse_kernel, anchor_schema
+    )
+    anchored = qanchors.filter(F.col("term").isNotNull())
+    unanchored = qanchors.filter(F.col("term").isNull()).select(
+        "query_id", "query"
+    ).dropDuplicates(["query_id"])
+
+    # fields the registry references: bounded by the 6 index fields,
+    # so this collect is a constant-size driver slice
+    fields = sorted(
+        r["field"]
+        for r in anchored.select("field").distinct().collect()
+    )
+    # re-parse locally only to detect path-field use by UNanchored
+    # queries (bounded: unanchored rows are the pattern-only queries)
+    un_rows = unanchored.collect()
+    un_fields: set = set()
+    for r in un_rows:
+        _node_fields(ast.parse_query(r["query"], cs), un_fields)
+    needs_path = bool(
+        {"file_name", "file_path", "path_trigram"}
+        & (set(fields) | un_fields)
+    )
+    if needs_path and path_col is None:
+        raise ValueError(
+            "registry references path-derived fields; pass path_col"
+        )
+    all_fields = tuple(sorted(set(fields) | un_fields))
+
+    cols = [id_col, text_col] + ([path_col] if path_col else [])
+    src = docs.select(*dict.fromkeys(cols))
+    vocab_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type, True),
+            T.StructField("field", T.StringType(), False),
+            T.StructField("term", T.StringType(), False),
+        ]
+    )
+    vfields = tuple(fields)
+
+    def vocab_kernel(batches):
+        for b in batches:
+            ids, fs, ts = [], [], []
+            for i in range(len(b)):
+                did = b[id_col].iloc[i]
+                text = b[text_col].iloc[i] or ""
+                path = (b[path_col].iloc[i] or "") if path_col else ""
+                for f in vfields:
+                    for t in _field_terms(f, text, path):
+                        ids.append(did)
+                        fs.append(f)
+                        ts.append(t)
+            if ids:
+                yield pd.DataFrame(
+                    {id_col: ids, "field": fs, "term": ts}
+                )
+
+    cand = (
+        src.mapInPandas(vocab_kernel, vocab_schema)
+        .join(anchored, ["field", "term"])
+        .select(id_col, "query_id", "query")
+        .dropDuplicates([id_col, "query_id"])
+    )
+    if un_rows:
+        always = docs.select(id_col).crossJoin(
+            F.broadcast(
+                docs.sparkSession.createDataFrame(
+                    [(r["query_id"], r["query"]) for r in un_rows],
+                    "query_id string, query string",
+                )
+            )
+        )
+        cand = cand.unionByName(always)
+    per_doc = cand.groupBy(id_col).agg(
+        F.collect_set(F.struct("query_id", "query")).alias("_cands")
+    )
+    joined = src.join(per_doc, id_col)
+    afields = all_fields
+
+    def eval_kernel(batches):
+        import functools
+
+        from codeindex_spark.query.oracle import OracleIndex
+
+        @functools.lru_cache(maxsize=65536)
+        def parse(qs: str):
+            return ast.parse_query(qs, cs)
+
+        for b in batches:
+            out_ids, out_qids = [], []
+            for i in range(len(b)):
+                did = b[id_col].iloc[i]
+                frame = pd.DataFrame(
+                    {
+                        "repo": ["r"],
+                        "path": [
+                            str(b[path_col].iloc[i])
+                            if path_col
+                            else str(did) + ".d"
+                        ],
+                        "commit": ["c"],
+                        "content": [b[text_col].iloc[i] or ""],
+                    }
+                )
+                idx = OracleIndex.build(
+                    frame, num_buckets=1, block_size=128, fields=afields
+                )
+                for c in b["_cands"].iloc[i]:
+                    if idx.eval(parse(c["query"])):
+                        out_ids.append(did)
+                        out_qids.append(c["query_id"])
+            if out_ids:
+                yield pd.DataFrame(
+                    {id_col: out_ids, "query_id": out_qids}
+                )
+
+    return joined.mapInPandas(eval_kernel, out_schema)

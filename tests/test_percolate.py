@@ -184,3 +184,50 @@ def test_percolate_case_sensitive_registry(engine, corpus):
         ).count()
         == 0
     )
+
+
+def test_percolate_indexed_equals_broadcast(spark, corpus):
+    """The query-index scale path must produce exactly the broadcast
+    path's (doc, query) pairs — anchored queries via the vocabulary
+    join, pattern-only queries via the always-evaluate union."""
+    from codeindex_spark.query.percolate import percolate_indexed
+
+    string_registry = {
+        k: v for k, v in REGISTRY.items() if isinstance(v, str)
+    }
+    qdf = spark.createDataFrame(
+        list(string_registry.items()), "query_id string, query string"
+    )
+    got = {
+        (r["path"], r["query_id"])
+        for r in percolate_indexed(
+            corpus, qdf, id_col="path", text_col="content",
+            path_col="path",
+        ).collect()
+    }
+    exp = {
+        (r["path"], r["query_id"])
+        for r in percolate(
+            corpus, string_registry, id_col="path", text_col="content",
+            path_col="path",
+        ).collect()
+    }
+    assert got == exp and got
+    # the registry includes pattern-only (wild/fuzzy/regexp) and
+    # anchored shapes — both routes must be exercised
+    qids = {q for _, q in got}
+    assert "wild" in qids and "band" in qids
+
+
+def test_percolate_indexed_match_nothing_query(spark, corpus):
+    from codeindex_spark.query.percolate import percolate_indexed
+
+    qdf = spark.createDataFrame(
+        [("t", "get"), ("none", "zzzznotaterm")],
+        "query_id string, query string",
+    )
+    got = percolate_indexed(
+        corpus, qdf, id_col="path", text_col="content", path_col="path"
+    )
+    qids = {r["query_id"] for r in got.collect()}
+    assert qids == {"t"}
