@@ -259,6 +259,13 @@ def percolate(
     return src.mapInPandas(kernel, schema)
 
 
+def _safe_str(v) -> str:
+    """None/NaN-tolerant string coercion for doc text/path cells."""
+    if v is None or (isinstance(v, float) and v != v):
+        return ""
+    return str(v)
+
+
 # doc-side tokenizers for the query-index join: field -> fn(text, path)
 def _field_terms(field: str, text: str, path: str) -> set:
     from codeindex_spark.tokenizer import tokenize, tokenize_lower
@@ -406,8 +413,8 @@ def percolate_indexed(
             ids, fs, ts = [], [], []
             for i in range(len(b)):
                 did = b[id_col].iloc[i]
-                text = b[text_col].iloc[i] or ""
-                path = (b[path_col].iloc[i] or "") if path_col else ""
+                text = _safe_str(b[text_col].iloc[i])
+                path = _safe_str(b[path_col].iloc[i]) if path_col else ""
                 for f in vfields:
                     for t in _field_terms(f, text, path):
                         ids.append(did)
@@ -457,12 +464,12 @@ def percolate_indexed(
                     {
                         "repo": ["r"],
                         "path": [
-                            str(b[path_col].iloc[i])
+                            _safe_str(b[path_col].iloc[i])
                             if path_col
                             else str(did) + ".d"
                         ],
                         "commit": ["c"],
-                        "content": [b[text_col].iloc[i] or ""],
+                        "content": [_safe_str(b[text_col].iloc[i])],
                     }
                 )
                 idx = OracleIndex.build(

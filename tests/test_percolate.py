@@ -231,3 +231,24 @@ def test_percolate_indexed_match_nothing_query(spark, corpus):
     )
     qids = {r["query_id"] for r in got.collect()}
     assert qids == {"t"}
+
+
+def test_percolate_indexed_null_text(spark):
+    """Null/NaN text cells must be treated as empty docs, not crash
+    the vocabulary or evaluate kernels."""
+    from codeindex_spark.query.percolate import percolate_indexed
+
+    docs = spark.createDataFrame(
+        [(1, "get string get"), (2, None), (3, "other words")],
+        "doc_id long, text string",
+    )
+    qdf = spark.createDataFrame(
+        [("t", "get")], "query_id string, query string"
+    )
+    got = {
+        (r["doc_id"], r["query_id"])
+        for r in percolate_indexed(
+            docs, qdf, id_col="doc_id", text_col="text"
+        ).collect()
+    }
+    assert got == {(1, "t")}
