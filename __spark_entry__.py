@@ -760,6 +760,47 @@ def _q_parent_join(spark, sf_dir):
     )
 
 
+def _q_grouped_repo(spark, sf_dir):
+    # Lucene grouping module TopGroups (two-pass: FirstPass selects
+    # the top-5 groups by best score, SecondPass the top-2 docs each):
+    # unlike q50's flat collapse, each row carries the group's rank,
+    # its TOTAL hit count (totalGroupedHitCount) and best score. Pass
+    # 1 is a map-side-combinable agg + bounded heap; pass 2 broadcast
+    # semi-joins the tiny group list back into the match stream.
+    eng = _engine(spark, sf_dir)
+    out = eng.search_groups("merge OR sort", "repo", n_groups=5, per_group=2)
+    return out.select(
+        "repo",
+        F.col("group_rank").cast("int").alias("group_rank"),
+        F.col("group_hits").cast("long").alias("group_hits"),
+        F.round("group_score", 6).alias("group_score"),
+        F.regexp_extract("path", r"/(\d+)\.txt$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        F.col("doc_rank").cast("int").alias("doc_rank"),
+    )
+
+
+def _q_facet_drill(spark, sf_dir):
+    # Lucene taxonomy facets with drill-down (facets module;
+    # DrillDownQuery + Facets.getTopChildren): level-0 children of
+    # the matching docs' paths (the sources), then drill into src3/
+    # and count its leaf children (top-5). Split/element_at are JVM
+    # expressions; each level is one map-side-combinable groupBy over
+    # the child fan-out, never the match set.
+    eng = _engine(spark, sf_dir)
+    top = eng.facet_path_counts("merge OR sort").withColumn(
+        "under", F.lit("")
+    )
+    drill = eng.facet_path_counts(
+        "merge OR sort", under="src3", top_values=5
+    ).withColumn("under", F.lit("src3"))
+    return top.unionByName(drill).select(
+        "under", "child", F.col("n_docs").cast("long").alias("n_docs")
+    )
+
+
 def _q_best_fragments(spark, sf_dir):
     # Lucene Highlighter getBestFragments (SimpleFragmenter +
     # QueryTermScorer): best 2 sixteen-token windows per matching doc
@@ -3354,6 +3395,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_pk_lookup": _q_pk_lookup,
         "q14_case_sensitive": _q_case_sensitive,
         "q16_batch_search": _q_batch_search,
+        # --- below the cap: r5-late additions (pinned by pytest
+        # test_grouping.py + tools/check_entry.py locally) ---
+        "q55_grouping": _q_grouped_repo,
+        "q56_facet_drill": _q_facet_drill,
         "q23_phrase_slop": _q_phrase_slop,
         "dd_exact": _q_dedup_exact,
         "dd_minhash_lsh": _q_dedup_minhash,
@@ -5160,6 +5205,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, round(score, 6) AS score
             FROM r WHERE rn <= 2
             ORDER BY score DESC, path LIMIT 12""",
+        # grouping module TopGroups: top-5 groups by best score (tie:
+        # repo asc), top-2 docs each by (score desc, path asc), with
+        # the group's TOTAL hit count and rank on every row
+        "q55_grouping": f"""WITH {_CONTRIB},
+            u AS (SELECT doc_id, sum(c) AS score FROM contrib
+                  WHERE term IN ('merge', 'sort') GROUP BY doc_id),
+            j AS (SELECT u.doc_id, d.source AS repo, u.score,
+                         d.source || '/' || u.doc_id || '.txt' AS path
+                  FROM u JOIN documents d USING (doc_id)),
+            g AS (SELECT repo, count(*)::BIGINT AS group_hits,
+                         max(score) AS group_score
+                  FROM j GROUP BY repo),
+            t AS (SELECT *, row_number() OVER (
+                    ORDER BY group_score DESC, repo)::INT AS group_rank
+                  FROM g),
+            r AS (SELECT j.repo, t.group_rank, t.group_hits,
+                         t.group_score, j.doc_id, j.score, j.path,
+                         row_number() OVER (PARTITION BY j.repo
+                           ORDER BY j.score DESC, j.path)::INT AS doc_rank
+                  FROM j JOIN t USING (repo) WHERE t.group_rank <= 5)
+            SELECT repo, group_rank, group_hits,
+                   round(group_score, 6) AS group_score, doc_id,
+                   round(score, 6) AS score, doc_rank
+            FROM r WHERE doc_rank <= 2""",
+        # taxonomy facet drill-down: level-0 child counts (sources),
+        # then the top-5 children under src3/ (leaves, n_docs=1, tie
+        # child asc — lexicographic on the leaf string)
+        "q56_facet_drill": f"""WITH {_CONTRIB},
+            u AS (SELECT DISTINCT doc_id FROM contrib
+                  WHERE term IN ('merge', 'sort')),
+            j AS (SELECT u.doc_id, d.source,
+                         CAST(u.doc_id AS VARCHAR) || '.txt' AS leaf
+                  FROM u JOIN documents d USING (doc_id))
+            SELECT '' AS under, source AS child,
+                   count(*)::BIGINT AS n_docs
+            FROM j GROUP BY source
+            UNION ALL
+            SELECT * FROM (
+              SELECT 'src3' AS under, leaf AS child, 1::BIGINT AS n_docs
+              FROM j WHERE source = 'src3'
+              ORDER BY leaf LIMIT 5)""",
         # Sort/SortField: AND match set ordered by stored fields
         # (lang asc, path desc), not relevance; score still reported
         "q51_sort_fields": f"""WITH {_CONTRIB},

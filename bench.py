@@ -305,6 +305,24 @@ def main() -> None:
         ),
         3,
     )
+    queries["q_grouping"] = round(
+        pooled_p50(
+            "q_grouping",
+            lambda: eng.search_groups(
+                "merge OR sort", "repo", n_groups=10, per_group=3
+            ).collect(),
+        ),
+        3,
+    )
+    queries["q_facet_drill"] = round(
+        pooled_p50(
+            "q_facet_drill",
+            lambda: eng.facet_path_counts(
+                "merge OR sort", under="src3", top_values=10
+            ).collect(),
+        ),
+        3,
+    )
     from codeindex_spark.query.percolate import QueryRegistry, percolate
 
     _perc_reg = QueryRegistry(

@@ -1454,6 +1454,87 @@ class SearchEngine:
         )
         return best.orderBy(F.desc("score"), F.asc(tf)).limit(k)
 
+    def search_groups(
+        self,
+        query: ast.Node | str,
+        group_field: str,
+        n_groups: int = 10,
+        per_group: int = 3,
+        filters: Filters | None = None,
+        case_sensitive: bool = False,
+        tie_field: str = "path",
+    ) -> DataFrame:
+        """Two-pass grouped search — the Lucene grouping module's
+        TopGroups shape (FirstPassGroupingCollector selects the top
+        ``n_groups`` groups, SecondPassGroupingCollector collects the
+        top ``per_group`` docs inside each). Unlike
+        :meth:`search_collapse` (a flat, globally-ordered hit list),
+        the result is group-structured: one row per kept (group, doc)
+        with the group's rank, its TOTAL hit count
+        (TopGroups.totalGroupedHitCount per group), and its best
+        score. Groups are ordered (best score desc, group value asc)
+        — Lucene's default groupSort=Sort.RELEVANCE with a
+        deterministic tie — and docs inside a group by (score desc,
+        ``tie_field`` asc). Columns: ``group_field``, group_rank,
+        group_hits, group_score, then the match columns + doc_rank.
+
+        Scale shape: pass 1 is a map-side-combinable groupBy
+        (count/max partials — one row per (task, group) before the
+        shuffle) followed by a bounded top-``n_groups`` heap; the
+        surviving group list is tiny and broadcast back, so pass 2
+        semi-joins the match stream without re-evaluating the query.
+        Pass 2 reduces per-partition first (the same Arrow partial
+        top-n as search_collapse, holding at most groups-in-partition
+        x per_group rows) so a hot group never funnels its full match
+        set through one window task. The group_rank window runs over
+        <= n_groups rows — driver-bounded by construction.
+        """
+        scored = self._live_filtered_scores(query, filters, case_sensitive)
+        gf, tf, pg = group_field, tie_field, int(per_group)
+        cols = ["doc_id", gf]
+        if tf not in cols:
+            cols.append(tf)
+        joined = scored.join(self.reader.docs.select(*cols), "doc_id")
+
+        # pass 1: group heads — algebraic aggregates, then a bounded
+        # heap; the single-partition row_number window is over the
+        # already-capped n_groups rows, never the match set
+        heads = joined.groupBy(gf).agg(
+            F.count("*").cast("long").alias("group_hits"),
+            F.max("score").alias("group_score"),
+        )
+        top = heads.orderBy(
+            F.desc("group_score"), F.asc(gf)
+        ).limit(int(n_groups))
+        top = top.withColumn(
+            "group_rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("group_score"), F.asc(gf))
+            ),
+        )
+
+        # pass 2: top docs within the selected groups only
+        sel = joined.join(F.broadcast(top), gf)
+        schema = sel.schema
+
+        def partial_topn(batches):
+            acc = None
+            for b in batches:
+                cur = b if acc is None else pd.concat((acc, b))
+                cur = cur.sort_values(
+                    ["score", tf], ascending=[False, True], kind="mergesort"
+                )
+                acc = cur.groupby(gf, sort=False).head(pg)
+            if acc is not None and len(acc):
+                yield acc
+
+        part = sel.mapInPandas(partial_topn, schema)
+        w = Window.partitionBy(gf).orderBy(F.desc("score"), F.asc(tf))
+        docs = part.withColumn("doc_rank", F.row_number().over(w)).filter(
+            F.col("doc_rank") <= pg
+        )
+        return docs.orderBy("group_rank", "doc_rank")
+
     def search_sorted(
         self,
         query: ast.Node | str,
@@ -2092,6 +2173,66 @@ class SearchEngine:
                 .drop("_rk")
             )
         return counts.orderBy("facet", "value")
+
+    def facet_path_counts(
+        self,
+        query: ast.Node | str,
+        under: str = "",
+        field: str = "path",
+        sep: str = "/",
+        top_values: int | None = None,
+        filters: "Filters | None" = None,
+        case_sensitive: bool = False,
+    ) -> DataFrame:
+        """Hierarchical facet counts with drill-down — the Lucene
+        facets module's taxonomy facets (FacetsConfig hierarchical
+        dims; DrillDownQuery narrows to a path prefix and counts the
+        next level): for the docs matching ``query`` whose ``field``
+        starts with the ``under`` prefix (component-wise, not
+        substring), count matches per IMMEDIATE CHILD component.
+        ``under=""`` counts the top level (repos / top directories);
+        ``under="src3"`` counts the children of src3/. Docs with no
+        component below the prefix (files sitting AT the prefix
+        level) are not counted, matching the taxonomy contract that
+        a child label must exist. Returns (child, n_docs) ordered
+        (n_docs desc, child asc), capped at ``top_values`` like
+        Facets.getTopChildren(n, dim, path...).
+
+        Scale shape: the query evaluates once; the docs scan is
+        column-pruned to (doc_id, field) and semi-joined with the
+        matches; split / element-equality / element_at are all JVM
+        expressions inside whole-stage codegen, the prefix filter
+        prunes BEFORE the shuffle, and the per-child count is a
+        map-side combinable groupBy whose key space is the child
+        fan-out, not the match set. The top-children cap is a
+        bounded heap (TakeOrderedAndProject) over that small
+        aggregate."""
+        matched = self.score(query, case_sensitive).select("doc_id")
+        live = getattr(self.reader, "live_doc_ids", lambda: None)()
+        if live is not None:
+            matched = matched.join(live, "doc_id", "left_semi")
+        docs = self.reader.docs
+        if filters is not None and not filters.empty:
+            docs = filters.apply(docs)
+        prefix = [p for p in under.split(sep) if p != ""] if under else []
+        d = len(prefix)
+        # \Q...\E: Java-regex-quote the separator so sep="." or "+"
+        # splits literally
+        parts = F.split(F.col(field), "\\Q" + sep + "\\E")
+        j = (
+            docs.select("doc_id", parts.alias("_parts"))
+            .join(matched, "doc_id", "left_semi")
+            .filter(F.size("_parts") > d)
+        )
+        for i, comp in enumerate(prefix):
+            j = j.filter(F.element_at("_parts", i + 1) == comp)
+        out = (
+            j.select(F.element_at("_parts", d + 1).alias("child"))
+            .groupBy("child")
+            .agg(F.count("*").cast("long").alias("n_docs"))
+            .orderBy(F.desc("n_docs"), F.asc("child"))
+        )
+        return out.limit(int(top_values)) if top_values is not None else out
 
     # character-bigram candidate index for suggest(): q=2 because the
     # lossless pruning bound |S_t \ S_u| <= q*d needs q small to bite
