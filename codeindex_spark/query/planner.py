@@ -423,6 +423,29 @@ EXPAND_CACHE_CAP = 512
 _MISS = object()  # sentinel: distinguishes "not cached" from "df is None"
 
 
+def _partial_topn_fn(gf: str, tf: str, pg: int):
+    """Arrow partial top-n combine shared by search_collapse and
+    search_groups: per partition, keep at most ``pg`` rows per ``gf``
+    value ordered (score desc, ``tf`` asc) — the map-side combine of
+    grouped top-n, holding <= groups-in-partition x pg rows. Null
+    group keys are preserved (dropna=False) so a nullable stored
+    column loses no docs at the combine; callers that must exclude
+    null groups filter before mapping."""
+
+    def partial_topn(batches):
+        acc = None
+        for b in batches:
+            cur = b if acc is None else pd.concat((acc, b))
+            cur = cur.sort_values(
+                ["score", tf], ascending=[False, True], kind="mergesort"
+            )
+            acc = cur.groupby(gf, sort=False, dropna=False).head(pg)
+        if acc is not None and len(acc):
+            yield acc
+
+    return partial_topn
+
+
 class SearchEngine:
     def __init__(self, reader: IndexReader, dict_cache: bool = True):
         self.reader = reader
@@ -1432,20 +1455,7 @@ class SearchEngine:
             cols.append(tie_field)
         joined = scored.join(self.reader.docs.select(*cols), "doc_id")
         gf, tf, pg = group_field, tie_field, int(per_group)
-        schema = joined.schema
-
-        def partial_topn(batches):
-            acc = None
-            for b in batches:
-                cur = b if acc is None else pd.concat((acc, b))
-                cur = cur.sort_values(
-                    ["score", tf], ascending=[False, True], kind="mergesort"
-                )
-                acc = cur.groupby(gf, sort=False).head(pg)
-            if acc is not None and len(acc):
-                yield acc
-
-        part = joined.mapInPandas(partial_topn, schema)
+        part = joined.mapInPandas(_partial_topn_fn(gf, tf, pg), joined.schema)
         w = Window.partitionBy(gf).orderBy(F.desc("score"), F.asc(tf))
         best = (
             part.withColumn("_grp_rank", F.row_number().over(w))
@@ -1475,60 +1485,64 @@ class SearchEngine:
         score. Groups are ordered (best score desc, group value asc)
         — Lucene's default groupSort=Sort.RELEVANCE with a
         deterministic tie — and docs inside a group by (score desc,
-        ``tie_field`` asc). Columns: ``group_field``, group_rank,
-        group_hits, group_score, then the match columns + doc_rank.
+        ``tie_field`` asc). Result columns, in order: the match
+        columns (doc_id, score), ``group_field``, ``tie_field``,
+        group_hits, group_score, group_rank, doc_rank. Docs whose
+        ``group_field`` is NULL are excluded (a null group would
+        otherwise claim a slot; coalesce upstream to group them
+        explicitly).
 
-        Scale shape: pass 1 is a map-side-combinable groupBy
-        (count/max partials — one row per (task, group) before the
-        shuffle) followed by a bounded top-``n_groups`` heap; the
-        surviving group list is tiny and broadcast back, so pass 2
-        semi-joins the match stream without re-evaluating the query.
-        Pass 2 reduces per-partition first (the same Arrow partial
-        top-n as search_collapse, holding at most groups-in-partition
-        x per_group rows) so a hot group never funnels its full match
-        set through one window task. The group_rank window runs over
-        <= n_groups rows — driver-bounded by construction.
+        Scale shape: two passes, like Lucene's two collectors — the
+        match stream is evaluated once per pass. Pass 1 is a
+        map-side-combinable groupBy (count/max partials — one row per
+        (task, group) before the shuffle) capped by a bounded
+        top-``n_groups`` heap and collected to the driver (a
+        <= n_groups-row metadata slice, the same convention as the
+        dictionary-expansion collects); ranks are assigned there, so
+        no single-partition window exists anywhere in the plan. Pass
+        2 broadcast-joins that literal group list back into the match
+        stream and reduces per-partition first (the same Arrow
+        partial top-n as search_collapse, holding at most
+        groups-in-partition x per_group rows) so a hot group never
+        funnels its full match set through one window task.
         """
         scored = self._live_filtered_scores(query, filters, case_sensitive)
         gf, tf, pg = group_field, tie_field, int(per_group)
         cols = ["doc_id", gf]
         if tf not in cols:
             cols.append(tf)
-        joined = scored.join(self.reader.docs.select(*cols), "doc_id")
+        joined = scored.join(
+            self.reader.docs.select(*cols), "doc_id"
+        ).filter(F.col(gf).isNotNull())
 
-        # pass 1: group heads — algebraic aggregates, then a bounded
-        # heap; the single-partition row_number window is over the
-        # already-capped n_groups rows, never the match set
-        heads = joined.groupBy(gf).agg(
-            F.count("*").cast("long").alias("group_hits"),
-            F.max("score").alias("group_score"),
+        # pass 1: group heads — algebraic aggregates + bounded heap,
+        # materialized eagerly as a <= n_groups-row driver slice
+        heads = (
+            joined.groupBy(gf)
+            .agg(
+                F.count("*").cast("long").alias("group_hits"),
+                F.max("score").alias("group_score"),
+            )
+            .orderBy(F.desc("group_score"), F.asc(gf))
+            .limit(int(n_groups))
         )
-        top = heads.orderBy(
-            F.desc("group_score"), F.asc(gf)
-        ).limit(int(n_groups))
-        top = top.withColumn(
-            "group_rank",
-            F.row_number().over(
-                Window.orderBy(F.desc("group_score"), F.asc(gf))
-            ),
+        head_rows = heads.collect()
+        spark = joined.sparkSession
+        top_schema = T.StructType(
+            heads.schema.fields
+            + [T.StructField("group_rank", T.IntegerType(), False)]
+        )
+        top = spark.createDataFrame(
+            [
+                (r[gf], r["group_hits"], r["group_score"], i + 1)
+                for i, r in enumerate(head_rows)
+            ],
+            top_schema,
         )
 
         # pass 2: top docs within the selected groups only
         sel = joined.join(F.broadcast(top), gf)
-        schema = sel.schema
-
-        def partial_topn(batches):
-            acc = None
-            for b in batches:
-                cur = b if acc is None else pd.concat((acc, b))
-                cur = cur.sort_values(
-                    ["score", tf], ascending=[False, True], kind="mergesort"
-                )
-                acc = cur.groupby(gf, sort=False).head(pg)
-            if acc is not None and len(acc):
-                yield acc
-
-        part = sel.mapInPandas(partial_topn, schema)
+        part = sel.mapInPandas(_partial_topn_fn(gf, tf, pg), sel.schema)
         w = Window.partitionBy(gf).orderBy(F.desc("score"), F.asc(tf))
         docs = part.withColumn("doc_rank", F.row_number().over(w)).filter(
             F.col("doc_rank") <= pg

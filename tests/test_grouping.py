@@ -179,6 +179,46 @@ def test_facet_path_counts_top_values_and_filters(engine):
     assert list(flt["n_docs"]) == list(expf["n_docs"])
 
 
+def test_search_groups_null_group_excluded(spark, tmp_path_factory):
+    """A NULL group value must not claim a top-n_groups slot (the
+    pass-2 equi-join could never retrieve its docs, leaving a rank
+    gap) — null-group docs are excluded, ranks stay contiguous."""
+    d = str(tmp_path_factory.mktemp("nullgrp"))
+    docs = spark_documents(spark, CorpusSpec(n_docs=60), partitions=2)
+    IndexBuilder(spark, d, PARAMS, n_groups=1).build(docs, resume=False)
+    reader = IndexReader(spark, d)
+    # null out one lang value in the stored docs projection (docs is
+    # a read-only property — wrap the reader)
+    import pyspark.sql.functions as F
+
+    nulled = reader.docs.withColumn(
+        "lang",
+        F.when(F.col("lang") == "python", F.lit(None)).otherwise(
+            F.col("lang")
+        ),
+    )
+
+    class _NulledReader:
+        def __init__(self, inner, docs_df):
+            self._inner, self._docs = inner, docs_df
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        @property
+        def docs(self):
+            return self._docs
+
+    eng = SearchEngine(_NulledReader(reader, nulled))
+    got = eng.search_groups(
+        "string OR return", "lang", n_groups=10, per_group=2
+    ).toPandas()
+    assert got["lang"].notna().all()
+    assert "python" not in set(got["lang"])
+    n = got["lang"].nunique()
+    assert sorted(set(got["group_rank"])) == list(range(1, n + 1))
+
+
 def test_facet_path_counts_no_child_at_depth(engine):
     """A prefix that IS a full path has no children — empty, not an
     error; an unknown prefix is empty too."""
