@@ -801,6 +801,28 @@ def _q_facet_drill(spark, sf_dir):
     )
 
 
+def _q_join_query(spark, sf_dir):
+    # Lucene join module JoinUtil.createJoinQuery (query-time join,
+    # distinct from q53's block join): run the from-query, aggregate
+    # its scores per repo (ScoreMode.Max), return ALL docs of the
+    # joined repos — including docs that do not match the from-query
+    # — each scored with its repo's aggregate. The from-side agg is
+    # map-side combinable at join-key cardinality and broadcasts to
+    # the to-side scan; no doc-level shuffle. k = top-40 by (score
+    # desc, path asc), tie-free because path is doc-unique.
+    eng = _engine(spark, sf_dir)
+    out = eng.join_from_query(
+        "merge AND batch", "repo", score_mode="max", k=40
+    )
+    return out.select(
+        F.regexp_extract("path", r"/(\d+)\.txt$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("repo"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def _q_best_fragments(spark, sf_dir):
     # Lucene Highlighter getBestFragments (SimpleFragmenter +
     # QueryTermScorer): best 2 sixteen-token windows per matching doc
@@ -3404,6 +3426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entries from the head. ---
         "q55_grouping": _q_grouped_repo,
         "q56_facet_drill": _q_facet_drill,
+        "q57_join_query": _q_join_query,
         "q23_phrase_slop": _q_phrase_slop,
         "dd_exact": _q_dedup_exact,
         "dd_minhash_lsh": _q_dedup_minhash,
@@ -5251,6 +5274,22 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'src3' AS under, leaf AS child, 1::BIGINT AS n_docs
               FROM j WHERE source = 'src3'
               ORDER BY leaf LIMIT 5)""",
+        # JoinUtil query-time join: from-query 'merge AND batch'
+        # scores aggregated per repo (max), then ALL docs of the
+        # joined repos returned with the repo aggregate; top-40 by
+        # (score desc, path asc) — path doc-unique so tie-free
+        "q57_join_query": f"""WITH {_CONTRIB},
+            m AS (SELECT doc_id, sum(c) AS score FROM contrib
+                  WHERE term IN ('merge', 'batch') GROUP BY doc_id
+                  HAVING count(DISTINCT term) = 2),
+            v AS (SELECT d.source AS repo, max(m.score) AS score
+                  FROM m JOIN documents d USING (doc_id)
+                  GROUP BY d.source),
+            j AS (SELECT d.doc_id, v.repo, v.score,
+                         d.source || '/' || d.doc_id || '.txt' AS path
+                  FROM documents d JOIN v ON d.source = v.repo)
+            SELECT doc_id, repo, round(score, 6) AS score
+            FROM j ORDER BY score DESC, path LIMIT 40""",
         # Sort/SortField: AND match set ordered by stored fields
         # (lang asc, path desc), not relevance; score still reported
         "q51_sort_fields": f"""WITH {_CONTRIB},

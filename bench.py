@@ -323,6 +323,15 @@ def main() -> None:
         ),
         3,
     )
+    queries["q_join_field"] = round(
+        pooled_p50(
+            "q_join_field",
+            lambda: eng.join_from_query(
+                "merge AND batch", "repo", score_mode="max", k=100
+            ).collect(),
+        ),
+        3,
+    )
     from codeindex_spark.query.percolate import QueryRegistry, percolate
 
     _perc_reg = QueryRegistry(

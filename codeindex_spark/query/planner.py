@@ -1634,6 +1634,81 @@ class SearchEngine:
             F.desc("score"), F.asc(parent_field)
         ).limit(k)
 
+    def join_from_query(
+        self,
+        from_query: ast.Node | str,
+        from_field: str,
+        to_field: str | None = None,
+        score_mode: str = "max",
+        k: int = 100,
+        filters: Filters | None = None,
+        case_sensitive: bool = False,
+        tie_field: str = "path",
+    ) -> DataFrame:
+        """Query-time join — Lucene's join module JoinUtil.
+        createJoinQuery(fromField, toField, fromQuery, ScoreMode):
+        run ``from_query``, collect the distinct ``from_field``
+        values of its matching docs with a per-value aggregated score
+        (Max / Total / Avg / Min; None scores every joined doc 0),
+        then return the docs whose ``to_field`` (defaults to
+        ``from_field``) carries one of those values — each scored
+        with its value's aggregate. The code-search reading: "every
+        file in a repo that contains a file matching X". Unlike
+        :meth:`join_to_parent` (which RETURNS the parent values),
+        this returns DOCS on the to-side, including ones that do not
+        match ``from_query`` themselves. Output: doc_id, to_field,
+        tie_field, score, ordered (score desc, ``tie_field`` asc),
+        cap k.
+
+        Scale shape: the from-side aggregate is algebraic
+        (map-side-combinable partials, one row per (task, value)
+        before its shuffle) and its result has join-key cardinality —
+        repo/lang/ext scale, not match scale — so it BROADCASTS to
+        the to-side docs scan; no doc-level shuffle exists anywhere
+        and the final order is TakeOrderedAndProject. Null
+        from-values are dropped (a null key can never equi-join).
+        """
+        aggs = {
+            "max": F.max,
+            "total": F.sum,
+            "avg": F.avg,
+            "min": F.min,
+            "none": None,
+        }
+        if score_mode not in aggs:
+            raise ValueError(
+                f"score_mode must be one of {sorted(aggs)}: {score_mode!r}"
+            )
+        to_field = from_field if to_field is None else to_field
+        scored = self._live_filtered_scores(
+            from_query, filters, case_sensitive
+        )
+        fn = aggs[score_mode]
+        vals = (
+            scored.join(
+                self.reader.docs.select("doc_id", from_field), "doc_id"
+            )
+            .filter(F.col(from_field).isNotNull())
+            .groupBy(F.col(from_field).alias("_join_val"))
+            .agg(
+                (F.lit(0.0) if fn is None else fn("score")).alias(
+                    "score"
+                )
+            )
+        )
+        cols = ["doc_id", to_field]
+        if tie_field not in cols:
+            cols.append(tie_field)
+        to_docs = self.reader.docs.select(*cols)
+        live = getattr(self.reader, "live_doc_ids", lambda: None)()
+        if live is not None:
+            to_docs = to_docs.join(live, "doc_id", "left_semi")
+        out = to_docs.join(
+            F.broadcast(vals),
+            F.col(to_field) == F.col("_join_val"),
+        ).drop("_join_val")
+        return out.orderBy(F.desc("score"), F.asc(tie_field)).limit(k)
+
     def top_terms(self, field: str = "content", n: int = 100) -> DataFrame:
         """Highest-document-frequency dictionary slice — Lucene's
         HighFreqTerms utility (misc module; Luke's "top terms" tab):

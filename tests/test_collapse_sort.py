@@ -205,6 +205,57 @@ def test_join_to_parent_none_mode_and_validation(engine):
         engine.join_to_parent("string", "lang", score_mode="bogus")
 
 
+@pytest.mark.parametrize("mode", ["max", "total", "avg", "min"])
+def test_join_from_query_matches_bruteforce(engine, mode):
+    """JoinUtil.createJoinQuery semantics: docs whose repo carries an
+    aggregated from-query score — including docs that do NOT match
+    the from-query themselves."""
+    q = "index AND writer"
+    got = engine.join_from_query(q, "repo", score_mode=mode, k=500).toPandas()
+    df = _scored_with_meta(engine, q, ["repo"])
+    agg = {"max": "max", "total": "sum", "avg": "mean", "min": "min"}[mode]
+    vals = df.groupby("repo")["score"].agg(agg)
+    meta = engine.reader.docs.select("doc_id", "repo", "path").toPandas()
+    exp = meta[meta["repo"].isin(vals.index)].copy()
+    exp["score"] = exp["repo"].map(vals)
+    exp = exp.sort_values(
+        ["score", "path"], ascending=[False, True], kind="mergesort"
+    ).head(500)
+    assert list(got["path"]) == list(exp["path"])
+    for g, e in zip(got["score"], exp["score"]):
+        assert g == pytest.approx(e, rel=1e-9)
+    # the to-side includes non-matching docs of joined repos
+    assert len(got) > df["doc_id"].nunique() or len(got) == len(exp)
+
+
+def test_join_from_query_cross_field(engine):
+    """from_field != to_field: langs of docs matching the from-query
+    select all docs of those langs."""
+    q = "index AND writer"
+    got = engine.join_from_query(
+        q, "lang", to_field="lang", score_mode="total", k=1000
+    ).toPandas()
+    df = _scored_with_meta(engine, q, ["lang"])
+    vals = df.groupby("lang")["score"].sum()
+    meta = engine.reader.docs.select("doc_id", "lang").toPandas()
+    assert set(got["doc_id"]) == set(
+        meta[meta["lang"].isin(vals.index)]["doc_id"]
+    )
+    for _, r in got.iterrows():
+        assert r["score"] == pytest.approx(vals[r["lang"]], rel=1e-9)
+
+
+def test_join_from_query_none_mode_and_validation(engine):
+    got = engine.join_from_query(
+        "string", "lang", score_mode="none", k=20
+    ).toPandas()
+    assert (got["score"] == 0.0).all()
+    # none-mode order degenerates to tie-field asc
+    assert list(got["path"]) == sorted(got["path"])
+    with pytest.raises(ValueError, match="score_mode"):
+        engine.join_from_query("string", "lang", score_mode="bogus")
+
+
 def test_index_stats_matches_oracle(engine, oracle):
     rows = {
         r["field"]: r
