@@ -5288,8 +5288,11 @@ def oracle_sql() -> dict[str, str]:
             j AS (SELECT d.doc_id, v.repo, v.score,
                          d.source || '/' || d.doc_id || '.txt' AS path
                   FROM documents d JOIN v ON d.source = v.repo)
-            SELECT doc_id, repo, round(score, 6) AS score
-            FROM j ORDER BY score DESC, path LIMIT 40""",
+            SELECT doc_id, repo, round(score, 6) AS score FROM (
+              -- inner cut orders by FULL-precision score (an outer
+              -- ORDER BY score would bind to the rounded alias and
+              -- could cut a different top-40 than the engine)
+              SELECT * FROM j ORDER BY score DESC, path LIMIT 40)""",
         # Sort/SortField: AND match set ordered by stored fields
         # (lang asc, path desc), not relevance; score still reported
         "q51_sort_fields": f"""WITH {_CONTRIB},

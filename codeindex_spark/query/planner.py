@@ -458,6 +458,37 @@ class SearchEngine:
         self._dict_cache.clear()
         self._expand_cache.clear()
 
+    # Lucene join/score-mode table shared by join_to_parent and
+    # join_from_query (ToParentBlockJoinQuery.ScoreMode / JoinUtil):
+    # None scores every joined row 0.0
+    _SCORE_MODES = {
+        "max": F.max,
+        "total": F.sum,
+        "avg": F.avg,
+        "min": F.min,
+        "none": None,
+    }
+
+    @classmethod
+    def _score_agg(cls, score_mode: str):
+        """Aggregation Column for a ScoreMode name (raises on an
+        unknown mode)."""
+        if score_mode not in cls._SCORE_MODES:
+            raise ValueError(
+                "score_mode must be one of "
+                f"{sorted(cls._SCORE_MODES)}: {score_mode!r}"
+            )
+        fn = cls._SCORE_MODES[score_mode]
+        return (F.lit(0.0) if fn is None else fn("score")).alias("score")
+
+    def _semi_join_live(self, df: DataFrame) -> DataFrame:
+        """Tombstone guard shared by the query surfaces: semi-join a
+        doc_id-keyed frame with the reader's live-doc set when one
+        exists (incremental indexes carry deleted/replaced docs in
+        their postings until compaction)."""
+        live = getattr(self.reader, "live_doc_ids", lambda: None)()
+        return df if live is None else df.join(live, "doc_id", "left_semi")
+
     def _cache_put(self, cache: dict, cap: int, key, value) -> None:
         if not self._cache_enabled:
             return
@@ -1136,10 +1167,7 @@ class SearchEngine:
         per-query window to n_partitions * k rows — a bare
         Window.partitionBy(query) would funnel every match of a
         stop-word-grade query into one reducer."""
-        scored = self.score_many(queries, case_sensitive)
-        live = getattr(self.reader, "live_doc_ids", lambda: None)()
-        if live is not None:
-            scored = scored.join(live, "doc_id", "left_semi")
+        scored = self._semi_join_live(self.score_many(queries, case_sensitive))
 
         def partial_topk(batches):
             best: dict[str, pd.DataFrame] = {}
@@ -1304,9 +1332,7 @@ class SearchEngine:
         scored = self.score(query, case_sensitive)
         # tombstone-aware readers (incremental MultiReader) expose the
         # live doc set; postings may still contain replaced/deleted docs
-        live = getattr(self.reader, "live_doc_ids", lambda: None)()
-        if live is not None:
-            scored = scored.join(live, "doc_id", "left_semi")
+        scored = self._semi_join_live(scored)
         if filters is not None and not filters.empty:
             allowed = filters.apply(self.reader.docs).select("doc_id")
             scored = scored.join(allowed, "doc_id", "left_semi")
@@ -1608,25 +1634,11 @@ class SearchEngine:
         (task, parent) before the shuffle; the final order is
         TakeOrderedAndProject.
         """
-        aggs = {
-            "max": F.max,
-            "total": F.sum,
-            "avg": F.avg,
-            "min": F.min,
-            "none": None,
-        }
-        if score_mode not in aggs:
-            raise ValueError(
-                f"score_mode must be one of {sorted(aggs)}: {score_mode!r}"
-            )
+        score_col = self._score_agg(score_mode)
         scored = self._live_filtered_scores(query, filters, case_sensitive)
         joined = scored.join(
             self.reader.docs.select("doc_id", parent_field), "doc_id"
         )
-        fn = aggs[score_mode]
-        score_col = (
-            F.lit(0.0) if fn is None else fn("score")
-        ).alias("score")
         out = joined.groupBy(parent_field).agg(
             score_col, F.count("*").alias("n_children")
         )
@@ -1667,42 +1679,30 @@ class SearchEngine:
         the to-side docs scan; no doc-level shuffle exists anywhere
         and the final order is TakeOrderedAndProject. Null
         from-values are dropped (a null key can never equi-join).
+        ``filters`` restricts BOTH sides: the from-query match set
+        AND the returned to-side docs (Filters(lang="py") means "py
+        files in repos containing a py match").
         """
-        aggs = {
-            "max": F.max,
-            "total": F.sum,
-            "avg": F.avg,
-            "min": F.min,
-            "none": None,
-        }
-        if score_mode not in aggs:
-            raise ValueError(
-                f"score_mode must be one of {sorted(aggs)}: {score_mode!r}"
-            )
+        self._score_agg(score_mode)  # validate mode before any work
         to_field = from_field if to_field is None else to_field
         scored = self._live_filtered_scores(
             from_query, filters, case_sensitive
         )
-        fn = aggs[score_mode]
         vals = (
             scored.join(
                 self.reader.docs.select("doc_id", from_field), "doc_id"
             )
             .filter(F.col(from_field).isNotNull())
             .groupBy(F.col(from_field).alias("_join_val"))
-            .agg(
-                (F.lit(0.0) if fn is None else fn("score")).alias(
-                    "score"
-                )
-            )
+            .agg(self._score_agg(score_mode))
         )
         cols = ["doc_id", to_field]
         if tie_field not in cols:
             cols.append(tie_field)
-        to_docs = self.reader.docs.select(*cols)
-        live = getattr(self.reader, "live_doc_ids", lambda: None)()
-        if live is not None:
-            to_docs = to_docs.join(live, "doc_id", "left_semi")
+        docs = self.reader.docs
+        if filters is not None and not filters.empty:
+            docs = filters.apply(docs)  # filter BEFORE the column prune
+        to_docs = self._semi_join_live(docs.select(*cols))
         out = to_docs.join(
             F.broadcast(vals),
             F.col(to_field) == F.col("_join_val"),
@@ -2233,10 +2233,9 @@ class SearchEngine:
         matches; `unpivot` stacks the facet columns so ONE map-side
         combinable groupBy produces every facet — not one scan+shuffle
         per facet column."""
-        matched = self.score(query, case_sensitive).select("doc_id")
-        live = getattr(self.reader, "live_doc_ids", lambda: None)()
-        if live is not None:
-            matched = matched.join(live, "doc_id", "left_semi")
+        matched = self._semi_join_live(
+            self.score(query, case_sensitive).select("doc_id")
+        )
         docs = self.reader.docs
         if filters is not None and not filters.empty:
             docs = filters.apply(docs)
@@ -2296,10 +2295,9 @@ class SearchEngine:
         fan-out, not the match set. The top-children cap is a
         bounded heap (TakeOrderedAndProject) over that small
         aggregate."""
-        matched = self.score(query, case_sensitive).select("doc_id")
-        live = getattr(self.reader, "live_doc_ids", lambda: None)()
-        if live is not None:
-            matched = matched.join(live, "doc_id", "left_semi")
+        matched = self._semi_join_live(
+            self.score(query, case_sensitive).select("doc_id")
+        )
         docs = self.reader.docs
         if filters is not None and not filters.empty:
             docs = filters.apply(docs)

@@ -229,12 +229,31 @@ def test_join_from_query_matches_bruteforce(engine, mode):
 
 
 def test_join_from_query_cross_field(engine):
-    """from_field != to_field: langs of docs matching the from-query
-    select all docs of those langs."""
+    """from_field != to_field with DIFFERENT column names: the
+    from-side collects lang values, the to-side matches them against
+    a distinct lang2 column (same value domain, different name) —
+    exercising genuine fromField/toField name resolution."""
+    import pyspark.sql.functions as F
+
+    base = engine.reader.docs
+
+    class _Lang2Reader:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        @property
+        def docs(self):
+            return base.withColumn("lang2", F.col("lang"))
+
+    eng2 = SearchEngine(_Lang2Reader(engine.reader))
     q = "index AND writer"
-    got = engine.join_from_query(
-        q, "lang", to_field="lang", score_mode="total", k=1000
+    got = eng2.join_from_query(
+        q, "lang", to_field="lang2", score_mode="total", k=1000
     ).toPandas()
+    assert "lang2" in got.columns and "lang" not in got.columns
     df = _scored_with_meta(engine, q, ["lang"])
     vals = df.groupby("lang")["score"].sum()
     meta = engine.reader.docs.select("doc_id", "lang").toPandas()
@@ -242,7 +261,23 @@ def test_join_from_query_cross_field(engine):
         meta[meta["lang"].isin(vals.index)]["doc_id"]
     )
     for _, r in got.iterrows():
-        assert r["score"] == pytest.approx(vals[r["lang"]], rel=1e-9)
+        assert r["score"] == pytest.approx(vals[r["lang2"]], rel=1e-9)
+
+
+def test_join_from_query_filters_restrict_to_side(engine):
+    """Filters narrow BOTH sides: the from-query match set and the
+    returned docs (py files in repos containing a py match)."""
+    q = "string OR return"
+    flt = Filters(lang="csharp")
+    got = engine.join_from_query(
+        q, "repo", score_mode="max", k=5000, filters=flt
+    ).toPandas()
+    df = _scored_with_meta(engine, q, ["repo", "lang"])
+    matched = df[df["lang"] == "csharp"]
+    vals = matched.groupby("repo")["score"].max()
+    meta = engine.reader.docs.select("doc_id", "repo", "lang").toPandas()
+    exp = meta[meta["repo"].isin(vals.index) & (meta["lang"] == "csharp")]
+    assert set(got["doc_id"]) == set(exp["doc_id"])
 
 
 def test_join_from_query_none_mode_and_validation(engine):
