@@ -529,15 +529,14 @@ def hints_from_term_dict(term_dict: DataFrame) -> DataFrame:
     word — CodeIndexBuilder.cs:111-134). Falls out of the cased term
     dictionary for free: specials are len-1 tokens, excluded by the
     length filter."""
-    return (
-        term_dict.filter(
-            (F.col("field") == "content_cs")
-            & (F.length("term") >= 4)
-            & (F.length("term") <= 199)
-        )
-        .select(F.col("term").alias("word"), F.lower("term").alias("word_lower"))
-        .distinct()
-    )
+    # no distinct(): term_dict is keyed (field, term), so the cased
+    # terms of the content_cs slice are already unique — the old
+    # distinct was a pure no-op shuffle of the hint table
+    return term_dict.filter(
+        (F.col("field") == "content_cs")
+        & (F.length("term") >= 4)
+        & (F.length("term") <= 199)
+    ).select(F.col("term").alias("word"), F.lower("term").alias("word_lower"))
 
 
 def prepare_docs(docs_raw: DataFrame) -> DataFrame:

@@ -207,9 +207,16 @@ class IndexBuilder:
         docs = docs.withColumn(
             "group", (F.col("bucket") % self.n_groups).cast("int")
         )
+        # no repartition before the write: the docID window already
+        # hash-partitioned the table by bucket, and group = bucket %
+        # n_groups, so each task holds whole buckets and the
+        # partitionBy writer splits them into their group dirs
+        # directly — the old repartition(group, bucket) was a SECOND
+        # full exchange of the content-bearing table (plan audited:
+        # Exchange hashpartitioning(bucket) + Exchange
+        # hashpartitioning(group, bucket) back to back)
         (
             docs.select(*DOC_COLUMNS, "group")
-            .repartition(F.col("group"), F.col("bucket"))
             .write.mode("overwrite")
             .partitionBy("group")
             .parquet(self.paths.docs)
@@ -232,20 +239,37 @@ class IndexBuilder:
         tokens = token_rows(
             _ensure_parallelism(persisted), params.fields, params.positionless
         )
-        postings = build_postings(tokens, stats, params)
-        post_out = os.path.join(self.paths.postings, f"group={g}")
-        (
-            postings.repartitionByRange(
-                max(self.spark.sparkContext.defaultParallelism, 4),
-                "field",
-                "term",
-                "block_id",
-            )
-            .sortWithinPartitions("field", "term", "block_id")
-            .write.mode("overwrite")
-            .partitionBy("field")
-            .parquet(post_out)
+        from pyspark import StorageLevel
+
+        # Persist the encoded blocks before the range exchange: a
+        # RangePartitioning exchange SAMPLES its child to pick bounds,
+        # and that sample job re-executes the whole post-shuffle
+        # chain (partition sort + Arrow encode kernel) a second time.
+        # With the cache, tokenize+encode runs exactly once and the
+        # sample + main exchange read compressed posting blocks from
+        # cache. MEMORY_AND_DISK: blocks are the SMALLEST form of the
+        # data (delta+varint/FOR-packed), far smaller than the token
+        # rows that produced them, so caching them is strictly
+        # cheaper than recomputing the encode at any scale.
+        postings = build_postings(tokens, stats, params).persist(
+            StorageLevel.MEMORY_AND_DISK
         )
+        post_out = os.path.join(self.paths.postings, f"group={g}")
+        try:
+            (
+                postings.repartitionByRange(
+                    max(self.spark.sparkContext.defaultParallelism, 4),
+                    "field",
+                    "term",
+                    "block_id",
+                )
+                .sortWithinPartitions("field", "term", "block_id")
+                .write.mode("overwrite")
+                .partitionBy("field")
+                .parquet(post_out)
+            )
+        finally:
+            postings.unpersist()
 
         summary = persisted.agg(
             F.count(F.lit(1)).alias("n_files"),
@@ -271,18 +295,29 @@ class IndexBuilder:
     # ---------- finalize ----------
 
     def finalize(self) -> None:
+        from pyspark import StorageLevel
+
         postings = self.spark.read.parquet(self.paths.postings)
-        term_dict = term_dict_from_postings(postings)
+        # persist the aggregated dictionary before the range exchange:
+        # the range sampler re-executes its child, which here is the
+        # full posting scan + groupBy — cached, that runs once (same
+        # fix as the posting write in build_group)
+        term_dict = term_dict_from_postings(postings).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         # field=dir partitioning + term sort: a content-field lookup
         # never touches the (much larger) file_name/file_path
         # dictionaries, and prefix ranges prune row groups
-        term_dict.repartitionByRange(
-            max(self.spark.sparkContext.defaultParallelism // 2, 2),
-            "field",
-            "term",
-        ).sortWithinPartitions("term").write.mode("overwrite").partitionBy(
-            "field"
-        ).parquet(self.paths.term_dict)
+        try:
+            term_dict.repartitionByRange(
+                max(self.spark.sparkContext.defaultParallelism // 2, 2),
+                "field",
+                "term",
+            ).sortWithinPartitions("term").write.mode("overwrite").partitionBy(
+                "field"
+            ).parquet(self.paths.term_dict)
+        finally:
+            term_dict.unpersist()
         hints = hints_from_term_dict(self.spark.read.parquet(self.paths.term_dict))
         hints.coalesce(4).write.mode("overwrite").parquet(self.paths.hints)
         _atomic_write_json(

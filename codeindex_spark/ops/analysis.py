@@ -571,7 +571,9 @@ def top_terms_per_doc(
     is keyed on the term (skew bounded by vocabulary, not corpus);
     the single-row N aggregate broadcasts; top-k is a per-doc window
     bounded by distinct-terms-per-doc."""
-    toks = df.select(
+    toks = ensure_parallelism(
+        df.select(F.col(id_col), F.col(text_col))
+    ).select(
         F.col(id_col).alias("doc_id"),
         F.explode(ws_tokens(text_col)).alias("term"),
     )
@@ -788,7 +790,7 @@ def pmi_bigrams(
         raise ValueError("min_count must be >= 1")
     if top_k < 1:
         raise ValueError("top_k must be >= 1")
-    toks = df.select(ws_tokens(text_col).alias("_toks"))
+    toks = ensure_parallelism(df.select(ws_tokens(text_col).alias("_toks")))
     uni = (
         toks.select(F.explode("_toks").alias("w"))
         .groupBy("w")
@@ -860,7 +862,8 @@ def token_entropy(
     map-side combinable, partition bound = tokens of the longest doc;
     zero joins, zero windows."""
     tf = (
-        df.select(
+        ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+        .select(
             F.col(id_col).alias("doc_id"),
             F.explode(ws_tokens(text_col)).alias("w"),
         )

@@ -102,7 +102,10 @@ def nb_train(
     counts = grams.groupBy("bucket").agg(
         F.sum(F.col("_pos").cast("long")).alias("cp"),
         F.sum((~F.col("_pos")).cast("long")).alias("cn"),
-    )
+    # <= num_buckets rows read twice (the tot collect below AND the
+    # weight broadcast at scoring time): materialize so the training
+    # gram scan runs exactly once instead of once per consumer
+    ).localCheckpoint(eager=True)
     a = float(alpha)
     weights = counts.select(
         "bucket",

@@ -79,22 +79,27 @@ def shingles(
     doc by default.
 
     Tokenization = whitespace split (shingling operates on normalized
-    text; callers lowercase/normalize upstream). JVM-side only:
-    split + slice + concat_ws under posexplode — no Python.
+    text; callers lowercase/normalize upstream). JVM-side only: the
+    shingle ARRAY is built per row with the collapse-safe zip_with
+    chain (ops/_text.gram_array), then ONE explode emits bare
+    (doc_id, shingle) rows. The r5 shape posexploded the token array
+    and re-read it per position, so every exploded row carried the
+    doc's full token array through the Generate — O(tokens^2) bytes
+    per doc on long documents; this shape is O(tokens · n).
 
     ``distinct=False`` skips the dedup SHUFFLE of every shingle row —
     pass it whenever the consumer is itself distinct-insensitive
     (min/countDistinct aggregates, semi-join probes)."""
+    from codeindex_spark.ops._text import gram_array
+
+    # raw split (no trim/empty-filter): the shingle strings are the
+    # oracle contract — empty edge tokens survive exactly as before
     toks = F.split(F.col(text_col), " +")
     df = ensure_parallelism(df)  # explode-heavy: never run on 1 split
     out = df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(toks).alias("pos", "w"),
-        F.size(toks).alias("n_toks"),
-        toks.alias("toks"),
-    ).filter(F.col("pos") <= F.col("n_toks") - n)
-    sh = F.concat_ws(" ", *[F.element_at("toks", F.col("pos") + i + 1) for i in range(n)])
-    out = out.select("doc_id", sh.alias("shingle"))
+        F.explode(gram_array(toks, n)).alias("shingle"),
+    )
     return out.distinct() if distinct else out
 
 

@@ -40,35 +40,28 @@ def _bucket_rows(
     df: DataFrame, text_col: str, n: int, num_buckets: int, extra=()
 ) -> DataFrame:
     """(*extra, bucket) — one row per order-1..n gram occurrence.
-    Tokens are materialized ONCE per row and gram windows come from
-    an exploded position column with plain slice expressions — the
-    lm.py shape. (The obvious spelling, HOF lambdas over the token
-    array with the split re-embedded in each one, re-splits the doc
-    per gram position because Spark does not CSE through lambda
-    bodies: measured 36.9 s vs 3.3 s warm for the full weight+resample
-    pipeline at sf0.1.) bucket = first-8-hex of md5(gram) mod B,
-    portable across engines."""
-    t, i = F.col("_t"), F.col("_i")
-    toks = df.select(*extra, _tokens(text_col).alias("_t")).filter(
-        F.size("_t") > 0
-    )
-    pos = toks.select(
-        *extra, "_t", F.explode(F.sequence(F.lit(1), F.size("_t"))).alias("_i")
-    )
-    grams = pos.select(
-        *extra,
-        F.explode(
-            F.array(
-                *[
-                    F.when(
-                        i + (k - 1) <= F.size(t),
-                        F.array_join(F.slice(t, i, k), " "),
-                    )
-                    for k in range(1, n + 1)
-                ]
-            )
-        ).alias("_g"),
-    ).filter(F.col("_g").isNotNull())
+
+    Gram arrays are built per ROW with the collapse-safe zip_with
+    chain (ops/_text.gram_arrays: lambdas touch only lambda
+    variables, so projection collapse cannot inline the tokenizer
+    into a per-element body — Spark does not CSE through lambda
+    functions) and a SINGLE explode emits bare (*extra, gram) rows.
+    The r5 shape exploded a position column first, so every exploded
+    row carried the doc's full token array through the Generate —
+    O(tokens^2) bytes per doc; this shape is O(tokens · n). The
+    ensure_parallelism fan-out runs BEFORE the explode (doc-level
+    rows, ~1/tokens-per-doc the volume) and doubles as the exchange
+    that materializes the token array once per row. bucket =
+    first-8-hex of md5(gram) mod B, portable across engines."""
+    from codeindex_spark.ops._text import gram_arrays
+    from codeindex_spark.util import ensure_parallelism
+
+    toks = ensure_parallelism(
+        df.select(*extra, _tokens(text_col).alias("_t"))
+    ).filter(F.size("_t") > 0)
+    garrs = gram_arrays(F.col("_t"), n)
+    all_grams = garrs[0] if n == 1 else F.concat(*garrs)
+    grams = toks.select(*extra, F.explode(all_grams).alias("_g"))
     return grams.select(
         *extra,
         F.pmod(
@@ -122,6 +115,12 @@ def dsir_log_weights(
             F.coalesce("cnt_raw", F.lit(0)).alias("cnt_raw"),
             F.coalesce("cnt_target", F.lit(0)).alias("cnt_target"),
         )
+        # <= num_buckets rows, consumed TWICE (the tot aggregate and
+        # the ratio table): without materialization the lazy plan
+        # duplicates the whole two-corpus gram subtree — the scoring
+        # action re-ran the model-side gram passes twice (plan
+        # audited: both FullOuter subtrees appeared 2x)
+        .localCheckpoint(eager=True)
     )
     tot = joined.agg(
         F.sum("cnt_raw").cast("double").alias("tot_raw"),

@@ -88,7 +88,11 @@ def lm_train(
     unigrams are never pruned (they are the floor)."""
     if n < 1:
         raise ValueError("n must be >= 1")
-    toks = docs.select(_tokens(text_col).alias("t")).filter(F.size("t") > 0)
+    from codeindex_spark.util import ensure_parallelism
+
+    toks = ensure_parallelism(
+        docs.select(_tokens(text_col).alias("t"))
+    ).filter(F.size("t") > 0)
     pos = toks.select(
         "t", F.explode(F.sequence(F.lit(1), F.size("t"))).alias("i")
     )
@@ -181,8 +185,10 @@ def lm_score(
         raise ValueError("n must be >= 1")
     m = F.broadcast(model) if broadcast_model else model
     t = F.col("t")
-    pos = docs.select(
-        F.col(id_col), _tokens(text_col).alias("t")
+    from codeindex_spark.util import ensure_parallelism
+
+    pos = ensure_parallelism(
+        docs.select(F.col(id_col), _tokens(text_col).alias("t"))
     ).filter(F.size("t") > 0)
     # one struct per position holding every order's key (null when
     # the position has too little left context for that order)

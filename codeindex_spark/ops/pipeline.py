@@ -56,10 +56,15 @@ def scrub_text(
     emails, and IPv4 addresses to fixed placeholder tokens, counting
     each. Counts are taken on the PRE-redaction text of each stage so
     an email inside a URL counts once, as a URL."""
+    from codeindex_spark.util import ensure_parallelism
+
     t0 = F.col(text_col)
     t1 = F.regexp_replace(t0, URL_RE, "<URL>")
     t2 = F.regexp_replace(t1, EMAIL_RE, "<EMAIL>")
     t3 = F.regexp_replace(t2, IPV4_RE, "<IP>")
+    # 6 corpus-wide regex passes fused into one projection — fan the
+    # rows out first so a 1-2-split scan doesn't serialize them
+    df = ensure_parallelism(df)
     return df.select(
         F.col(id_col).alias("doc_id"),
         t3.alias("text_clean"),
@@ -83,6 +88,9 @@ def chunk_documents(
     chunk_tokens - stride. Empty docs produce no chunks."""
     if stride <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
+    from codeindex_spark.util import ensure_parallelism
+
+    df = ensure_parallelism(df)  # explode-heavy: never run on 1-2 splits
     toks = ws_tokens(text_col, lower=False)
     n = F.size(toks)
     starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))

@@ -57,12 +57,20 @@ def _windows(
     scope column ``_g`` and the dedup key becomes (_g, _h)."""
     if window < 2:
         raise ValueError("window must be >= 2 tokens")
+    from codeindex_spark.ops._text import gram_array
+    from codeindex_spark.util import ensure_parallelism
+
     keys = [F.col(partition_col).alias("_g")] if partition_col else []
     knames = ["_g"] if partition_col else []
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        *keys,
-        ws_tokens(text_col, lower=False).alias("_t"),
+    # fan out doc-level rows BEFORE the gram explode: the scan of a
+    # few-row-group parquet packs into 1-2 splits, which would
+    # serialize the O(tokens · window) md5-window pass behind it
+    base = ensure_parallelism(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            *keys,
+            ws_tokens(text_col, lower=False).alias("_t"),
+        )
     ).withColumn("_n", F.size("_t"))
     grams = F.transform(
         F.sequence(F.lit(1), F.col("_n") - window + 1),
@@ -80,32 +88,38 @@ def _noncanonical(wins: DataFrame, scoped: bool = False) -> DataFrame:
     """Duplicated windows MINUS the canonical first occurrence:
     (doc_id, _s). Canonical = corpus-wide min (doc_id, start) per
     gram — per (scope, gram) when ``scoped`` — so the survivor is
-    deterministic under any partitioning."""
+    deterministic under any partitioning.
+
+    ONE window pass over the gram partition (count + min-struct with
+    unbounded frames) replaces the r5 groupBy + self-join: that shape
+    executed the whole tokenize+md5-window ``wins`` subtree TWICE
+    (once under the canon aggregate, once as the probe side) and paid
+    a second exchange for the join. Window partitioning groups NULL
+    scope keys like any other value, so the scoped variant needs no
+    null-safe join special case. Skew note: a corpus-wide mega-hot
+    gram sorts on one reducer here where the old agg pre-combined
+    map-side — but the old probe side of the self-join shuffled the
+    same hot key to the same reducer anyway, so the worst-case
+    reducer load is unchanged while every gram pays one pass instead
+    of two."""
     gk = ["_g", "_h"] if scoped else ["_h"]
-    canon = wins.groupBy(*gk).agg(
-        F.count("*").alias("_c"),
-        F.min(F.struct(F.col("doc_id").alias("d"), F.col("_s").alias("s"))).alias(
-            "_w"
-        ),
-    ).filter(F.col("_c") > 1)
-    if scoped:
-        # null-safe on the scope key: a NULL partition (unknown-lang
-        # shard) is a real dedup scope whose canon row a plain
-        # equi-join would never match — its duplicates would silently
-        # survive the scrub
-        canon = canon.withColumnRenamed("_g", "_cg").withColumnRenamed(
-            "_h", "_ch"
-        )
-        joined = wins.join(
-            canon,
-            wins["_g"].eqNullSafe(canon["_cg"])
-            & (wins["_h"] == canon["_ch"]),
-        )
-    else:
-        joined = wins.join(canon, "_h")
+    w = SparkWindow.partitionBy(*gk)
     return (
-        joined
-        .where(~((F.col("_w.d") == F.col("doc_id")) & (F.col("_w.s") == F.col("_s"))))
+        wins.select(
+            "doc_id",
+            "_s",
+            F.count("*").over(w).alias("_c"),
+            F.min(
+                F.struct(F.col("doc_id").alias("d"), F.col("_s").alias("s"))
+            ).over(w).alias("_w"),
+        )
+        .where(
+            (F.col("_c") > 1)
+            & ~(
+                (F.col("_w.d") == F.col("doc_id"))
+                & (F.col("_w.s") == F.col("_s"))
+            )
+        )
         .select("doc_id", "_s")
     )
 

@@ -310,9 +310,15 @@ def extract_links(
     plus posexplode, zero Python, zero shuffle; at 100 TB this is a
     map-only pass bounded by the HTML scan. An ``<a>`` whose close
     tag never comes is skipped (the non-greedy body needs ``</a>``)."""
+    from codeindex_spark.util import ensure_parallelism
+
     c = F.col(html_col)
     pat = F.lit(_HTML_ANCHOR_RE)
     keep = [col for col in df.columns if col != html_col]
+    # the two anchor-regex passes are the whole cost: fan doc rows out
+    # first so a 1-2-split parquet scan doesn't serialize them (no-op
+    # once the scan has enough splits)
+    df = ensure_parallelism(df)
     out = df.select(
         *keep,
         F.regexp_extract_all(c, pat, F.lit(1)).alias("_hrefs"),

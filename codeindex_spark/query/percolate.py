@@ -216,7 +216,13 @@ def percolate(
         ]
     )
     cols = [id_col, text_col] + ([path_col] if path_col else [])
-    src = docs.select(*dict.fromkeys(cols))
+    # the per-batch build+eval kernel is the whole cost of this op:
+    # fan the doc rows out first or a 1-2-split parquet scan
+    # serializes it on as many cores (no-op on streaming inputs and
+    # on scans that already have enough splits)
+    from codeindex_spark.util import ensure_parallelism
+
+    src = ensure_parallelism(docs.select(*dict.fromkeys(cols)))
 
     def kernel(batches):
         from codeindex_spark.query.oracle import OracleIndex
