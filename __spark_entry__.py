@@ -2076,8 +2076,16 @@ _URL_DERIVE_SQL = (
 
 
 def _url_corpus(spark, sf_dir):
+    from codeindex_spark.util import ensure_parallelism
+
     d = _load(spark, sf_dir, "documents")
-    return d.select("doc_id", "n_chars", F.expr(_URL_DERIVE_SQL).alias("url"))
+    # fan out the doc rows BEFORE the URL-derive + normalize regex
+    # chain: the documents parquet is one row group, so the scan
+    # packs into 1-2 splits and would serialize every regex pass
+    # applied on top of this projection
+    return ensure_parallelism(d.select("doc_id", "n_chars"), factor=1).select(
+        "doc_id", "n_chars", F.expr(_URL_DERIVE_SQL).alias("url")
+    )
 
 
 # deterministic synthetic HTML wrapped around each document's text —

@@ -572,7 +572,7 @@ def top_terms_per_doc(
     the single-row N aggregate broadcasts; top-k is a per-doc window
     bounded by distinct-terms-per-doc."""
     toks = ensure_parallelism(
-        df.select(F.col(id_col), F.col(text_col))
+        df.select(F.col(id_col), F.col(text_col)), factor=1
     ).select(
         F.col(id_col).alias("doc_id"),
         F.explode(ws_tokens(text_col)).alias("term"),
@@ -790,7 +790,11 @@ def pmi_bigrams(
         raise ValueError("min_count must be >= 1")
     if top_k < 1:
         raise ValueError("top_k must be >= 1")
-    toks = ensure_parallelism(df.select(ws_tokens(text_col).alias("_toks")))
+    # no ensure_parallelism here: repartitioning the token ARRAYS
+    # costs more than the 1-2-split explode it would parallelize
+    # (measured 2.05 -> 2.96 s at sf1.0); the groupBy shuffle right
+    # after the explode already distributes the heavy aggregation
+    toks = df.select(ws_tokens(text_col).alias("_toks"))
     uni = (
         toks.select(F.explode("_toks").alias("w"))
         .groupBy("w")
@@ -862,7 +866,9 @@ def token_entropy(
     map-side combinable, partition bound = tokens of the longest doc;
     zero joins, zero windows."""
     tf = (
-        ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+        ensure_parallelism(
+            df.select(F.col(id_col), F.col(text_col)), factor=1
+        )
         .select(
             F.col(id_col).alias("doc_id"),
             F.explode(ws_tokens(text_col)).alias("w"),

@@ -56,8 +56,13 @@ EOW = "</w>"
 def word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, freq) over the whitespace-token corpus — the single
     corpus-sized pass of BPE training."""
+    from codeindex_spark.util import ensure_parallelism
+
+    # fan out doc-level rows before the explode: a 1-2-split parquet
+    # scan otherwise serializes the corpus-sized token explode
     return (
-        df.select(F.explode(ws_tokens(text_col)).alias("word"))
+        ensure_parallelism(df.select(F.col(text_col)), factor=1)
+        .select(F.explode(ws_tokens(text_col)).alias("word"))
         .groupBy("word")
         .agg(F.count("*").cast("long").alias("freq"))
     )
@@ -209,7 +214,11 @@ def bpe_token_counts(
     the corpus-side work is one explode + a join keyed on the word +
     a per-doc sum — all map-side combinable, no Python on the
     corpus path. Empty docs stay rows with zeros."""
-    toks = df.select(
+    from codeindex_spark.util import ensure_parallelism
+
+    toks = ensure_parallelism(
+        df.select(F.col(id_col), F.col(text_col)), factor=1
+    ).select(
         F.col(id_col).alias("doc_id"),
         F.explode(ws_tokens(text_col)).alias("word"),
     )

@@ -103,9 +103,11 @@ def nb_train(
         F.sum(F.col("_pos").cast("long")).alias("cp"),
         F.sum((~F.col("_pos")).cast("long")).alias("cn"),
     # <= num_buckets rows read twice (the tot collect below AND the
-    # weight broadcast at scoring time): materialize so the training
-    # gram scan runs exactly once instead of once per consumer
-    ).localCheckpoint(eager=True)
+    # weight broadcast at scoring time): the lazy checkpoint
+    # materializes at the tot collect and the scoring action reuses
+    # the stored blocks, so the training gram scan runs exactly once
+    # without an extra eager job
+    ).localCheckpoint(eager=False)
     a = float(alpha)
     weights = counts.select(
         "bucket",

@@ -57,7 +57,7 @@ def _bucket_rows(
     from codeindex_spark.util import ensure_parallelism
 
     toks = ensure_parallelism(
-        df.select(*extra, _tokens(text_col).alias("_t"))
+        df.select(*extra, _tokens(text_col).alias("_t")), factor=1
     ).filter(F.size("_t") > 0)
     garrs = gram_arrays(F.col("_t"), n)
     all_grams = garrs[0] if n == 1 else F.concat(*garrs)
@@ -120,7 +120,7 @@ def dsir_log_weights(
         # duplicates the whole two-corpus gram subtree — the scoring
         # action re-ran the model-side gram passes twice (plan
         # audited: both FullOuter subtrees appeared 2x)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     tot = joined.agg(
         F.sum("cnt_raw").cast("double").alias("tot_raw"),

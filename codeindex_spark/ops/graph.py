@@ -57,15 +57,30 @@ def pagerank(
     if iters < 1:
         raise ValueError("iters must be >= 1")
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    deg = e.groupBy("_s").agg(F.count("*").alias("_deg"))
+    ew = (
+        e.join(deg, "_s")
+        .select("_s", "_d", "_deg")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ew.count()  # materialize once; iterations AND node setup reuse it
+    # nodes derive from the CACHED degree-joined edges (the inner
+    # join keeps every edge — each _s has a degree row), so the
+    # caller's edge subtree (often a corpus-sized distinct) executes
+    # exactly once; the r5 order scanned it again for each setup job
+    # (node-distinct job, degree build) because exchange reuse does
+    # not span separate jobs
     nodes = (
-        e.select(F.col("_s").alias("node"))
-        .union(e.select(F.col("_d").alias("node")))
+        ew.select(F.col("_s").alias("node"))
+        .union(ew.select(F.col("_d").alias("node")))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n = nodes.count()  # one bounded driver scalar, reused every iter
     # teleport vector: uniform 1/N, or uniform over the seed set
     if seeds is None:
+        # plain projection over the cached node table — persisting it
+        # separately (the r5 shape) only duplicated the cache
         nodes_t = nodes.withColumn("_tp", F.lit(1.0 / n))
     else:
         seed_list = sorted(set(seeds))
@@ -83,14 +98,8 @@ def pagerank(
             .otherwise(F.lit(0.0))
             .alias("_tp"),
         )
-    nodes_t = nodes_t.persist(StorageLevel.MEMORY_AND_DISK)
-    deg = e.groupBy("_s").agg(F.count("*").alias("_deg"))
-    ew = (
-        e.join(deg, "_s")
-        .select("_s", "_d", "_deg")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    ew.count()  # materialize once; iterations reuse the cached edges
+    if seeds is not None:
+        nodes_t = nodes_t.persist(StorageLevel.MEMORY_AND_DISK)
 
     d = float(damping)
     ranks = nodes.withColumn("pr", F.lit(1.0 / n))
@@ -99,8 +108,14 @@ def pagerank(
     # iteration instead of 2^checkpoint_every times (see hits())
     pending: list[DataFrame] = []
     for i in range(iters):
+        # shuffle-hash hint: the rank vector is the per-partition
+        # build side (nodes << edges); avoids re-sorting the cached
+        # edge partitions every iteration (sort-merge would)
         msgs = (
-            ew.join(ranks.withColumnRenamed("node", "_s"), "_s")
+            ew.join(
+                ranks.withColumnRenamed("node", "_s").hint("shuffle_hash"),
+                "_s",
+            )
             .select("_d", (F.col("pr") / F.col("_deg")).alias("_c"))
             .groupBy("_d")
             .agg(F.sum("_c").alias("_contrib"))
@@ -132,7 +147,8 @@ def pagerank(
                 df_.unpersist()
             pending = []
     ew.unpersist()
-    nodes_t.unpersist()
+    if seeds is not None:
+        nodes_t.unpersist()
     nodes.unpersist()
     return ranks
 

@@ -91,7 +91,7 @@ def lm_train(
     from codeindex_spark.util import ensure_parallelism
 
     toks = ensure_parallelism(
-        docs.select(_tokens(text_col).alias("t"))
+        docs.select(_tokens(text_col).alias("t")), factor=1
     ).filter(F.size("t") > 0)
     pos = toks.select(
         "t", F.explode(F.sequence(F.lit(1), F.size("t"))).alias("i")
@@ -188,7 +188,7 @@ def lm_score(
     from codeindex_spark.util import ensure_parallelism
 
     pos = ensure_parallelism(
-        docs.select(F.col(id_col), _tokens(text_col).alias("t"))
+        docs.select(F.col(id_col), _tokens(text_col).alias("t")), factor=1
     ).filter(F.size("t") > 0)
     # one struct per position holding every order's key (null when
     # the position has too little left context for that order)

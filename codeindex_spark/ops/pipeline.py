@@ -64,7 +64,7 @@ def scrub_text(
     t3 = F.regexp_replace(t2, IPV4_RE, "<IP>")
     # 6 corpus-wide regex passes fused into one projection — fan the
     # rows out first so a 1-2-split scan doesn't serialize them
-    df = ensure_parallelism(df)
+    df = ensure_parallelism(df, factor=1)
     return df.select(
         F.col(id_col).alias("doc_id"),
         t3.alias("text_clean"),
@@ -90,7 +90,7 @@ def chunk_documents(
         raise ValueError("chunk_tokens and stride must be positive")
     from codeindex_spark.util import ensure_parallelism
 
-    df = ensure_parallelism(df)  # explode-heavy: never run on 1-2 splits
+    df = ensure_parallelism(df, factor=1)  # explode-heavy: never run on 1-2 splits
     toks = ws_tokens(text_col, lower=False)
     n = F.size(toks)
     starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))

@@ -70,7 +70,8 @@ def _windows(
             F.col(id_col).alias("doc_id"),
             *keys,
             ws_tokens(text_col, lower=False).alias("_t"),
-        )
+        ),
+        factor=1,
     ).withColumn("_n", F.size("_t"))
     grams = F.transform(
         F.sequence(F.lit(1), F.col("_n") - window + 1),

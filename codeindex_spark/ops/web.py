@@ -318,7 +318,7 @@ def extract_links(
     # the two anchor-regex passes are the whole cost: fan doc rows out
     # first so a 1-2-split parquet scan doesn't serialize them (no-op
     # once the scan has enough splits)
-    df = ensure_parallelism(df)
+    df = ensure_parallelism(df, factor=1)
     out = df.select(
         *keep,
         F.regexp_extract_all(c, pat, F.lit(1)).alias("_hrefs"),

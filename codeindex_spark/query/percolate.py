@@ -222,7 +222,7 @@ def percolate(
     # on scans that already have enough splits)
     from codeindex_spark.util import ensure_parallelism
 
-    src = ensure_parallelism(docs.select(*dict.fromkeys(cols)))
+    src = ensure_parallelism(docs.select(*dict.fromkeys(cols)), factor=1)
 
     def kernel(batches):
         from codeindex_spark.query.oracle import OracleIndex
