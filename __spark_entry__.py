@@ -3370,7 +3370,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and stays covered locally by tools/check_entry.py.
     return {
         # --- WINDOW (first 50 = the driver's CORRECTNESS cap) ---
-        # r5 additions (never externally checked):
+        # r6 rotation per the window policy (VERDICT r5 task 1):
+        # (1) the four entries never yet externally checked lead
+        # (added after r5's driver window was cut; judge-green via
+        # tools/check_entry.py only),
+        "q55_grouping": _q_grouped_repo,
+        "q56_facet_drill": _q_facet_drill,
+        "q57_join_query": _q_join_query,
+        "pc_percolate_idx": _q_percolate_indexed,
+        # (2) the 36 least-recently-checked entries (last green
+        # r01-r03) rotate in,
+        "st_event_compaction": _q_event_compaction,
+        "st_event_window": _q_event_window,
+        "rel_pricing_summary": _q_pricing_summary,
+        "rel_order_join": _q_order_join,
+        "rel_window_rank": _q_window_rank,
+        "px_pack": _q_pack,
+        "px_sample_strat": _q_sample_stratified,
+        "tx_fingerprint": _q_fingerprint,
+        "tx_bpe_count": _q_bpe_count,
+        "tx_scrub": _q_scrub,
+        "px_chunk": _q_chunk,
+        "px_chunk_dedup": _q_chunk_dedup,
+        "px_sample": _q_sample,
+        "q23_phrase_slop": _q_phrase_slop,
+        "dd_exact": _q_dedup_exact,
+        "dd_minhash_lsh": _q_dedup_minhash,
+        "ann_cosine_topk": _q_ann_cosine,
+        "q19_content_substring": _q_content_substring,
+        "dd_keep": _q_near_dedup_keep,
+        "hy_rrf": _q_hybrid_rrf,
+        "ann_ivfpq_res_topk": _q_ann_ivfpq_res,
+        "px_pipeline": _q_pipeline,
+        "pv_highlight": _q_preview_highlight,
+        "tx_langid": _q_langid,
+        "q20_content_regex": _q_content_regex,
+        "q05_phrase_wildcard": _q_phrase_wildcard,
+        "q24_boosted_or": _q_boosted_or,
+        "q25_term_range": _q_term_range,
+        "q27_term_regexp": _q_term_regexp,
+        "q26_bool_clauses": _q_bool_clauses,
+        "q08_term_dict": _q_term_dict,
+        "q10_field_filtered": _q_field_filtered,
+        "q11_path_term": _q_path_term,
+        "q13_scan_filter_project": _q_scan_filter_project,
+        "q15_cs_negative": _q_cs_negative,
+        "q17_path_substring": _q_path_substring,
+        # (3) PINNED core sentinels — in EVERY window so core
+        # regressions stay externally visible (r4 task 8):
+        "q01_bm25_topk": _q_bm25_topk,
+        "q02_bool_and": _q_bool_and,
+        "q03_bool_or_not": _q_bool_or_not,
+        "q04_phrase": _q_phrase,
+        "q06_wildcard": _q_wildcard,
+        "q07_fuzzy": _q_fuzzy,
+        "q09_hints": _q_hints,
+        "q12_pk_lookup": _q_pk_lookup,
+        "q14_case_sensitive": _q_case_sensitive,
+        "q16_batch_search": _q_batch_search,
+        # --- below the cap: checked green in r04/r05; covered
+        # locally by tools/check_entry.py ---
         "pc_percolate": _q_percolate,
         "q53_parent_join": _q_parent_join,
         "ix_stats": _q_index_stats,
@@ -3395,7 +3454,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "px_extract_links": _q_extract_links,
         "px_anchor_stats": _q_anchor_stats,
         "gr_link_pagerank": _q_link_pagerank,
-        # never-driver-checked through r04 (VERDICT r4 task 2):
         "mm_resize_plan": _q_mm_resize_plan,
         "mm_frame_sample": _q_mm_frame_sample,
         "mm_feature_hist": _q_mm_feature_hist,
@@ -3411,59 +3469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_normalize": _q_normalize,
         "tx_profile": _q_profile,
         "dd_span_scrub": _q_span_scrub,
-        # r04's one red row — re-proving the oracle-type fix:
         "tx_domain_stats": _q_domain_stats,
-        # PINNED core sentinels — keep in EVERY window so core
-        # regressions are always externally visible (r4 task 8):
-        "q01_bm25_topk": _q_bm25_topk,
-        "q02_bool_and": _q_bool_and,
-        "q03_bool_or_not": _q_bool_or_not,
-        "q04_phrase": _q_phrase,
-        "q06_wildcard": _q_wildcard,
-        "q07_fuzzy": _q_fuzzy,
-        "q09_hints": _q_hints,
-        "q12_pk_lookup": _q_pk_lookup,
-        "q14_case_sensitive": _q_case_sensitive,
-        "q16_batch_search": _q_batch_search,
-        # --- below the cap: r5-late additions. Deliberate deviation
-        # from policy (1): the window is already exactly full with
-        # never-checked entries (24 r5 + 15 r4 + the fixed red row +
-        # 10 pinned sentinels), so these two are pinned by pytest
-        # (test_grouping.py) and tools/check_entry.py green at all
-        # three SF dirs instead of displacing equally-unchecked
-        # entries from the head. ---
-        "q55_grouping": _q_grouped_repo,
-        "q56_facet_drill": _q_facet_drill,
-        "q57_join_query": _q_join_query,
-        "q23_phrase_slop": _q_phrase_slop,
-        "dd_exact": _q_dedup_exact,
-        "dd_minhash_lsh": _q_dedup_minhash,
-        "ann_cosine_topk": _q_ann_cosine,
-        # least-recently-checked rotation fill (r1/r2-era):
-        "px_pack": _q_pack,
-        "px_sample_strat": _q_sample_stratified,
-        "tx_fingerprint": _q_fingerprint,
-        "tx_bpe_count": _q_bpe_count,
-        "tx_scrub": _q_scrub,
-        "px_chunk": _q_chunk,
-        "px_chunk_dedup": _q_chunk_dedup,
-        "px_sample": _q_sample,
-        "st_event_compaction": _q_event_compaction,
-        "st_event_window": _q_event_window,
-        "rel_pricing_summary": _q_pricing_summary,
-        "rel_order_join": _q_order_join,
-        "rel_window_rank": _q_window_rank,
-        # --- below the cap: checked in r03/r04 (or, for
-        # pc_percolate_idx, locally + by the judge's re-run);
-        # tools/check_entry.py still covers all of them locally every
-        # session ---
-        "pc_percolate_idx": _q_percolate_indexed,
-        "q19_content_substring": _q_content_substring,
-        "dd_keep": _q_near_dedup_keep,
-        "hy_rrf": _q_hybrid_rrf,
-        "ann_ivfpq_res_topk": _q_ann_ivfpq_res,
-        "px_pipeline": _q_pipeline,
-        "pv_highlight": _q_preview_highlight,
         "q38_min_should_match": _q_min_should_match,
         "q39_span_not": _q_span_not,
         "rel_cube": _q_cube,
@@ -3513,19 +3519,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_semdedup": _q_semdedup,
         "q33_term_interval": _q_term_interval,
         "tx_gopher": _q_gopher,
-        "tx_langid": _q_langid,
-        "q20_content_regex": _q_content_regex,
-        "q05_phrase_wildcard": _q_phrase_wildcard,
-        "q24_boosted_or": _q_boosted_or,
-        "q25_term_range": _q_term_range,
-        "q27_term_regexp": _q_term_regexp,
-        "q26_bool_clauses": _q_bool_clauses,
-        "q08_term_dict": _q_term_dict,
-        "q10_field_filtered": _q_field_filtered,
-        "q11_path_term": _q_path_term,
-        "q13_scan_filter_project": _q_scan_filter_project,
-        "q15_cs_negative": _q_cs_negative,
-        "q17_path_substring": _q_path_substring,
         "q18_filename_term": _q_filename_term,
         "q21_substring_batch": _q_substring_batch,
         "q22_regex_batch": _q_regex_batch,

@@ -693,7 +693,10 @@ def duplicate_components(
                 F.coalesce("comp2", "comp").alias("comp"),
                 "prev_comp",
             )
-            .localCheckpoint(eager=True)
+            # lazy: the changed-count collect right below materializes
+            # the checkpoint, so each round costs ONE job instead of
+            # an eager checkpoint job plus the collect
+            .localCheckpoint(eager=False)
         )
         changed = jumped.agg(
             F.count(
