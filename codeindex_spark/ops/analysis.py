@@ -710,15 +710,25 @@ def group_quantiles(
 
     Scale shape — the reason this exists next to ``corpus_profile``'s
     two modes (``percentile()`` buffers each whole group on its
-    reducer; ``approx_percentile`` is a t-digest estimate): here the
-    only exchange is the distinct (group, value) pairs. Repeated
-    values collapse map-side in the first groupBy; the running-sum
-    window then sorts ONLY the distinct values within each group, so
-    a 10^11-row group with 10^5 distinct values costs a 10^5-row
-    sort. Exact at any scale where distinct values fit a partition —
-    the common case for prices, lengths, scores, counts. NULL values
-    are excluded (SQL aggregate convention).
+    reducer; ``approx_percentile`` is a t-digest estimate): repeated
+    values collapse map-side in the first groupBy, so only distinct
+    (group, value) pairs cross an exchange. For NUMERIC values the
+    running sum is then computed TWO-LEVEL: a monotone fixed-width
+    bucket (4096 cells over the group's [min, max]) splits each
+    group's cumulative sum into a tiny per-(group, bucket) offset
+    window plus per-(group, bucket) within-bucket windows — so a
+    group with 10^9 distinct values sorts 4096 small runs in
+    parallel instead of one 10^9-row run on a single reducer (the r5
+    shape: a 5.4M-distinct-value lineitem price column sorted on 4
+    tasks). Bucketing is derived data only — each distinct value
+    lies in exactly one bucket and buckets are monotone in the
+    value, so the cumulative count (and therefore every quantile) is
+    bit-identical to the single-window formulation, which remains
+    the fallback for non-numeric (e.g. string) value columns. NULL
+    values are excluded (SQL aggregate convention).
     """
+    from pyspark.sql import types as _T
+
     if not quantiles:
         raise ValueError("need at least one quantile")
     if any(q <= 0.0 or q > 1.0 for q in quantiles):
@@ -729,17 +739,84 @@ def group_quantiles(
         .groupBy(group_col, value_col)
         .agg(F.count("*").alias("_c"))
     )
-    w = (
-        SparkWindow.partitionBy(group_col)
-        .orderBy(value_col)
-        .rowsBetween(SparkWindow.unboundedPreceding, SparkWindow.currentRow)
+    numeric = isinstance(
+        df.schema[value_col].dataType, _T.NumericType
     )
-    cum = vc.select(
-        group_col,
-        value_col,
-        F.sum("_c").over(w).alias("_cum"),
-        F.sum("_c").over(SparkWindow.partitionBy(group_col)).alias("_n"),
-    )
+    if numeric:
+        n_buckets = 4096
+        vd = v.cast("double")
+        # NaN sorts greater than everything in Spark: route it to the
+        # top bucket explicitly (it would poison the min/max range),
+        # and keep NaN out of the range aggregate; a group that is
+        # all-NaN has no mm row, hence the left join + isnan-first
+        # bucket rule. ±Inf collapses the range so every value lands
+        # in one bucket — still exact, just unparallelized for that
+        # degenerate group.
+        mm = (
+            vc.filter(~F.isnan(vd))
+            .groupBy(group_col)
+            .agg(
+                F.min(vd).alias("_lo"),
+                F.max(vd).alias("_hi"),
+            )
+        )
+        width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_buckets))
+        bkt = (
+            F.when(F.isnan(vd), F.lit(n_buckets - 1))
+            .when(F.col("_hi") == F.col("_lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.floor((vd - F.col("_lo")) / width).cast("int"),
+                    F.lit(n_buckets - 1),
+                )
+            )
+        )
+        vcb = vc.join(mm, group_col, "left").select(
+            group_col, value_col, "_c", bkt.alias("_b")
+        )
+        b_cnt = vcb.groupBy(group_col, "_b").agg(
+            F.sum("_c").alias("_bc")
+        )
+        woff = (
+            SparkWindow.partitionBy(group_col)
+            .orderBy("_b")
+            .rowsBetween(SparkWindow.unboundedPreceding, -1)
+        )
+        offs = b_cnt.select(
+            group_col,
+            "_b",
+            F.coalesce(F.sum("_bc").over(woff), F.lit(0)).alias("_off"),
+            F.sum("_bc")
+            .over(SparkWindow.partitionBy(group_col))
+            .alias("_n"),
+        )
+        win = (
+            SparkWindow.partitionBy(group_col, "_b")
+            .orderBy(value_col)
+            .rowsBetween(
+                SparkWindow.unboundedPreceding, SparkWindow.currentRow
+            )
+        )
+        cum = vcb.join(offs, [group_col, "_b"]).select(
+            group_col,
+            value_col,
+            (F.col("_off") + F.sum("_c").over(win)).alias("_cum"),
+            "_n",
+        )
+    else:
+        w = (
+            SparkWindow.partitionBy(group_col)
+            .orderBy(value_col)
+            .rowsBetween(
+                SparkWindow.unboundedPreceding, SparkWindow.currentRow
+            )
+        )
+        cum = vc.select(
+            group_col,
+            value_col,
+            F.sum("_c").over(w).alias("_cum"),
+            F.sum("_c").over(SparkWindow.partitionBy(group_col)).alias("_n"),
+        )
     # aliases round to integer percents (q25, q50, ...); two
     # quantiles landing on the same percent would emit duplicate
     # column names, so refuse rather than silently shadow
