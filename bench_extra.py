@@ -245,6 +245,21 @@ def main() -> None:
             lambda df: df.agg(F.sum("cent_sim"), F.sum("vec_id")).collect()),
         "op_ann_cosine": (f_op_ann_cosine, lambda df: df.collect()),
         "op_margin_align": (f_op_margin_align, lambda df: df.collect()),
+        # plan-capture-only frames (use --runs 0 --warm 0 --explain):
+        # the percolate pairs frame and the extract_links frame, so the
+        # mapInPandas fan-out shape is committed alongside the op plans
+        "frame_percolate": (
+            lambda: __import__(
+                "codeindex_spark.query.percolate", fromlist=["percolate"]
+            ).percolate(
+                docs_df,
+                {"t": "merge", "a": "merge AND batch"},
+                id_col="doc_id",
+                text_col="text",
+            ),
+            a_count,
+        ),
+        "frame_links": (f_op_linkgraph_links, a_count),
     }
 
     # op_linkgraph is a two-action composite; handle specially
