@@ -186,6 +186,75 @@ POSTING_SCHEMA = T.StructType(
 )
 
 
+def _trigram_rows(
+    doc_ids: np.ndarray, texts: pd.Series, fname: str
+) -> Iterator[pd.DataFrame]:
+    """Vectorized tf-only trigram extraction, output-identical to
+    ``texts.str.findall(TRIGRAM_RE)`` + the packed-unique counting of
+    the positionless path, but ~without per-window Python string
+    objects: the batch's texts are joined with ``\\n`` separators,
+    decoded once to a uint32 code-point array, and every 3-wide
+    sliding window free of LF (the only char Python's ``.`` rejects)
+    is packed into one uint64 (3 x 21-bit code points). Windows that
+    would span two documents necessarily contain the separator LF,
+    so validity alone confines windows to their documents. Unique
+    packed windows decode back to strings ONCE (per distinct
+    trigram, not per occurrence), then get the same ``str.lower()``
+    the regex path applied per extracted term — including the merge
+    of raw trigrams that lower to the same string. dl = the doc's
+    valid-window count, exactly ``len(findall(...))``."""
+    texts = texts.fillna("")
+    lens = texts.str.len().to_numpy(dtype=np.int64)
+    joined = "\n".join(texts.tolist())
+    arr = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    if len(arr) < 3:
+        return
+    w0, w1, w2 = arr[:-2], arr[1:-1], arr[2:]
+    lf = np.uint32(10)
+    idx = np.flatnonzero((w0 != lf) & (w1 != lf) & (w2 != lf))
+    if len(idx) == 0:
+        return
+    starts = np.concatenate(([0], np.cumsum(lens + 1)))[:-1]
+    d_idx = np.searchsorted(starts, idx, side="right") - 1
+    dl_per_doc = np.bincount(d_idx, minlength=len(texts))
+    packed = (
+        (w0[idx].astype(np.uint64) << np.uint64(42))
+        | (w1[idx].astype(np.uint64) << np.uint64(21))
+        | w2[idx].astype(np.uint64)
+    )
+    uniq, codes = np.unique(packed, return_inverse=True)
+    k = len(uniq)
+    tri = np.empty((k, 3), dtype=np.uint32)
+    mask = np.uint64(0x1FFFFF)
+    tri[:, 0] = (uniq >> np.uint64(42)) & mask
+    tri[:, 1] = (uniq >> np.uint64(21)) & mask
+    tri[:, 2] = uniq & mask
+    flat = tri.tobytes().decode("utf-32-le")
+    # lower per distinct trigram, then MERGE raws that lower equal —
+    # the regex path lowered the flat term series before factorize,
+    # so such raws share one (doc, term) row with summed tf
+    lowered = [flat[i * 3 : i * 3 + 3].lower() for i in range(k)]
+    lcodes_arr, luniques = pd.factorize(
+        pd.Series(lowered, dtype=object), sort=False
+    )
+    kl = max(len(luniques), 1)
+    key = d_idx.astype(np.int64) * kl + lcodes_arr[codes]
+    u, tf = np.unique(key, return_counts=True)
+    dd = u // kl
+    cc = u - dd * kl
+    empty = np.empty(0, dtype=np.int32)
+    yield pd.DataFrame(
+        {
+            "doc_id": doc_ids[dd],
+            "field": fname,
+            "term": luniques.take(cc),
+            "tf": tf.astype(np.int32),
+            "positions": [empty] * len(u),
+            "dl": dl_per_doc[dd].astype(np.int32),
+        }
+    )
+
+
 def _doc_term_rows(
     doc_ids: np.ndarray, texts: pd.Series, field_cased: str | None,
     field_lower: str | None, regex=None, emit_positions: bool = True,
@@ -314,17 +383,26 @@ def token_rows(
                     emit_positions="content_camel" not in positionless,
                 )
             if want_trigram:
-                yield from _doc_term_rows(
-                    ids, pdf["path"].str.lower(), None, "path_trigram",
-                    regex=TRIGRAM_RE,
-                    emit_positions="path_trigram" not in positionless,
-                )
+                if "path_trigram" in positionless:
+                    yield from _trigram_rows(
+                        ids, pdf["path"].str.lower(), "path_trigram"
+                    )
+                else:
+                    yield from _doc_term_rows(
+                        ids, pdf["path"].str.lower(), None, "path_trigram",
+                        regex=TRIGRAM_RE, emit_positions=True,
+                    )
             if want_ctrigram:
-                yield from _doc_term_rows(
-                    ids, pdf["content"].str.lower(), None,
-                    "content_trigram", regex=TRIGRAM_RE,
-                    emit_positions="content_trigram" not in positionless,
-                )
+                if "content_trigram" in positionless:
+                    yield from _trigram_rows(
+                        ids, pdf["content"].str.lower(), "content_trigram"
+                    )
+                else:
+                    yield from _doc_term_rows(
+                        ids, pdf["content"].str.lower(), None,
+                        "content_trigram", regex=TRIGRAM_RE,
+                        emit_positions=True,
+                    )
 
     cols = ["doc_id", "content"]
     if want_name:
